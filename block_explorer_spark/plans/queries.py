@@ -1,0 +1,331 @@
+"""The 11-operator public query surface (SURVEY §2.12) as DataFrame plans.
+
+Each function mirrors one StorageAPIFetcher operation
+(reference: etl/interfaces/interfaces.go:102-123, etl/storage/storage.go)
+as a pure DataFrame composition: validation stays at the API edge,
+semantics (sentinels, ordering, pagination, sibling/hierarchy lookups)
+live here, and Catalyst handles pushdown/pruning/join strategy.
+
+Paged operations return (page_df, total) — the reference's two-pass
+LIMIT + COUNT(*) pattern (A1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from block_explorer_spark.functions import jets
+from block_explorer_spark.operators import filters as Fl
+from block_explorer_spark.operators import joins as J
+from block_explorer_spark.operators import pagination as Pg
+from block_explorer_spark.operators import windows as W
+
+
+# ---------------------------------------------------------------------------
+# records
+# ---------------------------------------------------------------------------
+
+
+def get_lifeline(
+    records: DataFrame,
+    object_reference: bytes,
+    cursor: tuple[int, int] | None = None,
+    pulse_gt: int | None = None,
+    pulse_lt: int | None = None,
+    ts_gte: int | None = None,
+    ts_lte: int | None = None,
+    ascending: bool = False,
+    limit: int = Pg.DEFAULT_LIMIT,
+    offset: int = 0,
+) -> tuple[DataFrame, int]:
+    """GET /api/v1/lifeline/{ref}/records — an object's state history.
+
+    F5 (object equality + type='state') + F1 pulse range + F3 timestamp
+    range + F4 keyset cursor + (pulse_number, order) sort + page/total.
+    reference: etl/storage/storage.go:258-283
+    """
+    df = Fl.apply_filters(
+        records,
+        Fl.equality(type="state") & (F.col("object_reference") == object_reference),
+        Fl.range_exclusive("pulse_number", gt=pulse_gt, lt=pulse_lt),
+        Fl.timestamp_range(gte=ts_gte, lte=ts_lte),
+        Fl.keyset_cursor("pulse_number", "order", cursor[0], cursor[1], ascending)
+        if cursor is not None
+        else None,
+    )
+    sort = [("pulse_number", ascending), ("order", ascending)]
+    return Pg.paginate_with_total(df, sort, limit, offset)
+
+
+def get_records_by_jet_drop(
+    records: DataFrame,
+    jet_id: str,
+    pulse_number: int,
+    record_type: str | None = None,
+    cursor: tuple[int, int] | None = None,
+    ascending: bool = True,
+    limit: int = Pg.DEFAULT_LIMIT,
+    offset: int = 0,
+) -> tuple[DataFrame, int]:
+    """GET /api/v1/jet-drops/{id}/records.
+
+    F6 point + optional F7 type + F4 cursor + W1 sort + page/total.
+    reference: etl/storage/storage.go:382-407
+    """
+    df = Fl.apply_filters(
+        records,
+        Fl.equality(jet_id=jet_id, pulse_number=pulse_number),
+        Fl.equality(type=record_type) if record_type else None,
+        Fl.keyset_cursor("pulse_number", "order", cursor[0], cursor[1], ascending)
+        if cursor is not None
+        else None,
+    )
+    sort = [("pulse_number", ascending), ("order", ascending)]
+    return Pg.paginate_with_total(df, sort, limit, offset)
+
+
+def get_record(records: DataFrame, reference: bytes) -> DataFrame:
+    """Point lookup by record reference (search dispatch target)."""
+    return records.filter(F.col("reference") == reference)
+
+
+# ---------------------------------------------------------------------------
+# pulses
+# ---------------------------------------------------------------------------
+
+
+def get_pulse(pulses: DataFrame, pulse_number: int) -> DataFrame:
+    """GET /api/v1/pulses/{pn} — point lookup + J2 prev/next repair.
+
+    A pulse's stored next link is nominal; the API must report -1 when
+    the neighbor it names was never saved. Resolved with one self-join
+    against the (broadcast) single-row probe.
+    reference: etl/storage/storage.go:286-300,360-379
+    """
+    point = pulses.filter(F.col("pulse_number") == pulse_number)
+    others = pulses.select(
+        F.col("pulse_number").alias("__pn"), F.col("prev_pulse_number").alias("__prev")
+    )
+    with_next = (
+        F.broadcast(point)
+        .join(others, on=F.col("pulse_number") == F.col("__prev"), how="left_outer")
+        .withColumn("next_pulse_number", F.coalesce(F.col("__pn"), F.lit(W.MISSING)))
+        .drop("__pn", "__prev")
+    )
+    prev_exists = pulses.select(F.col("pulse_number").alias("__prev_pn"))
+    return (
+        F.broadcast(with_next)
+        .join(prev_exists, on=F.col("prev_pulse_number") == F.col("__prev_pn"), how="left_outer")
+        .withColumn(
+            "prev_pulse_number",
+            F.when(F.col("__prev_pn").isNull(), F.lit(W.MISSING)).otherwise(
+                F.col("prev_pulse_number")
+            ),
+        )
+        .drop("__prev_pn")
+    )
+
+
+def get_pulses(
+    pulses: DataFrame,
+    from_pulse: int | None = None,
+    ts_gte: int | None = None,
+    ts_lte: int | None = None,
+    pulse_gt: int | None = None,
+    pulse_gte: int | None = None,
+    pulse_lt: int | None = None,
+    pulse_lte: int | None = None,
+    ascending: bool = False,
+    limit: int = Pg.DEFAULT_LIMIT,
+    offset: int = 0,
+) -> tuple[DataFrame, int]:
+    """GET /api/v1/pulses — filtered page with W2 chain repair.
+
+    F2 4-way pulse range + F3 timestamp range + `pulse_number <= from`
+    + sort + page/total, then adjacent-row repair of prev/next links
+    *within the page* (the reference repairs the fetched slice:
+    etl/storage/storage.go:303-358).
+    """
+    df = Fl.apply_filters(
+        pulses,
+        Fl.range_4way("pulse_number", gt=pulse_gt, gte=pulse_gte, lt=pulse_lt, lte=pulse_lte),
+        Fl.timestamp_range(gte=ts_gte, lte=ts_lte),
+        (F.col("pulse_number") <= from_pulse) if from_pulse is not None else None,
+    )
+    total = df.count()
+    page = Pg.paginate(df, [("pulse_number", ascending)], limit, offset)
+    # Repair against page-adjacent rows; page is small (≤1000) so the
+    # window sort is trivial. Sort ascending for the lag/lead semantics,
+    # the caller's direction is display order only.
+    repaired = W.chain_repair(page, window=Window.orderBy("pulse_number"))
+    return repaired.orderBy(
+        F.col("pulse_number").asc() if ascending else F.col("pulse_number").desc()
+    ), total
+
+
+def get_incomplete_pulses(pulses: DataFrame) -> DataFrame:
+    """F10: WHERE NOT is_complete. reference: etl/storage/storage.go:410-417"""
+    return pulses.filter(~F.col("is_complete"))
+
+
+def get_sequential_pulse(pulses: DataFrame) -> DataFrame:
+    """A4: latest sequential pulse. reference: etl/storage/storage.go:430-443"""
+    return Pg.top1(pulses.filter(F.col("is_sequential")), [("pulse_number", False)])
+
+
+def get_next_saved_pulse(
+    pulses: DataFrame, after: int, complete_only: bool = False
+) -> DataFrame:
+    """A5: first pulse after `after`. reference: etl/storage/storage.go:446-463"""
+    df = pulses.filter(F.col("pulse_number") > after)
+    if complete_only:
+        df = df.filter(F.col("is_complete"))
+    return Pg.top1(df, [("pulse_number", True)])
+
+
+def get_pulse_by_prev(pulses: DataFrame, prev_pulse_number: int) -> DataFrame:
+    """F11: pulse whose prev link = given. reference: etl/storage/storage.go:420-428"""
+    return pulses.filter(F.col("prev_pulse_number") == prev_pulse_number)
+
+
+def next_complete_pulse_with_prototypes(
+    pulses: DataFrame, records: DataFrame, prev_pulse_number: int, prototypes: list[bytes]
+) -> DataFrame:
+    """Exporter J1: next complete pulse + its prototype-matched record count.
+
+    Returns (pulse_number, prev_pulse_number, record_amount) where
+    record_amount is the *matched* count (A6 overwrite semantics).
+    reference: etl/storage/storage.go:563-585
+    """
+    joined = J.records_for_pulse_with_prototypes(pulses, records, prev_pulse_number, prototypes)
+    return joined.groupBy("pulse_number", "prev_pulse_number").agg(
+        F.count(F.lit(1)).alias("record_amount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# jet drops
+# ---------------------------------------------------------------------------
+
+
+def get_jet_drops_by_pulse(
+    jet_drops: DataFrame,
+    pulse_number: int,
+    from_jet_id: str | None = None,
+    limit: int = Pg.DEFAULT_LIMIT,
+    offset: int = 0,
+) -> tuple[DataFrame, int]:
+    """GET /api/v1/pulses/{pn}/jet-drops.
+
+    F6 pulse point + `jet_id >= from` seek + ORDER BY jet_id + page.
+    reference: etl/storage/storage.go:475-494
+    """
+    df = Fl.apply_filters(
+        jet_drops,
+        Fl.equality(pulse_number=pulse_number),
+        (F.col("jet_id") >= from_jet_id) if from_jet_id is not None else None,
+    )
+    return Pg.paginate_with_total(df, [("jet_id", True)], limit, offset)
+
+
+def get_jet_drop_by_id(
+    jet_drops: DataFrame, jet_id: str, pulse_number: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """GET /api/v1/jet-drops/{id} — point + J3 sibling prev/next drops.
+
+    Returns (drop, prev_drops, next_drops): siblings limited to the
+    adjacent pulses actually holding them (the reference resolves prev/
+    next pulse first, then sibling-filters; we push both predicates into
+    one scan each way and keep only the nearest pulse's matches).
+    reference: etl/storage/storage.go:496-531
+    """
+    drop = jet_drops.filter(Fl.equality(jet_id=jet_id, pulse_number=pulse_number))
+    sib = jets.sibling_exprs(jet_id)
+    w_prev = Window.orderBy(F.col("pulse_number").desc())
+    prev_drops = (
+        jet_drops.filter(Fl.in_list("jet_id", sib) & (F.col("pulse_number") < pulse_number))
+        .withColumn("__r", F.dense_rank().over(w_prev))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    w_next = Window.orderBy(F.col("pulse_number").asc())
+    next_drops = (
+        jet_drops.filter(Fl.in_list("jet_id", sib) & (F.col("pulse_number") > pulse_number))
+        .withColumn("__r", F.dense_rank().over(w_next))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    return drop, prev_drops, next_drops
+
+
+def get_jet_drops_by_jet_id(
+    jet_drops: DataFrame,
+    jet_id: str,
+    pulse_gt: int | None = None,
+    pulse_gte: int | None = None,
+    pulse_lt: int | None = None,
+    pulse_lte: int | None = None,
+    pulse_ascending: bool = False,
+    limit: int = 1000,
+) -> tuple[DataFrame, int]:
+    """GET /api/v1/jets/{id}/jet-drops — hierarchy page.
+
+    F9 (jet + ancestors + descendants) + F2 pulse range + two-column
+    sort with opposing directions (pulse asc ⇒ jet desc and vice versa)
+    + LIMIT (no offset on this endpoint) + total.
+    reference: etl/storage/storage.go:533-561
+    """
+    df = Fl.apply_filters(
+        jet_drops,
+        Fl.jet_hierarchy(jet_id, jets.jet_parents(jet_id)[:-1]),
+        Fl.range_4way("pulse_number", gt=pulse_gt, gte=pulse_gte, lt=pulse_lt, lte=pulse_lte),
+    )
+    sort = [("pulse_number", pulse_ascending), ("jet_id", not pulse_ascending)]
+    page = Pg.paginate(df, sort, limit, 0)
+    return page, df.count()
+
+
+def enrich_with_hash_chain(
+    page: DataFrame,
+    jet_drops: DataFrame,
+    prev_pulse: int | None,
+    next_pulse: int | None,
+) -> DataFrame:
+    """J5 + J4: adjacency prefetch then hash-chain prev/next edges.
+
+    reference: api/handlers.go:150-297
+    """
+    enriched = J.adjacency_enrich(page, jet_drops, prev_pulse, next_pulse)
+    return J.hash_chain_edges(enriched)
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+
+def search(
+    pulses: DataFrame,
+    jet_drops: DataFrame,
+    records: DataFrame,
+    value: str,
+) -> tuple[str, DataFrame]:
+    """GET /api/v1/search?value= — type-dispatch point lookup.
+
+    pulse int → pulse; "<jet>:<pulse>" → jet drop; base58 ref → record
+    (by reference) or lifeline head (by object_reference).
+    reference: api/handlers.go:458-553
+    """
+    from block_explorer_spark.functions import refs
+
+    v = value.strip()
+    if v.isdigit():
+        return "pulse", get_pulse(pulses, int(v))
+    if ":" in v:
+        jet, pn = jets.parse_jet_drop_id(v)
+        drop, _, _ = get_jet_drop_by_id(jet_drops, jet, pn)
+        return "jet_drop", drop
+    ref = refs.parse_reference(v)
+    by_ref = records.filter(F.col("reference") == ref)
+    return "record", by_ref

@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark import schemas
+from block_explorer_spark.plans import queries as Q
+from block_explorer_spark.sources import generators as gen
+
+
+def _lifeline_df(spark, pulses=(100, 110, 120), rpp=3):
+    life = gen.make_lifeline(seed=3, pulses=list(pulses), records_per_pulse=rpp)
+    df = spark.createDataFrame(life.records, schemas.RECORDS)
+    return life, df
+
+
+def test_get_lifeline_desc_default(spark):
+    life, df = _lifeline_df(spark)
+    page, total = Q.get_lifeline(df, life.object_reference, limit=100)
+    rows = page.collect()
+    assert total == 9  # 3 pulses x 3 states (request excluded)
+    assert all(r.type == "state" for r in rows)
+    keys = [(r.pulse_number, r.order) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_get_lifeline_cursor_and_range(spark):
+    life, df = _lifeline_df(spark)
+    page, total = Q.get_lifeline(
+        df, life.object_reference, cursor=(110, 2), ascending=True, limit=100
+    )
+    keys = [(r.pulse_number, r.order) for r in page.collect()]
+    assert keys[0] >= (110, 2)
+    assert keys == sorted(keys)
+    page2, total2 = Q.get_lifeline(
+        df, life.object_reference, pulse_gt=100, pulse_lt=120, limit=100
+    )
+    assert total2 == 3
+    assert all(r.pulse_number == 110 for r in page2.collect())
+
+
+def test_get_pulse_repairs_links(spark):
+    pulses = gen.make_pulses(start=1000, count=5, gaps=(2,))  # 1000,1010,1030,1040
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    got = Q.get_pulse(df, 1010).collect()[0]
+    assert got.prev_pulse_number == 1000
+    assert got.next_pulse_number == -1  # 1020 missing
+    got2 = Q.get_pulse(df, 1030).collect()[0]
+    assert got2.prev_pulse_number == -1  # stored prev 1020 missing
+    assert got2.next_pulse_number == 1040
+
+
+def test_get_pulses_page_and_repair(spark):
+    pulses = gen.make_pulses(start=1000, count=6, gaps=(3,))
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    page, total = Q.get_pulses(df, ascending=False, limit=3)
+    assert total == 5
+    rows = page.collect()
+    assert [r.pulse_number for r in rows] == [1050, 1040, 1020]
+    by_pn = {r.pulse_number: r for r in rows}
+    assert by_pn[1020].next_pulse_number == -1  # 1030 missing
+    assert by_pn[1040].prev_pulse_number == -1
+
+
+def test_pulse_seeks(spark):
+    pulses = gen.make_pulses(start=1000, count=5, gaps=(2,))
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    assert Q.get_sequential_pulse(df).collect()[0].pulse_number == 1040
+    assert Q.get_next_saved_pulse(df, 1010).collect()[0].pulse_number == 1030
+    assert Q.get_pulse_by_prev(df, 1000).collect()[0].pulse_number == 1010
+    incomplete = Q.get_incomplete_pulses(
+        spark.createDataFrame(gen.make_pulses(count=3, complete=False), schemas.PULSES)
+    )
+    assert incomplete.count() == 3
+
+
+def test_jet_drops_by_pulse_and_by_id(spark):
+    drops = gen.make_jet_split_tree(seed=5, root_jet="0", start_pulse=2000, depth=2)
+    df = spark.createDataFrame(drops, schemas.JET_DROPS)
+    page, total = Q.get_jet_drops_by_pulse(df, 2010, limit=10)
+    assert total == 2
+    assert [r.jet_id for r in page.collect()] == ["00", "01"]
+
+    drop, prev_d, next_d = Q.get_jet_drop_by_id(df, "00", 2010)
+    assert drop.count() == 1
+    assert [r.jet_id for r in prev_d.collect()] == ["0"]  # parent at 2000
+    assert sorted(r.jet_id for r in next_d.collect()) == ["000", "001"]  # children
+
+
+def test_jet_drops_by_jet_id_hierarchy(spark):
+    drops = gen.make_jet_split_tree(seed=5, root_jet="0", start_pulse=2000, depth=2)
+    df = spark.createDataFrame(drops, schemas.JET_DROPS)
+    page, total = Q.get_jet_drops_by_jet_id(df, "00", pulse_ascending=True)
+    ids = [(r.pulse_number, r.jet_id) for r in page.collect()]
+    # ancestors ("0") + self + descendants (000,001)
+    assert (2000, "0") in ids and (2010, "00") in ids
+    assert (2020, "000") in ids and (2020, "001") in ids
+    assert (2010, "01") not in ids
+    assert total == len(ids)
+
+
+def test_hash_chain_enrichment(spark):
+    drops = gen.make_jet_split_tree(seed=5, root_jet="", start_pulse=2000, depth=1)
+    df = spark.createDataFrame(drops, schemas.JET_DROPS)
+    edges = Q.enrich_with_hash_chain(df, df, None, None).collect()
+    got = sorted((e.parent_jet_id, e.child_jet_id) for e in edges)
+    assert got == [("", "0"), ("", "1")]
+
+
+def test_exporter_join(spark):
+    pulses = gen.make_pulses(start=3000, count=3)
+    life = gen.make_lifeline(seed=9, pulses=[3010], records_per_pulse=4)
+    proto = life.records[1]["prototype_reference"]
+    import random
+
+    records_df = spark.createDataFrame(life.records, schemas.RECORDS)
+    pulses_df = spark.createDataFrame(pulses, schemas.PULSES)
+    out = Q.next_complete_pulse_with_prototypes(pulses_df, records_df, 3000, [proto])
+    row = out.collect()[0]
+    assert row.pulse_number == 3010
+    assert row.record_amount == 1
+
+
+def test_search_dispatch(spark, flat_seed):
+    pulses, drops, records = flat_seed
+    kind, df = Q.search(pulses, drops, records, str(pulses.collect()[0].pulse_number))
+    assert kind == "pulse" and df.count() == 1
+    d0 = drops.collect()[0]
+    kind, df = Q.search(pulses, drops, records, f"{d0.jet_id}:{d0.pulse_number}")
+    assert kind == "jet_drop" and df.count() == 1
