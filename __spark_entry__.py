@@ -1,38 +1,678 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship query (TPC-H Q3 shape) on sf0.001.
+queries()         — one entry per implemented operator family from
+                    SURVEY.md §2 plus the training-data surface, each
+                    expressed through block_explorer_spark operators.
+oracle_sql()      — DuckDB-equivalent SQL per query (omitted only for
+                    probabilistic ops: MinHash-LSH, SimHash, RP-LSH ANN).
+
+Column names and types are aligned pairwise (aggregates aliased the
+same on both sides; counts cast to BIGINT; float outputs rounded
+identically) so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from block_explorer_spark.functions import text as Tx
+from block_explorer_spark.functions import vectors as V
+from block_explorer_spark.operators import dedup as D
+from block_explorer_spark.operators import filters as Fl
+from block_explorer_spark.operators import pagination as Pg
+from block_explorer_spark.operators import sessions as Sx
+from block_explorer_spark.operators import similarity as Sim
+from block_explorer_spark.operators import windows as W
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects by default; read as long nanos (runtime-settable).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Relational query surface (SURVEY §2 shapes on the driver tables)
+# ---------------------------------------------------------------------------
+
+
+def q01_keyset_page(spark: SparkSession, sf: str) -> DataFrame:
+    """F4+F5+W1+limit: lifeline-shaped keyset pagination on lineitem."""
+    li = _t(spark, sf, "lineitem")
+    df = Fl.apply_filters(
+        li,
+        Fl.equality(l_returnflag="R"),
+        Fl.keyset_cursor("l_orderkey", "l_linenumber", 10000, 3, ascending=True),
+    )
+    page = Pg.paginate(df, [("l_orderkey", True), ("l_linenumber", True)], limit=50)
+    return page.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q02_range_page(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 4-way range + W1 desc + offset pagination (row_number)."""
+    o = _t(spark, sf, "orders")
+    df = Fl.apply_filters(
+        o, Fl.range_4way("o_orderkey", gte=1000, lt=40000), Fl.equality(o_orderstatus="F")
+    )
+    page = Pg.paginate(df, [("o_orderkey", False)], limit=40, offset=25)
+    return page.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q03_chain_repair(spark: SparkSession, sf: str) -> DataFrame:
+    """W2: adjacent-row chain repair with -1 sentinels over a gappy set."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "click")
+    linked = ev.select(
+        "event_id",
+        (F.col("event_id") - 1).alias("prev_event_id"),
+        (F.col("event_id") + 1).alias("next_event_id"),
+    )
+    return W.chain_repair(
+        linked, key="event_id", prev_link="prev_event_id", next_link="next_event_id"
+    )
+
+
+def q04_prefix_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """F9: prefix-hierarchy match (ancestors IN-list + LIKE 'p%')."""
+    p = _t(spark, sf, "part")
+    pred = Fl.jet_hierarchy("PROMO", ["Brand#11", "Brand#22"], col="p_type") | Fl.in_list(
+        "p_brand", ["Brand#11", "Brand#22"]
+    )
+    return p.filter(pred).select("p_partkey", "p_brand", "p_type")
+
+
+def q05_in_list(spark: SparkSession, sf: str) -> DataFrame:
+    """F8 IN-list + A1-style grouped counts."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(Fl.in_list("o_orderpriority", ["1-URGENT", "2-HIGH"]))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+    )
+
+
+def q06_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """F6: composite point lookup (jet-drop-records shape)."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(Fl.equality(l_orderkey=1)).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+def q07_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/A3: derived denormalized counters via groupBy."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_amount"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+
+
+def q08_minmax_seek(spark: SparkSession, sf: str) -> DataFrame:
+    """A4/A5: filtered MIN/MAX seeks in one pass."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(F.col("l_returnflag") == "A").agg(
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def q09_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 top-k: ORDER BY ... LIMIT n → TakeOrderedAndProject."""
+    o = _t(spark, sf, "orders")
+    top = Pg.paginate(o, [("o_totalprice", False), ("o_orderkey", True)], limit=25)
+    return top.select("o_orderkey", "o_totalprice")
+
+
+def q10_union_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7: union of two filtered scans + dropDuplicates."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return a.unionByName(b).dropDuplicates(["o_custkey"])
+
+
+def q11_exporter_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1+A6: broadcast equi-join, small dim side, matched-count agg."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    joined = F.broadcast(c.select("c_custkey")).join(
+        o, on=F.col("c_custkey") == F.col("o_custkey"), how="inner"
+    )
+    return joined.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("record_amount"))
+
+
+def q12_prevnext_link(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: link-resolving left self-join with -1 sentinel for absences."""
+    o = _t(spark, sf, "orders")
+    probe = o.filter(F.col("o_custkey") <= 50).select("o_orderkey", "o_custkey")
+    links = o.select((F.col("o_orderkey") - 1).alias("__prev"), F.col("o_orderkey").alias("__next_key"))
+    return (
+        probe.join(links, on=F.col("o_orderkey") == F.col("__prev"), how="left_outer")
+        .withColumn("next_orderkey", F.coalesce(F.col("__next_key"), F.lit(-1)))
+        .select("o_orderkey", "o_custkey", "next_orderkey")
+    )
+
+
+def q13_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """D-family streaming analog: session windows via lag + running sum."""
+    ev = _t(spark, sf, "events")
+    return Sx.session_stats(ev, gap_seconds=1800)
+
+
+def q14_index_format(spark: SparkSession, sf: str) -> DataFrame:
+    """X2/X3: composite id formatting with root sentinel rendering."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ).alias("record_index"),
+        F.when(F.col("l_returnflag") == "N", F.lit("*"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag_display"),
+    )
+
+
+def q15_siblings(spark: SparkSession, sf: str) -> DataFrame:
+    """X5/J3: binary-trie sibling IN-list over a derived jet column."""
+    p = _t(spark, sf, "part")
+    from block_explorer_spark.functions.jets import sibling_exprs
+
+    sib = sibling_exprs("101")  # {101, 1010, 1011, 10}
+    return (
+        p.withColumn("jet", F.bin("p_size"))
+        .filter(F.col("jet").isin(sib))
+        .select("p_partkey", "p_size", "jet")
+    )
+
+
+def q16_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: wide agg, map-side partials."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q17_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: 3-way join + agg + top-k."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    joined = (
+        F.broadcast(c.select("c_custkey"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+def q18_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: 6-way join, dims broadcast."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def q19_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: pure pushed-down filter + single agg."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data surface (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q20_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on the bag-of-words fingerprint (hash-groupBy)."""
+    docs = _t(spark, sf, "documents")
+    return D.fingerprint_dedup(docs, "text", "doc_id")
+
+
+def q21_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + numeric quality ratios, all JVM-side."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.token_count("text").cast("long").alias("n_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars_computed"),
+        F.round(Tx.mean_token_len("text"), 4).alias("mean_token_len"),
+    )
+
+
+def q22_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-overlap language ID heuristic."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.stopword_hits("text", "en").cast("long").alias("en_hits"),
+        Tx.stopword_hits("text", "de").cast("long").alias("de_hits"),
+        Tx.language_id("text").alias("predicted_lang"),
+        "lang",
+    )
+
+
+def q23_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score (length/digit/punct/token-shape)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", Tx.quality_score("text").alias("quality"))
+
+
+def q24_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram jaccard pairs via inverted shingle index."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", "inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q25_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified. Probabilistic
+    recall → no SQL oracle (driver records rows-only)."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8, num_hashes=128, bands=16
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q26_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (banded hamming). No SQL oracle."""
+    docs = _t(spark, sf, "documents")
+    return D.simhash_pairs(docs, "doc_id", Tx.word_ngrams("text", 3), max_hamming=8, blocks=16)
+
+
+def q27_ann_brute(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k against a stored query vector."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = Sim.brute_force_topk(emb, "embedding", qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q28_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by label (equi-join + cosine)."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = Sim.cosine_pairs(emb, "embedding", "label", threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q29_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """RP-LSH bucketed ANN top-k (scale path). Probabilistic → rows-only."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = Sim.rp_lsh_topk(emb, "embedding", qvec, k=10, bits=8, multiprobe_hamming=2)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q3 (join + agg + top-k) on sf0.001."""
+    return q17_tpch_q3(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_keyset_page": q01_keyset_page,
+        "q02_range_page": q02_range_page,
+        "q03_chain_repair": q03_chain_repair,
+        "q04_prefix_hierarchy": q04_prefix_hierarchy,
+        "q05_in_list": q05_in_list,
+        "q06_point_lookup": q06_point_lookup,
+        "q07_counters": q07_counters,
+        "q08_minmax_seek": q08_minmax_seek,
+        "q09_topk": q09_topk,
+        "q10_union_dedup": q10_union_dedup,
+        "q11_exporter_join": q11_exporter_join,
+        "q12_prevnext_link": q12_prevnext_link,
+        "q13_sessionize": q13_sessionize,
+        "q14_index_format": q14_index_format,
+        "q15_siblings": q15_siblings,
+        "q16_tpch_q1": q16_tpch_q1,
+        "q17_tpch_q3": q17_tpch_q3,
+        "q18_tpch_q5": q18_tpch_q5,
+        "q19_tpch_q6": q19_tpch_q6,
+        "q20_dedup_exact": q20_dedup_exact,
+        "q21_token_stats": q21_token_stats,
+        "q22_langid": q22_langid,
+        "q23_quality": q23_quality,
+        "q24_word_jaccard": q24_word_jaccard,
+        "q25_minhash_lsh": q25_minhash_lsh,
+        "q26_simhash": q26_simhash,
+        "q27_ann_brute": q27_ann_brute,
+        "q28_embed_neardup": q28_embed_neardup,
+        "q29_ann_lsh": q29_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WORDSET = "list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))"
+
+_TOK = """SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1)),
+        i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))) AS sh
+    FROM documents"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_keyset_page": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_returnflag = 'R'
+              AND (l_orderkey > 10000 OR (l_orderkey = 10000 AND l_linenumber >= 3))
+            ORDER BY l_orderkey, l_linenumber LIMIT 50
+        """,
+        "q02_range_page": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_orderkey DESC) AS rn
+              FROM orders
+              WHERE o_orderkey >= 1000 AND o_orderkey < 40000 AND o_orderstatus = 'F'
+            ) WHERE rn > 25 AND rn <= 65
+        """,
+        "q03_chain_repair": """
+            SELECT event_id,
+              CASE WHEN lag(event_id) OVER w IS NULL
+                     OR lag(event_id) OVER w != event_id - 1
+                   THEN -1 ELSE event_id - 1 END AS prev_event_id,
+              CASE WHEN lead(event_id) OVER w IS NULL
+                     OR lead(event_id) OVER w != event_id + 1
+                   THEN -1 ELSE event_id + 1 END AS next_event_id
+            FROM events WHERE event_type = 'click'
+            WINDOW w AS (ORDER BY event_id)
+        """,
+        "q04_prefix_hierarchy": """
+            SELECT p_partkey, p_brand, p_type FROM part
+            WHERE p_type IN ('Brand#11', 'Brand#22') OR p_type LIKE 'PROMO%'
+               OR p_brand IN ('Brand#11', 'Brand#22')
+        """,
+        "q05_in_list": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_totalprice
+            FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_orderstatus
+        """,
+        "q06_point_lookup": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM lineitem WHERE l_orderkey = 1
+        """,
+        "q07_counters": """
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_amount,
+                   round(sum(o_totalprice), 2) AS total_spent
+            FROM orders GROUP BY o_custkey
+        """,
+        "q08_minmax_seek": """
+            SELECT max(l_shipdate) AS max_shipdate, min(l_orderkey) AS min_orderkey,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem WHERE l_returnflag = 'A'
+        """,
+        "q09_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+        """,
+        "q10_union_dedup": """
+            SELECT DISTINCT o_custkey FROM (
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              UNION ALL
+              SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            )
+        """,
+        "q11_exporter_join": """
+            SELECT c_custkey, CAST(count(*) AS BIGINT) AS record_amount
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+            GROUP BY c_custkey
+        """,
+        "q12_prevnext_link": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   coalesce(n.o_orderkey, -1) AS next_orderkey
+            FROM orders o LEFT JOIN orders n ON n.o_orderkey = o.o_orderkey + 1
+            WHERE o.o_custkey <= 50
+        """,
+        "q13_sessionize": """
+            WITH s AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS is_start
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), t AS (
+              SELECT user_id,
+                sum(is_start) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+              FROM s
+            ), ps AS (
+              SELECT user_id, session_id, count(*) AS session_events
+              FROM t GROUP BY user_id, session_id
+            )
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   CAST(sum(session_events) AS BIGINT) AS n_events,
+                   CAST(max(session_events) AS BIGINT) AS max_session_events
+            FROM ps GROUP BY user_id
+        """,
+        "q14_index_format": """
+            SELECT concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))
+                     AS record_index,
+                   CASE WHEN l_returnflag = 'N' THEN '*' ELSE l_returnflag END AS flag_display
+            FROM lineitem WHERE l_orderkey <= 200
+        """,
+        "q15_siblings": """
+            SELECT p_partkey, p_size, bin(p_size) AS jet FROM part
+            WHERE bin(p_size) IN ('101', '1010', '1011', '10')
+        """,
+        "q16_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q17_tpch_q3": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15'
+              AND l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q18_tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q19_tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "q20_dedup_exact": f"""
+            SELECT md5(array_to_string({_WORDSET}, ' ')) AS dedup_key,
+                   min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents
+            GROUP BY md5(array_to_string({_WORDSET}, ' '))
+        """,
+        "q21_token_stats": """
+            SELECT doc_id,
+              CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_computed,
+              round(
+                list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                        t -> CAST(length(t) AS DOUBLE)))
+                / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 4) AS mean_token_len
+            FROM documents
+        """,
+        "q22_langid": f"""
+            WITH h AS (
+              SELECT doc_id, lang,
+                CAST(len(list_intersect({_WORDSET},
+                  ['the','and','of','to','is','in','that','with'])) AS BIGINT) AS en_hits,
+                CAST(len(list_intersect({_WORDSET},
+                  ['der','die','das','und','ist','nicht','ein','mit'])) AS BIGINT) AS de_hits,
+                CAST(len(list_intersect({_WORDSET},
+                  ['el','la','los','que','es','una','por','como'])) AS BIGINT) AS es_hits,
+                CAST(len(list_intersect({_WORDSET},
+                  ['le','les','des','est','dans','pour','une','sur'])) AS BIGINT) AS fr_hits,
+                CAST(len(list_intersect({_WORDSET},
+                  ['de5','shi4','zai4','you3','wo3','ta1','le5','bu4'])) AS BIGINT) AS zh_hits
+              FROM documents
+            )
+            SELECT doc_id, en_hits, de_hits,
+              CASE
+                WHEN zh_hits > greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'zh'
+                WHEN fr_hits > greatest(en_hits, de_hits, es_hits) THEN 'fr'
+                WHEN es_hits > greatest(en_hits, de_hits) THEN 'es'
+                WHEN de_hits > en_hits THEN 'de'
+                WHEN en_hits > 0 THEN 'en'
+                ELSE 'und' END AS predicted_lang,
+              lang
+            FROM h
+        """,
+        "q23_quality": """
+            WITH m AS (
+              SELECT doc_id,
+                CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS n,
+                CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END AS digit_r,
+                CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END AS punct_r,
+                list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                        t -> CAST(length(t) AS DOUBLE)))
+                  / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS mtl
+              FROM documents
+            )
+            SELECT doc_id, round(
+                (CASE WHEN n >= 20 THEN 1.0 ELSE n / 20.0 END) * 0.4
+              + (1.0 - least(1.0, digit_r * 4)) * 0.2
+              + (1.0 - least(1.0, punct_r * 4)) * 0.2
+              + (CASE WHEN mtl >= 3 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+            FROM m
+        """,
+        "q24_word_jaccard": f"""
+            WITH tok AS ({_TOK}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+                   CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+                   round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+        """,
+        "q27_ann_brute": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(
+              list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              6) AS cosine
+            FROM embeddings, q
+            ORDER BY list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+              vec_id ASC
+            LIMIT 10
+        """,
+        "q28_embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
+              list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE
+              list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.3
+        """,
+    }

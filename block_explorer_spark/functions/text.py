@@ -1,0 +1,160 @@
+"""Text analysis column expressions (training-data pipeline surface).
+
+All JVM-side (`pyspark.sql.functions` only — no Python UDFs in the
+hot path): tokenization, shingles, quality metrics, language-ID
+heuristics, fingerprints. Every expression here has an exact ANSI-SQL
+equivalent (used by the DuckDB oracle harness), so semantics are
+pinned cross-engine: split on '\\s+', lowercase via lower(), distinct
+set semantics from array_distinct/array_intersect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens of trimmed text."""
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap len() proxy for BPE budgeting)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation
+    boundaries, the usual ~whitespace*1.3 BPE estimator without a
+    vocab. Deterministic regex, no UDF."""
+    return F.size(F.split(F.trim(_c(col)), r"[\s\p{Punct}]+"))
+
+
+def word_set(col: Column | str) -> Column:
+    """Sorted distinct token set — basis of fingerprints and jaccard."""
+    return F.array_sort(F.array_distinct(tokens(col)))
+
+
+def word_set_fingerprint(col: Column | str) -> Column:
+    """md5 over the sorted distinct token set: order/duplication-
+    insensitive document fingerprint (bag-of-words near-dup key)."""
+    return F.md5(F.concat_ws(" ", word_set(col)))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined token windows).
+
+    The standard shingling unit for near-dup detection: single words
+    are too common under small vocabularies (document frequency ~N
+    makes inverted-index joins quadratic); n-grams restore
+    discriminative power. Texts shorter than n tokens yield their
+    whole token sequence as one shingle.
+    """
+    toks = tokens(col)
+    n_shingles = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_shingles),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of the lowercased text."""
+    c = F.lower(F.trim(_c(col)))
+    n_shingles = F.greatest(F.length(c) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_shingles), lambda i: F.substring(c, i, F.lit(n)))
+    )
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    return F.when(F.length(c) > 0, F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    return F.when(
+        F.length(c) > 0,
+        F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", "")) / F.length(c),
+    ).otherwise(F.lit(0.0))
+
+
+def upper_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    return F.when(F.length(c) > 0, F.length(F.regexp_replace(c, r"[^A-Z]", "")) / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("double"), lambda a, t: a + F.length(t))
+    return total / F.size(toks)
+
+
+#: Tiny per-language stopword seed lists for the n-gram/stopword
+#: language-ID heuristic. Chosen to be disjoint across languages.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "como"],
+    "fr": ["le", "les", "des", "est", "dans", "pour", "une", "sur"],
+    "zh": ["de5", "shi4", "zai4", "you3", "wo3", "ta1", "le5", "bu4"],
+}
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Distinct stopwords of `lang` present in the text."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(word_set(col), sw))
+
+
+def language_id(col: Column | str) -> Column:
+    """Predicted language = argmax stopword overlap; 'und' (undetermined)
+    when no list scores > 0. Ties break by fixed priority order
+    en > de > es > fr > zh (strictly-greater comparisons in sequence)."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ("en", "de", "es", "fr", "zh"):
+        cond = hits[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, hits[lang]).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low digit/punct
+    noise, sane mean token length. Weights fixed & documented so the
+    oracle SQL can mirror them exactly."""
+    n = token_count(col)
+    len_ok = F.when(n >= 20, F.lit(1.0)).otherwise(n / F.lit(20.0))
+    digit_pen = F.lit(1.0) - F.least(F.lit(1.0), digit_ratio(col) * 4)
+    punct_pen = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 4)
+    mtl = mean_token_len(col)
+    mtl_ok = F.when((mtl >= 3) & (mtl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_ok * 0.4 + digit_pen * 0.2 + punct_pen * 0.2 + mtl_ok * 0.2, 6)
+
+
+def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over each
+    sliding window of `window` tokens, distinct-collected. Cheap
+    content-defined signature for containment detection."""
+    toks = tokens(col)
+    n_windows = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The Spark-side shape is real and tested — schema, partition-friendly
+layout, Arrow-batched mapInPandas UDFs with bounded batch sizes — but
+the codec step is stubbed: this container has no image/audio libs, so
+decode_fn defaults to a deterministic fake that derives "features"
+from the bytes. Swap `decode_fn` for a real decoder (PIL/torchaudio/
+pyav) in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: media table: opaque payload + typed metadata. Partition by
+#: (modality, shard) at scale; payloads never leave the executor.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("payload_sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decode(payload: bytes, n_features: int = 8) -> list[float]:
+    """Deterministic stand-in for a codec: features from the digest.
+
+    STUB — replace with a real decode (image resize / audio frames /
+    video frame-sample). Raises nothing; production decoders should
+    catch codec errors and emit NULL features instead of failing the
+    task (corrupt media is data, not an error, at 100 TB).
+    """
+    d = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in d[:n_features]]
+
+
+def real_decode(payload: bytes, n_features: int = 8) -> list[float]:
+    """The production codec hook. Not available in this container."""
+    raise NotImplementedError(
+        "codec libs (PIL/torchaudio/pyav) not installed; use fake_decode "
+        "or inject a decode_fn"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], list[float]] = fake_decode,
+    batch_size: int = 256,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow streams columnar batches into Python; we re-chunk to
+    `batch_size` rows so peak executor-python memory is bounded by
+    batch_size * max_payload (decoded media blows up 10-100x, so the
+    default is conservative). Payload bytes are dropped from the
+    output — downstream stages join features back by media_id instead
+    of re-shuffling blobs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                payloads = [bytes(p) if p is not None else b"" for p in chunk["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "modality": chunk["modality"].values,
+                        "payload_sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                        "n_bytes": [len(p) for p in payloads],
+                        "features": [decode_fn(p) for p in payloads],
+                    }
+                )
+
+    cols = ["media_id", "modality", "payload"]
+    return media.select(cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM per-modality stats (no decode): bytes, counts, dims."""
+    return media.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.avg(F.length("payload")).alias("avg_bytes"),
+        F.avg("width").alias("avg_width"),
+        F.avg("height").alias("avg_height"),
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+  brute_force_topk — exact cosine top-k against a query vector: one
+    scan, TakeOrderedAndProject (per-partition heap + driver merge);
+    the right baseline and already cluster-shaped (no shuffle).
+  rp_lsh_buckets / rp_lsh_topk — random-hyperplane LSH: sign bits of
+    dot(v, r_i) form a bucket key; candidates = query's bucket (and
+    neighbors via multi-probe). Scale path: the bucket join prunes the
+    scan to ~N/2^bits rows.
+  cosine_pairs — embedding near-duplicate pairs within blocking keys
+    (label/source/bucket), an equi-join then exact cosine filter.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from block_explorer_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, query: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine; ties broken by id for determinism."""
+    q = V.lit_vector(query)
+    scored = df.select(
+        F.col(id_col), V.cosine(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def rp_lsh_buckets(
+    df: DataFrame, vec_col: str, dim: int, bits: int = 8, seed: int = 42
+) -> DataFrame:
+    """Add a `bucket` long column: sign-bit signature over `bits`
+    random hyperplanes. Deterministic given seed."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bucket = bucket + F.when(V.dot(F.col(vec_col), V.lit_vector(p)) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+    return df.withColumn("bucket", bucket.cast("long"))
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: scan only buckets within `multiprobe_hamming` of the
+    query's bucket, then exact cosine + top-k on the candidates.
+
+    At scale the bucketed table is written partitioned/clustered by
+    `bucket`, so this is a partition-pruned scan of ~(probes/2^bits)
+    of the data instead of a full pass.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, seed)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) > 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if multiprobe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(bits)]
+    if multiprobe_hamming >= 2:
+        probes += [
+            qbucket ^ (1 << i) ^ (1 << j) for i in range(bits) for j in range(i + 1, bits)
+        ]
+    bucketed = rp_lsh_buckets(df, vec_col, dim, bits, seed)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs within a blocking key.
+
+    Equi-join on the block (never a cross join); callers choose the
+    block: a metadata key (label, source) or an LSH bucket from
+    rp_lsh_buckets for unlabeled data. Output:
+    (id_a, id_b, cosine) with id_a < id_b.
+    """
+    a = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", V.cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 and compares to
+its oracle_sql() in DuckDB: row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows
+sorted by all columns). Prints one line per query.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from block_explorer_spark import get_spark, schemas  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in schemas.TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 9)
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return bytes(v)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, int):
+            return float(v) if -(2**52) < v < 2**52 else v
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def main() -> int:
+    spark = get_spark("oracle-check")
+    con = duck_con(SF_DIR)
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [c.lower() for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        status = []
+        if len(srows) != len(orows):
+            status.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(c.lower() for c in scols) != sorted(ocols):
+            status.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+        if not status:
+            sn = normalize(srows, [c.lower() for c in scols])
+            on = normalize(orows, ocols)
+            if sn != on:
+                diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+                status.append(f"values differ, first diffs: {diff}")
+        if status:
+            print(f"FAIL  {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
