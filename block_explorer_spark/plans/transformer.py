@@ -1,0 +1,92 @@
+"""D1/D2 — the transform stage: raw platform records → canonical rows.
+
+reference: etl/transformer/transformer.go:22-84 (Transform),
+207-292 (record decode), with the J6 chain sort in operators/chain_sort.
+
+The reference transforms one pulse at a time through a channel; here
+the same logic is one declarative batch transform over any number of
+pulses at once — grouping per (pulse, jet) replaces the per-pulse loop
+and scales by partitioning instead of queue depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from block_explorer_spark import schemas
+from block_explorer_spark.operators.chain_sort import chain_sort_drops
+
+#: D2 kind → type mapping (etl/transformer/transformer.go:231-277):
+#: Activate/Amend/Deactivate → state; Result → result;
+#: Incoming/OutgoingRequest → request; anything else is skipped.
+_STATE_KINDS = list(schemas.RAW_KINDS_STATE)
+_REQUEST_KINDS = ["incoming_request", "outgoing_request"]
+
+
+def decode_records(raw: DataFrame) -> DataFrame:
+    """D2: normalize the 6 platform record kinds into the 3 model types.
+
+    - unsupported kinds are dropped (reference skips them);
+    - prototype_reference is only meaningful for Activate/Amend (the
+      object's image); cleared elsewhere;
+    - prev_record_reference only for Amend/Deactivate (PrevState);
+      cleared for Activate (chain head) and non-state kinds.
+    All F.when chains — no UDF, full codegen.
+    """
+    kind = F.col("kind")
+    typ = (
+        F.when(kind.isin(_STATE_KINDS), F.lit("state"))
+        .when(kind == "result", F.lit("result"))
+        .when(kind.isin(_REQUEST_KINDS), F.lit("request"))
+        .otherwise(F.lit(None))
+    )
+    proto = F.when(kind.isin(["activate", "amend"]), F.col("prototype_reference")).otherwise(
+        F.lit(None)
+    )
+    prev = F.when(
+        kind.isin(["amend", "deactivate"]), F.col("prev_record_reference")
+    ).otherwise(F.lit(None))
+    return (
+        raw.withColumn("type", typ)
+        .filter(F.col("type").isNotNull())
+        .withColumn("prototype_reference", proto)
+        .withColumn("prev_record_reference", prev)
+        .drop("kind")
+    )
+
+
+def transform_pulse_data(raw: DataFrame, drop_invalid: bool = True) -> DataFrame:
+    """D1: full transform — decode then per-drop chain sort + order.
+
+    Input: schemas.RAW_RECORDS. Output: schemas.RECORDS with `order`
+    assigned 1..N within each (pulse_number, jet_id), state chains
+    ordered by prev-links; drops with broken/forked chains removed
+    (reloaded later by the controller, D6).
+    """
+    decoded = decode_records(raw)
+    return chain_sort_drops(decoded, drop_invalid=drop_invalid)
+
+
+def jet_drops_from_records(
+    sorted_records: DataFrame, pulses: DataFrame
+) -> DataFrame:
+    """Derive the jet_drops rows for a transformed batch (A3 counts +
+    pulse metadata copy — the reference builds these in the processor,
+    etl/processor/processor.go:131-167). Hash/prev-hash columns come
+    from the raw platform drop when available; this derivation covers
+    sources that provide records only."""
+    counts = sorted_records.groupBy("pulse_number", "jet_id").agg(
+        F.count(F.lit(1)).cast("int").alias("record_amount")
+    )
+    p = pulses.select("pulse_number", F.col("timestamp").alias("__p_ts"))
+    return (
+        counts.join(F.broadcast(p), "pulse_number", "left_outer")
+        .withColumn("first_prev_hash", F.lit(None).cast("binary"))
+        .withColumn("second_prev_hash", F.lit(None).cast("binary"))
+        .withColumn("hash", F.lit(None).cast("binary"))
+        .withColumn("raw_data", F.lit(None).cast("binary"))
+        .withColumn("timestamp", F.col("__p_ts"))
+        .drop("__p_ts")
+        .select(*[f.name for f in schemas.JET_DROPS.fields])
+    )

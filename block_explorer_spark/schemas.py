@@ -89,6 +89,9 @@ RAW_RECORDS = T.StructType(
         T.StructField("raw_data", T.BinaryType(), True),
         T.StructField("jet_id", T.StringType(), False),
         T.StructField("pulse_number", T.LongType(), False),
+        # stamped by the extractor from the pulse (the reference copies
+        # it in the processor: etl/processor/processor.go:165)
+        T.StructField("timestamp", T.LongType(), True),
         T.StructField("position", T.IntegerType(), True),
     ]
 )

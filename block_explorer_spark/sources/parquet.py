@@ -1,0 +1,166 @@
+"""Partitioned-parquet storage layout + idempotent upsert protocol.
+
+The reference gets idempotency from PostgreSQL PK upserts inside one
+transaction (S4/S5: etl/storage/storage.go:28-94). Plain parquet has
+no MERGE, so the engine uses a partition-overwrite protocol:
+
+  * every table is partitioned by `pulse_bucket` = pulse_number // N
+    (N=1000 pulses ≈ 2.7h of chain ≈ one healthy parquet partition at
+    production record rates; tune per deployment);
+  * an upsert of rows touching buckets B rewrites exactly those bucket
+    directories as merge(old rows not in batch, batch rows), keyed on
+    the table's PK — `INSERT ... ON CONFLICT DO UPDATE` semantics with
+    bucket granularity, via dynamic partition overwrite (only touched
+    partitions replaced, never the table);
+  * counters/flags are never mutated in place — they are derived
+    (operators/aggregates.py) or recomputed into the pulses table by
+    the control plane, so a crash between two table writes self-heals
+    on the next idempotent pass (same keys → same rows).
+
+At cluster scale each bucket rewrite is one task-parallel job over
+the incoming batch's buckets; unrelated partitions are untouched, so
+concurrent backfills of disjoint pulse ranges don't conflict.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from block_explorer_spark import schemas
+
+PULSE_BUCKET_SIZE = 1000
+
+#: PK (upsert identity) per table — reference: migrations/migrations.go:11-89.
+TABLE_KEYS = {
+    "pulses": ["pulse_number"],
+    "jet_drops": ["pulse_number", "jet_id"],
+    "records": ["reference"],
+}
+
+TABLE_SCHEMAS = {
+    "pulses": schemas.PULSES,
+    "jet_drops": schemas.JET_DROPS,
+    "records": schemas.RECORDS,
+}
+
+
+def with_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "pulse_bucket", (F.col("pulse_number") / PULSE_BUCKET_SIZE).cast("long")
+    )
+
+
+def table_path(base: str, name: str) -> str:
+    return os.path.join(base, name)
+
+
+def read_table(spark: SparkSession, base: str, name: str) -> DataFrame:
+    """Schema-pinned read; drops the physical bucket column."""
+    path = table_path(base, name)
+    cols = [f.name for f in TABLE_SCHEMAS[name].fields]
+    return spark.read.parquet(path).select(*cols)
+
+
+def init_table(spark: SparkSession, base: str, name: str) -> None:
+    """Create an empty partitioned table if absent."""
+    path = table_path(base, name)
+    if os.path.exists(path):
+        return
+    empty = spark.createDataFrame([], TABLE_SCHEMAS[name])
+    with_bucket(empty).write.partitionBy("pulse_bucket").mode("append").parquet(path)
+
+
+def upsert(spark: SparkSession, base: str, name: str, batch: DataFrame) -> None:
+    """MERGE `batch` into the table keyed on TABLE_KEYS[name].
+
+    whenMatched → replace with batch row (reference's ON CONFLICT DO
+    UPDATE); whenNotMatched → insert. Implemented as: read only the
+    buckets the batch touches, anti-join out rows whose key appears in
+    the batch, union the batch, dynamic-partition-overwrite those
+    buckets. Re-running the same batch is a no-op by construction.
+    """
+    keys = TABLE_KEYS[name]
+    path = table_path(base, name)
+    batch = with_bucket(batch.dropDuplicates(keys))
+
+    if not os.path.exists(path):
+        batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
+        return
+
+    buckets = [r.pulse_bucket for r in batch.select("pulse_bucket").distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col("pulse_bucket").isin(buckets))
+    kept = existing.join(F.broadcast(batch.select(*keys).distinct()), on=keys, how="left_anti")
+    merged = kept.select(*batch.columns).unionByName(batch)
+    (
+        merged.write.partitionBy("pulse_bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def save_jet_drop_data(
+    spark: SparkSession,
+    base: str,
+    jet_drops: DataFrame,
+    records: DataFrame,
+) -> None:
+    """S4: persist a batch of canonical jet drops + their records.
+
+    Two idempotent MERGEs (drops keyed (pulse, jet), records keyed
+    reference). The reference wraps these plus counter bumps in one
+    Postgres txn (etl/storage/storage.go:28-82); here counters are
+    derived so partial failure between the two writes self-heals on
+    retry — same keys produce the same final state.
+    """
+    upsert(spark, base, "jet_drops", jet_drops)
+    upsert(spark, base, "records", records)
+
+
+def save_pulse(spark: SparkSession, base: str, pulses: DataFrame) -> None:
+    """S5: upsert pulses keyed pulse_number."""
+    upsert(spark, base, "pulses", pulses)
+
+
+def set_pulse_flags(
+    spark: SparkSession,
+    base: str,
+    pulse_numbers: list[int],
+    complete: bool | None = None,
+    sequential: bool | None = None,
+) -> None:
+    """S6: CompletePulse / SequencePulse — flag flips as a bucket merge.
+
+    reference: etl/storage/storage.go:97-136 (single-row UPDATEs).
+    """
+    if not pulse_numbers:
+        return
+    current = read_table(spark, base, "pulses").filter(
+        F.col("pulse_number").isin(pulse_numbers)
+    )
+    if complete is not None:
+        current = current.withColumn("is_complete", F.lit(complete))
+    if sequential is not None:
+        current = current.withColumn("is_sequential", F.lit(sequential))
+    upsert(spark, base, "pulses", current)
+
+
+def refresh_pulse_counters(spark: SparkSession, base: str) -> None:
+    """A2 materialization: recompute per-pulse counters from jet_drops
+    and merge into pulses (keeps read-side latency low without mutable
+    increments; always consistent with the fact table)."""
+    from block_explorer_spark.operators.aggregates import pulse_counters
+
+    drops = read_table(spark, base, "jet_drops")
+    pulses = read_table(spark, base, "pulses")
+    counters = pulse_counters(drops)
+    updated = (
+        pulses.drop("jet_drop_amount", "record_amount")
+        .join(counters, "pulse_number", "left_outer")
+        .fillna(0, subset=["jet_drop_amount", "record_amount"])
+        .select(*[f.name for f in schemas.PULSES.fields])
+    )
+    upsert(spark, base, "pulses", updated)

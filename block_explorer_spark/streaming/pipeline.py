@@ -1,0 +1,152 @@
+"""Streaming ingest + control plane + exporter tail.
+
+Maps the reference's channel pipeline (gRPC source → transformer →
+200-worker processor → Postgres; §1.3) onto Structured Streaming:
+
+  raw-records file source (stand-in for the gRPC exporter stream)
+    → foreachBatch: D2 decode + J6 chain sort + S4/S5 MERGE
+    → control pass: D4 completeness, D5 sequential, counters
+
+foreachBatch is the right sink shape because each micro-batch needs
+the multi-table idempotent MERGE protocol (sources/parquet.py), which
+no built-in sink provides. Backpressure = maxFilesPerTrigger
+(reference: bounded channels of 500, gRPC batches of 100 —
+configuration/configuration.go:63-73); exactly-once = MERGE keys +
+checkpointed source offsets, mirroring the reference's PK-upsert
+idempotency (test/integration/db_integration_test.go:106-211).
+
+The same `ingest_batch` drives the non-streaming micro-batch loop
+(backfills / reload ranges, D6) — one code path for both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from block_explorer_spark import schemas
+from block_explorer_spark.plans import controller as C
+from block_explorer_spark.plans import transformer as Tr
+from block_explorer_spark.sources import parquet as pq
+
+
+def pulses_from_raw(raw: DataFrame) -> DataFrame:
+    """Derive pulse rows for a raw batch (prev/next nominal links).
+
+    The gRPC source delivers pulse metadata alongside records
+    (FullPulse); a file-based stand-in carries (pulse_number,
+    timestamp) on each record, so reconstruct one row per pulse.
+    New pulses start incomplete/non-sequential; the control plane
+    flips the flags (reference does the same on SavePulse).
+    """
+    step = 10
+    return (
+        raw.groupBy("pulse_number")
+        .agg(F.max("timestamp").alias("timestamp"))
+        .withColumn("prev_pulse_number", F.col("pulse_number") - step)
+        .withColumn("next_pulse_number", F.col("pulse_number") + step)
+        .withColumn("is_complete", F.lit(False))
+        .withColumn("is_sequential", F.lit(False))
+        .withColumn("jet_drop_amount", F.lit(0).cast("long"))
+        .withColumn("record_amount", F.lit(0).cast("long"))
+        .select(*[f.name for f in schemas.PULSES.fields])
+    )
+
+
+def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
+    """One micro-batch: transform + persist (idempotent, replay-safe)."""
+    raw = raw.cache()
+    try:
+        records = Tr.transform_pulse_data(raw).cache()
+        pulses = pulses_from_raw(raw)
+        drops = Tr.jet_drops_from_records(records, pulses)
+        pq.save_pulse(spark, base, pulses)
+        pq.save_jet_drop_data(spark, base, drops, records)
+    finally:
+        raw.unpersist()
+
+
+def run_control_pass(spark: SparkSession, base: str) -> dict:
+    """D4 + D5 + counter refresh as one idempotent batch sweep.
+
+    Returns what changed: {"completed": [...], "sequential": [...],
+    "gaps": [...]} — gaps feed the reload loop (D6)."""
+    pulses = pq.read_table(spark, base, "pulses")
+    drops = pq.read_table(spark, base, "jet_drops")
+    completed = C.newly_complete_pulses(pulses, drops)
+    if completed:
+        pq.set_pulse_flags(spark, base, completed, complete=True)
+        pulses = pq.read_table(spark, base, "pulses")
+    sequential = C.advance_sequential(pulses)
+    if sequential:
+        pq.set_pulse_flags(spark, base, sequential, sequential=True)
+    pq.refresh_pulse_counters(spark, base)
+    gaps = C.find_gaps(pq.read_table(spark, base, "pulses"))
+    return {"completed": completed, "sequential": sequential, "gaps": gaps}
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    base: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    control_every_n_batches: int = 1,
+) -> StreamingQuery:
+    """readStream over a raw-records parquet directory → foreachBatch.
+
+    Source offsets are checkpointed; a replayed micro-batch re-MERGEs
+    the same keys (no duplicates). The control pass runs inline every
+    N batches — cheap because it reads only incomplete pulses.
+    """
+    raw_stream = (
+        spark.readStream.schema(schemas.RAW_RECORDS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_batch(spark, base, batch)
+        if control_every_n_batches and batch_id % control_every_n_batches == 0:
+            run_control_pass(spark, base)
+
+    return (
+        raw_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def exporter_next_pulses(
+    spark: SparkSession,
+    base: str,
+    from_pulse: int,
+    prototypes: list[bytes],
+    limit: int = 100,
+) -> DataFrame:
+    """D7/S7: the exporter tail as a batch poll.
+
+    Sequential pulses after `from_pulse` whose records match the
+    prototype IN-list, with matched record counts — the long-poll loop
+    (etl/exporter/pulse_exporter_server.go:20-51) calls this per tick;
+    a streaming deployment wraps it in readStream on the pulses table.
+    """
+    pulses = pq.read_table(spark, base, "pulses").filter(
+        F.col("is_sequential") & (F.col("pulse_number") > from_pulse)
+    )
+    records = pq.read_table(spark, base, "records")
+    if prototypes:
+        records = records.filter(F.col("prototype_reference").isin(*prototypes))
+    matched = (
+        F.broadcast(pulses.select("pulse_number", "prev_pulse_number"))
+        .join(records, "pulse_number")
+        .groupBy("pulse_number", "prev_pulse_number")
+        .agg(F.count(F.lit(1)).alias("record_amount"))
+    )
+    return matched.orderBy("pulse_number").limit(limit)

@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark import schemas
+from block_explorer_spark.sources import generators as gen
+from block_explorer_spark.sources import parquet as pq
+from block_explorer_spark.streaming import pipeline as P
+
+
+def _raw_pulse_batch(seed: int, pn: int, jets: tuple[str, ...], recs_per_jet: int = 3):
+    """Raw records for one pulse: an activate + amend chain per jet."""
+    rng = random.Random(seed)
+    rows = []
+    for jet in jets:
+        prev = None
+        obj = bytes(rng.getrandbits(8) for _ in range(8))
+        for i in range(recs_per_jet):
+            ref = bytes(rng.getrandbits(8) for _ in range(8))
+            rows.append(
+                {
+                    "reference": ref,
+                    "kind": "activate" if i == 0 else "amend",
+                    "object_reference": obj,
+                    "prototype_reference": b"proto",
+                    "payload": b"",
+                    "prev_record_reference": prev,
+                    "hash": b"h",
+                    "raw_data": b"r",
+                    "jet_id": jet,
+                    "pulse_number": pn,
+                    "timestamp": 1_600_000_000 + pn,
+                    "position": i,
+                }
+            )
+            prev = ref
+    return rows
+
+
+def test_ingest_batch_and_control(spark, tmp_path):
+    base = str(tmp_path / "wh")
+    rows = _raw_pulse_batch(1, 4_000_010, ("0", "1")) + _raw_pulse_batch(2, 4_000_020, ("0",))
+    raw = spark.createDataFrame(rows, schemas.RAW_RECORDS)
+    P.ingest_batch(spark, base, raw)
+
+    pulses = pq.read_table(spark, base, "pulses")
+    assert pulses.count() == 2
+    assert pq.read_table(spark, base, "records").count() == 9
+    assert pq.read_table(spark, base, "jet_drops").count() == 3
+
+    out = P.run_control_pass(spark, base)
+    # 4000010 has jets {0,1} = full trie cover; 4000020 only {0}
+    assert out["completed"] == [4_000_010]
+    assert out["sequential"] == [4_000_010]
+    pulses = pq.read_table(spark, base, "pulses")
+    row = pulses.filter(F.col("pulse_number") == 4_000_010).collect()[0]
+    assert row.is_complete and row.is_sequential
+    assert row.jet_drop_amount == 2 and row.record_amount == 6
+    assert out["gaps"] == []
+
+
+def test_ingest_replay_idempotent(spark, tmp_path):
+    base = str(tmp_path / "wh")
+    rows = _raw_pulse_batch(3, 4_000_010, ("0", "1"))
+    raw = spark.createDataFrame(rows, schemas.RAW_RECORDS)
+    P.ingest_batch(spark, base, raw)
+    P.ingest_batch(spark, base, raw)  # replay the same micro-batch
+    assert pq.read_table(spark, base, "records").count() == 6
+    assert pq.read_table(spark, base, "jet_drops").count() == 2
+    assert pq.read_table(spark, base, "pulses").count() == 1
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # two "gRPC batches" as parquet files in the source dir
+    b1 = spark.createDataFrame(_raw_pulse_batch(4, 4_000_010, ("0", "1")), schemas.RAW_RECORDS)
+    b2 = spark.createDataFrame(_raw_pulse_batch(5, 4_000_020, ("0", "1")), schemas.RAW_RECORDS)
+    b1.write.mode("append").parquet(src)
+    b2.write.mode("append").parquet(src)
+
+    q = P.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    pulses = pq.read_table(spark, base, "pulses")
+    assert pulses.count() == 2
+    assert pulses.filter(F.col("is_complete")).count() == 2
+    assert pq.read_table(spark, base, "records").count() == 12
+
+    # late file + restart from checkpoint: only the new file processed
+    b3 = spark.createDataFrame(_raw_pulse_batch(6, 4_000_030, ("0", "1")), schemas.RAW_RECORDS)
+    b3.write.mode("append").parquet(src)
+    q2 = P.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=2)
+    q2.awaitTermination(120)
+    assert pq.read_table(spark, base, "pulses").count() == 3
+    assert pq.read_table(spark, base, "records").count() == 18
+
+
+def test_exporter_tail(spark, tmp_path):
+    base = str(tmp_path / "wh")
+    rows = _raw_pulse_batch(7, 4_000_010, ("0", "1"))
+    proto_rows = _raw_pulse_batch(8, 4_000_020, ("0", "1"))
+    raw = spark.createDataFrame(rows + proto_rows, schemas.RAW_RECORDS)
+    P.ingest_batch(spark, base, raw)
+    P.run_control_pass(spark, base)
+
+    out = P.exporter_next_pulses(spark, base, from_pulse=0, prototypes=[b"proto"]).collect()
+    assert [r.pulse_number for r in out] == [4_000_010, 4_000_020]
+    assert all(r.record_amount == 6 for r in out)
+    none = P.exporter_next_pulses(spark, base, from_pulse=0, prototypes=[b"nope"]).collect()
+    assert none == []

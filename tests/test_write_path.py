@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark import schemas
+from block_explorer_spark.sources import generators as gen
+from block_explorer_spark.sources import parquet as pq
+
+
+@pytest.fixture()
+def base(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+def test_upsert_insert_then_update(spark, base):
+    pulses = gen.make_pulses(start=4_000_000, count=5)
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    pq.save_pulse(spark, base, df)
+    assert pq.read_table(spark, base, "pulses").count() == 5
+
+    # same keys, changed values -> update not duplicate
+    updated = [dict(p, timestamp=p["timestamp"] + 999) for p in pulses[:2]]
+    pq.save_pulse(spark, base, spark.createDataFrame(updated, schemas.PULSES))
+    out = pq.read_table(spark, base, "pulses")
+    assert out.count() == 5
+    ts = {r.pulse_number: r.timestamp for r in out.collect()}
+    assert ts[4_000_000] == pulses[0]["timestamp"] + 999
+    assert ts[4_000_020] == pulses[2]["timestamp"]
+
+
+def test_upsert_idempotent_replay(spark, base):
+    _, drops, records = gen.make_flat_seed(seed=3, n_pulses=5, n_drops=10, n_records=30)
+    ddf = spark.createDataFrame(drops, schemas.JET_DROPS)
+    rdf = spark.createDataFrame(records, schemas.RECORDS)
+    pq.save_jet_drop_data(spark, base, ddf, rdf)
+    c1 = (
+        pq.read_table(spark, base, "jet_drops").count(),
+        pq.read_table(spark, base, "records").count(),
+    )
+    pq.save_jet_drop_data(spark, base, ddf, rdf)  # replay
+    c2 = (
+        pq.read_table(spark, base, "jet_drops").count(),
+        pq.read_table(spark, base, "records").count(),
+    )
+    assert c1 == c2
+
+
+def test_upsert_only_touched_buckets(spark, base):
+    far_apart = gen.make_pulses(start=4_000_000, count=2) + gen.make_pulses(
+        start=9_000_000, count=2
+    )
+    pq.save_pulse(spark, base, spark.createDataFrame(far_apart, schemas.PULSES))
+    one_bucket = gen.make_pulses(start=4_000_000, count=1, base_ts=7)
+    pq.save_pulse(spark, base, spark.createDataFrame(one_bucket, schemas.PULSES))
+    out = pq.read_table(spark, base, "pulses")
+    assert out.count() == 4  # untouched bucket intact
+    assert out.filter(F.col("pulse_number") == 9_000_000).count() == 1
+
+
+def test_flags_and_counters(spark, base):
+    pulses, drops, records = gen.make_flat_seed(seed=5, n_pulses=4, n_drops=8, n_records=20)
+    for p in pulses:
+        p["is_complete"] = False
+        p["is_sequential"] = False
+    pq.save_pulse(spark, base, spark.createDataFrame(pulses, schemas.PULSES))
+    pq.save_jet_drop_data(
+        spark,
+        base,
+        spark.createDataFrame(drops, schemas.JET_DROPS),
+        spark.createDataFrame(records, schemas.RECORDS),
+    )
+    pns = [pulses[0]["pulse_number"], pulses[1]["pulse_number"]]
+    pq.set_pulse_flags(spark, base, pns, complete=True)
+    out = pq.read_table(spark, base, "pulses")
+    assert out.filter(F.col("is_complete")).count() == 2
+
+    pq.refresh_pulse_counters(spark, base)
+    got = {
+        r.pulse_number: (r.jet_drop_amount, r.record_amount)
+        for r in pq.read_table(spark, base, "pulses").collect()
+    }
+    expected_drops = {}
+    for d in drops:
+        expected_drops.setdefault(d["pulse_number"], [0, 0])
+        expected_drops[d["pulse_number"]][0] += 1
+        expected_drops[d["pulse_number"]][1] += d["record_amount"]
+    for pn, (jd, ra) in expected_drops.items():
+        assert got[pn] == (jd, ra), pn
+    # pulses with no drops -> zeros
+    for pn in got:
+        if pn not in expected_drops:
+            assert got[pn] == (0, 0)
