@@ -1,0 +1,216 @@
+"""Unit tests for training-data operators: dedup tiers, similarity
+search, multimodal plumbing.
+
+Deterministic micro-fixtures with hand-computable expectations pin the
+semantics (the reference's integration-test strategy, SURVEY.md §5);
+scale behavior is covered by bench.py + the sf0.01 oracle harness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark.functions import text as Tx
+from block_explorer_spark.operators import dedup as D
+from block_explorer_spark.operators import multimodal as M
+from block_explorer_spark.operators import similarity as Sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (3, "dog lazy the over jumps fox brown quick the"),  # same bag of words
+        (4, "the quick brown fox jumps over the sleepy dog"),  # near-dup of 1
+        (5, "completely different content about spark engines"),
+        (6, "another unrelated text mentioning query planners"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_and_counts(docs):
+    out = D.exact_dedup(docs, F.col("text"), "doc_id")
+    rows = {r["keep_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[1] == 2  # docs 1 and 2 share the literal text
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1 and rows[6] == 1
+
+
+def test_fingerprint_dedup_is_order_insensitive(docs):
+    out = D.fingerprint_dedup(docs, "text", "doc_id")
+    rows = {r["keep_id"]: r["dup_count"] for r in out.collect()}
+    # 1, 2 and 3 share the bag of words (order/duplication ignored)
+    assert rows[1] == 3
+    assert rows[4] == 1
+
+
+def test_jaccard_pairs_exact_values(docs):
+    # token (1-gram) shingles so jaccard is hand-computable
+    out = D.jaccard_pairs(docs, "doc_id", Tx.word_set("text"), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    # docs 1,2,3: identical 8-token sets -> jaccard 1.0
+    for pair in [(1, 2), (1, 3), (2, 3)]:
+        assert got[pair]["jaccard"] == pytest.approx(1.0)
+        assert got[pair]["inter"] == 8
+    # doc 4 vs 1: tokens {the,quick,brown,fox,jumps,over,lazy|sleepy,dog}
+    # inter=7, union=9 -> 7/9
+    assert got[(1, 4)]["jaccard"] == pytest.approx(7 / 9)
+    assert got[(1, 4)]["size_a"] == 8 and got[(1, 4)]["size_b"] == 8
+    # unrelated docs never appear
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_jaccard_stop_shingle_guard(docs):
+    # every interesting shingle here has freq <= 4; a freq cap of 1
+    # kills all shared shingles -> no pairs survive
+    out = D.jaccard_pairs(
+        docs, "doc_id", Tx.word_set("text"), threshold=0.1, max_shingle_freq=1
+    )
+    assert out.count() == 0
+
+
+def test_minhash_signatures_shape_and_determinism(docs):
+    sig = D.minhash_signatures(docs, "doc_id", Tx.word_set("text"), num_hashes=32)
+    rows = {r["doc_id"]: r["signature"] for r in sig.collect()}
+    assert all(len(s) == 32 for s in rows.values())
+    # identical token sets -> identical signatures
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[1] != rows[5]
+
+
+def test_minhash_lsh_finds_dups_and_neardups(docs):
+    out = D.minhash_lsh_pairs(
+        docs, "doc_id", Tx.word_set("text"), threshold=0.5, num_hashes=32, bands=16
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    # exact dups are always candidates (all bands agree) and verify at 1.0
+    for pair in [(1, 2), (1, 3), (2, 3)]:
+        assert got[pair] == pytest.approx(1.0)
+    # verification is exact: if (1,4) was a candidate its jaccard is 7/9
+    if (1, 4) in got:
+        assert got[(1, 4)] == pytest.approx(7 / 9)
+    # unrelated docs must not pass exact verification
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_minhash_candidates_without_verify(docs):
+    cand = D.minhash_lsh_pairs(
+        docs, "doc_id", Tx.word_set("text"), num_hashes=32, bands=16, verify=False
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    # ordering invariant
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_identical_docs_zero_hamming(docs):
+    out = D.simhash_pairs(docs, "doc_id", Tx.word_set("text"), max_hamming=3, blocks=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    for pair in [(1, 2), (1, 3), (2, 3)]:
+        assert got[pair] == 0
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_simhash_table_deterministic(docs):
+    a = {r["__id"]: r["__sim"] for r in D.simhash_table(docs, "doc_id", Tx.word_set("text")).collect()}
+    b = {r["__id"]: r["__sim"] for r in D.simhash_table(docs, "doc_id", Tx.word_set("text")).collect()}
+    assert a == b
+    assert a[1] == a[2] == a[3]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], "x"),
+        (1, [0.9, 0.1, 0.0], "x"),
+        (2, [0.0, 1.0, 0.0], "x"),
+        (3, [1.0, 0.0, 0.0], "y"),  # same direction as 0, other block
+        (4, [-1.0, 0.0, 0.0], "y"),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk_order(vectors):
+    out = Sim.brute_force_topk(vectors, "embedding", [1.0, 0.0, 0.0], k=3)
+    got = [(r["vec_id"], r["cosine"]) for r in out.collect()]
+    assert [v for v, _ in got] == [0, 3, 1]
+    assert got[0][1] == pytest.approx(1.0)
+    assert got[2][1] == pytest.approx(0.9 / (0.81 + 0.01) ** 0.5)
+
+
+def test_cosine_pairs_blocked(vectors):
+    out = Sim.cosine_pairs(vectors, "embedding", "label", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    # within block x: (0,1) cosine ~0.9939; (0,2) and (1,2) below threshold
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == pytest.approx(0.9 / (0.82) ** 0.5)
+    # (0,3) identical vectors but different blocks -> never compared
+
+
+def test_rp_lsh_topk_finds_exact_match(vectors):
+    out = Sim.rp_lsh_topk(
+        vectors, "embedding", [1.0, 0.0, 0.0], k=2, bits=4, multiprobe_hamming=1
+    )
+    rows = [(r["vec_id"], r["cosine"]) for r in out.collect()]
+    # the identical vectors land in the query's own bucket
+    assert rows[0][0] == 0 and rows[0][1] == pytest.approx(1.0)
+
+
+def test_rp_lsh_buckets_deterministic(vectors):
+    a = {r["vec_id"]: r["bucket"] for r in Sim.rp_lsh_buckets(vectors, "embedding", 3, bits=8).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in Sim.rp_lsh_buckets(vectors, "embedding", 3, bits=8).collect()}
+    assert a == b
+    assert a[0] == a[3]  # identical vectors, identical buckets
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-bytes-1", 64, 64, None),
+        (2, "image", "image/png", b"\x89PNG-fake-bytes-22", 32, 32, None),
+        (3, "audio", "audio/wav", b"RIFF-fake-audio", None, None, 1500),
+        (4, "video", "video/mp4", None, 640, 480, 9000),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_extract_features_schema_and_hashes(media):
+    out = M.extract_features(media)
+    assert out.schema == M.FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["payload_sha256"] == hashlib.sha256(b"\x89PNG-fake-bytes-1").hexdigest()
+    assert rows[1]["n_bytes"] == len(b"\x89PNG-fake-bytes-1")
+    # NULL payload -> hash of empty bytes, zero length
+    assert rows[4]["payload_sha256"] == hashlib.sha256(b"").hexdigest()
+    assert rows[4]["n_bytes"] == 0
+    # fake decode is deterministic and bounded to [0, 1]
+    assert rows[2]["features"] == [pytest.approx(x) for x in M.fake_decode(b"\x89PNG-fake-bytes-22")]
+    assert all(0.0 <= x <= 1.0 for x in rows[1]["features"])
+
+
+def test_extract_features_small_batches(media):
+    # batch_size=1 exercises the re-chunk path; results identical
+    a = {r["media_id"]: r["payload_sha256"] for r in M.extract_features(media).collect()}
+    b = {
+        r["media_id"]: r["payload_sha256"]
+        for r in M.extract_features(media, batch_size=1).collect()
+    }
+    assert a == b
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        M.real_decode(b"x")
+
+
+def test_media_stats(media):
+    rows = {r["modality"]: r for r in M.media_stats(media).collect()}
+    assert rows["image"]["n_items"] == 2
+    assert rows["image"]["total_bytes"] == len(b"\x89PNG-fake-bytes-1") + len(
+        b"\x89PNG-fake-bytes-22"
+    )
+    assert rows["video"]["n_items"] == 1
