@@ -362,6 +362,53 @@ def q29_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q30_hash_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 hash-chain join: parent/child edges where a drop's hash equals
+    another's first/second_prev_hash (union of two equi-joins + dedup).
+    Exercises operators.joins.hash_chain_edges on a drops-shaped frame
+    derived from events (hash = event_id, links at -1 and -3)."""
+    from block_explorer_spark.operators import joins as J
+
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "click")
+    drops = ev.select(
+        F.col("event_id").cast("string").alias("jet_id"),
+        F.col("event_id").alias("pulse_number"),
+        F.col("event_id").alias("hash"),
+        (F.col("event_id") - 1).alias("first_prev_hash"),
+        (F.col("event_id") - 3).alias("second_prev_hash"),
+    )
+    return J.hash_chain_edges(drops)
+
+
+def q31_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling (winnowing) document fingerprint: distinct window hashes
+    per doc; md5 mode so the DuckDB oracle reproduces values exactly."""
+    docs = _t(spark, sf, "documents")
+    fp = Tx.rolling_fingerprint("text", window=8, hashf="md5")
+    return docs.select(
+        "doc_id",
+        F.size(fp).cast("long").alias("n_fp"),
+        F.array_min(fp).alias("min_fp"),
+    )
+
+
+def q32_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing through the correctness gate: documents cast
+    to an opaque binary payload, then Arrow-batched mapInPandas feature
+    extraction (sha256 + byte length are oracle-checkable; the decode
+    step itself is the stubbed codec)."""
+    from block_explorer_spark.operators import multimodal as M
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = M.extract_features(media)
+    return feats.select("media_id", "modality", "payload_sha256", "n_bytes")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -403,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_ann_brute": q27_ann_brute,
         "q28_embed_neardup": q28_embed_neardup,
         "q29_ann_lsh": q29_ann_lsh,
+        "q30_hash_chain": q30_hash_chain,
+        "q31_winnow_fingerprint": q31_winnow_fingerprint,
+        "q32_media_features": q32_media_features,
     }
 
 
@@ -674,5 +724,42 @@ def oracle_sql() -> dict[str, str]:
               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
               >= 0.3
+        """,
+        "q30_hash_chain": """
+            WITH d AS (
+              SELECT CAST(event_id AS VARCHAR) AS jet_id, event_id AS pn,
+                     event_id AS h, event_id - 1 AS fp, event_id - 3 AS sp
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT DISTINCT parent_jet_id, parent_pulse_number,
+                            child_jet_id, child_pulse_number FROM (
+              SELECT p.jet_id AS parent_jet_id, p.pn AS parent_pulse_number,
+                     c.jet_id AS child_jet_id, c.pn AS child_pulse_number
+              FROM d p JOIN d c ON p.h = c.fp
+              UNION ALL
+              SELECT p.jet_id, p.pn, c.jet_id, c.pn
+              FROM d p JOIN d c ON p.h = c.sp
+            )
+        """,
+        "q31_winnow_fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 7, 1)),
+                i -> md5(array_to_string(toks[i:i+7], ' ')))) AS fps
+              FROM t
+            )
+            SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+                   list_min(fps) AS min_fp
+            FROM w
+        """,
+        "q32_media_features": """
+            SELECT doc_id AS media_id, 'text' AS modality,
+                   sha256(text) AS payload_sha256,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
     }

@@ -146,15 +146,20 @@ def quality_score(col: Column | str) -> Column:
     return F.round(len_ok * 0.4 + digit_pen * 0.2 + punct_pen * 0.2 + mtl_ok * 0.2, 6)
 
 
-def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
-    """Winnowing-style document fingerprint: min xxhash64 over each
-    sliding window of `window` tokens, distinct-collected. Cheap
-    content-defined signature for containment detection."""
+def rolling_fingerprint(col: Column | str, window: int = 8, hashf: str = "xxhash64") -> Column:
+    """Winnowing-style document fingerprint: hash of each sliding
+    window of `window` tokens, distinct-collected. Cheap
+    content-defined signature for containment detection.
+
+    hashf: 'xxhash64' (default — 8-byte values, the scale choice) or
+    'md5' (hex strings, cross-engine reproducible for oracle checks).
+    """
     toks = tokens(col)
     n_windows = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    hash_fn = {"xxhash64": F.xxhash64, "md5": F.md5}[hashf]
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n_windows - 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, window))),
         )
     )
