@@ -362,6 +362,16 @@ def q29_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (k-means inverted-file) ANN top-k — the partition-pruned
+    scale path. Centroid training is seeded but not reproducible in
+    SQL -> rows-only check."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = Sim.ivf_topk(emb, "embedding", qvec, k=10, n_centroids=8, n_probe=2)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q30_hash_chain(spark: SparkSession, sf: str) -> DataFrame:
     """J4 hash-chain join: parent/child edges where a drop's hash equals
     another's first/second_prev_hash (union of two equi-joins + dedup).
@@ -453,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_hash_chain": q30_hash_chain,
         "q31_winnow_fingerprint": q31_winnow_fingerprint,
         "q32_media_features": q32_media_features,
+        "q33_ann_ivf": q33_ann_ivf,
     }
 
 

@@ -7,6 +7,11 @@
     dot(v, r_i) form a bucket key; candidates = query's bucket (and
     neighbors via multi-probe). Scale path: the bucket join prunes the
     scan to ~N/2^bits rows.
+  ivf_assign / ivf_topk — inverted-file (IVF) ANN: k-means centroids
+    partition the space; a query probes its n_probe nearest centroid
+    cells only. At scale the assignment is computed once at write time
+    and the table is partitioned/clustered by centroid_id, so a probe
+    is a partition-pruned scan of ~n_probe/n_centroids of the data.
   cosine_pairs — embedding near-duplicate pairs within blocking keys
     (label/source/bucket), an equi-join then exact cosine filter.
 """
@@ -93,6 +98,81 @@ def rp_lsh_topk(
         ]
     bucketed = rp_lsh_buckets(df, vec_col, dim, bits, seed)
     cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """K-means centroids for an IVF index (Spark MLlib, seeded).
+
+    Training runs on a bounded sample (`max_train_rows`) — centroid
+    quality needs only a representative sample, never the full 100 TB
+    table; the expensive full pass is the assignment, which is a
+    single map (ivf_assign).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = df.count()
+    sample = df
+    if n > max_train_rows:
+        sample = df.sample(fraction=max_train_rows / n, seed=seed)
+    train = sample.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add `centroid_id`: argmin squared-euclidean over the centroid
+    list, as a flat JVM expression chain (no UDF, no MLlib transform —
+    the literal centroids fold into codegen). At scale, write the
+    result partitioned by centroid_id so probes prune partitions."""
+    best_id = F.lit(0)
+    best_d = _sq_dist(F.col(vec_col), centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = _sq_dist(F.col(vec_col), c)
+        closer = d < best_d
+        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return df.withColumn("centroid_id", best_id)
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    diff = F.zip_with(vec, V.lit_vector(centroid), lambda x, y: x.cast("double") - y)
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: probe the n_probe centroid cells nearest to the
+    query, exact cosine + top-k over those cells only.
+
+    Pass precomputed `centroids` (and pre-assigned data) in production;
+    the one-shot path here trains + assigns inline for convenience.
+    """
+    if centroids is None:
+        centroids = train_centroids(df, vec_col, n_centroids, seed)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(query, centroids[i])),
+    )
+    probes = ranked[:n_probe]
+    assigned = df if "centroid_id" in df.columns else ivf_assign(df, vec_col, centroids)
+    cand = assigned.filter(F.col("centroid_id").isin(probes))
     return brute_force_topk(cand, vec_col, query, k, id_col)
 
 

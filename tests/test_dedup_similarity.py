@@ -167,6 +167,27 @@ def test_rp_lsh_buckets_deterministic(vectors):
     assert a[0] == a[3]  # identical vectors, identical buckets
 
 
+def test_ivf_assign_and_topk(vectors):
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]]
+    assigned = Sim.ivf_assign(vectors, "embedding", centroids)
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert got[0] == 0 and got[1] == 0 and got[3] == 0
+    assert got[2] == 1 and got[4] == 2
+    # probing only the query's own cell finds the exact matches
+    out = Sim.ivf_topk(
+        vectors, "embedding", [1.0, 0.0, 0.0], k=2, centroids=centroids, n_probe=1
+    )
+    rows = [(r["vec_id"], r["cosine"]) for r in out.collect()]
+    assert rows[0] == (0, pytest.approx(1.0))
+    assert rows[1] == (3, pytest.approx(1.0))
+
+
+def test_ivf_trained_end_to_end(vectors):
+    out = Sim.ivf_topk(vectors, "embedding", [1.0, 0.0, 0.0], k=1, n_centroids=2, n_probe=2)
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == pytest.approx(1.0)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
