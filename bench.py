@@ -23,6 +23,73 @@ from block_explorer_spark import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: The reference's ingest benchmark shapes (records, jet_drops) —
+#: test/integration/integration_bench_test.go:17-185. Each timing is
+#: the full pipeline: D2 decode + J6 chain sort + order assignment +
+#: idempotent MERGE of pulses/jet_drops/records + a readback count
+#: (the reference's "wait until record count reached").
+INGEST_SHAPES = [(500, 1), (1000, 1), (2000, 1), (500, 5), (500, 10), (500, 20)]
+
+
+def _ingest_raw_rows(pn: int, n_records: int, n_jets: int) -> list[dict]:
+    """One pulse of raw platform-shaped records: per jet, one object
+    with an activate→amend chain (the shape the reference's heavymock
+    generates)."""
+    width = max(1, (n_jets - 1).bit_length())
+    jets = [format(i, f"0{width}b") for i in range(n_jets)]
+    per_jet = n_records // n_jets
+    rows: list[dict] = []
+    for j_idx, jet in enumerate(jets):
+        prev = None
+        obj = j_idx.to_bytes(8, "big")
+        for i in range(per_jet):
+            ref = (j_idx * per_jet + i).to_bytes(8, "big")
+            rows.append(
+                {
+                    "reference": ref,
+                    "kind": "activate" if i == 0 else "amend",
+                    "object_reference": obj,
+                    "prototype_reference": b"proto",
+                    "payload": b"p" * 16,
+                    "prev_record_reference": prev,
+                    "hash": ref,
+                    "raw_data": b"r" * 16,
+                    "jet_id": jet,
+                    "pulse_number": pn,
+                    "timestamp": 1_600_000_000,
+                    "position": i,
+                }
+            )
+            prev = ref
+    return rows
+
+
+def bench_ingest(spark) -> dict[str, float]:
+    import shutil
+    import tempfile
+
+    from block_explorer_spark import schemas
+    from block_explorer_spark.sources import parquet as pq
+    from block_explorer_spark.streaming import pipeline as P
+
+    # warmup: one small ingest to absorb codegen/write-path one-timers
+    warm = tempfile.mkdtemp(prefix="bes_ingest_warm_")
+    P.ingest_batch(spark, warm, spark.createDataFrame(_ingest_raw_rows(4_000_000, 100, 1), schemas.RAW_RECORDS))
+    shutil.rmtree(warm)
+
+    timings: dict[str, float] = {}
+    for n, j in INGEST_SHAPES:
+        base = tempfile.mkdtemp(prefix="bes_ingest_")
+        raw = spark.createDataFrame(_ingest_raw_rows(4_000_010, n, j), schemas.RAW_RECORDS)
+        t0 = time.perf_counter()
+        P.ingest_batch(spark, base, raw)
+        landed = pq.read_table(spark, base, "records").count()
+        timings[f"ingest_{n}x{j}"] = round(time.perf_counter() - t0, 3)
+        assert landed == n, f"ingest_{n}x{j}: {landed} != {n}"
+        print(f"# ingest_{n}x{j}: {landed} records in {timings[f'ingest_{n}x{j}']}s", file=sys.stderr)
+        shutil.rmtree(base)
+    return timings
+
 #: Headline set: one per operator family, weighted toward the shapes
 #: that matter at scale (agg, join, window, dedup, similarity).
 HEADLINE = [
@@ -63,6 +130,8 @@ def main() -> None:
         df.limit(100).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    timings.update(bench_ingest(spark))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -92,6 +92,24 @@ def upsert(spark: SparkSession, base: str, name: str, batch: DataFrame) -> None:
 
     buckets = [r.pulse_bucket for r in batch.select("pulse_bucket").distinct().collect()]
     existing = spark.read.parquet(path).filter(F.col("pulse_bucket").isin(buckets))
+
+    # Fast path — the steady-state ingest case: if no batch key already
+    # exists in the touched buckets (a column-pruned key scan + semi
+    # join), plain append suffices and the old bucket data is never
+    # rewritten. Cost O(batch), not O(bucket) — at 100 TB a bucket is
+    # GB-scale while a micro-batch is KB-scale, so rewriting the bucket
+    # per batch would dominate ingest. Replays/updates (key collision)
+    # fall through to the merge-rewrite, preserving upsert semantics.
+    collisions = (
+        existing.select(*keys)
+        .join(F.broadcast(batch.select(*keys).distinct()), on=keys, how="left_semi")
+        .limit(1)
+        .count()
+    )
+    if collisions == 0:
+        batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
+        return
+
     kept = existing.join(F.broadcast(batch.select(*keys).distinct()), on=keys, how="left_anti")
     merged = kept.select(*batch.columns).unionByName(batch)
     (
