@@ -155,11 +155,52 @@ def get_pulses(
     )
     total = df.count()
     page = Pg.paginate(df, [("pulse_number", ascending)], limit, offset)
-    # Repair against page-adjacent rows; page is small (≤1000) so the
-    # window sort is trivial. Sort ascending for the lag/lead semantics,
-    # the caller's direction is display order only.
-    repaired = W.chain_repair(page, window=Window.orderBy("pulse_number"))
-    return repaired.orderBy(
+    # Interior rows repair against page-adjacent rows only (the
+    # reference's vectorized walk is page-local, storage.go:326-357);
+    # page is small (≤1000) so the window sort is trivial.
+    orig_prev = F.col("__orig_prev")
+    repaired = W.chain_repair(
+        page.withColumn("__orig_prev", F.col("prev_pulse_number")),
+        window=Window.orderBy("pulse_number"),
+    )
+    # Page-EDGE rows consult the full table like the reference's
+    # updatePrevPulse/updateNextPulse (storage.go:360-379): the lowest
+    # row keeps its stored prev iff that pulse exists anywhere; the
+    # highest row's next is the pulse whose prev-link names it. All
+    # probe sides are tiny (1-row aggregates / ≤1000 distinct keys) →
+    # broadcast; the pulses scans they prune are small by nature
+    # (one row per ~10 s pulse).
+    lo_hi = page.agg(F.min("pulse_number").alias("__lo"), F.max("pulse_number").alias("__hi"))
+    next_real = (
+        pulses.crossJoin(F.broadcast(lo_hi))
+        .filter(F.col("prev_pulse_number") == F.col("__hi"))
+        .agg(F.min("pulse_number").alias("__next_real"))
+    )
+    prev_keys = page.select(F.col("prev_pulse_number").alias("__pe")).distinct()
+    prev_exists = pulses.join(
+        F.broadcast(prev_keys), F.col("pulse_number") == F.col("__pe"), "left_semi"
+    ).select(F.col("pulse_number").alias("__pe"))
+    out = (
+        repaired.crossJoin(F.broadcast(lo_hi))
+        .crossJoin(F.broadcast(next_real))
+        .join(F.broadcast(prev_exists), orig_prev == F.col("__pe"), "left_outer")
+        .withColumn(
+            "next_pulse_number",
+            F.when(
+                F.col("pulse_number") == F.col("__hi"),
+                F.coalesce(F.col("__next_real"), F.lit(W.MISSING)),
+            ).otherwise(F.col("next_pulse_number")),
+        )
+        .withColumn(
+            "prev_pulse_number",
+            F.when(
+                F.col("pulse_number") == F.col("__lo"),
+                F.when(F.col("__pe").isNull(), F.lit(W.MISSING)).otherwise(orig_prev),
+            ).otherwise(F.col("prev_pulse_number")),
+        )
+        .drop("__orig_prev", "__lo", "__hi", "__next_real", "__pe")
+    )
+    return out.orderBy(
         F.col("pulse_number").asc() if ascending else F.col("pulse_number").desc()
     ), total
 

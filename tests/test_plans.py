@@ -59,6 +59,65 @@ def test_get_pulses_page_and_repair(spark):
     by_pn = {r.pulse_number: r for r in rows}
     assert by_pn[1020].next_pulse_number == -1  # 1030 missing
     assert by_pn[1040].prev_pulse_number == -1
+    # page-EDGE rows consult the full table (storage.go:360-379):
+    # 1020's stored prev (1010) exists outside the page -> kept;
+    # nothing links prev=1050 -> next stays -1
+    assert by_pn[1020].prev_pulse_number == 1010
+    assert by_pn[1050].next_pulse_number == -1
+
+
+def test_get_pulses_edge_lookup_beyond_page(spark):
+    # contiguous chain 1000..1040; a middle page's edges resolve their
+    # neighbors from the table even though they're outside the page
+    pulses = gen.make_pulses(start=1000, count=5)
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    page, total = Q.get_pulses(df, ascending=True, limit=3, offset=1)
+    assert total == 5
+    rows = {r.pulse_number: r for r in page.collect()}
+    assert sorted(rows) == [1010, 1020, 1030]
+    assert rows[1010].prev_pulse_number == 1000  # exists beyond page
+    assert rows[1030].next_pulse_number == 1040  # exists beyond page
+    assert rows[1020].prev_pulse_number == 1010  # interior, in-page
+
+
+def test_get_pulses_single_row_page(spark):
+    pulses = gen.make_pulses(start=1000, count=3)
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    page, _ = Q.get_pulses(df, ascending=True, limit=1, offset=1)
+    row = page.collect()[0]
+    assert row.pulse_number == 1010
+    assert row.prev_pulse_number == 1000
+    assert row.next_pulse_number == 1020
+
+
+def test_get_pulses_interior_stays_page_local(spark):
+    # 1030 exists but a timestamp filter drops it from the page: the
+    # reference's interior walk then breaks the chain at 1020/1040 even
+    # though the neighbor exists — pin that page-local behavior
+    pulses = gen.make_pulses(start=1000, count=5)
+    for p in pulses:
+        if p["pulse_number"] == 1030:
+            p["timestamp"] = 0
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    page, total = Q.get_pulses(df, ts_gte=1, ascending=True, limit=100)
+    assert total == 4
+    rows = {r.pulse_number: r for r in page.collect()}
+    assert rows[1020].next_pulse_number == -1
+    assert rows[1040].prev_pulse_number == -1
+    # but the page edges still resolve via the table
+    assert rows[1000].prev_pulse_number == -1
+    assert rows[1040].next_pulse_number == -1
+
+
+def test_get_pulses_4way_filters(spark):
+    pulses = gen.make_pulses(start=1000, count=6)
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    _, total = Q.get_pulses(df, pulse_gt=1000, pulse_lt=1050, limit=100)
+    assert total == 4
+    _, total = Q.get_pulses(df, pulse_gte=1000, pulse_lte=1050, limit=100)
+    assert total == 6
+    _, total = Q.get_pulses(df, from_pulse=1020, limit=100)
+    assert total == 3
 
 
 def test_pulse_seeks(spark):
