@@ -283,21 +283,27 @@ def get_jet_drop_by_id(
     """
     drop = jet_drops.filter(Fl.equality(jet_id=jet_id, pulse_number=pulse_number))
     sib = jets.sibling_exprs(jet_id)
-    w_prev = Window.orderBy(F.col("pulse_number").desc())
-    prev_drops = (
-        jet_drops.filter(Fl.in_list("jet_id", sib) & (F.col("pulse_number") < pulse_number))
-        .withColumn("__r", F.dense_rank().over(w_prev))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
-    )
-    w_next = Window.orderBy(F.col("pulse_number").asc())
-    next_drops = (
-        jet_drops.filter(Fl.in_list("jet_id", sib) & (F.col("pulse_number") > pulse_number))
-        .withColumn("__r", F.dense_rank().over(w_next))
-        .filter(F.col("__r") == 1)
-        .drop("__r")
-    )
-    return drop, prev_drops, next_drops
+
+    # Nearest sibling-holding pulse each way via a scalar aggregate
+    # (map-side partial max/min + 1-row broadcast), NOT a global
+    # window: the sibling filter can match one drop per pulse, and a
+    # dense_rank over an unpartitioned window would single-partition
+    # that entire history at scale.
+    def _nearest(direction_lt: bool) -> DataFrame:
+        cond = F.col("pulse_number") < pulse_number if direction_lt else (
+            F.col("pulse_number") > pulse_number
+        )
+        cand = jet_drops.filter(Fl.in_list("jet_id", sib) & cond)
+        edge = cand.agg(
+            (F.max if direction_lt else F.min)("pulse_number").alias("__edge")
+        )
+        return (
+            cand.crossJoin(F.broadcast(edge))
+            .filter(F.col("pulse_number") == F.col("__edge"))
+            .drop("__edge")
+        )
+
+    return drop, _nearest(True), _nearest(False)
 
 
 def get_jet_drops_by_jet_id(
