@@ -8,12 +8,13 @@ strategy differs:
   * limit without offset → .orderBy().limit(n): Spark plans
     TakeOrderedAndProject — a per-partition top-k + driver merge, no
     global sort shuffle. This is the scale path (cursor pagination).
-  * offset > 0 → row_number() over the sort window, filtered to
-    (offset, offset+limit]. A global window is a single-partition sort
-    of the *filtered* stream; the reference caps offset pages at
-    limit<=1000 (api/handlers.go:678-703) so the windowed stream is
-    small by construction — deep-offset over huge filters is exactly
-    what keyset cursors (filters.keyset_cursor) exist to avoid.
+  * offset > 0 → top-(offset+limit) FIRST (TakeOrderedAndProject
+    again), then row_number() over that bounded slice. The global
+    window never sees more than offset+limit rows (reference caps
+    limit at 1000, api/handlers.go:678-703), so the single-partition
+    sort is trivial no matter how large the filtered stream is —
+    deep-offset cost grows with the offset, which is exactly what
+    keyset cursors (filters.keyset_cursor) exist to avoid.
 """
 
 from __future__ import annotations
@@ -42,10 +43,11 @@ def paginate(
     exprs = sort_exprs(sort)
     if offset <= 0:
         return df.orderBy(*exprs).limit(limit)
+    bounded = df.orderBy(*exprs).limit(offset + limit)
     w = Window.orderBy(*exprs)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        bounded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > offset)
         .orderBy("__rn")
         .drop("__rn")
     )
