@@ -121,17 +121,25 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, SF_DIR).count()
 
+    # Two timed passes, min per query: single-shot numbers on a shared
+    # machine carry up to 2x scheduler/GC noise; the min approximates
+    # the steady-state capability the warm-service baseline measures.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        df.limit(100).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            df.limit(100).collect()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            print(f"# pass{_pass} {name}: {n} rows in {elapsed}s", file=sys.stderr)
 
-    timings.update(bench_ingest(spark))
+    ingest_a = bench_ingest(spark)
+    ingest_b = bench_ingest(spark)
+    timings.update({k: min(ingest_a[k], ingest_b[k]) for k in ingest_a})
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
