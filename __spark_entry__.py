@@ -362,6 +362,48 @@ def q29_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q34_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregate family: COUNT(DISTINCT) per group."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q35_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical aggregate family: ROLLUP with grouping_id."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+    )
+
+
+def q36_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (no native Spark operator): each click event joined
+    to the same user's latest prior-or-equal purchase, via the
+    single-shuffle union+window formulation."""
+    from block_explorer_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on="user_id", right_cols=["value"], suffix="_p")
+    # nanos -> micros: DuckDB TIMESTAMP carries microsecond precision
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_p div 1000").alias("purchase_ts"),
+        F.round("value_p", 4).alias("purchase_value"),
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -464,6 +506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_winnow_fingerprint": q31_winnow_fingerprint,
         "q32_media_features": q32_media_features,
         "q33_ann_ivf": q33_ann_ivf,
+        "q34_count_distinct": q34_count_distinct,
+        "q35_rollup": q35_rollup,
+        "q36_asof_join": q36_asof_join,
     }
 
 
@@ -772,5 +817,27 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS payload_sha256,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "q34_count_distinct": """
+            SELECT o_orderstatus,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q35_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q36_asof_join": """
+            SELECT l.event_id, l.user_id,
+                   CAST(epoch_us(r.ts) AS BIGINT) AS purchase_ts,
+                   round(r.value, 4) AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
     }
