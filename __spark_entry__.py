@@ -404,6 +404,31 @@ def q36_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q37_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile family: exact interpolated percentiles per group
+    (Spark percentile == DuckDB quantile_cont definitionally)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+def q38_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic-window family: per-key running sum + rank + lag."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
+    w_order = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_order), 2).alias("running_total"),
+        F.rank().over(w_rank).cast("long").alias("price_rank"),
+        F.coalesce(F.lag("o_orderkey").over(w_order), F.lit(-1)).alias("prev_orderkey"),
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -509,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_count_distinct": q34_count_distinct,
         "q35_rollup": q35_rollup,
         "q36_asof_join": q36_asof_join,
+        "q37_percentiles": q37_percentiles,
+        "q38_window_analytics": q38_window_analytics,
     }
 
 
@@ -839,5 +866,23 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "q37_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+                   round(avg(l_extendedprice), 4) AS avg_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q38_window_analytics": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS running_total,
+                   CAST(rank() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank,
+                   coalesce(lag(o_orderkey) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey), -1) AS prev_orderkey
+            FROM orders WHERE o_custkey <= 100
         """,
     }

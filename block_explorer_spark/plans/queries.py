@@ -374,5 +374,12 @@ def search(
         drop, _, _ = get_jet_drop_by_id(jet_drops, jet, pn)
         return "jet_drop", drop
     ref = refs.parse_reference(v)
-    by_ref = records.filter(F.col("reference") == ref)
-    return "record", by_ref
+    # The reference classifies the base58 ref structurally
+    # (IsObjectReference); observable behavior: object refs answer as
+    # a lifeline, record refs as the record (+index). Classified here
+    # by data — object match wins, matching searchReferencePulse's
+    # response order (api/handlers.go:515-553).
+    as_object = records.filter(F.col("object_reference") == ref)
+    if not as_object.isEmpty():
+        return "lifeline", as_object
+    return "record", records.filter(F.col("reference") == ref)

@@ -180,9 +180,17 @@ def test_exporter_join(spark):
 
 
 def test_search_dispatch(spark, flat_seed):
+    from block_explorer_spark.functions.refs import base58_encode
+
     pulses, drops, records = flat_seed
     kind, df = Q.search(pulses, drops, records, str(pulses.collect()[0].pulse_number))
     assert kind == "pulse" and df.count() == 1
     d0 = drops.collect()[0]
     kind, df = Q.search(pulses, drops, records, f"{d0.jet_id}:{d0.pulse_number}")
     assert kind == "jet_drop" and df.count() == 1
+    # object ref -> lifeline; record ref -> record (handlers.go:515-553)
+    r0 = records.collect()[0]
+    kind, df = Q.search(pulses, drops, records, base58_encode(bytes(r0.object_reference)))
+    assert kind == "lifeline" and df.count() >= 1
+    kind, df = Q.search(pulses, drops, records, base58_encode(bytes(r0.reference)))
+    assert kind == "record" and df.count() == 1
