@@ -429,6 +429,24 @@ def q38_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q39_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigated join: salted scatter/replicate formulation must
+    produce exactly the plain join's result (here aggregated per
+    supplier). The skew shape at scale is a hot join key AQE can split
+    but not de-collide."""
+    from block_explorer_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_extendedprice"
+    )
+    s = _t(spark, sf, "supplier").select(F.col("s_suppkey").alias("suppkey"), "s_name")
+    joined = salted_join(li, s, on="suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -536,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_asof_join": q36_asof_join,
         "q37_percentiles": q37_percentiles,
         "q38_window_analytics": q38_window_analytics,
+        "q39_salted_join": q39_salted_join,
     }
 
 
@@ -884,5 +903,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(lag(o_orderkey) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderkey), -1) AS prev_orderkey
             FROM orders WHERE o_custkey <= 100
+        """,
+        "q39_salted_join": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
         """,
     }
