@@ -447,6 +447,29 @@ def q39_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q40_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (point-in-interval) join via bucketized equi-join — the
+    scale replacement for the O(N·M) theta join Spark would plan.
+    Clicks joined to 1-hour windows opened by purchases; micros on
+    both sides so boundary semantics match DuckDB exactly."""
+    from block_explorer_spark.operators.ranges import range_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("win_user"),
+        F.expr("ts div 1000").alias("lo_us"),
+        (F.expr("ts div 1000") + 3_600_000_000).alias("hi_us"),
+    )
+    joined = range_join(clicks, windows, "ts_us", "lo_us", "hi_us", bucket=600_000_000)
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("win_user").alias("sum_users"),
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -555,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_percentiles": q37_percentiles,
         "q38_window_analytics": q38_window_analytics,
         "q39_salted_join": q39_salted_join,
+        "q40_range_join": q40_range_join,
     }
 
 
@@ -909,5 +933,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
+        """,
+        "q40_range_join": """
+            WITH c AS (
+              SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+              FROM events WHERE event_type = 'click'
+            ), w AS (
+              SELECT user_id AS win_user,
+                     CAST(epoch_us(ts) AS BIGINT) AS lo_us,
+                     CAST(epoch_us(ts) AS BIGINT) + 3600000000 AS hi_us
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(w.win_user) AS BIGINT) AS sum_users
+            FROM c JOIN w ON c.ts_us >= w.lo_us AND c.ts_us <= w.hi_us
+            GROUP BY c.event_id
         """,
     }
