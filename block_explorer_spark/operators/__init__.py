@@ -8,7 +8,10 @@ Each module covers one family from SURVEY.md §2:
   aggregates  — A2-A6 derived counters, min/max seeks
   chain_sort  — J6 per-object linked-list ordering
   dedup       — exact / minhash-LSH / simhash / n-gram / embedding dedup
-  similarity  — brute-force + LSH-bucketed ANN over embeddings
-  text        — language-ID, quality scoring, token counts, fingerprints
+  similarity  — brute-force + RP-LSH + IVF ANN over embeddings
+  sessions    — gap-based sessionization
+  asof        — as-of (nearest-timestamp) join
+  ranges      — range (point-in-interval) join via bucketing
+  skew        — salted join / two-phase collect_set
   multimodal  — binary-column decode/feature plumbing (stubs for codecs)
 """

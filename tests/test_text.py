@@ -1,0 +1,95 @@
+"""Unit tests for the text-analysis column library (also covered
+cross-engine by the q20-q24/q31 oracles; these pin the edge cases the
+oracles' data may not hit)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark.functions import text as Tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox"),
+        (2, "  padded   whitespace  text  "),
+        (3, "12345 67890"),
+        (4, "der die das und ist nicht"),
+        (5, "the and of to is in"),
+        (6, "x"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def _one(df, col, doc_id):
+    return {r["id"]: r["v"] for r in df.select("id", col.alias("v")).collect()}[doc_id]
+
+
+def test_token_count(docs):
+    assert _one(docs, Tx.token_count("text"), 1) == 4
+    assert _one(docs, Tx.token_count("text"), 2) == 3  # trim + \s+ split
+    assert _one(docs, Tx.token_count("text"), 6) == 1
+
+
+def test_word_ngrams_short_text(docs):
+    # texts shorter than n yield the whole token sequence as one shingle
+    assert _one(docs, Tx.word_ngrams("text", 5), 1) == ["the quick brown fox"]
+    assert _one(docs, Tx.word_ngrams("text", 3), 1) == ["the quick brown", "quick brown fox"]
+
+
+def test_char_ngrams(docs):
+    got = _one(docs, Tx.char_ngrams("text", 3), 6)
+    assert got == ["x"]  # shorter than n -> the text itself
+    got4 = _one(docs, Tx.char_ngrams("text", 2), 1)
+    assert "th" in got4 and "ox" in got4
+
+
+def test_digit_and_ratios(docs):
+    assert _one(docs, Tx.digit_ratio("text"), 3) == pytest.approx(10 / 11)
+    assert _one(docs, Tx.digit_ratio("text"), 1) == 0.0
+    assert 0.0 <= _one(docs, Tx.upper_ratio("text"), 1) <= 1.0
+
+
+def test_language_id(docs):
+    assert _one(docs, Tx.language_id("text"), 4) == "de"
+    assert _one(docs, Tx.language_id("text"), 5) == "en"
+    assert _one(docs, Tx.language_id("text"), 3) == "und"
+
+
+def test_quality_bounds(docs):
+    vals = [r["v"] for r in docs.select(Tx.quality_score("text").alias("v")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # pure digits scores worse than clean prose of the same length
+    q_digits = _one(docs, Tx.quality_score("text"), 3)
+    q_prose = _one(docs, Tx.quality_score("text"), 1)
+    assert q_digits < q_prose
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        ["id", "text"],
+    )
+    fps = {r["id"]: r["v"] for r in df.select("id", Tx.word_set_fingerprint("text").alias("v")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_rolling_fingerprint_modes(docs):
+    md5s = _one(docs, Tx.rolling_fingerprint("text", window=2, hashf="md5"), 1)
+    xxs = _one(docs, Tx.rolling_fingerprint("text", window=2), 1)
+    assert len(md5s) == 3 and len(xxs) == 3  # 4 tokens, window 2
+    assert all(isinstance(h, str) for h in md5s)
+    assert all(isinstance(h, int) for h in xxs)
+    with pytest.raises(KeyError):
+        Tx.rolling_fingerprint("text", hashf="sha1")
+
+
+def test_bpe_ish_vs_whitespace(spark):
+    df = spark.createDataFrame([(1, "don't stop-me now.ok")], ["id", "text"])
+    ws = df.select(Tx.token_count("text").alias("v")).collect()[0]["v"]
+    bpe = df.select(Tx.bpe_ish_token_count("text").alias("v")).collect()[0]["v"]
+    assert bpe > ws  # punctuation boundaries add sub-word splits
