@@ -470,6 +470,57 @@ def q40_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q41_correlated_max(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (each customer's priciest
+    order), decorrelated to a per-key window max — the standard Spark
+    rewrite that keeps one shuffle instead of a re-scan per row."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("__mx", F.max("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("__mx"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q42_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: LEFT OUTER join preserving
+    order-less customers, two-level aggregation."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")  # driver tables carry no o_comment column
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q43_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING-filtered aggregate as
+    a semi-join feeding the main join."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    joined = (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("__bigkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -579,6 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_window_analytics": q38_window_analytics,
         "q39_salted_join": q39_salted_join,
         "q40_range_join": q40_range_join,
+        "q41_correlated_max": q41_correlated_max,
+        "q42_tpch_q13": q42_tpch_q13,
+        "q43_tpch_q18": q43_tpch_q18,
     }
 
 
@@ -948,5 +1002,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w.win_user) AS BIGINT) AS sum_users
             FROM c JOIN w ON c.ts_us >= w.lo_us AND c.ts_us <= w.hi_us
             GROUP BY c.event_id
+        """,
+        "q41_correlated_max": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+            WHERE o_totalprice = (
+              SELECT max(o2.o_totalprice) FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey)
+        """,
+        "q42_tpch_q13": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q43_tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
         """,
     }
