@@ -521,6 +521,39 @@ def q43_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q44_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join family (absence check done row-at-a-time in the
+    reference — updatePrevPulse — expressed as left_anti here):
+    customers who never placed an URGENT order."""
+    from block_explorer_spark.operators.joins import anti_missing
+
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_missing(c, o, "c_custkey")
+
+
+def q45_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT/EXCEPT family: customers that bought in both halves
+    of 1996 minus the BUILDING segment."""
+    o = _t(spark, sf, "orders")
+    h1 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_custkey")
+    h2 = o.filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    building = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return h1.intersect(h2).exceptAll(building.distinct())
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -633,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_correlated_max": q41_correlated_max,
         "q42_tpch_q13": q42_tpch_q13,
         "q43_tpch_q18": q43_tpch_q18,
+        "q44_anti_join": q44_anti_join,
+        "q45_setops": q45_setops,
     }
 
 
@@ -1027,5 +1062,22 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "q44_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """,
+        "q45_setops": """
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         """,
     }
