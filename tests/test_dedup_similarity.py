@@ -151,6 +151,45 @@ def test_cosine_pairs_blocked(vectors):
     # (0,3) identical vectors but different blocks -> never compared
 
 
+def test_cosine_pairs_blas_matches_fold(spark, vectors):
+    """The gram-matrix path must agree with the Catalyst fold path —
+    same pairs, same cosines (float64 both ways), including the
+    chunked-stripe code path (row_chunk=2)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], f"b{i % 3}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    fold = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in Sim.cosine_pairs(df, "embedding", "label", threshold=0.2).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in Sim.cosine_pairs_blas(
+            df, "embedding", "label", threshold=0.2, row_chunk=2
+        ).collect()
+    }
+    assert set(fold) == set(blas) and len(fold) > 10
+    for k in fold:
+        assert blas[k] == pytest.approx(fold[k], abs=1e-12)
+
+
+def test_cosine_pairs_blas_degenerate_blocks(spark):
+    """Singleton blocks emit nothing; zero vectors don't divide by 0."""
+    rows = [
+        (0, [0.0, 0.0], "solo"),
+        (1, [0.0, 0.0], "z"),
+        (2, [1.0, 0.0], "z"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = Sim.cosine_pairs_blas(df, "embedding", "label", threshold=-1.0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    assert got[0]["cosine"] == pytest.approx(0.0)
+
+
 def test_rp_lsh_topk_finds_exact_match(vectors):
     out = Sim.rp_lsh_topk(
         vectors, "embedding", [1.0, 0.0, 0.0], k=2, bits=4, multiprobe_hamming=1
