@@ -22,6 +22,7 @@ The same `ingest_batch` drives the non-streaming micro-batch loop
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,14 +60,31 @@ def pulses_from_raw(raw: DataFrame) -> DataFrame:
 def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
     """One micro-batch: transform + persist (idempotent, replay-safe)."""
     raw = raw.cache()
+    records = None
     try:
         records = Tr.transform_pulse_data(raw).cache()
         pulses = pulses_from_raw(raw)
         drops = Tr.jet_drops_from_records(records, pulses)
-        pq.save_pulse(spark, base, pulses)
-        pq.save_jet_drop_data(spark, base, drops, records)
+        # Materialize the transform once, then run the three table
+        # MERGEs as concurrent Spark jobs (the scheduler interleaves
+        # them; the reference loads through a 200-worker pool,
+        # configuration/configuration.go:126). Safe because each write
+        # targets a different table and each MERGE is idempotent —
+        # partial failure self-heals on replay exactly as in the
+        # sequential order.
+        records.count()
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futures = [
+                ex.submit(pq.save_pulse, spark, base, pulses),
+                ex.submit(pq.upsert, spark, base, "jet_drops", drops),
+                ex.submit(pq.upsert, spark, base, "records", records),
+            ]
+            for f in futures:
+                f.result()
     finally:
         raw.unpersist()
+        if records is not None:
+            records.unpersist()
 
 
 def run_control_pass(spark: SparkSession, base: str) -> dict:
