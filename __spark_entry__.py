@@ -556,6 +556,142 @@ def q45_setops(spark: SparkSession, sf: str) -> DataFrame:
     return h1.intersect(h2).exceptAll(building.distinct())
 
 
+def q46_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE + grouping_id: all 4 grouping sets of (status, priority)
+    in one pass (map-side partial aggs expand the sets; one shuffle)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+def q47_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order counts per priority pivoted by status. Spark's
+    relational pivot with an explicit value list (no extra pass to
+    discover values; single shuffle, same plan as CASE-WHEN aggs)."""
+    o = _t(spark, sf, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+def q48_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resample with gap fill: daily click counts with
+    zero rows for missing days. The day spine is F.sequence over the
+    observed [min, max] — generated distributed, no driver loop — then
+    a broadcast-able left join back onto the daily aggregate."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "click")
+    # ts is long nanos (see _t); truncate to days in pure arithmetic
+    day = F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    daily = ev.select(day.alias("day")).groupBy("day").agg(F.count(F.lit(1)).alias("n_clicks"))
+    spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"))
+    )
+
+
+def q49_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders having at least one
+    returned line, counted per priority. Decorrelates to a left-semi
+    join — never a count-then-filter over the full join product."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    has_return = o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi"
+    )
+    return has_return.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q50_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery + NOT EXISTS (TPC-H Q22 shape): customers with
+    above-average positive balance and no large (>300k) order, per
+    nation. The global average is a 1-row aggregate broadcast into the
+    filter; the NOT EXISTS is a left-anti join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg"))
+    rich = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def q51_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregate over a join (TPC-H Q14 shape): monthly
+    share of revenue from PROMO parts. part⋈lineitem broadcasts the
+    small side; the CASE-WHEN ratio is two partial aggs in one pass."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev) * 100,
+            6,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+def q52_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group: 3 highest-value orders per priority via
+    row_number with a deterministic tiebreak — per-partition window,
+    single shuffle on the group key."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q53_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-join chain (TPC-H Q10 shape): revenue lost to returns per
+    customer, top 20. Dimension joins broadcast (nation); the
+    customer⋈orders⋈lineitem chain shuffles on its keys once each."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(F.round(F.sum(rev), 2).alias("revenue"))
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -670,6 +806,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_tpch_q18": q43_tpch_q18,
         "q44_anti_join": q44_anti_join,
         "q45_setops": q45_setops,
+        "q46_cube": q46_cube,
+        "q47_pivot": q47_pivot,
+        "q48_gapfill": q48_gapfill,
+        "q49_exists": q49_exists,
+        "q50_scalar_subquery": q50_scalar_subquery,
+        "q51_promo_share": q51_promo_share,
+        "q52_topk_per_group": q52_topk_per_group,
+        "q53_returned_revenue": q53_returned_revenue,
     }
 
 
@@ -1081,5 +1225,79 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01'
             EXCEPT
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "q46_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q47_pivot": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q48_gapfill": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_clicks
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ), spine AS (
+                SELECT CAST(UNNEST(generate_series(
+                    (SELECT MIN(day) FROM daily),
+                    (SELECT MAX(day) FROM daily),
+                    INTERVAL 1 DAY)) AS DATE) AS day
+            )
+            SELECT spine.day AS day, COALESCE(daily.n_clicks, 0) AS n_clicks
+            FROM spine LEFT JOIN daily ON spine.day = daily.day
+        """,
+        "q49_exists": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q50_scalar_subquery": """
+            SELECT c_nationkey, COUNT(*) AS n_cust,
+                   ROUND(SUM(c_acctbal), 2) AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+            GROUP BY c_nationkey
+        """,
+        "q51_promo_share": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   ROUND(100 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "q52_topk_per_group": """
+            SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+                FROM orders) WHERE rk <= 3
+        """,
+        "q53_returned_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
     }
