@@ -57,11 +57,41 @@ def table_path(base: str, name: str) -> str:
     return os.path.join(base, name)
 
 
-def read_table(spark: SparkSession, base: str, name: str) -> DataFrame:
-    """Schema-pinned read; drops the physical bucket column."""
+def read_table(
+    spark: SparkSession,
+    base: str,
+    name: str,
+    pulse_gte: int | None = None,
+    pulse_lte: int | None = None,
+) -> DataFrame:
+    """Schema-pinned read; drops the physical bucket column.
+
+    Pulse bounds, when given, are applied to BOTH `pulse_number` and
+    the `pulse_bucket` partition column *before* the bucket column is
+    dropped. The bucket predicate is what turns a pulse range into
+    directory-level partition pruning (`PartitionFilters` in the plan)
+    — a filter on `pulse_number` alone only skips row groups after
+    every bucket directory has already been listed, which at 100 TB is
+    the difference between touching one bucket and listing them all.
+    Catalyst cannot derive bucket = pulse_number // N on its own
+    (plain parquet has no generated-column metadata), so the read
+    layer owns the equivalence. (Pinned by
+    test_plan_quality::test_pulse_bounds_prune_partitions.)
+    """
     path = table_path(base, name)
     cols = [f.name for f in TABLE_SCHEMAS[name].fields]
-    return spark.read.parquet(path).select(*cols)
+    df = spark.read.parquet(path)
+    if pulse_gte is not None:
+        df = df.filter(
+            (F.col("pulse_bucket") >= pulse_gte // PULSE_BUCKET_SIZE)
+            & (F.col("pulse_number") >= pulse_gte)
+        )
+    if pulse_lte is not None:
+        df = df.filter(
+            (F.col("pulse_bucket") <= pulse_lte // PULSE_BUCKET_SIZE)
+            & (F.col("pulse_number") <= pulse_lte)
+        )
+    return df.select(*cols)
 
 
 def init_table(spark: SparkSession, base: str, name: str) -> None:
@@ -156,9 +186,9 @@ def set_pulse_flags(
     """
     if not pulse_numbers:
         return
-    current = read_table(spark, base, "pulses").filter(
-        F.col("pulse_number").isin(pulse_numbers)
-    )
+    current = read_table(
+        spark, base, "pulses", pulse_gte=min(pulse_numbers), pulse_lte=max(pulse_numbers)
+    ).filter(F.col("pulse_number").isin(pulse_numbers))
     if complete is not None:
         current = current.withColumn("is_complete", F.lit(complete))
     if sequential is not None:

@@ -155,10 +155,13 @@ def exporter_next_pulses(
     (etl/exporter/pulse_exporter_server.go:20-51) calls this per tick;
     a streaming deployment wraps it in readStream on the pulses table.
     """
-    pulses = pq.read_table(spark, base, "pulses").filter(
-        F.col("is_sequential") & (F.col("pulse_number") > from_pulse)
+    # pulse_gte prunes bucket directories, not just row groups — the
+    # records side is the 100 TB table, so the tail poll must never
+    # list buckets at or before the cursor.
+    pulses = pq.read_table(spark, base, "pulses", pulse_gte=from_pulse + 1).filter(
+        F.col("is_sequential")
     )
-    records = pq.read_table(spark, base, "records")
+    records = pq.read_table(spark, base, "records", pulse_gte=from_pulse + 1)
     if prototypes:
         records = records.filter(F.col("prototype_reference").isin(*prototypes))
     matched = (

@@ -1,0 +1,117 @@
+"""Physical-plan regression tests: the scale properties SCALE.md
+claims are pinned here against `.explain("formatted")` output —
+pushdown, column pruning, partition pruning, broadcast joins, and
+exchange counts. These guard the 100 TB behavior that sf-level
+correctness tests can't see.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from block_explorer_spark.sources import parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def scan_block(text: str, table: str) -> str:
+    """The formatted-explain node block for one parquet scan."""
+    blocks = text.split("\n\n")
+    hits = [b for b in blocks if "Scan parquet" in b and table in b]
+    assert hits, f"no parquet scan of {table} in plan:\n{text}"
+    return "\n\n".join(hits)
+
+
+def test_keyset_filter_pushdown(spark):
+    """q01's return-flag equality and keyset bounds reach the scan."""
+    text = plan(entry.queries()["q01_keyset_page"](spark, SF))
+    block = scan_block(text, "lineitem")
+    assert "PushedFilters" in block
+    assert "EqualTo(l_returnflag,R)" in block
+    # keyset cursor: at least the leading-column bound is pushable
+    assert "l_orderkey" in block.split("PushedFilters")[1].split("]")[0]
+
+
+def test_q1_column_pruning(spark):
+    """TPC-H Q1 reads its 7 columns, not the whole lineitem schema."""
+    text = plan(entry.queries()["q16_tpch_q1"](spark, SF))
+    block = scan_block(text, "lineitem")
+    schema_line = [ln for ln in block.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in schema_line and "l_suppkey" not in schema_line
+    assert "l_quantity" in schema_line and "l_returnflag" in schema_line
+
+
+def test_q6_range_pushdown(spark):
+    """Q6's shipdate/discount/quantity range predicates all push."""
+    text = plan(entry.queries()["q19_tpch_q6"](spark, SF))
+    pushed = scan_block(text, "lineitem").split("PushedFilters")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_dim_joins_broadcast(spark):
+    """Explicitly-broadcast dimension joins plan as BroadcastHashJoin."""
+    for q in ("q51_promo_share", "q53_returned_revenue"):
+        assert "BroadcastHashJoin" in plan(entry.queries()[q](spark, SF)), q
+
+
+def test_blas_pairs_single_exchange(spark):
+    """q28: one shuffle (the block groupBy), nothing else."""
+    import re
+
+    text = plan(entry.queries()["q28_embed_neardup"](spark, SF))
+    # formatted explain lists each node twice (tree + detail); count
+    # detail headers only
+    assert len(re.findall(r"\(\d+\) Exchange", text)) == 1
+
+
+def test_no_cartesian_products(spark):
+    """No query plans a CartesianProduct; nested-loop broadcast is
+    allowed only for the deliberate 1-row scalar-subquery join."""
+    allowed_nested_loop = {"q50_scalar_subquery"}
+    sample = [
+        "q01_keyset_page", "q03_chain_repair", "q07_counters",
+        "q11_exporter_join", "q13_sessionize", "q16_tpch_q1",
+        "q17_tpch_q3", "q18_tpch_q5", "q20_dedup_exact", "q24_word_jaccard",
+        "q27_ann_brute", "q36_asof_join", "q40_range_join",
+        "q46_cube", "q47_pivot", "q48_gapfill", "q49_exists",
+        "q50_scalar_subquery", "q51_promo_share", "q52_topk_per_group",
+        "q53_returned_revenue",
+    ]
+    queries = entry.queries()
+    for name in sample:
+        text = plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in text, name
+        if name not in allowed_nested_loop:
+            assert "BroadcastNestedLoopJoin" not in text, name
+
+
+def test_pulse_bounds_prune_partitions(spark, tmp_path):
+    """read_table(pulse bounds) must produce directory-level
+    PartitionFilters on pulse_bucket, not just row-group stats."""
+    base = str(tmp_path / "gbe")
+    rows = [
+        (pn, pn - 10, pn + 10, True, True, 1_600_000_000 + pn, 1, 1)
+        for pn in (1_000, 500_000, 1_500_000, 2_500_000)
+    ]
+    df = spark.createDataFrame(rows, pq.TABLE_SCHEMAS["pulses"])
+    pq.upsert(spark, base, "pulses", df)
+
+    bounded = pq.read_table(spark, base, "pulses", pulse_gte=1_400_000, pulse_lte=1_600_000)
+    text = plan(bounded)
+    part_line = [ln for ln in text.splitlines() if "PartitionFilters" in ln]
+    assert part_line, text
+    assert "pulse_bucket" in part_line[0]
+    # and it actually prunes: only the matching bucket's row survives
+    assert [r.pulse_number for r in bounded.collect()] == [1_500_000]
+    # unbounded read still returns everything (bounds are optional)
+    assert pq.read_table(spark, base, "pulses").count() == 4
