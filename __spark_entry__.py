@@ -692,6 +692,25 @@ def q53_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
 
+def q54_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured column: typed extraction from a JSON string
+    column (`events.props`) feeding a relational aggregate. from_json
+    with an explicit schema — parsed once, JVM-side, no UDF; the
+    projection prunes to (event_type, props) at the scan."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", T.StructType([T.StructField("k", T.LongType())])).alias("__p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__p.k").alias("sum_k"),
+        F.max("__p.k").alias("max_k"),
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -814,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_promo_share": q51_promo_share,
         "q52_topk_per_group": q52_topk_per_group,
         "q53_returned_revenue": q53_returned_revenue,
+        "q54_json_extract": q54_json_extract,
     }
 
 
@@ -1299,5 +1319,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q54_json_extract": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
     }

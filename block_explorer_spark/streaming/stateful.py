@@ -160,3 +160,38 @@ def sessionize_stream(
             "session_end",
         )
     )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window aggregate with watermark-bounded state.
+
+    In append mode a window emits exactly once — when the watermark
+    (max seen event time − delay) passes its end — and its state is
+    evicted; events arriving later than the watermark are dropped,
+    never double-counted. This is the late-data contract the
+    reference's controller approximates with its reload TTL
+    (configuration/configuration.go:117-121): data later than the
+    horizon requires an explicit backfill, the hot path stays bounded.
+    (Pinned by test_stateful_streaming::test_windowed_counts_late_data.)
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -132,3 +132,65 @@ def test_sessionize_stream_matches_batch_gap_logic(spark, tmp_path):
         assert [(r["user_id"], r["session_events"]) for r in got] == [(1, 2), (1, 1), (2, 1)]
     finally:
         q.stop()
+
+
+def test_windowed_counts_late_data(spark, tmp_path):
+    """Append-mode tumbling windows: each window emits once when the
+    watermark passes it; events older than the watermark are dropped."""
+    src = str(tmp_path / "wevents")
+    ckpt = str(tmp_path / "ckpt4")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def write(rows):
+        df = spark.createDataFrame(
+            [(k, t, v) for k, t, v in rows], ["event_type", "ts_str", "value"]
+        ).select("event_type", F.to_timestamp("ts_str").alias("ts"), "value")
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtime keeps file-source batch order
+
+    # batch 1: two events in the 10:00 window
+    write([("click", "2024-01-01 10:00:05", 1.0), ("click", "2024-01-01 10:00:25", 2.0)])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        S.windowed_counts(stream, window="1 minute", watermark="2 minutes")
+        .writeStream.format("memory")
+        .queryName("windowed")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event at 10:10 -> watermark moves to 10:08, sealing
+        # and emitting the 10:00 window
+        write([("click", "2024-01-01 10:10:00", 5.0)])
+        q.processAllAvailable()
+        rows = {
+            str(r["window_start"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM windowed").collect()
+        }
+        assert rows.get("2024-01-01 10:00:00") == (2, 3.0)
+
+        # batch 3: a LATE event for the sealed 10:00 window (behind the
+        # 10:08 watermark) must be dropped, not re-emitted
+        write([("click", "2024-01-01 10:00:40", 100.0)])
+        # batch 4: advance watermark past the 10:10 window to flush it
+        write([("click", "2024-01-01 10:20:00", 7.0)])
+        q.processAllAvailable()
+        rows = {
+            str(r["window_start"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM windowed").collect()
+        }
+        # 10:00 window unchanged (late event dropped), emitted exactly once
+        assert rows["2024-01-01 10:00:00"] == (2, 3.0)
+        assert rows["2024-01-01 10:10:00"] == (1, 5.0)
+    finally:
+        q.stop()
