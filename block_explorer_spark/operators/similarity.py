@@ -108,43 +108,86 @@ def train_centroids(
     seed: int = 42,
     max_train_rows: int = 100_000,
 ) -> list[list[float]]:
-    """K-means centroids for an IVF index (Spark MLlib, seeded).
+    """K-means centroids for an IVF index (seeded, deterministic).
 
     Training runs on a bounded sample (`max_train_rows`) — centroid
     quality needs only a representative sample, never the full 100 TB
     table; the expensive full pass is the assignment, which is a
-    single map (ivf_assign).
+    single map (ivf_assign). The sample is collected and clustered
+    driver-side with a numpy Lloyd's loop: at ≤100k×d doubles that is
+    a few MB and milliseconds, vs ~20 iterative Spark jobs for a
+    distributed k-means whose per-job overhead dwarfs the math at any
+    sample size (this is the standard IVF recipe — FAISS trains on a
+    sample too).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     n = df.count()
     sample = df
     if n > max_train_rows:
         sample = df.sample(fraction=max_train_rows / n, seed=seed)
-    train = sample.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    X = np.array(
+        [r[0] for r in sample.select(F.col(vec_col).cast("array<double>")).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(X))
+    # k-means++ seeding
+    centers = [X[rng.integers(len(X))]]
+    for _ in range(1, k):
+        d2 = np.min([np.sum((X - c) ** 2, axis=1) for c in centers], axis=0)
+        total = d2.sum()
+        if total == 0:
+            centers.append(X[rng.integers(len(X))])
+            continue
+        centers.append(X[np.searchsorted(np.cumsum(d2 / total), rng.random())])
+    C = np.stack(centers)
+    x2 = (X**2).sum(axis=1)
+    for _ in range(15):  # Lloyd iterations
+        # ||x-c||² = x² + c² - 2x·c as an n×k gram — never an n×k×d
+        # broadcast (which would be ~800 MB at the 100k sample cap)
+        d2 = x2[:, None] + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        assign = d2.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+            else:  # empty cluster -> reseed to the farthest point
+                newC[j] = X[d2.min(axis=1).argmax()]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [[float(x) for x in c] for c in C]
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Add `centroid_id`: argmin squared-euclidean over the centroid
-    list, as a flat JVM expression chain (no UDF, no MLlib transform —
-    the literal centroids fold into codegen). At scale, write the
-    result partitioned by centroid_id so probes prune partitions."""
-    best_id = F.lit(0)
-    best_d = _sq_dist(F.col(vec_col), centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = _sq_dist(F.col(vec_col), c)
-        closer = d < best_d
-        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return df.withColumn("centroid_id", best_id)
+    list (no UDF, no MLlib transform — the literal centroids fold into
+    codegen). At scale, write the result partitioned by centroid_id so
+    probes prune partitions.
 
-
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    diff = F.zip_with(vec, V.lit_vector(centroid), lambda x, y: x.cast("double") - y)
-    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    Built as ONE SQL string: a distance array + array_position of its
+    min (ties -> lowest id). The previous formulation — a running
+    when(closer, d).otherwise(best_d) chain of Column objects — embeds
+    the prior best twice per step, so the expression tree grows 2^k
+    and plan construction alone took seconds at k=8 (the py4j
+    wide-tree lesson; see minhash_signatures)."""
+    dist = (
+        "aggregate(zip_with(cast(`%s` as array<double>), array(%s), (x, y) -> x - y),"
+        " 0.0D, (acc, x) -> acc + x * x)"
+    )
+    dists = ",".join(
+        dist % (vec_col, ",".join(f"cast('{x!r}' as double)" for x in c)) for c in centroids
+    )
+    return (
+        df.withColumn("__dists", F.expr(f"array({dists})"))
+        .withColumn(
+            "centroid_id",
+            F.expr("cast(array_position(__dists, array_min(__dists)) as int) - 1"),
+        )
+        .drop("__dists")
+    )
 
 
 def ivf_topk(
