@@ -56,14 +56,19 @@ def rp_lsh_buckets(
     df: DataFrame, vec_col: str, dim: int, bits: int = 8, seed: int = 42
 ) -> DataFrame:
     """Add a `bucket` long column: sign-bit signature over `bits`
-    random hyperplanes. Deterministic given seed."""
+    random hyperplanes. Deterministic given seed. One parsed SQL
+    string — bits×dim literal Columns via py4j cost ~0.5 s of driver
+    time per plan build (see minhash_signatures)."""
     planes = _hyperplanes(dim, bits, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        bucket = bucket + F.when(V.dot(F.col(vec_col), V.lit_vector(p)) > 0, F.lit(2**i)).otherwise(
-            F.lit(0)
-        )
-    return df.withColumn("bucket", bucket.cast("long"))
+    term = (
+        "(case when aggregate(zip_with(cast(`%s` as array<double>), array(%s),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0.0D then %dL else 0L end)"
+    )
+    bucket = " + ".join(
+        term % (vec_col, ",".join(f"cast('{x!r}' as double)" for x in p), 2**i)
+        for i, p in enumerate(planes)
+    )
+    return df.withColumn("bucket", F.expr(bucket))
 
 
 def rp_lsh_topk(
