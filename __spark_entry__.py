@@ -711,6 +711,46 @@ def q54_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q55_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split — THE reproducible
+    corpus-split primitive (no RNG, no state: membership is a pure
+    function of the id, stable under reruns, additions, repartitioning).
+    md5 is engine-portable, so the oracle proves cross-engine split
+    identity; per (split, lang) counts audit stratification."""
+    docs = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split")
+    )
+    return docs.select(split, "lang").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q56_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for LLM training: documents stream into ~4096-
+    token packs per language via a running token-count window — pack
+    boundaries are a floor-divide over the cumulative sum, so packing
+    is deterministic and embarrassingly parallel per partition key
+    (one shuffle on lang; no sequential driver loop)."""
+    docs = _t(spark, sf, "documents")
+    toks = Tx.token_count("text").cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = docs.select(
+        "lang",
+        "doc_id",
+        toks.alias("n_tokens"),
+        (F.floor((F.sum(toks).over(w) - toks) / 4096)).alias("pack_id"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -834,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_topk_per_group": q52_topk_per_group,
         "q53_returned_revenue": q53_returned_revenue,
         "q54_json_extract": q54_json_extract,
+        "q55_train_split": q55_train_split,
+        "q56_seq_packing": q56_seq_packing,
     }
 
 
@@ -1325,5 +1367,28 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
                    MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "q55_train_split": """
+            SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, COUNT(*) AS n_docs
+            FROM (SELECT lang,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 AS b
+                  FROM documents)
+            GROUP BY 1, 2
+        """,
+        "q56_seq_packing": """
+            WITH toks AS (
+                SELECT lang, doc_id,
+                       CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), running AS (
+                SELECT lang, doc_id, n_tokens,
+                       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                             - n_tokens) / 4096.0) AS BIGINT) AS pack_id
+                FROM toks
+            )
+            SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+            FROM running GROUP BY lang, pack_id
         """,
     }
