@@ -751,6 +751,205 @@ def q56_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q57_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations. The disjunctive
+    nation-pair predicate is pushed INTO both nation dims (each side
+    pre-filtered to the two nations, broadcast), so the fact join never
+    sees rows that can't qualify; only the same-nation pairs are
+    removed post-join. lineitem⋈orders is the one shuffle."""
+    pair = ["NATION_1", "NATION_2"]
+    n = _t(spark, sf, "nation").filter(F.col("n_name").isin(pair))
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = F.broadcast(s.join(F.broadcast(n1), "s_nationkey").drop("s_nationkey"))
+    cust = F.broadcast(c.join(F.broadcast(n2), "c_nationkey").drop("c_nationkey"))
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def q58_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_3's share of PROMO-part
+    revenue sold into ASIA, per order year. Every dim (part filtered to
+    PROMO, region→nation, supplier-nation) broadcasts; the share is a
+    conditional partial aggregate — one pass, no second join."""
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    li = _t(spark, sf, "lineitem")
+    n1 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+    asia_cust = F.broadcast(
+        c.join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey).select("c_custkey")
+    )
+    supp_nat = F.broadcast(
+        s.join(F.broadcast(n.select("n_nationkey", "n_name")), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
+    )
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)) / F.sum(vol),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum(vol), 2).alias("total_volume"),
+    )
+
+
+def q59_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the driver schema has no
+    l_shipmode/commitdate/receiptdate, so "late" = shipped >90 days
+    after order date and l_linestatus stands in for the mode group).
+    The CASE-WHEN priority counts are map-side partials over one
+    lineitem⋈orders shuffle."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+def q60_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue view, then the
+    supplier(s) whose revenue equals the global max. The max is a
+    1-row aggregate broadcast into the filter (no window over the
+    whole view); supplier dim broadcasts. Revenue is rounded before
+    the equality so the comparison is engine-stable."""
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    top = revenue.join(F.broadcast(mx)).filter(F.col("total_revenue") == F.col("__mx"))
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q61_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: correlated per-part AVG
+    subquery decorrelated into a groupBy + broadcast join (never a
+    per-row re-aggregation). Threshold rounded to 6dp so the strict
+    '<' is identical across engines."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#23"))
+        .select("p_partkey", "p_brand")
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_threshold")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q62_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 disjunctive join predicate: OR of three conjunctive
+    (brand, size, quantity) clauses across part⋈lineitem. The common
+    disjunct parts (p_size >= 1) stay pushable; part broadcasts so the
+    OR never forces a shuffle strategy change."""
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q63_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no receipt/commit dates — a "failed"
+    line is l_returnflag='R'): suppliers who were the ONLY failing
+    supplier in a multi-supplier order. The EXISTS / NOT EXISTS pair
+    is decorrelated into per-order supplier counts (two-level agg +
+    one join) instead of two correlated self-joins over lineitem."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    ordsupp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("failed")
+    )
+    ords = ordsupp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("failed").alias("n_failed")
+    )
+    waiting = (
+        ordsupp.filter(F.col("failed") == 1)
+        .join(ords, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_failed") == 1))
+    )
+    agg = (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return agg.orderBy(F.col("numwait").desc(), F.col("s_name").asc()).limit(20)
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -876,6 +1075,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_json_extract": q54_json_extract,
         "q55_train_split": q55_train_split,
         "q56_seq_packing": q56_seq_packing,
+        "q57_tpch_q7": q57_tpch_q7,
+        "q58_tpch_q8": q58_tpch_q8,
+        "q59_tpch_q12": q59_tpch_q12,
+        "q60_tpch_q15": q60_tpch_q15,
+        "q61_tpch_q17": q61_tpch_q17,
+        "q62_tpch_q19": q62_tpch_q19,
+        "q63_tpch_q21": q63_tpch_q21,
     }
 
 
@@ -1390,5 +1596,112 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
             FROM running GROUP BY lang, pack_id
+        """,
+        "q57_tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                  AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q58_tpch_q8": """
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                         / SUM(volume), 6) AS mkt_share,
+                   ROUND(SUM(volume), 2) AS total_volume
+            FROM (
+                SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+            )
+            GROUP BY o_year
+        """,
+        "q59_tpch_q12": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus
+        """,
+        "q60_tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """,
+        "q61_tpch_q17": """
+            WITH thresholds AS (
+                SELECT l_partkey AS t_partkey,
+                       ROUND(0.2 * AVG(l_quantity), 6) AS qty_threshold
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_brand,
+                   ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN thresholds ON l_partkey = t_partkey
+            WHERE p_brand IN ('Brand#11', 'Brand#23')
+              AND l_quantity < qty_threshold
+            GROUP BY p_brand
+        """,
+        "q62_tpch_q19": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q63_tpch_q21": """
+            WITH ordsupp AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ), ords AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp, SUM(failed) AS n_failed
+                FROM ordsupp GROUP BY l_orderkey
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM ordsupp
+            JOIN ords USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE failed = 1 AND n_supp > 1 AND n_failed = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
         """,
     }
