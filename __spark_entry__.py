@@ -950,6 +950,68 @@ def q63_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     return agg.orderBy(F.col("numwait").desc(), F.col("s_name").asc()).limit(20)
 
 
+def q64_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus normalization pass (training-data prep): lowercase, strip
+    non-alphanumerics, collapse whitespace — all JVM-side regexp_replace
+    (no UDF), audited per language as chars in/out. One narrow map +
+    one small shuffle on lang; at 100 TB this is the canonical
+    embarrassingly-parallel scan shape."""
+    docs = _t(spark, sf, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""), " +", " "
+    )
+    per_doc = docs.select(
+        "lang", F.length("text").alias("n_before"), F.length(norm).alias("n_after")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_before").cast("long").alias("chars_before"),
+        F.sum("n_after").cast("long").alias("chars_after"),
+    )
+
+
+def q65_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary building (tokenizer prep): explode whitespace tokens,
+    count, top-50 with a deterministic (count desc, token asc) tiebreak
+    → TakeOrderedAndProject after a map-side-combined count, never a
+    global sort of the full vocabulary."""
+    docs = _t(spark, sf, "documents")
+    tok = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    counts = (
+        docs.select(tok)
+        .filter(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)
+
+
+def q66_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: which held-out (test-bucket) docs
+    share an 8-token shingle with any train-bucket doc. Composes the
+    deterministic md5 split (q55) with winnowing fingerprints (q31);
+    the overlap is one shuffle join on the shingle hash + per-test-doc
+    distinct counts. At scale the train side stays deduped (doc, fp)
+    pairs — never materialized driver-side."""
+    docs = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    fps = docs.select(
+        "doc_id",
+        bucket.alias("b"),
+        F.explode(Tx.rolling_fingerprint("text", window=8, hashf="md5")).alias("fp"),
+    )
+    train = fps.filter(F.col("b") < 8).select(F.col("doc_id").alias("train_doc"), "fp")
+    test = fps.filter(F.col("b") == 9).select(F.col("doc_id").alias("test_doc"), "fp")
+    hits = test.join(train, "fp")
+    return hits.groupBy("test_doc").agg(
+        F.count_distinct(F.col("fp")).alias("n_shared_shingles"),
+        F.count_distinct(F.col("train_doc")).alias("n_train_docs"),
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -1082,6 +1144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_tpch_q17": q61_tpch_q17,
         "q62_tpch_q19": q62_tpch_q19,
         "q63_tpch_q21": q63_tpch_q21,
+        "q64_text_clean": q64_text_clean,
+        "q65_vocab_topk": q65_vocab_topk,
+        "q66_decontaminate": q66_decontaminate,
     }
 
 
@@ -1703,5 +1768,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC
             LIMIT 20
+        """,
+        "q64_text_clean": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+                   CAST(SUM(length(regexp_replace(regexp_replace(
+                        lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+                        ' +', ' ', 'g'))) AS BIGINT) AS chars_after
+            FROM documents
+            GROUP BY lang
+        """,
+        "q65_vocab_topk": """
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                  FROM documents)
+            WHERE length(token) >= 2
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "q66_decontaminate": """
+            WITH t AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 AS b,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), fps AS (
+                SELECT doc_id, b, unnest(list_distinct(list_transform(
+                         generate_series(1, greatest(len(toks) - 7, 1)),
+                         i -> md5(array_to_string(toks[i:i+7], ' '))))) AS fp
+                FROM t
+            )
+            SELECT te.doc_id AS test_doc,
+                   CAST(COUNT(DISTINCT te.fp) AS BIGINT) AS n_shared_shingles,
+                   CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs
+            FROM fps te JOIN fps tr ON te.fp = tr.fp AND tr.b < 8
+            WHERE te.b = 9
+            GROUP BY te.doc_id
         """,
     }
