@@ -1012,6 +1012,28 @@ def q66_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q67_length_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-based quality filter (corpus curation): keep docs
+    inside the per-language 5th-95th length percentile. The per-lang
+    bounds are a tiny exact-percentile aggregate broadcast back onto
+    the scan — never a window over the full corpus; bounds rounded to
+    6dp so the boundary comparison is engine-stable."""
+    docs = _t(spark, sf, "documents")
+    n = F.length("text")
+    bounds = docs.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.round(F.expr("percentile(length(text), 0.05D)"), 6).alias("lo"),
+        F.round(F.expr("percentile(length(text), 0.95D)"), 6).alias("hi"),
+    )
+    kept = docs.join(F.broadcast(bounds), docs.lang == bounds.b_lang).filter(
+        (n >= F.col("lo")) & (n <= F.col("hi"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min(n).cast("long").alias("min_len"),
+        F.max(n).cast("long").alias("max_len"),
+    )
+
+
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (k-means inverted-file) ANN top-k — the partition-pruned
     scale path. Centroid training is seeded but not reproducible in
@@ -1147,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_text_clean": q64_text_clean,
         "q65_vocab_topk": q65_vocab_topk,
         "q66_decontaminate": q66_decontaminate,
+        "q67_length_filter": q67_length_filter,
     }
 
 
@@ -1805,5 +1828,19 @@ def oracle_sql() -> dict[str, str]:
             FROM fps te JOIN fps tr ON te.fp = tr.fp AND tr.b < 8
             WHERE te.b = 9
             GROUP BY te.doc_id
+        """,
+        "q67_length_filter": """
+            WITH bounds AS (
+                SELECT lang AS b_lang,
+                       ROUND(quantile_cont(length(text), 0.05), 6) AS lo,
+                       ROUND(quantile_cont(length(text), 0.95), 6) AS hi
+                FROM documents GROUP BY lang
+            )
+            SELECT lang, COUNT(*) AS n_kept,
+                   CAST(MIN(length(text)) AS BIGINT) AS min_len,
+                   CAST(MAX(length(text)) AS BIGINT) AS max_len
+            FROM documents JOIN bounds ON lang = b_lang
+            WHERE length(text) BETWEEN lo AND hi
+            GROUP BY lang
         """,
     }
