@@ -13,6 +13,7 @@ Nothing here shuffles or scans: it parameterizes plans/queries.py.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from urllib.parse import unquote
 
@@ -138,10 +139,12 @@ def search_dispatch(value: str) -> tuple[str, object]:
 
     reference: api/handlers.go:458-553
     """
-    try:
-        pn = int(value)
-    except ValueError:
-        pn = None
+    # Strict ASCII-digit match before int(): Python's int() accepts
+    # underscore separators ("4_000_000"), unicode digits, and
+    # surrounding whitespace that Go's strconv.Atoi (handlers.go:459)
+    # does not — such inputs must fall through to jet-drop/reference
+    # parsing instead of dispatching as pulse lookups.
+    pn = int(value) if re.fullmatch(r"-?[0-9]+", value) else None
     if pn is not None:
         if not is_valid_pulse_number(pn):
             raise ValidationError([ValidationFailure("value", "not valid pulse number")])

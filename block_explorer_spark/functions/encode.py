@@ -40,10 +40,18 @@ def parse_record_index(value: str) -> tuple[int, int]:
 def nanos_to_seconds(col: Column | str) -> Column:
     """X8: platform nanosecond timestamps -> unix seconds.
 
-    reference: instrumentation/converter/converter.go:34-41
+    Exact integer division: ns epochs (~1.6e18) exceed double's 2^53
+    integer range, so `(c / 1e9).cast(long)` can truncate one second
+    low at exact-second boundaries. Decimal division then cast keeps
+    the int64-division semantics of the reference
+    (instrumentation/converter/converter.go:34-41).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (c / F.lit(1_000_000_000)).cast("long")
+    # Strip the sub-second remainder first (long % is exact and its sign
+    # follows the dividend, matching Go's truncate-toward-zero), then
+    # divide the exact multiple via decimal so no rounding can occur.
+    whole = c - (c % F.lit(1_000_000_000))
+    return (whole.cast("decimal(38,0)") / F.lit(1_000_000_000)).cast("long")
 
 
 # Platform pulse-number validity range (X12): 65536 <= pn < 2^32 - 1.

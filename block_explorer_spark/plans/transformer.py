@@ -31,7 +31,12 @@ def decode_records(raw: DataFrame) -> DataFrame:
     - prototype_reference is only meaningful for Activate/Amend (the
       object's image); cleared elsewhere;
     - prev_record_reference only for Amend/Deactivate (PrevState);
-      cleared for Activate (chain head) and non-state kinds.
+      cleared for Activate (chain head) and non-state kinds;
+    - payload stored only for Activate/Amend (the object Memory) and
+      Result (the result Payload); deactivate and incoming/outgoing
+      requests persist an empty payload in the reference
+      (etl/transformer/transformer.go:231-277 sets Payload only in
+      those three branches).
     All F.when chains — no UDF, full codegen.
     """
     kind = F.col("kind")
@@ -47,11 +52,15 @@ def decode_records(raw: DataFrame) -> DataFrame:
     prev = F.when(
         kind.isin(["amend", "deactivate"]), F.col("prev_record_reference")
     ).otherwise(F.lit(None))
+    payload = F.when(
+        kind.isin(["activate", "amend", "result"]), F.col("payload")
+    ).otherwise(F.lit(None))
     return (
         raw.withColumn("type", typ)
         .filter(F.col("type").isNotNull())
         .withColumn("prototype_reference", proto)
         .withColumn("prev_record_reference", prev)
+        .withColumn("payload", payload)
         .drop("kind")
     )
 

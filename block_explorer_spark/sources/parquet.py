@@ -25,6 +25,8 @@ concurrent backfills of disjoint pulse ranges don't conflict.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,7 +105,14 @@ def init_table(spark: SparkSession, base: str, name: str) -> None:
     with_bucket(empty).write.partitionBy("pulse_bucket").mode("append").parquet(path)
 
 
-def upsert(spark: SparkSession, base: str, name: str, batch: DataFrame) -> None:
+def upsert(
+    spark: SparkSession,
+    base: str,
+    name: str,
+    batch: DataFrame,
+    *,
+    key_bucket_affinity: bool = True,
+) -> None:
     """MERGE `batch` into the table keyed on TABLE_KEYS[name].
 
     whenMatched → replace with batch row (reference's ON CONFLICT DO
@@ -111,6 +120,20 @@ def upsert(spark: SparkSession, base: str, name: str, batch: DataFrame) -> None:
     buckets the batch touches, anti-join out rows whose key appears in
     the batch, union the batch, dynamic-partition-overwrite those
     buckets. Re-running the same batch is a no-op by construction.
+
+    Key→bucket affinity: by default PK uniqueness is enforced within
+    the buckets the batch touches, under the invariant that a key never
+    changes its pulse_number (and hence bucket). The invariant holds
+    for the reference's data — insolar record/jet-drop identity embeds
+    the pulse number (record IDs carry their pulse in the leading
+    bytes; jet_drops/pulses key ON pulse_number itself), so a
+    re-delivered key always lands in its original bucket. Pass
+    ``key_bucket_affinity=False`` when ingesting from a source that
+    cannot guarantee this: the collision check then widens to a
+    column-pruned key scan of the whole table and stale copies of
+    batch keys in *other* buckets are rewritten out, matching the
+    reference's global ON CONFLICT semantics (storage.go:28-94) at the
+    cost of an O(table keys) scan per merge.
     """
     keys = TABLE_KEYS[name]
     path = table_path(base, name)
@@ -120,7 +143,24 @@ def upsert(spark: SparkSession, base: str, name: str, batch: DataFrame) -> None:
         batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
         return
 
+    batch_keys = batch.select(*keys).distinct()
     buckets = [r.pulse_bucket for r in batch.select("pulse_bucket").distinct().collect()]
+
+    if not key_bucket_affinity:
+        # Column-pruned key scan over the full table: any bucket that
+        # already holds one of the batch's keys joins the rewrite set,
+        # so its stale copy is anti-joined away below.
+        stale_buckets = [
+            r.pulse_bucket
+            for r in spark.read.parquet(path)
+            .select(*keys, "pulse_bucket")
+            .join(F.broadcast(batch_keys), on=keys, how="left_semi")
+            .select("pulse_bucket")
+            .distinct()
+            .collect()
+        ]
+        buckets = sorted(set(buckets) | set(stale_buckets))
+
     existing = spark.read.parquet(path).filter(F.col("pulse_bucket").isin(buckets))
 
     # Fast path — the steady-state ingest case: if no batch key already
@@ -132,7 +172,7 @@ def upsert(spark: SparkSession, base: str, name: str, batch: DataFrame) -> None:
     # fall through to the merge-rewrite, preserving upsert semantics.
     collisions = (
         existing.select(*keys)
-        .join(F.broadcast(batch.select(*keys).distinct()), on=keys, how="left_semi")
+        .join(F.broadcast(batch_keys), on=keys, how="left_semi")
         .limit(1)
         .count()
     )
@@ -140,14 +180,38 @@ def upsert(spark: SparkSession, base: str, name: str, batch: DataFrame) -> None:
         batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
         return
 
-    kept = existing.join(F.broadcast(batch.select(*keys).distinct()), on=keys, how="left_anti")
+    kept = existing.join(F.broadcast(batch_keys), on=keys, how="left_anti")
     merged = kept.select(*batch.columns).unionByName(batch)
-    (
-        merged.write.partitionBy("pulse_bucket")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(path)
-    )
+
+    # Materialize the merge to a staging directory BEFORE overwriting:
+    # the dynamic-partition-overwrite below must never lazily re-read
+    # the very directories it is replacing (a crash mid-rewrite would
+    # otherwise permanently lose the pre-existing rows of the touched
+    # buckets). With staging, a crash before the final overwrite leaves
+    # the table untouched; the remaining non-atomic window is Spark's
+    # own per-partition commit protocol, and replaying the batch heals
+    # it (same keys → same rows). The reference gets full atomicity
+    # from a single Postgres txn (storage.go:28-94); bucket rewrites
+    # here are idempotent-but-not-atomic, by design.
+    staging = os.path.join(base, f".staging-{name}-{uuid.uuid4().hex}")
+    try:
+        merged.write.partitionBy("pulse_bucket").mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        (
+            staged.write.partitionBy("pulse_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        # Dynamic overwrite only replaces buckets present in the output:
+        # a rewrite-set bucket whose every row was superseded (possible
+        # only in the affinity=False path) would otherwise keep its
+        # stale directory.
+        written = {r.pulse_bucket for r in staged.select("pulse_bucket").distinct().collect()}
+        for b in set(buckets) - written:
+            shutil.rmtree(os.path.join(path, f"pulse_bucket={b}"), ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def save_jet_drop_data(

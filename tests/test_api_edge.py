@@ -146,3 +146,16 @@ def test_pulses_to_api_sentinels(spark):
     assert got[65537]["prev_pulse_number"] is None
     assert got[65537]["next_pulse_number"] == 65547
     assert got[65547]["next_pulse_number"] is None
+
+def test_search_dispatch_strict_integer_syntax():
+    """Python int() accepts underscore separators, unicode digits and
+    surrounding whitespace that Go's strconv.Atoi rejects
+    (api/handlers.go:458-469) — such values must fall through to
+    jet-drop/reference parsing, not dispatch as pulse lookups."""
+    for v in ("4_000_000", "٤٠٠٠٠٠٠", " 4000000"):
+        with pytest.raises(api.ValidationError) as e:
+            api.search_dispatch(v)
+        assert (
+            e.value.failures[0].failure_reason
+            == "is neither pulse number, jet drop id nor reference"
+        ), v

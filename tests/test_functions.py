@@ -78,3 +78,18 @@ def test_nanos_to_seconds(spark):
 def test_decode_platform_jet_id():
     assert jets.decode_platform_jet_id(b"\xa0", 4) == "1010"
     assert jets.decode_platform_jet_id(b"\xff\x00", 10) == "1111111100"
+
+
+def test_nanos_to_seconds_exact_int64_division(spark):
+    """ns epochs (~1.6e18) exceed double's 2^53 integer range: the old
+    `(c / 1e9).cast(long)` rounded `…999999999` up one whole second.
+    Must match the reference's int64 division
+    (instrumentation/converter/converter.go:34-41)."""
+    vals = [
+        (1_600_000_000_000_000_000,),
+        (1_600_000_000_999_999_999,),
+        (9_000_000_001_999_999_999,),
+    ]
+    df = spark.createDataFrame(vals, "ts_nanos: long")
+    got = [r.s for r in df.select(encode.nanos_to_seconds("ts_nanos").alias("s")).collect()]
+    assert got == [1_600_000_000, 1_600_000_000, 9_000_000_001]

@@ -124,3 +124,25 @@ def test_find_gaps_and_reload_pool(spark):
     assert pool.should_reload((1010, 1040), now=0.0)
     assert not pool.should_reload((1010, 1040), now=50.0)
     assert pool.should_reload((1010, 1040), now=150.0)
+
+
+def test_decode_payload_only_for_memory_and_result(spark):
+    """transferToCanonicalRecord stores payload only for activate/amend
+    (Memory) and result (Payload); deactivate and request kinds persist
+    no payload — etl/transformer/transformer.go:231-277."""
+    rows = [
+        _raw(b"a", "activate", pos=0),
+        _raw(b"b", "amend", prev=b"a", pos=1),
+        _raw(b"c", "deactivate", prev=b"b", pos=2),
+        _raw(b"d", "result", pos=3),
+        _raw(b"e", "incoming_request", pos=4),
+        _raw(b"f", "outgoing_request", pos=5),
+    ]
+    df = spark.createDataFrame(rows, schemas.RAW_RECORDS)
+    out = {bytes(r.reference): r for r in Tr.decode_records(df).collect()}
+    assert bytes(out[b"a"].payload) == b"p"
+    assert bytes(out[b"b"].payload) == b"p"
+    assert out[b"c"].payload is None
+    assert bytes(out[b"d"].payload) == b"p"
+    assert out[b"e"].payload is None
+    assert out[b"f"].payload is None

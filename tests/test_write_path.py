@@ -92,3 +92,24 @@ def test_flags_and_counters(spark, base):
     for pn in got:
         if pn not in expected_drops:
             assert got[pn] == (0, 0)
+
+
+def test_upsert_cross_bucket_key_redelivery(spark, base):
+    """A records PK re-delivered with a changed pulse_number lands in a
+    different bucket. With key_bucket_affinity=False the stale copy in
+    the old bucket is rewritten out, matching the reference's global
+    ON CONFLICT upsert (etl/storage/storage.go:28-94)."""
+    _, _, records = gen.make_flat_seed(seed=7, n_pulses=2, n_drops=4, n_records=12)
+    rdf = spark.createDataFrame(records, schemas.RECORDS)
+    pq.upsert(spark, base, "records", rdf)
+    n0 = pq.read_table(spark, base, "records").count()
+
+    moved = dict(records[0])
+    moved["pulse_number"] = moved["pulse_number"] + 5 * pq.PULSE_BUCKET_SIZE
+    mdf = spark.createDataFrame([moved], schemas.RECORDS)
+    pq.upsert(spark, base, "records", mdf, key_bucket_affinity=False)
+
+    out = pq.read_table(spark, base, "records")
+    assert out.count() == n0  # no duplicate PK
+    got = out.filter(F.col("reference") == moved["reference"]).collect()
+    assert len(got) == 1 and got[0].pulse_number == moved["pulse_number"]
