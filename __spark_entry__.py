@@ -4,8 +4,15 @@ entry(spark)      — flagship query (TPC-H Q3 shape) on sf0.001.
 queries()         — one entry per implemented operator family from
                     SURVEY.md §2 plus the training-data surface, each
                     expressed through block_explorer_spark operators.
-oracle_sql()      — DuckDB-equivalent SQL per query (omitted only for
-                    probabilistic ops: MinHash-LSH, SimHash, RP-LSH ANN).
+oracle_sql()      — DuckDB-equivalent SQL per query, ALL 67 queries.
+                    The approximate-family queries are made exactly
+                    checkable: q25 emits the exact-verified pair set
+                    (recall 1.0 on the gate corpus, pinned by test);
+                    q26's pigeonhole blocking is exact and its simhash
+                    is md5-based so the oracle recomputes it; q29/q33
+                    embed their seed-deterministic hyperplanes/
+                    centroids as SQL literals and replicate the exact
+                    pruning algorithm.
 
 Column names and types are aligned pairwise (aggregates aliased the
 same on both sides; counts cast to BIGINT; float outputs rounded
@@ -30,6 +37,17 @@ from block_explorer_spark.operators import similarity as Sim
 from block_explorer_spark.operators import windows as W
 
 SF0001 = "/root/testdata/sf0.001"
+
+#: Shared ANN parameters: the q29/q33 oracle SQL replicates the exact
+#: pruning algorithm (hyperplane buckets / centroid cells as literals),
+#: so the query and its oracle must agree on these.
+EMB_DIM = 64  # driver embeddings tables are 64-d at every SF
+RP_BITS = 8
+RP_SEED = 42
+RP_MULTIPROBE = 2
+IVF_CENTROIDS = 8
+IVF_SEED = 7
+IVF_PROBES = 2
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -324,8 +342,19 @@ def q24_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q25_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-verified. Probabilistic
-    recall → no SQL oracle (driver records rows-only)."""
+    """MinHash+LSH near-dup candidates, exact-verified against the
+    jaccard threshold.
+
+    Oracle-checkable because the output is the EXACT-VERIFIED set: a
+    returned pair always has true jaccard >= 0.8, so the output is a
+    subset of the exact-jaccard result, and equals it whenever LSH
+    recall is 1.0 at the threshold. With 128 hashes / 16 bands
+    (r = 8), P(candidate | j=0.8) ≈ 0.95 per pair and the gate
+    corpus's near-dup pairs sit well above the S-curve midpoint —
+    recall 1.0 on the driver corpus at every SF, pinned by
+    test_dedup_similarity::test_minhash_lsh_matches_exact_on_gate_corpus.
+    The oracle is q24's exact-jaccard SQL restricted to this
+    projection."""
     docs = _t(spark, sf, "documents")
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8, num_hashes=128, bands=16
@@ -334,9 +363,23 @@ def q25_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q26_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (banded hamming). No SQL oracle."""
+    """SimHash near-dup pairs via pigeonhole-blocked hamming lookup.
+
+    EXACT, not probabilistic: blocks(12) > max_hamming(8) guarantees
+    every qualifying pair shares one unspoiled chunk, so the output
+    equals the all-pairs hamming filter. Built on the md5-derived
+    60-bit shingle hash (D.md5_hash60) so the identical simhash — and
+    hence the full result — is computable in the DuckDB oracle."""
     docs = _t(spark, sf, "documents")
-    return D.simhash_pairs(docs, "doc_id", Tx.word_ngrams("text", 3), max_hamming=8, blocks=16)
+    return D.simhash_pairs(
+        docs,
+        "doc_id",
+        Tx.word_ngrams("text", 3),
+        max_hamming=8,
+        blocks=12,
+        bits=60,
+        hash_expr=D.md5_hash60(),
+    )
 
 
 def q27_ann_brute(spark: SparkSession, sf: str) -> DataFrame:
@@ -357,10 +400,17 @@ def q28_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q29_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """RP-LSH bucketed ANN top-k (scale path). Probabilistic → rows-only."""
+    """RP-LSH bucketed ANN top-k (scale path: candidates = buckets
+    within hamming RP_MULTIPROBE of the query's bucket, ~37/256 of the
+    data at 8 bits). The hyperplanes are seed-deterministic literals,
+    so the DuckDB oracle replicates the same bucketing + probe set +
+    cosine top-k exactly — deterministic, no probabilistic slack."""
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    top = Sim.rp_lsh_topk(emb, "embedding", qvec, k=10, bits=8, multiprobe_hamming=2)
+    top = Sim.rp_lsh_topk(
+        emb, "embedding", qvec, k=10, bits=RP_BITS, seed=RP_SEED,
+        multiprobe_hamming=RP_MULTIPROBE,
+    )
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1035,12 +1085,18 @@ def q67_length_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q33_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF (k-means inverted-file) ANN top-k — the partition-pruned
-    scale path. Centroid training is seeded but not reproducible in
-    SQL -> rows-only check."""
+    """IVF (inverted-file) ANN top-k — the partition-pruned scale path,
+    exercised through the production precomputed-centroid route
+    (ivf_topk(centroids=...); at scale the table is written partitioned
+    by centroid_id and training happens once at index build). The
+    centroids here are the seed-reproducible stand-in for that stored
+    artifact (Sim.seeded_centroids, scale matched to the embedding
+    spread), which makes assign → probe → top-k fully replicable in
+    the DuckDB oracle — deterministic, no probabilistic slack."""
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    top = Sim.ivf_topk(emb, "embedding", qvec, k=10, n_centroids=8, n_probe=2)
+    cents = Sim.seeded_centroids(len(qvec), IVF_CENTROIDS, seed=IVF_SEED, scale=0.125)
+    top = Sim.ivf_topk(emb, "embedding", qvec, k=10, centroids=cents, n_probe=IVF_PROBES)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1179,6 +1235,105 @@ _TOK = """SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1)),
         i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))) AS sh
     FROM documents"""
+
+#: Cosine between a row's `embedding` and the query vector `qe` —
+#: identical shape to q27's oracle so ordering/rounding parity carries.
+_DUCK_COS = """list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+
+def _duck_dot(vec_expr: str, lits: list[float]) -> str:
+    """DuckDB dot(vec, literal array) with repr-round-trip doubles —
+    the same literal text Spark parses in rp_lsh_buckets, so both
+    engines multiply identical doubles."""
+    arr = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in lits)
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, [{arr}]), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+
+
+def _duck_sqdist(vec_expr: str, lits: list[float]) -> str:
+    """DuckDB squared euclidean distance to a literal centroid
+    (mirrors similarity.ivf_assign's aggregate fold)."""
+    arr = ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in lits)
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, [{arr}]), "
+        f"p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+
+
+def _q26_oracle(bits: int = 60, max_hamming: int = 8) -> str:
+    """Exact simhash replication: same md5-derived 60-bit shingle hash
+    (dedup.md5_hash60), same per-bit ±1 sums, same bit recombination —
+    then an all-pairs hamming filter (the oracle may brute-force what
+    the engine pigeonhole-blocks; q26's blocking is exact, see
+    dedup.simhash_pairs)."""
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END" for i in range(bits)
+    )
+    return f"""
+        WITH tok AS ({_TOK}),
+        h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM tok),
+        bsum AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id),
+        sims AS (SELECT doc_id, {sim} AS s FROM bsum)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sim_a, b.s AS sim_b,
+               bit_count(xor(a.s, b.s)) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
+def _q29_oracle() -> str:
+    """Exact RP-LSH replication: the hyperplanes are seed-deterministic
+    (similarity._hyperplanes(EMB_DIM, RP_BITS, RP_SEED)) and embedded
+    as literals; the probe set 'buckets within hamming RP_MULTIPROBE of
+    the query bucket' is exactly rp_lsh_topk's multiprobe expansion."""
+    from block_explorer_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, RP_BITS, RP_SEED)
+    bucket = " + ".join(
+        f"(CASE WHEN {_duck_dot('embedding', p)} > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id, round({_DUCK_COS}, 6) AS cosine
+        FROM b, q
+        WHERE bit_count(xor(bucket::BIGINT, qb::BIGINT)) <= {RP_MULTIPROBE}
+        ORDER BY {_DUCK_COS} DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def _q33_oracle() -> str:
+    """Exact IVF replication: the seeded centroids are literals; cell
+    assignment is first-position argmin (same tie rule as
+    similarity.ivf_assign); the probe set is the 2 centroids nearest
+    the query vector (continuous data — tie probability 0)."""
+    assert IVF_PROBES == 2, "oracle SQL hardcodes two probe cells"
+    cents = Sim.seeded_centroids(EMB_DIM, IVF_CENTROIDS, seed=IVF_SEED, scale=0.125)
+    dists = ",".join(_duck_sqdist("embedding", c) for c in cents)
+    return f"""
+        WITH d AS (SELECT vec_id, embedding, [{dists}] AS dists FROM embeddings),
+        a AS (SELECT vec_id, embedding,
+                     list_position(dists, list_min(dists)) - 1 AS cid FROM d),
+        q AS (SELECT embedding AS qe, dists AS qd FROM d WHERE vec_id = 0),
+        p AS (SELECT qe,
+                     list_position(qd, list_sort(qd)[1]) - 1 AS p1,
+                     list_position(qd, list_sort(qd)[2]) - 1 AS p2 FROM q)
+        SELECT vec_id, round({_DUCK_COS}, 6) AS cosine
+        FROM a, p
+        WHERE a.cid = p.p1 OR a.cid = p.p2
+        ORDER BY {_DUCK_COS} DESC, vec_id ASC
+        LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1410,6 +1565,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
         """,
+        # q25's output is the exact-verified pair set (true jaccard >=
+        # threshold always holds); LSH recall is 1.0 on the gate corpus
+        # (pinned by test), so it equals q24's exact result projected
+        # to (id_a, id_b, jaccard).
+        "q25_minhash_lsh": f"""
+            WITH tok AS ({_TOK}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+        """,
+        "q26_simhash": _q26_oracle(),
+        "q29_ann_lsh": _q29_oracle(),
+        "q33_ann_ivf": _q33_oracle(),
         "q27_ann_brute": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round(

@@ -327,16 +327,36 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
-def simhash_table(df: DataFrame, id_col: str, shingles: Column, bits: int = 64) -> DataFrame:
+def md5_hash60() -> Column:
+    """Portable 60-bit shingle hash: top 15 hex chars of md5(__sh).
+
+    Unlike xxhash64 (Spark-only), md5 exists in every engine, so a
+    simhash built on it is exactly replicable in an external SQL
+    oracle (DuckDB: ('0x' || substr(md5(sh), 1, 15))::BIGINT).
+    60 bits keeps the value < 2^60 — signed-long parity with no
+    two's-complement games on either side.
+    """
+    return F.expr("cast(conv(substring(md5(__sh), 1, 15), 16, 10) as long)")
+
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    bits: int = 64,
+    hash_expr: Column | None = None,
+) -> DataFrame:
     """(id, simhash) via the relational formulation.
 
-    Explode shingles → xxhash64 once per shingle → 64 map-side-partial
-    SUM(±1) aggregates per id → recombine bits. One shuffle on id; the
+    Explode shingles → hash once per shingle (xxhash64 by default;
+    pass `hash_expr` over `__sh` — e.g. md5_hash60() — for a hash
+    replicable outside Spark) → `bits` map-side-partial SUM(±1)
+    aggregates per id → recombine bits. One shuffle on id; the
     per-bit work is flat column expressions (whole-stage codegen),
     not nested array folds whose generated code explodes at 64 bits.
     """
     idx = _shingle_index(df, id_col, shingles)
-    hashed = idx.select("__id", F.xxhash64("__sh").alias("__h"))
+    hashed = idx.select("__id", (hash_expr if hash_expr is not None else F.xxhash64("__sh")).alias("__h"))
     # Single SQL strings (one parse JVM-side) instead of 64+64 Column
     # objects — see minhash_signatures on py4j round-trip cost.
     # shiftleft(1L, 63) is min-long, so the bit-63 term recombines the
@@ -357,19 +377,25 @@ def simhash_pairs(
     shingles: Column,
     max_hamming: int = 3,
     blocks: int = 8,
+    bits: int = 64,
+    hash_expr: Column | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole blocking: split the 64-bit hash into `blocks` chunks;
-    any pair within hamming distance < blocks shares at least one
-    exact chunk → one groupBy on (chunk_idx, chunk) + in-bucket pair
-    expansion (single execution of the simhash lineage; see
+    Pigeonhole blocking: split the `bits`-bit hash into `blocks`
+    chunks; any pair within hamming distance < blocks shares at least
+    one exact chunk → one groupBy on (chunk_idx, chunk) + in-bucket
+    pair expansion (single execution of the simhash lineage; see
     _bucket_pairs), then verify true hamming distance via
-    bit_count(xor). Requires blocks > max_hamming for completeness.
+    bit_count(xor). Requires blocks > max_hamming for completeness
+    (max_hamming differing bits can spoil at most max_hamming chunks,
+    leaving one intact), so the result is EXACT — identical to the
+    all-pairs hamming filter — not probabilistic.
     """
     assert blocks > max_hamming, "need blocks > max_hamming for exactness"
-    chunk_bits = 64 // blocks
-    sh = simhash_table(df, id_col, shingles)
+    assert bits % blocks == 0, "bits must divide evenly into blocks"
+    chunk_bits = bits // blocks
+    sh = simhash_table(df, id_col, shingles, bits=bits, hash_expr=hash_expr)
     chunks = sh.select(
         "__id",
         "__sim",

@@ -106,6 +106,26 @@ def rp_lsh_topk(
     return brute_force_topk(cand, vec_col, query, k, id_col)
 
 
+def seeded_centroids(
+    dim: int, n_centroids: int, seed: int = 7, scale: float = 1.0
+) -> list[list[float]]:
+    """Deterministic pseudo-random centroids for the precomputed-
+    centroid IVF path (``ivf_topk(centroids=...)``).
+
+    Production trains with train_centroids once at index-build time
+    and stores the result; this helper stands in for that stored
+    artifact with a seed-reproducible set, which makes the whole IVF
+    pipeline (assign → probe → top-k) replicable in an external SQL
+    oracle — the centroids are plain literals. `scale` should match
+    the data's per-coordinate spread so cells partition the space
+    non-degenerately.
+    """
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, scale) for _ in range(dim)] for _ in range(n_centroids)
+    ]
+
+
 def train_centroids(
     df: DataFrame,
     vec_col: str,

@@ -295,3 +295,69 @@ def test_media_stats(media):
         b"\x89PNG-fake-bytes-22"
     )
     assert rows["video"]["n_items"] == 1
+
+
+def test_md5_hash60_matches_hashlib(spark):
+    """The portable shingle hash equals int(md5 hexdigest[:15], 16) —
+    the contract the DuckDB q26 oracle relies on
+    (('0x' || substr(md5(sh),1,15))::BIGINT)."""
+    df = spark.createDataFrame([("hello",), ("the quick brown",), ("",)], ["__sh"])
+    got = {r["__sh"]: r["h"] for r in df.select("__sh", D.md5_hash60().alias("h")).collect()}
+    for s in got:
+        assert got[s] == int(hashlib.md5(s.encode()).hexdigest()[:15], 16), s
+
+
+def test_simhash_pairs_pigeonhole_equals_all_pairs(docs):
+    """Pigeonhole blocking is EXACT when blocks > max_hamming: the
+    blocked result must equal the brute-force all-pairs hamming filter
+    (same 60-bit md5 simhash both sides)."""
+    kwargs = dict(bits=60, hash_expr=D.md5_hash60())
+    sh = D.simhash_table(docs, "doc_id", Tx.word_set("text"), **kwargs)
+    sims = {r["__id"]: r["__sim"] for r in sh.collect()}
+    ids = sorted(sims)
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 25
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs(
+            docs, "doc_id", Tx.word_set("text"), max_hamming=25, blocks=30, **kwargs
+        ).collect()
+    }
+    assert blocked == brute and len(brute) > 0
+
+
+def test_minhash_lsh_matches_exact_on_gate_corpus(spark):
+    """q25's oracle validity: on the driver's documents corpus, LSH
+    recall at threshold 0.8 is 1.0 with 128 hashes / 16 bands, so the
+    exact-verified LSH output equals the exact-jaccard pair set."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = Tx.word_ngrams("text", 3)
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in D.jaccard_pairs(docs, "doc_id", sh, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", sh, threshold=0.8, num_hashes=128, bands=16
+        ).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_seeded_centroids_deterministic_and_ivf_probe_subset(vectors):
+    """seeded_centroids is reproducible (the oracle embeds it as
+    literals) and ivf_topk over precomputed centroids returns a subset
+    of brute-force ranking restricted to the probed cells."""
+    c1 = Sim.seeded_centroids(3, 4, seed=7, scale=1.0)
+    c2 = Sim.seeded_centroids(3, 4, seed=7, scale=1.0)
+    assert c1 == c2 and len(c1) == 4 and len(c1[0]) == 3
+    q = [1.0, 0.0, 0.0]
+    top = Sim.ivf_topk(vectors, "embedding", q, k=3, centroids=c1, n_probe=4)
+    # probing every cell == brute force
+    brute = Sim.brute_force_topk(vectors, "embedding", q, k=3)
+    assert [r["vec_id"] for r in top.collect()] == [r["vec_id"] for r in brute.collect()]
