@@ -35,6 +35,11 @@ SORT_BY_PULSE = (  # api/handlers.go:705-723
     "pulse_number_asc_jet_id_desc",
     "pulse_number_desc_jet_id_asc",
 )
+SORT_BY_PULSE_NUMBER = ("pulse_number_asc", "pulse_number_desc")  # api/handlers.go:727-747
+
+#: jet-id path values: "*" (root) or 1-216 binary digits
+#: (api/handlers.go:30-31).
+JET_ID_PATH_RE = re.compile(r"^(\*|[0-1]{1,216})$")
 
 
 @dataclass(frozen=True)
@@ -101,6 +106,71 @@ def check_sort_by_pulse(sort_by: str | None) -> tuple[bool, list[ValidationFailu
             )
         ]
     return sort_by == SORT_BY_PULSE[0], []
+
+
+def check_sort_by_pulse_number(sort_by: str | None) -> tuple[bool, list[ValidationFailure]]:
+    """Pulses-list sort param -> pulse-number-ascending flag.
+
+    reference: api/handlers.go:727-747
+    """
+    if sort_by is None:
+        return False, []
+    if sort_by not in SORT_BY_PULSE_NUMBER:
+        return False, [
+            ValidationFailure(
+                "sort_by",
+                "query parameter 'sort_by' should be "
+                f"'{SORT_BY_PULSE_NUMBER[0]}' or '{SORT_BY_PULSE_NUMBER[1]}'",
+            )
+        ]
+    return sort_by == SORT_BY_PULSE_NUMBER[0], []
+
+
+def check_from_index(value: str) -> tuple[int, int]:
+    """X3: parse a '<pulse_number>:<order>' cursor; ValueError on any
+    deviation (the handlers render the failure as 'invalid').
+
+    reference: etl/storage/storage.go:147-162
+    """
+    parts = value.split(":")
+    if len(parts) != 2 or not all(re.fullmatch(r"-?[0-9]+", p) for p in parts):
+        raise ValueError("query parameter 'index' should have the '<pulse_number>:<order>' format")
+    return int(parts[0]), int(parts[1])
+
+
+def check_jet_id(value: str) -> tuple[str, list[ValidationFailure]]:
+    """jet-id path param: trim, unescape, '*' | binary-digits pattern.
+
+    Returns (storage_jet_id, failures) — '*' maps to the stored root ''.
+    reference: api/handlers.go:749-781
+    """
+    failures: list[ValidationFailure] = []
+    prop = "jet-id path parameter"
+    v = value.strip()
+    if not v:
+        failures.append(ValidationFailure(prop, "empty value of path parameter"))
+    try:
+        jet_id = unquote(v, errors="strict")
+    except Exception:
+        failures.append(ValidationFailure(prop, "cannot unescape path parameter jet-id"))
+        return "", failures
+    if not JET_ID_PATH_RE.match(jet_id):
+        failures.append(ValidationFailure(prop, "parameter does not match with jetID valid value"))
+    if failures:
+        return "", failures
+    return ("" if jet_id == "*" else jet_id), []
+
+
+def check_record_type(value: str | None) -> tuple[str | None, list[ValidationFailure]]:
+    """F7: optional record-type filter (request|state|result).
+
+    reference: api/handlers.go:108-119
+    """
+    if value is None:
+        return None, []
+    if value not in ("request", "result", "state"):
+        return value, [ValidationFailure("type", "should be 'request', 'state' or 'result'")]
+    return value, []
 
 
 def is_valid_pulse_number(pn: int) -> bool:

@@ -1,0 +1,477 @@
+"""Thin HTTP facade over the 8-endpoint public query surface.
+
+The reference serves its storage API behind echo HTTP handlers
+(api/handlers.go) whose observable contract — URL shapes, status
+codes, the CodeValidationError body with its per-endpoint quirks, the
+response envelopes — is pinned by api/handlers_test.go. This module
+reproduces that wire contract with the stdlib ThreadingHTTPServer:
+routing + JSON rendering only. All validation lives in api.py and all
+query semantics in plans/queries.py; a request collects at most one
+page (<= MAX_LIMIT rows), so serving is driver-edge work by design.
+
+Endpoint -> handler parity map (reference api/handlers.go):
+  GET /api/v1/pulses                         Pulses            :311
+  GET /api/v1/pulses/{pulse}                 Pulse             :389
+  GET /api/v1/pulses/{pulse}/jet-drops       JetDropsByPulse   :404
+  GET /api/v1/jet-drops/{id}                 JetDropByID       :45
+  GET /api/v1/jet-drops/{id}/records         JetDropRecords    :83
+  GET /api/v1/jets/{jet_id}/jet-drops        JetDropsByJetID   :150
+  GET /api/v1/lifeline/{ref}/records         ObjectLifeline    :555
+  GET /api/v1/search                         Search            :458
+
+Body-shape quirks preserved (handlers.go):
+  - most 400s: {"code": "Bad Request", "message": ..., "validation_failures": [...]}
+  - JetDropByID / JetDropsByPulseNumber use code "400" (strconv.Itoa,
+    handlers.go:49,424) instead of the status text;
+  - Search renders the message under "description" (handlers.go:482-488);
+  - 404 and 500 bodies are the empty object {}.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import DataFrame
+
+from block_explorer_spark import api
+from block_explorer_spark.functions import jets
+from block_explorer_spark.functions.refs import base58_encode
+from block_explorer_spark.plans import queries as Q
+
+INVALID_PARAMS_MESSAGE = "Invalid query or path parameters"  # handlers.go:28
+
+_INT_RE = re.compile(r"^-?[0-9]+$")
+
+
+class HttpError(Exception):
+    def __init__(self, status: int, body: dict):
+        self.status = status
+        self.body = body
+        super().__init__(f"HTTP {status}")
+
+
+def _validation_error(
+    failures: list[api.ValidationFailure],
+    code: str = "Bad Request",
+    message_field: str = "message",
+) -> HttpError:
+    return HttpError(
+        400,
+        {
+            "code": code,
+            message_field: INVALID_PARAMS_MESSAGE,
+            "validation_failures": [
+                {"property": f.property, "failure_reason": f.failure_reason} for f in failures
+            ],
+        },
+    )
+
+
+def _int_param(params: dict, name: str, failures: list) -> int | None:
+    """Parse an integer query param; a non-integer value is the echo
+    binding failure (HTTP 400) the reference produces before the
+    handler runs (spec types the param int64)."""
+    if name not in params:
+        return None
+    raw = params[name][0]
+    if not _INT_RE.match(raw):
+        failures.append(api.ValidationFailure(name, "invalid value"))
+        return None
+    return int(raw)
+
+
+def _strip_none(d: dict) -> dict:
+    """omitempty: the generated Go models drop nil pointer fields."""
+    return {k: v for k, v in d.items() if v is not None}
+
+
+class BlockExplorerApi:
+    """Transport-free endpoint logic: dict params in, (status, body) out.
+
+    Holds the three core DataFrames (normally cached); every public
+    method mirrors one reference handler including its failure-
+    accumulation order.
+    """
+
+    def __init__(self, pulses: DataFrame, jet_drops: DataFrame, records: DataFrame):
+        self.pulses = pulses
+        self.jet_drops = jet_drops
+        self.records = records
+
+    # -- rendering -----------------------------------------------------
+
+    def _render_records(self, page: DataFrame, total: int) -> dict:
+        rows = api.render_refs([r.asDict() for r in api.records_to_api(page).collect()])
+        return {"total": total, "result": [_strip_none(r) for r in rows]}
+
+    def _render_pulses(self, page: DataFrame, total: int) -> dict:
+        rows = [r.asDict() for r in api.pulses_to_api(page).collect()]
+        return {"total": total, "result": [_strip_none(r) for r in rows]}
+
+    @staticmethod
+    def _prev_next_entry(row) -> dict:
+        """transformPrevNextResp (api/handlers.go:785-793)."""
+        return {
+            "jet_id": jets.storage_to_display(row["jet_id"]),
+            "jet_drop_id": f"{jets.storage_to_display(row['jet_id'])}:{row['pulse_number']}",
+            "pulse_number": row["pulse_number"],
+        }
+
+    def _render_drop(self, row: dict, prev: list[dict], nxt: list[dict]) -> dict:
+        rendered = _strip_none(row)
+        rendered["prev_jet_drop_id"] = prev
+        rendered["next_jet_drop_id"] = nxt
+        return rendered
+
+    # -- endpoints -----------------------------------------------------
+
+    def object_lifeline(self, ref_path: str, params: dict) -> tuple[int, dict]:
+        """reference: api/handlers.go:555-646"""
+        limit, offset, failures = api.check_limit_offset(
+            int(params["limit"][0]) if "limit" in params and _INT_RE.match(params["limit"][0]) else None,
+            int(params["offset"][0]) if "offset" in params and _INT_RE.match(params["offset"][0]) else None,
+        )
+        ref = None
+        try:
+            ref = api.check_reference(unquote(ref_path))
+        except api.ValidationError as e:
+            failures.append(
+                api.ValidationFailure("object_reference", e.failures[0].failure_reason)
+            )
+        ascending, sort_failures = api.check_sort_by_index(
+            params["sort_by"][0] if "sort_by" in params else None
+        )
+        failures += sort_failures
+        cursor = None
+        if "from_index" in params:
+            try:
+                cursor = api.check_from_index(params["from_index"][0])
+            except ValueError:
+                failures.append(api.ValidationFailure("from_index", "invalid"))
+        pulse_gt = _int_param(params, "pulse_number_gt", [])
+        if pulse_gt is not None:
+            failures += api.check_pulse_number(pulse_gt, "pulse_number_gt")
+        pulse_lt = _int_param(params, "pulse_number_lt", [])
+        if pulse_lt is not None:
+            failures += api.check_pulse_number(pulse_lt, "pulse_number_lt")
+        if failures:
+            raise _validation_error(failures)
+        ts_gte = _int_param(params, "timestamp_gte", [])
+        ts_lte = _int_param(params, "timestamp_lte", [])
+        page, total = Q.get_lifeline(
+            self.records,
+            ref,
+            cursor=cursor,
+            pulse_gt=pulse_gt,
+            pulse_lt=pulse_lt,
+            ts_gte=ts_gte,
+            ts_lte=ts_lte,
+            ascending=ascending,
+            limit=limit,
+            offset=offset,
+        )
+        return 200, self._render_records(page, total)
+
+    def jet_drop_records(self, jet_drop_id: str, params: dict) -> tuple[int, dict]:
+        """reference: api/handlers.go:83-148"""
+        limit, offset, failures = api.check_limit_offset(
+            int(params["limit"][0]) if "limit" in params and _INT_RE.match(params["limit"][0]) else None,
+            int(params["offset"][0]) if "offset" in params and _INT_RE.match(params["offset"][0]) else None,
+        )
+        jet_id = pulse_number = None
+        try:
+            jet_id, pulse_number = jets.parse_jet_drop_id(jet_drop_id)
+        except ValueError:
+            failures.append(api.ValidationFailure("jet_drop_id", "invalid"))
+        cursor = None
+        if "from_index" in params:
+            try:
+                cursor = api.check_from_index(params["from_index"][0])
+            except ValueError:
+                failures.append(api.ValidationFailure("from_index", "invalid"))
+        record_type, type_failures = api.check_record_type(
+            params["type"][0] if "type" in params else None
+        )
+        failures += type_failures
+        if failures:
+            raise _validation_error(failures)
+        page, total = Q.get_records_by_jet_drop(
+            self.records,
+            jet_id,
+            pulse_number,
+            record_type=record_type,
+            cursor=cursor,
+            limit=limit,
+            offset=offset,
+        )
+        return 200, self._render_records(page, total)
+
+    def jet_drops_by_jet_id(self, jet_id_path: str, params: dict) -> tuple[int, dict]:
+        """reference: api/handlers.go:150-242 (default limit 1000 per
+        the reference's own FIXME PENV-505, handlers.go:153-156)"""
+        failures: list[api.ValidationFailure] = []
+        if "limit" in params and _INT_RE.match(params["limit"][0]):
+            limit, _, failures = api.check_limit_offset(int(params["limit"][0]), None)
+        else:
+            limit = 1000
+        jet_id, jet_failures = api.check_jet_id(jet_id_path)
+        failures += jet_failures
+        ascending, sort_failures = api.check_sort_by_pulse(
+            params["sort_by"][0] if "sort_by" in params else None
+        )
+        failures += sort_failures
+        bounds = {}
+        for name in ("pulse_number_gt", "pulse_number_gte", "pulse_number_lt", "pulse_number_lte"):
+            v = _int_param(params, name, [])
+            if v is not None:
+                failures += api.check_pulse_number(v, name)
+            bounds[name] = v
+        if failures:
+            raise _validation_error(failures)
+        page, total = Q.get_jet_drops_by_jet_id(
+            self.jet_drops,
+            jet_id,
+            pulse_gt=bounds["pulse_number_gt"],
+            pulse_gte=bounds["pulse_number_gte"],
+            pulse_lt=bounds["pulse_number_lt"],
+            pulse_lte=bounds["pulse_number_lte"],
+            pulse_ascending=ascending,
+            limit=limit,
+        )
+        page_rows = [r.asDict() for r in api.jet_drops_to_api(page).collect()]
+        if not page_rows:
+            return 200, {"total": 0, "result": []}
+        # Hash-chain prev/next enrichment over the page plus the two
+        # adjacent pulses (handlers.go:207-241, createNextPrevMaps).
+        pns = [r["pulse_number"] for r in page_rows]
+        prev_pulse, next_pulse = self._adjacent_pulses(min(pns), max(pns))
+        enriched = Q.enrich_with_hash_chain(page, self.jet_drops, prev_pulse, next_pulse)
+        prev_map: dict[str, list] = {}
+        next_map: dict[str, list] = {}
+        for e in enriched.collect():
+            child = f"{jets.storage_to_display(e['child_jet_id'])}:{e['child_pulse_number']}"
+            parent_row = {"jet_id": e["parent_jet_id"], "pulse_number": e["parent_pulse_number"]}
+            parent = f"{jets.storage_to_display(e['parent_jet_id'])}:{e['parent_pulse_number']}"
+            child_row = {"jet_id": e["child_jet_id"], "pulse_number": e["child_pulse_number"]}
+            prev_map.setdefault(child, []).append(self._prev_next_entry(parent_row))
+            next_map.setdefault(parent, []).append(self._prev_next_entry(child_row))
+        drops = [
+            self._render_drop(
+                r, prev_map.get(r["jet_drop_id"], []), next_map.get(r["jet_drop_id"], [])
+            )
+            for r in page_rows
+        ]
+        return 200, {"total": total, "result": drops}
+
+    def _adjacent_pulses(self, lo: int, hi: int) -> tuple[int | None, int | None]:
+        """Nearest saved pulses outside [lo, hi] (handlers.go:244-267)."""
+        import pyspark.sql.functions as F
+
+        row = self.pulses.agg(
+            F.max(F.when(F.col("pulse_number") < lo, F.col("pulse_number"))).alias("prev"),
+            F.min(F.when(F.col("pulse_number") > hi, F.col("pulse_number"))).alias("next"),
+        ).collect()[0]
+        return row["prev"], row["next"]
+
+    def pulses_list(self, params: dict) -> tuple[int, dict]:
+        """reference: api/handlers.go:311-388"""
+        limit, offset, failures = api.check_limit_offset(
+            int(params["limit"][0]) if "limit" in params and _INT_RE.match(params["limit"][0]) else None,
+            int(params["offset"][0]) if "offset" in params and _INT_RE.match(params["offset"][0]) else None,
+        )
+        from_pulse = _int_param(params, "from_pulse_number", [])
+        if from_pulse is not None and not api.is_valid_pulse_number(from_pulse):
+            failures.append(api.ValidationFailure("pulse", "invalid"))
+        bounds = {}
+        for name in ("pulse_number_gt", "pulse_number_gte", "pulse_number_lt", "pulse_number_lte"):
+            v = _int_param(params, name, [])
+            if v is not None:
+                failures += api.check_pulse_number(v, name)
+            bounds[name] = v
+        ascending, sort_failures = api.check_sort_by_pulse_number(
+            params["sort_by"][0] if "sort_by" in params else None
+        )
+        failures += sort_failures
+        if failures:
+            raise _validation_error(failures)
+        page, total = Q.get_pulses(
+            self.pulses,
+            from_pulse=from_pulse,
+            ts_gte=_int_param(params, "timestamp_gte", []),
+            ts_lte=_int_param(params, "timestamp_lte", []),
+            pulse_gt=bounds["pulse_number_gt"],
+            pulse_gte=bounds["pulse_number_gte"],
+            pulse_lt=bounds["pulse_number_lt"],
+            pulse_lte=bounds["pulse_number_lte"],
+            ascending=ascending,
+            limit=limit,
+            offset=offset,
+        )
+        return 200, self._render_pulses(page, total)
+
+    def pulse_by_number(self, pulse_path: str) -> tuple[int, dict]:
+        """reference: api/handlers.go:389-402 (non-integer / overflowing
+        path values are echo binding failures -> 400)"""
+        if not _INT_RE.match(pulse_path) or not (-(2**63) <= int(pulse_path) < 2**63):
+            raise HttpError(400, {})
+        rows = [r.asDict() for r in api.pulses_to_api(
+            Q.get_pulse(self.pulses, int(pulse_path))
+        ).collect()]
+        if not rows:
+            raise HttpError(404, {})
+        return 200, _strip_none(rows[0])
+
+    def jet_drops_by_pulse(self, pulse_path: str, params: dict) -> tuple[int, dict]:
+        """reference: api/handlers.go:404-456 (code rendered '400')"""
+        if not _INT_RE.match(pulse_path):
+            raise HttpError(400, {})
+        pulse_number = int(pulse_path)
+        limit, offset, failures = api.check_limit_offset(
+            int(params["limit"][0]) if "limit" in params and _INT_RE.match(params["limit"][0]) else None,
+            int(params["offset"][0]) if "offset" in params and _INT_RE.match(params["offset"][0]) else None,
+        )
+        if not api.is_valid_pulse_number(pulse_number):
+            failures.append(api.ValidationFailure("pulse", "invalid"))
+        from_jet_id = None
+        if "from_jet_drop_id" in params:
+            try:
+                from_jet_id, _ = jets.parse_jet_drop_id(params["from_jet_drop_id"][0])
+            except ValueError:
+                failures.append(api.ValidationFailure("jet drop id", "invalid"))
+        if failures:
+            raise _validation_error(failures, code="400")
+        page, total = Q.get_jet_drops_by_pulse(
+            self.jet_drops, pulse_number, from_jet_id=from_jet_id, limit=limit, offset=offset
+        )
+        drops = [
+            self._render_drop(r.asDict(), [], [])
+            for r in api.jet_drops_to_api(page).collect()
+        ]
+        return 200, {"total": total, "result": drops}
+
+    def jet_drop_by_id(self, jet_drop_id: str) -> tuple[int, dict]:
+        """reference: api/handlers.go:45-81 (code rendered '400',
+        failure reason wrapped 'invalid: ...')"""
+        try:
+            jet_id, pulse_number = jets.parse_jet_drop_id(jet_drop_id)
+        except ValueError as e:
+            raise _validation_error(
+                [api.ValidationFailure("jet drop id", f"invalid: {e}")], code="400"
+            ) from None
+        drop, prev, nxt = Q.get_jet_drop_by_id(self.jet_drops, jet_id, pulse_number)
+        rows = [r.asDict() for r in api.jet_drops_to_api(drop).collect()]
+        if not rows:
+            raise HttpError(404, {})
+        prev_list = [self._prev_next_entry(r.asDict()) for r in prev.collect()]
+        next_list = [self._prev_next_entry(r.asDict()) for r in nxt.collect()]
+        return 200, self._render_drop(rows[0], prev_list, next_list)
+
+    def search(self, params: dict) -> tuple[int, dict]:
+        """reference: api/handlers.go:458-553 (message field is
+        'description' on this endpoint)"""
+        value = params["value"][0] if "value" in params else ""
+        try:
+            kind, parsed = api.search_dispatch(value)
+        except api.ValidationError as e:
+            raise _validation_error(e.failures, message_field="description") from None
+        if kind == "pulse":
+            return 200, {"type": "pulse", "meta": {"pulse_number": parsed}}
+        if kind == "jet-drop":
+            return 200, {"type": "jet-drop", "meta": {"jet_drop_id": value}}
+        # reference bytes: object refs answer as a lifeline, record refs
+        # as the record with its index (searchReferencePulse).
+        import pyspark.sql.functions as F
+
+        as_object = self.records.filter(F.col("object_reference") == parsed).limit(1).collect()
+        if as_object:
+            return 200, {
+                "type": "lifeline",
+                "meta": {"object_reference": base58_encode(bytes(parsed))},
+            }
+        as_record = self.records.filter(F.col("reference") == parsed).limit(1).collect()
+        if as_record:
+            rec = as_record[0]
+            return 200, {
+                "type": "record",
+                "meta": {
+                    "index": f"{rec['pulse_number']}:{rec['order']}",
+                    "object_reference": base58_encode(bytes(rec["object_reference"])),
+                },
+            }
+        raise _validation_error(
+            [api.ValidationFailure("value", "record reference not found")],
+            message_field="description",
+        )
+
+
+# ---------------------------------------------------------------------------
+# HTTP transport
+# ---------------------------------------------------------------------------
+
+_ROUTES = [
+    (re.compile(r"^/api/v1/pulses$"), lambda a, m, p: a.pulses_list(p)),
+    (re.compile(r"^/api/v1/pulses/([^/]+)$"), lambda a, m, p: a.pulse_by_number(m.group(1))),
+    (
+        re.compile(r"^/api/v1/pulses/([^/]+)/jet-drops$"),
+        lambda a, m, p: a.jet_drops_by_pulse(m.group(1), p),
+    ),
+    (re.compile(r"^/api/v1/jet-drops/([^/]+)$"), lambda a, m, p: a.jet_drop_by_id(unquote(m.group(1)))),
+    (
+        re.compile(r"^/api/v1/jet-drops/([^/]+)/records$"),
+        lambda a, m, p: a.jet_drop_records(unquote(m.group(1)), p),
+    ),
+    (
+        re.compile(r"^/api/v1/jets/([^/]*)/jet-drops$"),
+        lambda a, m, p: a.jet_drops_by_jet_id(m.group(1), p),
+    ),
+    (re.compile(r"^/api/v1/lifeline/([^/]+)/records$"), lambda a, m, p: a.object_lifeline(m.group(1), p)),
+    (re.compile(r"^/api/v1/search$"), lambda a, m, p: a.search(p)),
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    api: BlockExplorerApi  # set by serve()
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def do_GET(self):  # noqa: N802 (stdlib naming)
+        parsed = urlparse(self.path)
+        params = parse_qs(parsed.query)
+        for pattern, fn in _ROUTES:
+            m = pattern.match(parsed.path)
+            if m:
+                try:
+                    status, body = fn(self.api, m, params)
+                except HttpError as e:
+                    status, body = e.status, e.body
+                except Exception:  # internal error -> opaque {}
+                    import traceback
+
+                    traceback.print_exc()
+                    status, body = 500, {}
+                return self._reply(status, body)
+        self._reply(404, {})
+
+    def _reply(self, status: int, body: dict):
+        data = json.dumps(body).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def serve(api_impl: BlockExplorerApi, port: int = 0) -> ThreadingHTTPServer:
+    """Start the facade on a daemon thread; returns the bound server
+    (server.server_address[1] is the actual port). Spark collects run
+    on the request threads — local-mode scheduling is thread-safe."""
+    handler = type("BoundHandler", (_Handler,), {"api": api_impl})
+    server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

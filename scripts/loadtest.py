@@ -8,6 +8,13 @@ threshold and 40 s do-timeout (load/run_configs/all_sequence.yaml).
 This script mirrors that locally: same dataset shape, each endpoint
 executed `--iters` times back-to-back, reporting p50/p95/max wall
 latency per endpoint — one JSON line, errors fatal.
+
+Modes:
+  default       in-process plan execution (plans/queries.py collects)
+  --http        the same mix over the wire against the stdlib REST
+                facade (block_explorer_spark/rest.py), start-to-parse
+                latency per request — the reference's actual surface
+                (load/run_configs/*.yaml attack HTTP endpoints too)
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ import json
 import statistics
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, "/root/repo")
 
@@ -29,6 +37,7 @@ from block_explorer_spark.sources import generators as gen
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--http", action="store_true", help="drive over the REST facade")
     args = ap.parse_args()
 
     spark = get_spark("loadtest")
@@ -45,22 +54,52 @@ def main() -> None:
     state_recs = [r for r in records_rows if r["type"] == "state"]
     obj = state_recs[0]["object_reference"]
 
-    endpoints = {
-        "get_pulse": lambda: Q.get_pulse(pulses, pn).collect(),
-        "get_pulses": lambda: Q.get_pulses(pulses, limit=20)[0].collect(),
-        "get_jet_drop_by_id": lambda: [
-            df.collect() for df in Q.get_jet_drop_by_id(drops, d0["jet_id"], d0["pulse_number"])
-        ],
-        "get_jet_drops_by_jet_id": lambda: Q.get_jet_drops_by_jet_id(drops, d0["jet_id"])[0].collect(),
-        "get_jet_drops_by_pulse_number": lambda: Q.get_jet_drops_by_pulse(
-            drops, d0["pulse_number"], limit=20
-        )[0].collect(),
-        "get_records": lambda: Q.get_records_by_jet_drop(
-            records, d0["jet_id"], d0["pulse_number"], limit=20
-        )[0].collect(),
-        "get_lifeline": lambda: Q.get_lifeline(records, obj, limit=20)[0].collect(),
-        "search": lambda: Q.search(pulses, drops, records, base58_encode(bytes(obj)))[1].collect(),
-    }
+    if args.http:
+        from block_explorer_spark.functions import jets
+        from block_explorer_spark.rest import BlockExplorerApi, serve
+
+        server = serve(BlockExplorerApi(pulses, drops, records))
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        d0_id = f"{jets.storage_to_display(d0['jet_id'])}:{d0['pulse_number']}"
+        urls = {
+            "get_pulse": f"/api/v1/pulses/{pn}",
+            "get_pulses": "/api/v1/pulses?limit=20",
+            "get_jet_drop_by_id": f"/api/v1/jet-drops/{d0_id}",
+            "get_jet_drops_by_jet_id": f"/api/v1/jets/{d0['jet_id']}/jet-drops",
+            "get_jet_drops_by_pulse_number": f"/api/v1/pulses/{d0['pulse_number']}/jet-drops?limit=20",
+            "get_records": f"/api/v1/jet-drops/{d0_id}/records?limit=20",
+            "get_lifeline": f"/api/v1/lifeline/{base58_encode(bytes(obj))}/records?limit=20",
+            "search": f"/api/v1/search?value={base58_encode(bytes(obj))}",
+        }
+
+        def make_fn(path: str):
+            def fn():
+                with urllib.request.urlopen(base + path, timeout=60) as resp:
+                    assert resp.status == 200, f"{path} -> {resp.status}"
+                    json.loads(resp.read())
+
+            return fn
+
+        endpoints = {name: make_fn(path) for name, path in urls.items()}
+        mode = "http"
+    else:
+        endpoints = {
+            "get_pulse": lambda: Q.get_pulse(pulses, pn).collect(),
+            "get_pulses": lambda: Q.get_pulses(pulses, limit=20)[0].collect(),
+            "get_jet_drop_by_id": lambda: [
+                df.collect() for df in Q.get_jet_drop_by_id(drops, d0["jet_id"], d0["pulse_number"])
+            ],
+            "get_jet_drops_by_jet_id": lambda: Q.get_jet_drops_by_jet_id(drops, d0["jet_id"])[0].collect(),
+            "get_jet_drops_by_pulse_number": lambda: Q.get_jet_drops_by_pulse(
+                drops, d0["pulse_number"], limit=20
+            )[0].collect(),
+            "get_records": lambda: Q.get_records_by_jet_drop(
+                records, d0["jet_id"], d0["pulse_number"], limit=20
+            )[0].collect(),
+            "get_lifeline": lambda: Q.get_lifeline(records, obj, limit=20)[0].collect(),
+            "search": lambda: Q.search(pulses, drops, records, base58_encode(bytes(obj)))[1].collect(),
+        }
+        mode = "in-process"
 
     # warmup: one untimed round (codegen/JIT)
     for fn in endpoints.values():
@@ -81,7 +120,8 @@ def main() -> None:
         }
         print(f"# {name}: p50={out[name]['p50_ms']}ms p95={out[name]['p95_ms']}ms", file=sys.stderr)
 
-    print(json.dumps({"metric": "api_load_latency", "dataset": "100p/1000jd/1000r",
+    print(json.dumps({"metric": "api_load_latency", "mode": mode,
+                      "dataset": "100p/1000jd/1000r",
                       "iters": args.iters, "endpoints": out}))
 
 
