@@ -110,7 +110,15 @@ HEADLINE = [
 
 
 def main() -> None:
-    spark = get_spark("bench")
+    # UI on: the public monitoring REST API is how per-query
+    # task/shuffle/spill profiles are captured (metrics.StageMetrics).
+    spark = get_spark("bench", **{"spark.ui.enabled": "true"})
+    try:
+        from block_explorer_spark.metrics import StageMetrics
+
+        collector = StageMetrics(spark)
+    except Exception:
+        collector = None  # UI couldn't bind; timings still produced
     queries = entrymod.queries()
     # JMH-style warmup: one untimed pass over the full headline set so
     # the timed pass measures steady-state execution, not one-time JVM
@@ -132,9 +140,11 @@ def main() -> None:
     # whole lineage; Spark has no automatic exchange/plan reuse
     # across separate actions).
     timings: dict[str, float] = {}
+    profiles: dict[str, dict] = {}
     for _pass in range(2):
         for name in HEADLINE:
             fn = queries[name]
+            before = collector.totals() if collector else None
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR).persist()
             n = df.count()
@@ -143,6 +153,8 @@ def main() -> None:
             df.unpersist()
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+                if collector:
+                    profiles[name] = collector.delta(before, collector.totals())
             print(f"# pass{_pass} {name}: {n} rows in {elapsed}s", file=sys.stderr)
 
     ingest_a = bench_ingest(spark)
@@ -161,6 +173,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if profiles:
+        # Per-query task/shuffle/spill counters (parity with the
+        # reference's storage_metrics.go Prometheus surface) — written
+        # as a separate artifact so stdout stays one JSON line.
+        artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_METRICS.json")
+        with open(artifact, "w") as fh:
+            json.dump({"sf": sf_val, "stage_profiles": profiles}, fh, indent=1, sort_keys=True)
+        print(f"# stage profiles -> {artifact}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -24,14 +24,19 @@ def chain_repair(
     next_link: str = "next_pulse_number",
     window: WindowSpec | None = None,
 ) -> DataFrame:
-    """W2: null out prev/next links that don't match the adjacent row.
+    """W2: repair prev/next links against the adjacent rows.
 
-    For each row in key order: if the previous row's key != this row's
-    prev_link, the chain is broken → prev_link := MISSING; mirrored for
-    next_link against the next row. First/last rows keep their stored
-    links only if the neighbor they point at is genuinely adjacent —
-    matching the reference's page-edge behavior, callers prefetch one
-    row on each side when exact edge links matter (see plans.queries).
+    The reference's walk is keyed on PREV links only
+    (storage.go:344-350): for each adjacent pair (lower, higher) in
+    key order, if higher.prev == lower.key the chain holds and
+    lower.next is OVERWRITTEN with higher.key (the stored next may
+    name a pulse that never happened — irregular cadence); otherwise
+    both sides of the broken edge go to MISSING. Declaratively:
+    prev := MISSING unless it matches the lag key; next := the lead
+    key iff the lead row's prev link points back here, else MISSING.
+    First/last rows get MISSING here — callers that need true edge
+    links consult the full table (see plans.queries.get_pulses) or
+    prefetch one row each side.
 
     reference: etl/storage/storage.go:326-357 (vectorized walk),
     360-379 (single-row variant).
@@ -39,6 +44,7 @@ def chain_repair(
     w = window if window is not None else Window.orderBy(key)
     lag_key = F.lag(key).over(w)
     lead_key = F.lead(key).over(w)
+    lead_prev = F.lead(prev_link).over(w)
     return df.withColumn(
         prev_link,
         F.when(lag_key.isNull() | (lag_key != F.col(prev_link)), F.lit(MISSING)).otherwise(
@@ -46,8 +52,8 @@ def chain_repair(
         ),
     ).withColumn(
         next_link,
-        F.when(lead_key.isNull() | (lead_key != F.col(next_link)), F.lit(MISSING)).otherwise(
-            F.col(next_link)
+        F.when(lead_prev.isNotNull() & (lead_prev == F.col(key)), lead_key).otherwise(
+            F.lit(MISSING)
         ),
     )
 

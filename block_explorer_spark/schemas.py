@@ -93,6 +93,13 @@ RAW_RECORDS = T.StructType(
         # it in the processor: etl/processor/processor.go:165)
         T.StructField("timestamp", T.LongType(), True),
         T.StructField("position", T.IntegerType(), True),
+        # Real pulse-chain links as delivered by the platform pulse
+        # stream (FullPulse carries PrevPulseNumber/NextPulseNumber;
+        # etl/extractor/platform_pulse.go:43-57). Nullable: file-based
+        # stand-in sources that lack them fall back to the nominal
+        # step-10 cadence at ingest (streaming/pipeline.py).
+        T.StructField("prev_pulse_number", T.LongType(), True),
+        T.StructField("next_pulse_number", T.LongType(), True),
     ]
 )
 

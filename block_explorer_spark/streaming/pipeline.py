@@ -35,20 +35,36 @@ from block_explorer_spark.sources import parquet as pq
 
 
 def pulses_from_raw(raw: DataFrame) -> DataFrame:
-    """Derive pulse rows for a raw batch (prev/next nominal links).
+    """Derive pulse rows for a raw batch.
 
-    The gRPC source delivers pulse metadata alongside records
-    (FullPulse); a file-based stand-in carries (pulse_number,
-    timestamp) on each record, so reconstruct one row per pulse.
+    The gRPC source delivers pulse metadata alongside records — a
+    FullPulse with REAL prev/next chain links
+    (etl/extractor/platform_pulse.go:43-57) — and those links are what
+    the reference stores (SavePulse). The raw schema carries them as
+    nullable columns; when a stand-in source omits them, fall back to
+    the nominal step-10 cadence. Irregular cadences (skipped
+    consensus rounds) therefore ingest with correct links instead of
+    mislabeled nominal ones; chain repair (W2/J2) still covers
+    neighbors that never arrive.
+
     New pulses start incomplete/non-sequential; the control plane
     flips the flags (reference does the same on SavePulse).
     """
     step = 10
     return (
         raw.groupBy("pulse_number")
-        .agg(F.max("timestamp").alias("timestamp"))
-        .withColumn("prev_pulse_number", F.col("pulse_number") - step)
-        .withColumn("next_pulse_number", F.col("pulse_number") + step)
+        .agg(
+            F.max("timestamp").alias("timestamp"),
+            F.max("prev_pulse_number").alias("__real_prev"),
+            F.max("next_pulse_number").alias("__real_next"),
+        )
+        .withColumn(
+            "prev_pulse_number", F.coalesce(F.col("__real_prev"), F.col("pulse_number") - step)
+        )
+        .withColumn(
+            "next_pulse_number", F.coalesce(F.col("__real_next"), F.col("pulse_number") + step)
+        )
+        .drop("__real_prev", "__real_next")
         .withColumn("is_complete", F.lit(False))
         .withColumn("is_sequential", F.lit(False))
         .withColumn("jet_drop_amount", F.lit(0).cast("long"))

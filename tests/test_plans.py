@@ -194,3 +194,86 @@ def test_search_dispatch(spark, flat_seed):
     assert kind == "lifeline" and df.count() >= 1
     kind, df = Q.search(pulses, drops, records, base58_encode(bytes(r0.reference)))
     assert kind == "record" and df.count() == 1
+
+
+def _pulse_row(pn, prev, nxt, ts):
+    return {
+        "pulse_number": pn,
+        "prev_pulse_number": prev,
+        "next_pulse_number": nxt,
+        "is_complete": False,
+        "is_sequential": False,
+        "timestamp": ts,
+        "jet_drop_amount": 0,
+        "record_amount": 0,
+    }
+
+
+def test_get_pulses_different_next_at_last_pulse(spark):
+    """Irregular cadence: stored links are real, page repair keeps the
+    true chain and sentinels the never-saved edges.
+
+    reference: etl/storage/storage_test.go:1461-1514
+    """
+    rows = [
+        _pulse_row(66666666, 66666665, 66666667, 66666666),
+        # pulsar was down: next pulse is not the nominal one
+        _pulse_row(66666670, 66666666, 66666671, 66666670),
+        _pulse_row(66666671, 66666670, 66666672, 66666671),
+    ]
+    df = spark.createDataFrame(rows, schemas.PULSES)
+    page, total = Q.get_pulses(df, limit=100)
+    got = page.collect()
+    assert total == 3
+    assert [r.pulse_number for r in got] == [66666671, 66666670, 66666666]
+    assert got[0].next_pulse_number == -1  # 66666672 never saved
+    assert got[1].next_pulse_number == 66666671
+    assert got[1].prev_pulse_number == 66666666
+    assert got[2].next_pulse_number == 66666670
+    assert got[2].prev_pulse_number == -1  # 66666665 never saved
+
+
+def test_get_pulses_missing_data_different_next(spark):
+    """Gap between stored pulses: the page's interior next links point
+    at the next SAVED pulse, not the stored nominal link.
+
+    reference: etl/storage/storage_test.go:1516-1569
+    """
+    rows = [
+        _pulse_row(66666666, 66666665, 66666667, 66666666),
+        _pulse_row(66666667, 66666666, 66666668, 66666667),
+        # pulsar was down: jumps to 66666680
+        _pulse_row(66666680, 66666667, 66666681, 66666680),
+    ]
+    df = spark.createDataFrame(rows, schemas.PULSES)
+    page, total = Q.get_pulses(df, limit=100)
+    got = page.collect()
+    assert total == 3
+    assert [r.pulse_number for r in got] == [66666680, 66666667, 66666666]
+    assert got[0].next_pulse_number == -1
+    assert got[1].next_pulse_number == 66666680
+    assert got[1].prev_pulse_number == 66666666
+    assert got[2].next_pulse_number == 66666667
+    assert got[2].prev_pulse_number == -1
+
+
+def test_get_pulses_missing_data_different_next_in_top(spark):
+    """Same chain but offset=1: the page head's next link must reach
+    the off-page pulse above it (edge lookup beyond the page).
+
+    reference: etl/storage/storage_test.go:1571-1619
+    """
+    rows = [
+        _pulse_row(66666666, 66666665, 66666667, 66666666),
+        _pulse_row(66666667, 66666666, 66666668, 66666667),
+        _pulse_row(66666680, 66666667, 66666681, 66666680),
+    ]
+    df = spark.createDataFrame(rows, schemas.PULSES)
+    page, total = Q.get_pulses(df, limit=100, offset=1)
+    got = page.collect()
+    assert total == 3
+    assert [r.pulse_number for r in got] == [66666667, 66666666]
+    assert got[0].next_pulse_number == 66666680  # off-page, still linked
+    assert got[0].prev_pulse_number == 66666666
+    assert got[1].next_pulse_number == 66666667
+    assert got[1].prev_pulse_number == -1

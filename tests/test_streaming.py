@@ -116,3 +116,28 @@ def test_exporter_tail(spark, tmp_path):
     assert all(r.record_amount == 6 for r in out)
     none = P.exporter_next_pulses(spark, base, from_pulse=0, prototypes=[b"nope"]).collect()
     assert none == []
+
+
+def test_ingest_irregular_cadence_real_links(spark, tmp_path):
+    """Raw batches carrying REAL prev/next pulse links (FullPulse,
+    etl/extractor/platform_pulse.go:43-57) store those links; rows
+    without them fall back to the nominal step-10 cadence.
+
+    Mirrors the 'pulsar was down' gap shape of
+    etl/storage/storage_test.go:1461-1514 at the ingest layer.
+    """
+    base = str(tmp_path / "wh")
+    rows = _raw_pulse_batch(7, 4_000_010, ("0", "1"))
+    # irregular: next real pulse is +7, not +10
+    for r in rows:
+        r["prev_pulse_number"] = 4_000_003
+        r["next_pulse_number"] = 4_000_017
+    rows += _raw_pulse_batch(8, 4_000_017, ("0",))  # links absent -> nominal
+    raw = spark.createDataFrame(rows, schemas.RAW_RECORDS)
+    P.ingest_batch(spark, base, raw)
+
+    by_pn = {r.pulse_number: r for r in pq.read_table(spark, base, "pulses").collect()}
+    assert by_pn[4_000_010].prev_pulse_number == 4_000_003
+    assert by_pn[4_000_010].next_pulse_number == 4_000_017
+    assert by_pn[4_000_017].prev_pulse_number == 4_000_007  # nominal fallback
+    assert by_pn[4_000_017].next_pulse_number == 4_000_027
