@@ -52,10 +52,28 @@ IVF_PROBES = 2
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects by default; read as long nanos (runtime-settable).
+        # Older driver testdata stored events.ts as TIMESTAMP(NANOS),
+        # which Spark's reader rejects by default; read as long nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # Normalize ts to long epoch-nanos whatever the physical type:
+        # the current driver testdata stores TIMESTAMP(MICROS) (read as
+        # TIMESTAMP_NTZ), older generations stored TIMESTAMP(NANOS)
+        # (read as long via nanosAsLong). The NTZ arithmetic below is
+        # naive-datetime math — session-timezone independent, exactly
+        # DuckDB's epoch_us() on a naive TIMESTAMP.
+        dt = df.schema["ts"].dataType.typeName()
+        if dt == "timestamp_ntz":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+                ),
+            )
+        elif dt == "timestamp":
+            df = df.withColumn("ts", F.unix_micros(F.col("ts")) * 1000)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -645,8 +663,11 @@ def q48_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     observed [min, max] — generated distributed, no driver loop — then
     a broadcast-able left join back onto the daily aggregate."""
     ev = _t(spark, sf, "events").filter(F.col("event_type") == "click")
-    # ts is long nanos (see _t); truncate to days in pure arithmetic
-    day = F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # ts is long nanos (see _t); truncate to days via naive-datetime
+    # arithmetic (NTZ epoch + micros), session-timezone independent.
+    day = F.to_date(
+        F.expr("timestampadd(MICROSECOND, CAST(ts div 1000 AS BIGINT), TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+    )
     daily = ev.select(day.alias("day")).groupBy("day").agg(F.count(F.lit(1)).alias("n_clicks"))
     spine = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
         F.explode(F.sequence("lo", "hi")).alias("day")

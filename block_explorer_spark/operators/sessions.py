@@ -14,12 +14,19 @@ from pyspark.sql import functions as F
 
 
 def _micros(df: DataFrame, ts_col: str):
-    """Microsecond epoch expression for a timestamp OR long-nanos column
-    (the engine reads TIMESTAMP(NANOS) parquet as long — see session.py)."""
+    """Microsecond epoch expression for a timestamp, timestamp_ntz, or
+    long-nanos column (the engine reads TIMESTAMP(NANOS) parquet as
+    long — see session.py). The NTZ branch is naive-datetime math:
+    session-timezone independent, identical to DuckDB's epoch_us()."""
     from pyspark.sql import types as T
 
-    if isinstance(df.schema[ts_col].dataType, T.LongType):
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, T.LongType):
         return F.floor(F.col(ts_col) / 1000)
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
     return F.unix_micros(F.col(ts_col))
 
 
