@@ -1168,6 +1168,224 @@ def q32_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return feats.select("media_id", "modality", "payload_sha256", "n_bytes")
 
 
+def q68_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 min-cost supplier (adapted: the driver schema has no
+    partsupp, so the part↔supplier relation and its unit cost come
+    from lineitem: cost(part, supp) = min(l_extendedprice /
+    l_quantity)). The correlated min-cost subquery is decorrelated
+    into a per-part aggregate joined back (never re-aggregated per
+    row); the EUROPE supplier dim broadcasts into both sides. Costs
+    rounded to 6dp so the min-equality is engine-stable."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    eu_supp = F.broadcast(
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(eu_supp, li.l_suppkey == eu_supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    top = cost.join(
+        F.broadcast(best),
+        (cost.p_partkey == best.b_partkey) & (cost.unit_cost == best.best_cost),
+    )
+    return (
+        top.select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q69_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: no commit/receipt
+    dates — a "late" order has at least one returned line,
+    l_returnflag = 'R'). EXISTS becomes a left-semi join: lineitem is
+    pre-filtered and deduped map-side, never multiplied into orders."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    flagged = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q70_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: no partsupp, so supply
+    cost = 0.6 * p_retailprice per unit). Part filter (name contains
+    'bolt') prunes the fact scan through a broadcast join; profit is
+    a single map-side expression; one shuffle for the final group."""
+    p = _t(spark, sf, "part").filter(F.col("p_name").contains("bolt")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf, "lineitem")
+    supp_nat = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("nation")
+        )
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+
+
+def q71_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: revenue lost to returns per
+    customer in one quarter, top 20. customer⋈nation broadcasts; the
+    orders⋈lineitem shuffle carries only pre-filtered rows; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(cust, o.o_custkey == cust.c_custkey)
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def q72_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 important inventory (adapted: no partsupp — a part's
+    "value" held by NATION_5's suppliers = sum of their lineitem
+    extended prices). The global threshold (0.1% of total) is a 1-row
+    aggregate broadcast into the filter, the decorrelated form of
+    Q11's scalar subquery."""
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    nat_supp = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    )
+    held = li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
+    per_part = held.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+    )
+    threshold = per_part.agg((F.sum("part_value") * 0.001).alias("__thr"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def q73_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (adapted: the relation is
+    distinct (l_partkey, l_suppkey) from lineitem; excluded suppliers
+    are those in deficit, s_acctbal < 0, standing in for the
+    'complaints' NOT IN). The exclusion is a broadcast anti-join;
+    supplier counts are COUNT(DISTINCT) over one shuffle keyed on the
+    (brand, type, size) group."""
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    ok = rel.join(F.broadcast(bad), rel.l_suppkey == bad.s_suppkey, "left_anti")
+    j = ok.join(F.broadcast(p), ok.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q74_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: 'excess stock'
+    becomes share of 1996 shipped quantity — a NATION_2 supplier
+    qualifies if for some red part it shipped more than half that
+    part's 1996 total). The nested agg is two groupBys sharing the
+    (part) key; the per-part total joins back broadcast. EXISTS is a
+    left-semi join onto the supplier dim."""
+    p = _t(spark, sf, "part").filter(F.col("p_name").startswith("red")).select("p_partkey")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    red = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_ps = red.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    per_part = red.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    heavy = (
+        per_ps.join(F.broadcast(per_part), per_ps.l_partkey == per_part.t_partkey)
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    return (
+        nat.join(heavy, nat.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q75_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: no phone column —
+    'country code' = c_nationkey % 10, and every customer has some
+    order in this data, so 'never ordered' becomes 'lapsed: no order
+    since 1999'). Rich lapsed customers: balance above the
+    positive-balance average (1-row broadcast scalar), no recent
+    orders (anti-join against the pre-filtered distinct custkey
+    set — the date filter prunes the orders scan first)."""
+    c = _t(spark, sf, "customer").filter((F.col("c_nationkey") % 10).isin(1, 3, 5, 7))
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("__avg")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy((F.col("c_nationkey") % 10).cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1247,6 +1465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_vocab_topk": q65_vocab_topk,
         "q66_decontaminate": q66_decontaminate,
         "q67_length_filter": q67_length_filter,
+        "q68_tpch_q2": q68_tpch_q2,
+        "q69_tpch_q4": q69_tpch_q4,
+        "q70_tpch_q9": q70_tpch_q9,
+        "q71_tpch_q10": q71_tpch_q10,
+        "q72_tpch_q11": q72_tpch_q11,
+        "q73_tpch_q16": q73_tpch_q16,
+        "q74_tpch_q20": q74_tpch_q20,
+        "q75_tpch_q22": q75_tpch_q22,
     }
 
 
@@ -2040,5 +2266,129 @@ def oracle_sql() -> dict[str, str]:
             FROM documents JOIN bounds ON lang = b_lang
             WHERE length(text) BETWEEN lo AND hi
             GROUP BY lang
+        """,
+        "q68_tpch_q2": """
+            WITH eu_supp AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), cost AS (
+                SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                       ROUND(MIN(l_extendedprice / l_quantity), 6) AS unit_cost
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN eu_supp ON l_suppkey = s_suppkey
+                WHERE p_type = 'LARGE' AND p_size <= 10
+                GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+            FROM cost
+            WHERE unit_cost = (SELECT MIN(unit_cost) FROM cost c2
+                               WHERE c2.p_partkey = cost.p_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q69_tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q70_tpch_q9": """
+            SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+            FROM (
+                SELECT n_name AS nation,
+                       CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+                       l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity AS amount
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                WHERE p_name LIKE '%bolt%'
+            )
+            GROUP BY nation, o_year
+        """,
+        "q71_tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q72_tpch_q11": """
+            WITH per_part AS (
+                SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_5'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, part_value
+            FROM per_part
+            WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM per_part)
+            ORDER BY part_value DESC, l_partkey ASC
+        """,
+        "q73_tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q74_tpch_q20": """
+            WITH red AS (
+                SELECT l_partkey, l_suppkey, l_quantity
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red%'
+                  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+            ), per_ps AS (
+                SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+                FROM red GROUP BY l_partkey, l_suppkey
+            ), per_part AS (
+                SELECT l_partkey, SUM(l_quantity) AS part_qty
+                FROM red GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_2'
+              AND EXISTS (SELECT 1 FROM per_ps JOIN per_part USING (l_partkey)
+                          WHERE per_ps.l_suppkey = s_suppkey
+                            AND supp_qty > 0.5 * part_qty)
+            ORDER BY s_suppkey
+        """,
+        "q75_tpch_q22": """
+            WITH sel AS (
+                SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cntrycode
+                FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+            )
+            SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
+                   COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM sel
+            WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM sel WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= DATE '1999-01-01')
+            GROUP BY cntrycode
+            ORDER BY cntrycode
         """,
     }
