@@ -1386,6 +1386,104 @@ def q75_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q76_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per-doc duplicate
+    fractions of words / 2-grams / 3-grams. Pure array HOFs over the
+    row — the whole query is a map-only projection (no explode, no
+    shuffle), exactly what a 100 TB quality-filter pass must be."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(Tx.duplicate_ngram_fraction("text", 1), 6).alias("dup_word_frac"),
+        F.round(Tx.duplicate_ngram_fraction("text", 2), 6).alias("dup_2gram_frac"),
+        F.round(Tx.duplicate_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
+    )
+
+
+def q77_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language downsampling (corpus mixing): keep
+    rates as an md5-bucket scan predicate — map-only, pushable, no
+    RNG state, reproducible in any engine (operators.sampling)."""
+    from block_explorer_spark.operators import sampling as Smp
+
+    docs = _t(spark, sf, "documents")
+    kept = Smp.stratified_sample(
+        docs, "lang", "doc_id", rates={"en": 10, "de": 50, "es": 25, "fr": 100, "zh": 4}
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+def q78_uniform_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global k-sample: smallest-k md5(doc_id) — planned
+    as TakeOrderedAndProject (per-partition heaps, k-row driver
+    merge), the reservoir-sampling equivalent that never sorts or
+    materializes the corpus."""
+    from block_explorer_spark.operators import sampling as Smp
+
+    docs = _t(spark, sf, "documents")
+    return Smp.uniform_sample(docs, "doc_id", 50).select("doc_id", "lang", "n_chars")
+
+
+def q79_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub pass over the semi-structured props payload: redact
+    email/phone/digit-run spans (map-only regexp chain, functions.text
+    PII_PATTERNS — RE2-safe so any engine reproduces it) and account
+    per event type: matches found, bytes before/after."""
+    ev = _t(spark, sf, "events")
+    red = Tx.pii_redact("props")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(Tx.pii_hits("props", "digits")).alias("digit_hits"),
+        F.sum(F.length("props")).cast("long").alias("bytes_before"),
+        F.sum(F.length(red)).cast("long").alias("bytes_after"),
+    )
+
+
+def q80_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain corpus accounting: normalize a URL-ish source to its
+    registrable host (functions.text.domain_of — scheme/www/port/path
+    stripped) and aggregate doc count + volume. The URL is derived
+    from the source tag so the parse is exercised end-to-end."""
+    docs = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com:443/d/"),
+                   F.col("doc_id").cast("string"))
+    return (
+        docs.select(Tx.domain_of(url).alias("domain"), "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q81_quantized_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantized ANN top-k (SQ8 candidate generation): symmetric
+    per-vector quantization, exact integer dot, rescale, top-k. The
+    integer arithmetic makes the result engine-replicable with no
+    float-order slack (similarity.quantize_int8 / quantized_topk)."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = Sim.quantized_topk(emb, "embedding", qvec, k=10)
+    return top.select("vec_id", F.round("qcosine", 6).alias("qcosine"))
+
+
+def q82_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment-similar pairs (Broder): |a∩b| / min(|a|,|b|) over
+    3-token shingles — catches short-doc-inside-long-doc duplication
+    that jaccard scores low. Same single-lineage inverted-index plan
+    as q24 (dedup.containment_pairs)."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.containment_pairs(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.62)
+    return pairs.select(
+        "id_a", "id_b", "inter", "size_a", "size_b",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1473,6 +1571,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_tpch_q16": q73_tpch_q16,
         "q74_tpch_q20": q74_tpch_q20,
         "q75_tpch_q22": q75_tpch_q22,
+        "q76_repetition": q76_repetition,
+        "q77_stratified_sample": q77_stratified_sample,
+        "q78_uniform_sample": q78_uniform_sample,
+        "q79_pii_scrub": q79_pii_scrub,
+        "q80_domain_stats": q80_domain_stats,
+        "q81_quantized_ann": q81_quantized_ann,
+        "q82_containment": q82_containment,
     }
 
 
@@ -2390,5 +2495,105 @@ def oracle_sql() -> dict[str, str]:
                               AND o_orderdate >= DATE '1999-01-01')
             GROUP BY cntrycode
             ORDER BY cntrycode
+        """,
+        "q76_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       toks AS g1,
+                       list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                      i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+                       list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                                      i -> array_to_string(toks[i:i+2], ' ')) AS g3
+                FROM t
+            )
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(g1)) / CAST(len(g1) AS DOUBLE), 6) AS dup_word_frac,
+                   round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6) AS dup_2gram_frac,
+                   round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6) AS dup_3gram_frac
+            FROM g
+        """,
+        "q77_stratified_sample": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+                  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 WHEN 'es' THEN 25
+                              WHEN 'fr' THEN 100 WHEN 'zh' THEN 4 ELSE 0 END
+            GROUP BY lang
+        """,
+        "q78_uniform_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+        """,
+        "q79_pii_scrub": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(len(regexp_extract_all(props, '[0-9]{2,}'))) AS BIGINT) AS digit_hits,
+                   CAST(SUM(length(props)) AS BIGINT) AS bytes_before,
+                   CAST(SUM(length(
+                       regexp_replace(regexp_replace(regexp_replace(props,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                           '\\+?[0-9][0-9() .-]{7,}[0-9]', '[PHONE]', 'g'),
+                           '[0-9]{2,}', '[DIGITS]', 'g')
+                   )) AS BIGINT) AS bytes_after
+            FROM events
+            GROUP BY event_type
+        """,
+        "q80_domain_stats": """
+            SELECT regexp_extract(
+                     lower(trim('https://www.' || source || '.example.com:443/d/'
+                                || CAST(doc_id AS VARCHAR))),
+                     '^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/:?#]+)', 1) AS domain,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY domain
+        """,
+        "q81_quantized_ann": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            qq AS (
+                SELECT list_transform(qe, x -> CAST(floor(
+                         CAST(x AS DOUBLE) * (127.0 / qmax) + 0.5) AS BIGINT)) AS qcodes
+                FROM (SELECT qe, list_aggregate(list_transform(qe,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') AS qmax FROM q)
+            ),
+            rowq AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(floor(
+                         CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS codes
+                FROM (SELECT vec_id, embedding, list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') AS amax FROM embeddings)
+            ),
+            scored AS (
+                SELECT vec_id,
+                       list_sum(list_transform(list_zip(codes, qcodes), p -> p[1] * p[2])) AS dot,
+                       list_sum(list_transform(codes, x -> x * x)) AS n1,
+                       list_sum(list_transform(qcodes, x -> x * x)) AS n2
+                FROM rowq, qq
+            )
+            SELECT vec_id,
+                   round(CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 6) AS qcosine
+            FROM scored
+            ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "q82_containment": f"""
+            WITH tok AS ({_TOK}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+                   CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+                   round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.62
         """,
     }

@@ -163,3 +163,66 @@ def rolling_fingerprint(col: Column | str, window: int = 8, hashf: str = "xxhash
             lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, window))),
         )
     )
+
+
+def _all_ngrams(col: Column | str, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — repetition analysis needs
+    the multiset, unlike word_ngrams' distinct shingle set)."""
+    toks = tokens(col)
+    n_shingles = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_shingles),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def duplicate_ngram_fraction(col: Column | str, n: int = 1) -> Column:
+    """Gopher-style repetition signal: fraction of word n-gram
+    occurrences that are repeats of an earlier occurrence
+    (1 - distinct/total). n=1 is the duplicate-word fraction.
+
+    Pure array expressions over the row — no explode, no shuffle, no
+    per-doc state; at 100 TB this is a map-only column like length().
+    reference for the filter family: Gopher (Rae et al. 2021) §A1.1,
+    C4 (Raffel et al. 2020) — repetitious documents are low-quality
+    training data.
+    """
+    grams = _all_ngrams(col, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0, 1.0 - F.size(F.array_distinct(grams)) / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+#: PII patterns kept to RE2-compatible syntax (no lookaround) so the
+#: identical pattern runs in Spark (Java regex) and DuckDB/RE2-based
+#: engines: email, international-ish phone (9+ digits with separators),
+#: and bare digit runs (ids, SSN-ish) as the conservative fallback.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+    "digits": r"[0-9]{2,}",
+}
+
+
+def pii_redact(col: Column | str, kinds: tuple[str, ...] = ("email", "phone", "digits")) -> Column:
+    """Redact PII-ish spans with [KIND] placeholders, applied in the
+    given order (email before phone before digits, so a phone inside
+    an email is not double-counted). Map-only regexp_replace chain."""
+    out = _c(col)
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def pii_hits(col: Column | str, kind: str) -> Column:
+    """Count of PII matches of one kind (regexp_count, map-only)."""
+    return F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind]))
+
+
+def domain_of(col: Column | str) -> Column:
+    """Registrable host of a URL-ish string: strips scheme, www., port,
+    path/query/fragment; lowercases. Non-URL strings pass through
+    lowercased-trimmed (a bare source tag is its own 'domain')."""
+    c = F.lower(F.trim(_c(col)))
+    return F.regexp_extract(c, r"^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/:?#]+)", 1)

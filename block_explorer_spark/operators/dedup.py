@@ -430,3 +430,34 @@ def simhash_pairs(
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact containment-similar pairs: C(a,b) = |a∩b| / min(|a|,|b|).
+
+    The asymmetric near-dup criterion jaccard misses: a short document
+    wholly embedded in a long one scores jaccard ≈ |short|/|long| (low)
+    but containment 1.0. Standard companion to jaccard in corpus dedup
+    (Broder's resemblance/containment pair, "On the resemblance and
+    containment of documents", 1997).
+
+    Same single-lineage inverted-index plan as jaccard_pairs (shared
+    code path — one extra map-side column); same stop-shingle guard.
+    Output: (id_a, id_b, inter, size_a, size_b, containment), id_a < id_b.
+    """
+    base = jaccard_pairs(
+        df, id_col, shingles, threshold=0.0, max_shingle_freq=max_shingle_freq
+    )
+    return (
+        base.withColumn(
+            "containment", F.col("inter") / F.least(F.col("size_a"), F.col("size_b"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "containment")
+    )

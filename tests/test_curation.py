@@ -1,0 +1,200 @@
+"""Unit tests for the corpus-curation operators added for the
+training-data pipeline surface: repetition signals, PII scrub,
+domain parsing, deterministic sampling, int8 quantization,
+containment pairs. The gate queries (q76-q82) pin these cross-engine;
+here we pin the edge cases the gate data can't hit (the synthetic
+corpus has no emails/phones, no newlines, no zero vectors)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark.functions import text as Tx
+from block_explorer_spark.operators import dedup as D
+from block_explorer_spark.operators import sampling as Smp
+from block_explorer_spark.operators import similarity as Sim
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_word_fraction(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a b a b")], ["id", "text"]
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", F.round(Tx.duplicate_ngram_fraction("text", 1), 6).alias("v")
+        ).collect()
+    }
+    assert got[1] == 0.75  # 4 words, 1 distinct
+    assert got[2] == 0.0
+    assert got[3] == 0.5
+
+
+def test_duplicate_2gram_fraction(spark):
+    df = spark.createDataFrame([(1, "a b a b a b")], ["id", "text"])
+    # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+    v = df.select(F.round(Tx.duplicate_ngram_fraction("text", 2), 6).alias("v")).head()["v"]
+    assert v == 0.6
+
+
+def test_repetition_plan_is_map_only(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    plan = df.select(
+        Tx.duplicate_ngram_fraction("text", 2).alias("v")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # quality filters must not shuffle
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_email_phone_digits(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.com today"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "id 12345 and pin 9876"),
+            (4, "clean text only"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["v"] for r in df.select("id", Tx.pii_redact("text").alias("v")).collect()}
+    assert got[1] == "contact [EMAIL] today"
+    assert got[2] == "call [PHONE] now"
+    assert got[3] == "id [DIGITS] and pin [DIGITS]"
+    assert got[4] == "clean text only"
+
+
+def test_pii_hits_counts(spark):
+    df = spark.createDataFrame([(1, "a@b.co and c@d.org, plus 123456789")], ["id", "text"])
+    row = df.select(
+        Tx.pii_hits("text", "email").alias("e"), Tx.pii_hits("text", "digits").alias("d")
+    ).head()
+    assert row["e"] == 2
+    assert row["d"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Domain parsing
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "url,expect",
+    [
+        ("https://www.Example.COM/path?q=1", "example.com"),
+        ("http://sub.host.org:8080/x", "sub.host.org"),
+        ("ftp://files.example.net", "files.example.net"),
+        ("example.com/bare/path", "example.com"),
+        ("plain-tag", "plain-tag"),
+    ],
+)
+def test_domain_of(spark, url, expect):
+    df = spark.createDataFrame([(url,)], ["u"])
+    assert df.select(Tx.domain_of("u").alias("d")).head()["d"] == expect
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3], f"doc {i}") for i in range(300)]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_stratified_sample_deterministic_and_rated(corpus):
+    kept = Smp.stratified_sample(
+        corpus, "lang", "doc_id", rates={"en": 100, "de": 50, "fr": 0}
+    )
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("en") == 100  # rate 100/100 keeps every en doc
+    assert "fr" not in counts  # rate 0 keeps none
+    assert 25 <= counts.get("de", 0) <= 75  # ~50% of 100
+    # deterministic: second run identical membership
+    again = Smp.stratified_sample(
+        corpus, "lang", "doc_id", rates={"en": 100, "de": 50, "fr": 0}
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_uniform_sample_topk_plan_and_size(corpus):
+    s = Smp.uniform_sample(corpus, "doc_id", 10)
+    assert s.count() == 10
+    assert sorted(s.columns) == ["doc_id", "lang", "text"]
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_per_group_sample_cap(corpus):
+    s = Smp.per_group_sample(corpus, ["lang"], "doc_id", 7)
+    counts = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 7 for n in counts.values())
+    # deterministic membership
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(r["doc_id"] for r in Smp.per_group_sample(corpus, ["lang"], "doc_id", 7).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_codes_and_scale(spark):
+    df = spark.createDataFrame([(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])], ["vec_id", "v"])
+    q = Sim.quantize_int8(df, "v")
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["q_scale"] == 127.0  # max|x| = 1.0
+    assert rows[1]["q_vec"] == [127, -63, 32]  # floor(x*127+0.5)
+    assert rows[2]["q_scale"] == 0.0  # zero vector guarded
+    assert rows[2]["q_vec"] == [0, 0, 0]
+
+
+def test_quantized_topk_matches_brute_force_on_separated_data(spark):
+    # Vectors far apart in angle: int8 rounding can't reorder them.
+    import random
+
+    rng = random.Random(11)
+    base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    rows = []
+    for i in range(60):
+        b = base[i % 3]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in b]))
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    query = [1.0, 0.02, -0.01]
+    got = [r["vec_id"] for r in Sim.quantized_topk(df, "v", query, k=5).collect()]
+    exact = [r["vec_id"] for r in Sim.brute_force_topk(df, "v", query, k=5).collect()]
+    assert set(got) == set(exact)
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, long), (3, "unrelated words here")], ["doc_id", "text"])
+    sh = Tx.word_ngrams("text", 3)
+    cont = D.containment_pairs(df, "doc_id", sh, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0  # short fully inside long
+    jac = D.jaccard_pairs(df, "doc_id", sh, threshold=0.5).collect()
+    assert jac == []  # jaccard misses the same pair at any usable threshold
