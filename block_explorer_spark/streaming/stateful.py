@@ -195,3 +195,79 @@ def windowed_counts(
             "total_value",
         )
     )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Sliding-window aggregate (hopping rate metrics — the moving
+    event-rate view a monitoring surface reads). Each event lands in
+    window/slide buckets; state per open window is evicted by the
+    watermark exactly as in windowed_counts. Map-side, an event
+    expands to its bucket set before the shuffle — the partial-agg
+    path Spark plans for window() natively."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 10 MINUTES",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition
+    (right event within [left_ts - upper... precisely: left_ts <=
+    right_ts <= left_ts + upper], the attribution-join shape:
+    click → purchase within N minutes).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, which is what lets Spark compute the
+    state-eviction horizon for each side (unbounded state otherwise).
+    At scale the join shuffles both streams on the key once; state per
+    key is bounded by the interval width.
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] + F.expr(lower))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(upper))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps a key's fingerprint only
+    until the watermark passes its event time, then evicts — the
+    at-least-once → exactly-once repair for a replaying source
+    (the reference re-pulls overlapping record batches on reconnect;
+    extractor retry loop, platform_impl.go:225-326). An unbounded
+    dropDuplicates would grow state forever on a 100 TB/day stream;
+    the watermark variant holds only the replay horizon."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
