@@ -277,3 +277,164 @@ def test_get_pulses_missing_data_different_next_in_top(spark):
     assert got[0].prev_pulse_number == 66666666
     assert got[1].next_pulse_number == 66666667
     assert got[1].prev_pulse_number == -1
+
+
+# ---------------------------------------------------------------------------
+# GetPulses filter-combination semantics ported from the reference suite
+# (etl/storage/storage_test.go:1183-1460)
+# ---------------------------------------------------------------------------
+
+
+def _ref_pulse(pn: int, prev: int, nxt: int) -> dict:
+    """A pulse row as the reference's testutils.CreatePulse shapes it:
+    timestamp numerically equals the pulse number (storage_test.go
+    leans on that to reuse pulse numbers as timestamp bounds)."""
+    return {
+        "pulse_number": pn,
+        "prev_pulse_number": prev,
+        "next_pulse_number": nxt,
+        "is_complete": False,
+        "is_sequential": False,
+        "timestamp": pn,
+        "jet_drop_amount": 0,
+        "record_amount": 0,
+    }
+
+
+def _ref_chain(spark, n=4, base=66666666):
+    rows = [_ref_pulse(base + i, base + i - 1, base + i + 1) for i in range(n)]
+    return spark.createDataFrame(rows, schemas.PULSES)
+
+
+def test_get_pulses_timestamp_range_ref(spark):
+    """reference: etl/storage/storage_test.go:1183-1232 — ts range
+    [second, third] picks exactly those two, desc, stored links kept
+    because both neighbors exist in the table."""
+    df = _ref_chain(spark)
+    b = 66666666
+    page, total = Q.get_pulses(df, ts_lte=b + 2, ts_gte=b + 1, ascending=False, limit=100)
+    rows = page.collect()
+    assert total == 2
+    assert [r.pulse_number for r in rows] == [b + 2, b + 1]
+    by = {r.pulse_number: r for r in rows}
+    assert (by[b + 2].prev_pulse_number, by[b + 2].next_pulse_number) == (b + 1, b + 3)
+    assert (by[b + 1].prev_pulse_number, by[b + 1].next_pulse_number) == (b, b + 2)
+
+
+def test_get_pulses_from_pulse_ref(spark):
+    """reference: etl/storage/storage_test.go:1233-1273 — from_pulse
+    truncates above; the first pulse's stored prev names a pulse that
+    was never saved, so it repairs to the missing sentinel."""
+    df = _ref_chain(spark, n=3)
+    b = 66666666
+    page, total = Q.get_pulses(df, from_pulse=b + 1, ascending=False, limit=100)
+    rows = page.collect()
+    assert total == 2
+    assert [r.pulse_number for r in rows] == [b + 1, b]
+    by = {r.pulse_number: r for r in rows}
+    assert by[b].prev_pulse_number == -1  # b-1 never existed
+    assert by[b + 1].next_pulse_number == b + 2  # exists beyond the slice
+
+
+def test_get_pulses_all_params_ref(spark):
+    """reference: etl/storage/storage_test.go:1274-1324 — every filter
+    at once: from_pulse + ts range + desc + limit 1 offset 1 lands on
+    exactly the second pulse, total counts the pre-page slice."""
+    df = _ref_chain(spark)
+    b = 66666666
+    page, total = Q.get_pulses(
+        df, from_pulse=b + 2, ts_lte=b + 3, ts_gte=b + 1,
+        ascending=False, limit=1, offset=1,
+    )
+    rows = page.collect()
+    assert total == 2
+    assert len(rows) == 1
+    got = rows[0]
+    assert got.pulse_number == b + 1
+    assert (got.prev_pulse_number, got.next_pulse_number) == (b, b + 2)
+
+
+def test_get_pulses_pulse_number_filters_ref(spark):
+    """reference: etl/storage/storage_test.go:1325-1460 — the 4
+    one-sided pulse-number bounds and both full-table sort orders,
+    with the complete expected ordering verified element-wise."""
+    pulses = gen.make_pulses(start=4_000_000, count=10)
+    pns = [p["pulse_number"] for p in pulses]
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+
+    page, total = Q.get_pulses(df, pulse_lte=pns[-2], limit=100)
+    assert total == 9
+    assert [r.pulse_number for r in page.collect()] == list(reversed(pns[:9]))
+
+    page, total = Q.get_pulses(df, pulse_lt=pns[-2], limit=100)
+    assert total == 8
+    assert [r.pulse_number for r in page.collect()] == list(reversed(pns[:8]))
+
+    page, total = Q.get_pulses(df, pulse_gte=pns[2], limit=100)
+    assert total == 8
+    assert [r.pulse_number for r in page.collect()] == list(reversed(pns[2:]))
+
+    page, total = Q.get_pulses(df, pulse_gt=pns[2], limit=100)
+    assert total == 7
+    assert [r.pulse_number for r in page.collect()] == list(reversed(pns[3:]))
+
+    page, total = Q.get_pulses(df, ascending=True, limit=100)
+    assert total == 10
+    assert [r.pulse_number for r in page.collect()] == pns
+
+    page, total = Q.get_pulses(df, ascending=False, limit=100)
+    assert total == 10
+    assert [r.pulse_number for r in page.collect()] == list(reversed(pns))
+
+
+def test_get_records_by_jet_drop_ref(spark):
+    """reference: etl/storage/storage_test.go:1621-1708 — the 6
+    GetRecordsByJetDrop sub-cases: happy, type filter, limit (total
+    unaffected), offset, from_index cursor, empty drop."""
+    P = 4_000_010
+
+    def rec(i: int, jet: str, typ: str, order: int) -> dict:
+        return {
+            "reference": bytes([i]) * 8,
+            "type": typ,
+            "object_reference": b"obj",
+            "prototype_reference": b"proto",
+            "payload": b"",
+            "prev_record_reference": None,
+            "hash": b"h",
+            "raw_data": b"r",
+            "jet_id": jet,
+            "pulse_number": P,
+            "order": order,
+            "timestamp": P,
+        }
+
+    rows = [
+        rec(1, "01", "result", 1),
+        rec(2, "01", "state", 2),
+        rec(3, "01", "state", 3),
+        rec(4, "10", "state", 1),  # other jet drop
+    ]
+    df = spark.createDataFrame(rows, schemas.RECORDS)
+
+    page, total = Q.get_records_by_jet_drop(df, "01", P, limit=1000)
+    assert total == 3 and len(page.collect()) == 3
+
+    page, total = Q.get_records_by_jet_drop(df, "01", P, record_type="result", limit=1000)
+    got = page.collect()
+    assert total == 1 and [r.order for r in got] == [1]
+
+    page, total = Q.get_records_by_jet_drop(df, "01", P, limit=2)
+    assert total == 3
+    assert [r.order for r in page.collect()] == [1, 2]
+
+    page, total = Q.get_records_by_jet_drop(df, "01", P, limit=1000, offset=1)
+    assert total == 3
+    assert [r.order for r in page.collect()] == [2, 3]
+
+    page, total = Q.get_records_by_jet_drop(df, "01", P, cursor=(P, 2), limit=1000)
+    assert total == 2
+    assert [r.order for r in page.collect()] == [2, 3]
+
+    page, total = Q.get_records_by_jet_drop(df, "00", P, limit=1000)
+    assert total == 0 and page.collect() == []
