@@ -1388,15 +1388,18 @@ def q75_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
 
 def q76_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals: per-doc duplicate
-    fractions of words / 2-grams / 3-grams. Pure array HOFs over the
-    row — the whole query is a map-only projection (no explode, no
-    shuffle), exactly what a 100 TB quality-filter pass must be."""
+    fractions of words / 2-grams / 3-grams — a map-only projection
+    (no explode, no shuffle), exactly what a 100 TB quality-filter
+    pass must be. Runs the Arrow-vectorized path (the HOF column
+    formulation is semantically identical — pinned by test — but
+    Catalyst evaluates HOFs interpreted, ~12x slower here)."""
     docs = _t(spark, sf, "documents")
-    return docs.select(
+    rep = Tx.repetition_signals_arrow()(F.col("text"))
+    return docs.select("doc_id", rep.alias("__r")).select(
         "doc_id",
-        F.round(Tx.duplicate_ngram_fraction("text", 1), 6).alias("dup_word_frac"),
-        F.round(Tx.duplicate_ngram_fraction("text", 2), 6).alias("dup_2gram_frac"),
-        F.round(Tx.duplicate_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
+        F.round("__r.dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("__r.dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("__r.dup_3gram_frac", 6).alias("dup_3gram_frac"),
     )
 
 

@@ -106,6 +106,9 @@ HEADLINE = [
     "q25_minhash_lsh",
     "q27_ann_brute",
     "q28_embed_neardup",
+    "q70_tpch_q9",
+    "q76_repetition",
+    "q81_quantized_ann",
 ]
 
 
@@ -156,6 +159,13 @@ def main() -> None:
                 if collector:
                     profiles[name] = collector.delta(before, collector.totals())
             print(f"# pass{_pass} {name}: {n} rows in {elapsed}s", file=sys.stderr)
+
+    # Reset JVM state between the analytic and ingest sections: cached
+    # blocks and accumulated shuffle files from the query passes
+    # otherwise bleed GC pressure into the ingest timings (observed
+    # 2-3x inflation vs running bench_ingest standalone).
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
 
     ingest_a = bench_ingest(spark)
     ingest_b = bench_ingest(spark)

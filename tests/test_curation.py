@@ -198,3 +198,37 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert cont[0]["containment"] == 1.0  # short fully inside long
     jac = D.jaccard_pairs(df, "doc_id", sh, threshold=0.5).collect()
     assert jac == []  # jaccard misses the same pair at any usable threshold
+
+
+def test_arrow_matches_hof_signals(spark):
+    """The Arrow fast path and the SQL-expressible HOF formulation
+    compute identical fractions (incl. short/empty-text edges)."""
+    rows = [
+        (1, "a a a a"),
+        (2, "a b c d e f g"),
+        (3, "a b a b a b"),
+        (4, "x"),
+        (5, "  "),
+        (6, "one two"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep = Tx.repetition_signals_arrow()(F.col("text"))
+    arrow = {
+        r["doc_id"]: (r["d1"], r["d2"], r["d3"])
+        for r in df.select(
+            "doc_id",
+            F.round(rep["dup_word_frac"], 9).alias("d1"),
+            F.round(rep["dup_2gram_frac"], 9).alias("d2"),
+            F.round(rep["dup_3gram_frac"], 9).alias("d3"),
+        ).collect()
+    }
+    hof = {
+        r["doc_id"]: (r["d1"], r["d2"], r["d3"])
+        for r in df.select(
+            "doc_id",
+            F.round(Tx.duplicate_ngram_fraction("text", 1), 9).alias("d1"),
+            F.round(Tx.duplicate_ngram_fraction("text", 2), 9).alias("d2"),
+            F.round(Tx.duplicate_ngram_fraction("text", 3), 9).alias("d3"),
+        ).collect()
+    }
+    assert arrow == hof

@@ -115,3 +115,33 @@ def test_pulse_bounds_prune_partitions(spark, tmp_path):
     assert [r.pulse_number for r in bounded.collect()] == [1_500_000]
     # unbounded read still returns everything (bounds are optional)
     assert pq.read_table(spark, base, "pulses").count() == 4
+
+
+def test_new_tpch_dims_broadcast(spark):
+    """q70/q71 (TPC-H Q9/Q10 shapes): every dimension side arrives
+    broadcast — no SortMergeJoin should appear anywhere."""
+    for name in ("q70_tpch_q9", "q71_tpch_q10"):
+        text = plan(entry.queries()[name](spark, SF))
+        assert "BroadcastHashJoin" in text, name
+        assert "SortMergeJoin" not in text, name
+
+
+def test_q71_topk_is_take_ordered(spark):
+    """Q10's top-20 must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort + Limit."""
+    text = plan(entry.queries()["q71_tpch_q10"](spark, SF))
+    assert "TakeOrderedAndProject" in text
+
+
+def test_repetition_is_map_only(spark):
+    """q76 quality signals: zero exchanges — a pure scan+project,
+    the only acceptable shape for a 100 TB filter pass."""
+    text = plan(entry.queries()["q76_repetition"](spark, SF))
+    assert "Exchange" not in text
+
+
+def test_stratified_sample_is_scan_predicate(spark):
+    """q77's keep-rate is a filter, not a join: exactly the exchanges
+    of the final small groupBy, and no join node at all."""
+    text = plan(entry.queries()["q77_stratified_sample"](spark, SF))
+    assert "Join" not in text
