@@ -1474,6 +1474,27 @@ def q81_quantized_ann(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("qcosine", 6).alias("qcosine"))
 
 
+def q83_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup cluster resolution: near-dup pairs (q24's exact jaccard
+    at 0.8) → connected components (hash-min propagation, one shuffle
+    per round, O(clique-diameter) rounds) → canonical-survivor
+    labeling. The step every dedup pipeline needs after pair
+    generation; oracle replicates the closure with DuckDB's recursive
+    CTE (operators/graph.py)."""
+    from block_explorer_spark.operators import graph as G
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8)
+    cl = G.dedup_clusters(pairs)
+    sizes = cl.groupBy(F.col("cluster_id").alias("__c")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cl.join(F.broadcast(sizes), cl.cluster_id == F.col("__c"))
+        .select("doc_id", "cluster_id", "is_canonical", "n_members")
+    )
+
+
 def q82_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Containment-similar pairs (Broder): |a∩b| / min(|a|,|b|) over
     3-token shingles — catches short-doc-inside-long-doc duplication
@@ -1581,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_domain_stats": q80_domain_stats,
         "q81_quantized_ann": q81_quantized_ann,
         "q82_containment": q82_containment,
+        "q83_dedup_clusters": q83_dedup_clusters,
     }
 
 
@@ -2598,5 +2620,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.62
+        """,
+        "q83_dedup_clusters": f"""
+            WITH RECURSIVE tok AS ({_TOK}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            r AS (
+              SELECT DISTINCT u AS vx, u AS reach FROM e
+              UNION
+              SELECT r.vx, e.v AS reach FROM r JOIN e ON r.reach = e.u
+            ),
+            comp AS (SELECT vx AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY vx),
+            cnt AS (SELECT cluster_id AS c2, COUNT(*) AS n_members FROM comp GROUP BY cluster_id)
+            SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM comp JOIN cnt ON cluster_id = c2
         """,
     }

@@ -1,0 +1,98 @@
+"""Connected components over pair edges — dedup cluster resolution.
+
+Near-dup detection (jaccard/LSH/simhash/containment pairs) emits
+EDGES; deduplication needs CLUSTERS: every document labeled with its
+component so one canonical survivor per cluster can be kept. This is
+the standard hash-min propagation (the MapReduce CC family, Kiveris
+et al., "Connected Components in MapReduce and Beyond", SOCC'14):
+
+  label(v) := min(label(v), min label over v's neighbors), iterate.
+
+Each iteration is ONE shuffle (join edges⋈labels + groupBy min);
+convergence in O(diameter) rounds — near-dup graphs are unions of
+small dense cliques, so diameter is tiny (2-4) regardless of corpus
+size. Lineage is cut per iteration (localCheckpoint) so the plan
+doesn't grow unbounded — the classic Spark iterative-algorithm trap.
+
+Driver involvement is one scalar count per iteration (the
+convergence check), never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """Label every vertex of the pair graph with min-id of its
+    component. Returns (id, component).
+
+    edges: two-column DataFrame of undirected pairs (any orientation;
+    symmetrized internally, self-loops dropped). Vertices are the ids
+    appearing in at least one edge — callers union in singletons if
+    they need every input row labeled (dedup doesn't: a doc with no
+    near-dup pair is its own cluster by definition).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    if use_checkpoint:
+        sym = sym.localCheckpoint(eager=True)  # edges reused every round
+
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+
+    for _ in range(max_iter):
+        # candidate label for v: min component among v's neighbors
+        neighbor_min = (
+            sym.join(labels, sym.u == labels.id)
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.col("nbr_min")).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("__changed"),
+            )
+        )
+        if use_checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster near-dup pairs and mark canonical survivors.
+
+    Output: (doc_id, cluster_id, is_canonical) for every doc that
+    appears in at least one pair; cluster_id = min doc id of the
+    component (deterministic, engine-replicable); the canonical doc
+    is the cluster id holder — the "keep smallest id" policy every
+    dedup pipeline needs some deterministic version of.
+    """
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

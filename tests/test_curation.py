@@ -232,3 +232,41 @@ def test_arrow_matches_hof_signals(spark):
         ).collect()
     }
     assert arrow == hof
+
+
+# ---------------------------------------------------------------------------
+# Connected components / dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_merges_chains(spark):
+    from block_explorer_spark.operators import graph as G
+
+    # path 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    got = {r["id"]: r["component"] for r in G.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    from block_explorer_spark.operators import graph as G
+
+    n = 12  # diameter 11: exercises the iteration loop hard
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
+    got = {r["id"]: r["component"] for r in G.connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_dedup_clusters_canonical_policy(spark):
+    from block_explorer_spark.operators import graph as G
+
+    pairs = spark.createDataFrame([(5, 9), (9, 7), (20, 30)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in G.dedup_clusters(pairs).collect()}
+    assert rows[5]["cluster_id"] == 5 and rows[5]["is_canonical"]
+    assert rows[9]["cluster_id"] == 5 and not rows[9]["is_canonical"]
+    assert rows[7]["cluster_id"] == 5
+    assert rows[20]["cluster_id"] == 20 and rows[20]["is_canonical"]
+    assert rows[30]["cluster_id"] == 20 and not rows[30]["is_canonical"]
