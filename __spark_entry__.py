@@ -1495,6 +1495,32 @@ def q83_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q84_window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit window frames: 3-row moving average, running sum
+    (ROWS UNBOUNDED PRECEDING), and a value-RANGE frame (orders
+    within $1000 below the current price). One shuffle on the
+    partition key serves all three frames — Spark evaluates sibling
+    windows over the same (partition, order) spec in a single
+    WindowExec pass."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+    w = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    wp = "PARTITION BY o_custkey ORDER BY o_totalprice"
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.expr(f"avg(o_totalprice) OVER ({w} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"),
+            6,
+        ).alias("mov_avg_3"),
+        F.round(
+            F.expr(f"sum(o_totalprice) OVER ({w} ROWS UNBOUNDED PRECEDING)"), 6
+        ).alias("run_sum"),
+        F.expr(
+            f"count(*) OVER ({wp} RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+        ).alias("n_similar_price"),
+    )
+
+
 def q82_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Containment-similar pairs (Broder): |a∩b| / min(|a|,|b|) over
     3-token shingles — catches short-doc-inside-long-doc duplication
@@ -1603,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_quantized_ann": q81_quantized_ann,
         "q82_containment": q82_containment,
         "q83_dedup_clusters": q83_dedup_clusters,
+        "q84_window_frames": q84_window_frames,
     }
 
 
@@ -2650,5 +2677,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
                    CAST(n_members AS BIGINT) AS n_members
             FROM comp JOIN cnt ON cluster_id = c2
+        """,
+        "q84_window_frames": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_3,
+                   ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING), 6) AS run_sum,
+                   COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                         RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar_price
+            FROM orders
+            WHERE o_custkey < 50
         """,
     }
