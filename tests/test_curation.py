@@ -270,3 +270,20 @@ def test_dedup_clusters_canonical_policy(spark):
     assert rows[7]["cluster_id"] == 5
     assert rows[20]["cluster_id"] == 20 and rows[20]["is_canonical"]
     assert rows[30]["cluster_id"] == 20 and not rows[30]["is_canonical"]
+
+
+def test_quantized_topk_arrow_matches_column_form(spark):
+    """The numpy scoring path and the column-expression form produce
+    identical (id, qcosine) — exact integer dot products leave no
+    float-order slack."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    query = rows[0][1]
+    a = [(r["vec_id"], r["qcosine"]) for r in
+         Sim.quantized_topk(df, "v", query, k=20, use_arrow=True).collect()]
+    b = [(r["vec_id"], r["qcosine"]) for r in
+         Sim.quantized_topk(df, "v", query, k=20, use_arrow=False).collect()]
+    assert a == b
