@@ -145,3 +145,103 @@ def test_chain_sort_multiple_objects_independent(n1, n2):
     b = [r["reference"] for r in got if r["object_reference"] == b"\x0b"]
     assert a == [r["reference"] for r in _chain(n1, obj=b"\x0a")]
     assert b == [r["reference"] for r in _chain(n2, obj=b"\x0b", seed=1)]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operators: connected components, containment, quantization
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference implementation: min-id component per vertex."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    from block_explorer_spark.operators import graph as G
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["id"]: r["component"] for r in G.connected_components(df).collect()}
+    assert got == _union_find_components(edges)
+
+
+@given(st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=20, deadline=None)
+def test_containment_dominates_jaccard(spark, seed):
+    """For any corpus, containment(a,b) >= jaccard(a,b) on every
+    co-shingled pair (min(|a|,|b|) <= |a|+|b|-inter)."""
+    import random
+
+    from block_explorer_spark.functions import text as Tx
+    from block_explorer_spark.operators import dedup as D
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15))))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = Tx.word_ngrams("text", 2)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(df, "doc_id", sh, threshold=0.0).collect()
+    }
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.containment_pairs(df, "doc_id", sh, threshold=0.0).collect()
+    }
+    assert set(jac) == set(cont)
+    for k in jac:
+        assert cont[k] >= jac[k] - 1e-12
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_quantize_int8_error_bound(spark, vecs):
+    """Codes stay in [-127, 127] and reconstruction error per element
+    is <= 0.5/scale (the half-step bound of round-half-up)."""
+    from block_explorer_spark.operators import similarity as Sim
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    for r in Sim.quantize_int8(df, "v").collect():
+        scale, codes, orig = r["q_scale"], r["q_vec"], r["v"]
+        assert all(-127 <= c <= 127 for c in codes)
+        if scale == 0.0:
+            assert all(c == 0 for c in codes)
+            continue
+        for c, x in zip(codes, orig):
+            assert abs(c / scale - x) <= 0.5 / scale + 1e-9
