@@ -113,3 +113,78 @@ def test_upsert_cross_bucket_key_redelivery(spark, base):
     assert out.count() == n0  # no duplicate PK
     got = out.filter(F.col("reference") == moved["reference"]).collect()
     assert len(got) == 1 and got[0].pulse_number == moved["pulse_number"]
+
+
+def _drop_row(pn: int, jet: str, n_recs: int) -> dict:
+    return {
+        "pulse_number": pn,
+        "jet_id": jet,
+        "first_prev_hash": b"p1",
+        "second_prev_hash": b"p2",
+        "hash": jet.encode(),
+        "raw_data": b"r",
+        "timestamp": pn,
+        "record_amount": n_recs,
+    }
+
+
+def _rec_row(pn: int, jet: str, i: int) -> dict:
+    return {
+        "reference": f"{jet}-{i}".encode(),
+        "type": "state",
+        "object_reference": b"obj",
+        "prototype_reference": b"proto",
+        "payload": b"",
+        "prev_record_reference": None,
+        "hash": b"h",
+        "raw_data": b"r",
+        "jet_id": jet,
+        "pulse_number": pn,
+        "order": i,
+        "timestamp": pn,
+    }
+
+
+def test_interleaved_same_pulse_saves_and_counters(spark, base):
+    """reference: etl/storage/storage_test.go:99-155
+    (SaveJetDropData_ConcurrentCalls) — three independent saves into
+    ONE pulse (two drops with 2 records each, one drop with none).
+    The reference proves transactional counter bumps race-free; here
+    the MERGE keys are disjoint so save order is immaterial, and the
+    derived counters land on exactly (3 drops, 4 records)."""
+    pn = 4_000_010
+    pulses = gen.make_pulses(start=pn, count=1, complete=False, sequential=False)
+    pq.save_pulse(spark, base, spark.createDataFrame(pulses, schemas.PULSES))
+
+    batches = [
+        ([_drop_row(pn, "00", 2)], [_rec_row(pn, "00", 0), _rec_row(pn, "00", 1)]),
+        ([_drop_row(pn, "01", 2)], [_rec_row(pn, "01", 0), _rec_row(pn, "01", 1)]),
+        ([_drop_row(pn, "10", 0)], []),  # a drop with no records is valid
+    ]
+    for drops, recs in batches:
+        pq.save_jet_drop_data(
+            spark,
+            base,
+            spark.createDataFrame(drops, schemas.JET_DROPS),
+            spark.createDataFrame(recs, schemas.RECORDS),
+        )
+    pq.refresh_pulse_counters(spark, base)
+    row = pq.read_table(spark, base, "pulses").collect()[0]
+    assert (row.jet_drop_amount, row.record_amount) == (3, 4)
+    assert pq.read_table(spark, base, "jet_drops").count() == 3
+    assert pq.read_table(spark, base, "records").count() == 4
+
+
+def test_save_pulse_replayed_20x_single_row(spark, base):
+    """reference: etl/storage/storage_test.go:611-661
+    (SavePulse_Concurrency) — 20 saves of the same pulse leave
+    exactly one unchanged row (PK-keyed MERGE idempotence standing in
+    for the reference's ON CONFLICT txn)."""
+    pulses = gen.make_pulses(start=4_000_020, count=1, complete=False, sequential=False)
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    for _ in range(20):
+        pq.save_pulse(spark, base, df)
+    out = pq.read_table(spark, base, "pulses").collect()
+    assert len(out) == 1
+    got = out[0].asDict()
+    assert {k: got[k] for k in pulses[0]} == pulses[0]
