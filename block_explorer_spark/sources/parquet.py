@@ -30,6 +30,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors.exceptions.captured import AnalysisException
 
 from block_explorer_spark import schemas
 
@@ -82,7 +83,15 @@ def read_table(
     """
     path = table_path(base, name)
     cols = [f.name for f in TABLE_SCHEMAS[name].fields]
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        # Table not materialized yet (e.g. every drop of the first
+        # batch failed validation, or a fresh warehouse): an absent
+        # table IS an empty table — schemas are pinned, so serve the
+        # typed empty relation instead of failing the read. The
+        # reference gets this for free from CREATE TABLE migrations.
+        return spark.createDataFrame([], TABLE_SCHEMAS[name])
     if pulse_gte is not None:
         df = df.filter(
             (F.col("pulse_bucket") >= pulse_gte // PULSE_BUCKET_SIZE)
@@ -140,6 +149,15 @@ def upsert(
     batch = with_bucket(batch.dropDuplicates(keys))
 
     if not os.path.exists(path):
+        batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
+        return
+
+    try:
+        # Schema probe: a directory that exists but holds no parquet
+        # (an earlier batch wrote 0 rows — e.g. every drop failed
+        # validation) is an empty table; append is the whole merge.
+        spark.read.parquet(path).schema
+    except AnalysisException:
         batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
         return
 

@@ -160,3 +160,84 @@ def test_broken_chain_drop_excluded(spark, tmp_path):
     P.run_control_pass(spark, base)
     pulses = {r.pulse_number: r for r in pq.read_table(spark, base, "pulses").collect()}
     assert not pulses[PN1].is_complete
+
+
+def test_removed_states_between_pulses(spark, tmp_path):
+    """reference: test/api/object_lifeline_test.go:116-156 (C5000) —
+    chains sliced at pulse boundaries (tail records missing at the end
+    of one pulse, head records missing at the start of the next) still
+    ingest, and the lifeline serves every delivered record."""
+    base = str(tmp_path / "tables")
+    obj = b"\x55" * 8
+    refs = [bytes([0x60 + i]) for i in range(15)]
+    rows = []
+    # full linked chain of 15 amends split 5/5/5 over three pulses,
+    # then deliver only [0:3], [7:10], [10:13] (prefix / suffix / prefix)
+    prev = None
+    all_rows = []
+    for i, ref in enumerate(refs):
+        pn = (PN1, PN2, 4_000_030)[i // 5]
+        all_rows.append(
+            _rec(ref, "activate" if i == 0 else "amend", pn, "0", i % 5, obj=obj, prev=prev)
+        )
+        prev = ref
+    delivered = all_rows[0:3] + all_rows[7:10] + all_rows[10:13]
+    raw = spark.createDataFrame(delivered, schemas.RAW_RECORDS)
+    P.ingest_batch(spark, base, raw)
+    records = pq.read_table(spark, base, "records")
+    page, total = Q.get_lifeline(records, obj, limit=100)
+    assert total == len(delivered)
+    keys = [(r.pulse_number, r.order) for r in page.collect()]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_receive_new_object_states_incremental(spark, tmp_path):
+    """reference: test/api/object_lifeline_test.go:225-256 (C5082) —
+    the lifeline grows as later pulses arrive in separate batches."""
+    base = str(tmp_path / "tables")
+    obj = b"\x66" * 8
+    prev = None
+    batches = []
+    for b in range(5):
+        pn = 4_000_010 + 10 * b
+        rows = []
+        for i in range(2):
+            ref = bytes([0x70 + 2 * b + i])
+            rows.append(
+                _rec(ref, "activate" if (b == 0 and i == 0) else "amend", pn, "0", i, obj=obj, prev=prev)
+            )
+            prev = ref
+        batches.append(rows)
+    for rows in batches[:3]:
+        P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    _, total = Q.get_lifeline(pq.read_table(spark, base, "records"), obj, limit=100)
+    assert total == 6
+    for rows in batches[3:]:
+        P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    page, total = Q.get_lifeline(pq.read_table(spark, base, "records"), obj, limit=100)
+    assert total == 10
+    keys = [(r.pulse_number, r.order) for r in page.collect()]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_fill_missed_states_reload(spark, tmp_path):
+    """reference: test/api/object_lifeline_test.go:258-296 (C5083) —
+    a within-pulse gap (missing middle state) makes the drop
+    unbuildable (two fragments = broken chain -> drop fails), and the
+    D6 reload with the complete batch heals it idempotently."""
+    base = str(tmp_path / "tables")
+    obj = b"\x77" * 8
+    refs = [bytes([0x80 + i]) for i in range(5)]
+    prev = None
+    full = []
+    for i, ref in enumerate(refs):
+        full.append(_rec(ref, "activate" if i == 0 else "amend", PN1, "0", i, obj=obj, prev=prev))
+        prev = ref
+    gappy = full[:2] + full[3:]  # record 2 missing -> two fragments
+    P.ingest_batch(spark, base, spark.createDataFrame(gappy, schemas.RAW_RECORDS))
+    assert pq.read_table(spark, base, "records").count() == 0  # drop failed whole
+    # reload: the full batch re-delivers (reference re-pulls the pulse)
+    P.ingest_batch(spark, base, spark.createDataFrame(full, schemas.RAW_RECORDS))
+    page, total = Q.get_lifeline(pq.read_table(spark, base, "records"), obj, limit=100)
+    assert total == 5
+    assert [r.order for r in page.collect()] == [5, 4, 3, 2, 1]  # order is 1-based
