@@ -1521,6 +1521,32 @@ def q84_window_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q85_approx_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate aggregates under an accuracy contract: HLL++
+    distinct counts and t-digest-style percentile sketches vs their
+    exact counterparts, emitted as within-tolerance booleans. The
+    oracle pins the booleans (and the exact values), so a sketch
+    drifting past its error bound FAILS the gate — the way to make
+    approximate operators gate-checkable without pretending the
+    sketch value itself is portable. At 100 TB the approx forms are
+    the only viable interactive path (no exact distinct shuffle; one
+    pass, mergeable partials)."""
+    ev = _t(spark, sf, "events")
+    exact_d = F.countDistinct("user_id")
+    approx_d = F.approx_count_distinct("user_id", 0.02)
+    exact_p50 = F.expr("percentile(value, 0.5D)")
+    approx_p50 = F.expr("approx_percentile(value, 0.5D, 10000)")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_d.alias("exact_users"),
+        (F.abs(approx_d - exact_d) / exact_d <= 0.05).alias("hll_within_5pct"),
+        F.round(exact_p50, 6).alias("exact_p50"),
+        (F.abs(approx_p50 - exact_p50) / F.abs(exact_p50) <= 0.05).alias(
+            "p50_within_5pct"
+        ),
+    )
+
+
 def q82_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Containment-similar pairs (Broder): |a∩b| / min(|a|,|b|) over
     3-token shingles — catches short-doc-inside-long-doc duplication
@@ -1630,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_containment": q82_containment,
         "q83_dedup_clusters": q83_dedup_clusters,
         "q84_window_frames": q84_window_frames,
+        "q85_approx_contract": q85_approx_contract,
     }
 
 
@@ -2690,5 +2717,18 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar_price
             FROM orders
             WHERE o_custkey < 50
+        """,
+        # The sketch VALUES aren't engine-portable; the CONTRACT is:
+        # exact aggregates + within-tolerance booleans. A sketch
+        # drifting past its bound flips a boolean and fails the hash.
+        "q85_approx_contract": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS hll_within_5pct,
+                   ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   TRUE AS p50_within_5pct
+            FROM events
+            GROUP BY event_type
         """,
     }
