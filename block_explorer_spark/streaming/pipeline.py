@@ -74,8 +74,16 @@ def pulses_from_raw(raw: DataFrame) -> DataFrame:
 
 
 def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
-    """One micro-batch: transform + persist (idempotent, replay-safe)."""
-    raw = raw.cache()
+    """One micro-batch: transform + persist (idempotent, replay-safe).
+
+    Raw records dedup by reference FIRST: an at-least-once source can
+    deliver the same record twice within one batch (the reference's
+    importer stream does — db_integration_test.go:106-211, C5498),
+    and a duplicate entering the chain sort would read as a fork and
+    wrongly fail the whole drop. Upsert's PK merge only covers
+    cross-batch replays; in-batch dedup has to happen pre-transform.
+    """
+    raw = raw.dropDuplicates(["reference"]).cache()
     records = None
     try:
         records = Tr.transform_pulse_data(raw).cache()

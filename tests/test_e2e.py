@@ -241,3 +241,56 @@ def test_fill_missed_states_reload(spark, tmp_path):
     page, total = Q.get_lifeline(pq.read_table(spark, base, "records"), obj, limit=100)
     assert total == 5
     assert [r.order for r in page.collect()] == [5, 4, 3, 2, 1]  # order is 1-based
+
+
+def test_duplicate_records_in_batch_saved_once(spark, tmp_path):
+    """reference: test/integration/db_integration_test.go:106-211
+    (C5498) — the same records delivered twice (at-least-once source)
+    land exactly once; derived counters count unique rows."""
+    base = str(tmp_path / "tables")
+    obj = b"\x88" * 8
+    rows, prev = [], None
+    for i, ref in enumerate([b"\x90", b"\x91", b"\x92"]):
+        rows.append(_rec(ref, "activate" if i == 0 else "amend", PN1, "0", i, obj=obj, prev=prev))
+        prev = ref
+    raw = spark.createDataFrame(rows + rows, schemas.RAW_RECORDS)  # each twice
+    P.ingest_batch(spark, base, raw)
+    assert pq.read_table(spark, base, "records").count() == 3
+    P.run_control_pass(spark, base)
+    pq.refresh_pulse_counters(spark, base)
+    row = pq.read_table(spark, base, "pulses").filter(F.col("pulse_number") == PN1).collect()[0]
+    assert (row.jet_drop_amount, row.record_amount) == (1, 3)
+
+
+def test_reload_updates_pulse_links_and_drop_hashes(spark, tmp_path):
+    """reference: test/integration/db_integration_test.go:312-388
+    (C5649) — re-delivering a pulse with corrected metadata (real
+    prev link, new jet-drop hashes) UPDATES the stored rows through
+    the MERGE while counters stay correct."""
+    base = str(tmp_path / "tables")
+    obj = b"\x99" * 8
+    rows, prev = [], None
+    for i, ref in enumerate([b"\xa0", b"\xa1"]):
+        rows.append(_rec(ref, "activate" if i == 0 else "amend", PN1, "0", i, obj=obj, prev=prev))
+        prev = ref
+    P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    before = pq.read_table(spark, base, "pulses").collect()[0]
+    assert before.prev_pulse_number == PN1 - 10  # nominal fallback link
+
+    # reload: same records, now carrying the REAL prev link (irregular
+    # cadence) and different raw payloads -> new drop hash
+    updated = []
+    for r in rows:
+        r2 = dict(r)
+        r2["prev_pulse_number"] = 100_000_000
+        r2["raw_data"] = b"reloaded"
+        updated.append(r2)
+    P.ingest_batch(spark, base, spark.createDataFrame(updated, schemas.RAW_RECORDS))
+
+    pulses = pq.read_table(spark, base, "pulses").collect()
+    assert len(pulses) == 1
+    assert pulses[0].prev_pulse_number == 100_000_000  # updated, not duplicated
+    pq.refresh_pulse_counters(spark, base)
+    row = pq.read_table(spark, base, "pulses").collect()[0]
+    assert (row.jet_drop_amount, row.record_amount) == (1, 2)
+    assert pq.read_table(spark, base, "records").count() == 2
