@@ -75,21 +75,12 @@ def test_blas_pairs_single_exchange(spark):
 
 
 def test_no_cartesian_products(spark):
-    """No query plans a CartesianProduct; nested-loop broadcast is
-    allowed only for the deliberate 1-row scalar-subquery join."""
-    allowed_nested_loop = {"q50_scalar_subquery"}
-    sample = [
-        "q01_keyset_page", "q03_chain_repair", "q07_counters",
-        "q11_exporter_join", "q13_sessionize", "q16_tpch_q1",
-        "q17_tpch_q3", "q18_tpch_q5", "q20_dedup_exact", "q24_word_jaccard",
-        "q27_ann_brute", "q36_asof_join", "q40_range_join",
-        "q46_cube", "q47_pivot", "q48_gapfill", "q49_exists",
-        "q50_scalar_subquery", "q51_promo_share", "q52_topk_per_group",
-        "q53_returned_revenue",
-    ]
-    queries = entry.queries()
-    for name in sample:
-        text = plan(queries[name](spark, SF))
+    """EVERY gate query: no CartesianProduct anywhere; nested-loop
+    broadcast allowed only in the deliberate 1-row scalar-subquery
+    joins (the decorrelated threshold/average broadcasts)."""
+    allowed_nested_loop = {"q50_scalar_subquery", "q72_tpch_q11", "q75_tpch_q22"}
+    for name, fn in entry.queries().items():
+        text = plan(fn(spark, SF))
         assert "CartesianProduct" not in text, name
         if name not in allowed_nested_loop:
             assert "BroadcastNestedLoopJoin" not in text, name
