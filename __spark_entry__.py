@@ -1521,6 +1521,58 @@ def q84_window_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q86_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship curation chain — the full pre-training corpus
+    pipeline as ONE composed Spark plan (C4/Gopher/RefinedWeb shape):
+
+      quality gates (length + repetition, map-only)
+      → exact near-dup removal (bag-of-words fingerprint, one
+        hash shuffle, min-id survivor)
+      → deterministic per-language downsampling (md5-bucket scan
+        predicate)
+      → deterministic train/val/test split (md5-bucket)
+      → per (split, lang) accounting.
+
+    Every stage is an operator certified on its own gate query
+    (q23/q76, q20, q77, q55); this one certifies their COMPOSITION —
+    the oracle runs the same chain as SQL CTEs, so stage ordering
+    and filter interactions are pinned cross-engine too. Plan shape:
+    two shuffles total (dedup groupBy, final aggregate) — everything
+    else stays on the scan."""
+    docs = _t(spark, sf, "documents")
+    ntok = Tx.token_count("text")
+    kept = docs.filter((ntok >= 20) & (Tx.duplicate_ngram_fraction("text", 1) <= 0.3))
+    with_fp = kept.select(
+        "doc_id", "lang", ntok.alias("ntok"), Tx.word_set_fingerprint("text").alias("fp")
+    )
+    winners = with_fp.groupBy(F.col("fp").alias("w_fp")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    canon = with_fp.join(
+        winners,
+        (with_fp.fp == winners.w_fp) & (with_fp.doc_id == winners.keep_id),
+        "left_semi",
+    )
+    from block_explorer_spark.operators import sampling as Smp
+
+    sampled = Smp.stratified_sample(
+        canon, "lang", "doc_id", rates={"en": 50, "de": 100, "es": 100, "fr": 100, "zh": 50}
+    )
+    bucket = Smp.hash_bucket("doc_id", 10)
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    ).alias("split")
+    return (
+        sampled.select(split, "lang", "ntok", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
 def q85_approx_contract(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate aggregates under an accuracy contract: HLL++
     distinct counts and t-digest-style percentile sketches vs their
@@ -1657,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_dedup_clusters": q83_dedup_clusters,
         "q84_window_frames": q84_window_frames,
         "q85_approx_contract": q85_approx_contract,
+        "q86_corpus_pipeline": q86_corpus_pipeline,
     }
 
 
@@ -2730,5 +2783,42 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS p50_within_5pct
             FROM events
             GROUP BY event_type
+        """,
+        "q86_corpus_pipeline": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, text,
+                       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ntok,
+                       1.0 - len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                           / CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS dupfrac
+                FROM documents
+            ),
+            kept AS (SELECT * FROM toks WHERE ntok >= 20 AND dupfrac <= 0.3),
+            fpd AS (
+                SELECT doc_id, lang, ntok,
+                       md5(array_to_string({_WORDSET}, ' ')) AS fp
+                FROM kept
+            ),
+            winners AS (SELECT fp, MIN(doc_id) AS keep_id FROM fpd GROUP BY fp),
+            canon AS (
+                SELECT fpd.* FROM fpd JOIN winners
+                ON fpd.fp = winners.fp AND fpd.doc_id = winners.keep_id
+            ),
+            sampled AS (
+                SELECT * FROM canon
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+                      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 WHEN 'es' THEN 100
+                                  WHEN 'fr' THEN 100 WHEN 'zh' THEN 50 ELSE 0 END
+            )
+            SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+                   lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM (
+                SELECT lang, ntok, doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 AS b
+                FROM sampled
+            )
+            GROUP BY split, lang
         """,
     }

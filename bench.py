@@ -109,6 +109,7 @@ HEADLINE = [
     "q70_tpch_q9",
     "q76_repetition",
     "q81_quantized_ann",
+    "q86_corpus_pipeline",
 ]
 
 
