@@ -234,17 +234,24 @@ def interval_join_stream(
     upper: str = "INTERVAL 10 MINUTES",
     left_watermark: str = "10 minutes",
     right_watermark: str = "20 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition
-    (right event within [left_ts - upper... precisely: left_ts <=
-    right_ts <= left_ts + upper], the attribution-join shape:
-    click → purchase within N minutes).
+    """Stream-stream join with an event-time interval condition
+    (right event within [left_ts, left_ts + upper], the
+    attribution-join shape: click → purchase within N minutes).
 
     Both sides carry watermarks and the join condition bounds event
     time in BOTH directions, which is what lets Spark compute the
     state-eviction horizon for each side (unbounded state otherwise).
     At scale the join shuffles both streams on the key once; state per
     key is bounded by the interval width.
+
+    how='left_outer': unmatched left rows emit null-padded — but only
+    once the watermark passes their join window (Spark must prove no
+    future right row can match before it can emit the negative);
+    until then they sit in state. This is the "clicks that never
+    converted" shape, and the emission delay is the price of
+    correctness on an unbounded stream.
     """
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
@@ -253,7 +260,7 @@ def interval_join_stream(
         & (rw[right_ts] >= lw[left_ts] + F.expr(lower))
         & (rw[right_ts] <= lw[left_ts] + F.expr(upper))
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def dedup_stream(

@@ -138,3 +138,57 @@ def test_dedup_stream_replayed_batch(spark, tmp_path):
         assert got == [1, 2, 3]  # replay suppressed, new event kept
     finally:
         q.stop()
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Unmatched clicks emit null-padded ONLY after the watermark
+    proves no future purchase can match (the 'never converted'
+    attribution shape)."""
+    clicks_p, buys_p = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    ckpt = str(tmp_path / "ckpt")
+    C = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("l_ts", T.TimestampType())]
+    )
+    B = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("r_ts", T.TimestampType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    # user 1 converts; user 2 never does
+    spark.createDataFrame([(1, _ts(0)), (2, _ts(0))], C).coalesce(1).write.mode(
+        "append"
+    ).parquet(clicks_p)
+    spark.createDataFrame([(1, _ts(5), 10.0)], B).coalesce(1).write.mode("append").parquet(buys_p)
+
+    clicks = spark.readStream.schema(C).parquet(clicks_p)
+    buys = spark.readStream.schema(B).parquet(buys_p)
+    joined = S.interval_join_stream(clicks, buys, "user_id", how="left_outer")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_outer")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["user_id"]: r["amount"] for r in spark.sql("SELECT * FROM attrib_outer").collect()}
+        assert got.get(1) == 10.0  # matched pair emits promptly
+        assert 2 not in got  # negative can't emit yet: future match still possible
+
+        # push both watermarks far past user 2's join window
+        time.sleep(1.1)
+        spark.createDataFrame([(9, dt.datetime(2024, 1, 1, 14, 0))], C).coalesce(1).write.mode(
+            "append"
+        ).parquet(clicks_p)
+        spark.createDataFrame(
+            [(9, dt.datetime(2024, 1, 1, 14, 1), 1.0)], B
+        ).coalesce(1).write.mode("append").parquet(buys_p)
+        q.processAllAvailable()
+        q.processAllAvailable()  # state-cleanup emission lands a batch later
+        got = {r["user_id"]: r["amount"] for r in spark.sql("SELECT * FROM attrib_outer").collect()}
+        assert got.get(2, "missing") is None  # null-padded negative emitted
+    finally:
+        q.stop()
