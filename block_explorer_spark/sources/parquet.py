@@ -294,3 +294,110 @@ def refresh_pulse_counters(spark: SparkSession, base: str) -> None:
         .select(*[f.name for f in schemas.PULSES.fields])
     )
     upsert(spark, base, "pulses", updated)
+
+
+def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
+    """Targeted delete: remove rows matching `predicate`, rewriting
+    ONLY the buckets that contain matches. Returns rows deleted.
+
+    The retention / right-to-be-forgotten sweep a long-lived corpus
+    warehouse needs: at 100 TB a delete must not touch the 99.9% of
+    bucket directories with no matching rows. Same staging discipline
+    as upsert (idempotent-but-not-atomic: replaying the same delete
+    is a no-op); a bucket whose every row matches is removed outright.
+    """
+    path = table_path(base, name)
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return 0
+    hit_buckets = [
+        r.pulse_bucket
+        for r in df.filter(predicate).select("pulse_bucket").distinct().collect()
+    ]
+    if not hit_buckets:
+        return 0
+    touched = df.filter(F.col("pulse_bucket").isin(hit_buckets))
+    kept = touched.filter(~predicate)
+    n_deleted = touched.count() - kept.count()
+
+    staging = os.path.join(base, f".staging-{name}-{uuid.uuid4().hex}")
+    try:
+        kept.write.partitionBy("pulse_bucket").mode("overwrite").parquet(staging)
+        try:
+            staged = spark.read.parquet(staging)
+            written = {
+                r.pulse_bucket for r in staged.select("pulse_bucket").distinct().collect()
+            }
+            (
+                staged.write.partitionBy("pulse_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        except AnalysisException:
+            written = set()  # every row of every hit bucket deleted
+        for b in set(hit_buckets) - written:
+            shutil.rmtree(os.path.join(path, f"pulse_bucket={b}"), ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_deleted
+
+
+def _bucket_files(path: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(path):
+        return out
+    for entry in os.listdir(path):
+        if entry.startswith("pulse_bucket="):
+            d = os.path.join(path, entry)
+            out[entry] = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith(".")
+            )
+    return out
+
+
+def compact_table(
+    spark: SparkSession, base: str, name: str, max_files_per_bucket: int = 4
+) -> dict:
+    """Compact bucket directories that accumulated more than
+    `max_files_per_bucket` part-files (per-micro-batch appends — the
+    O(batch) upsert fast path — leave one file per batch; a day of
+    10 s batches is ~8600 files per hot bucket, and file-open overhead
+    then dominates scans). Rewrites ONLY the offending buckets, one
+    task (= one output file) per bucket via repartition on the bucket
+    column. Returns {buckets_compacted, files_before, files_after}.
+    """
+    path = table_path(base, name)
+    per_bucket = _bucket_files(path)
+    needy = {d: fs for d, fs in per_bucket.items() if len(fs) > max_files_per_bucket}
+    if not needy:
+        return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+    bucket_ids = [int(d.split("=", 1)[1]) for d in needy]
+    files_before = sum(len(fs) for fs in needy.values())
+
+    df = spark.read.parquet(path).filter(F.col("pulse_bucket").isin(bucket_ids))
+    staging = os.path.join(base, f".staging-{name}-{uuid.uuid4().hex}")
+    try:
+        (
+            df.repartition("pulse_bucket")
+            .write.partitionBy("pulse_bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        staged = spark.read.parquet(staging)
+        (
+            staged.write.partitionBy("pulse_bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    after = _bucket_files(path)
+    files_after = sum(len(after.get(d, [])) for d in needy)
+    return {
+        "buckets_compacted": len(needy),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -188,3 +188,67 @@ def test_save_pulse_replayed_20x_single_row(spark, base):
     assert len(out) == 1
     got = out[0].asDict()
     assert {k: got[k] for k in pulses[0]} == pulses[0]
+
+
+def test_delete_where_touches_only_matching_buckets(spark, base):
+    """Retention sweep: rows deleted only where the predicate hits;
+    bucket directories with no matches keep their exact files."""
+    import os
+
+    # two buckets: pulses 500 (bucket 0) and 1500 (bucket 1)
+    rows = [_rec_row(500, "0", i) for i in range(4)] + [
+        _rec_row(1500, "1", i) for i in range(3)
+    ]
+    # distinct references across pulses
+    for i, r in enumerate(rows):
+        r["reference"] = bytes([0xB0 + i])
+    pq.upsert(spark, base, "records", spark.createDataFrame(rows, schemas.RECORDS))
+
+    bucket1 = os.path.join(pq.table_path(base, "records"), "pulse_bucket=1")
+    files_before = sorted(os.listdir(bucket1))
+
+    n = pq.delete_where(
+        spark, base, "records", (F.col("pulse_number") == 500) & (F.col("order") >= 2)
+    )
+    assert n == 2
+    left = pq.read_table(spark, base, "records")
+    assert left.filter(F.col("pulse_number") == 500).count() == 2
+    assert left.filter(F.col("pulse_number") == 1500).count() == 3
+    assert sorted(os.listdir(bucket1)) == files_before  # untouched bucket intact
+
+    # deleting everything in a bucket removes its directory
+    n = pq.delete_where(spark, base, "records", F.col("pulse_number") == 1500)
+    assert n == 3
+    assert not os.path.exists(bucket1)
+    # idempotent: re-running deletes nothing
+    assert pq.delete_where(spark, base, "records", F.col("pulse_number") == 1500) == 0
+
+
+def test_compact_table_reduces_files_keeps_rows(spark, base):
+    """Many small per-batch appends -> one file per bucket after
+    compaction; row set identical."""
+    for batch in range(6):
+        rows = [_rec_row(500, "0", batch * 10 + i) for i in range(3)]
+        for i, r in enumerate(rows):
+            r["reference"] = bytes([0xC0 + batch * 3 + i])
+        pq.upsert(spark, base, "records", spark.createDataFrame(rows, schemas.RECORDS))
+
+    before = pq._bucket_files(pq.table_path(base, "records"))["pulse_bucket=0"]
+    assert len(before) >= 6  # each append fast-path left a file
+    rows_before = sorted(
+        r.reference for r in pq.read_table(spark, base, "records").collect()
+    )
+
+    stats = pq.compact_table(spark, base, "records", max_files_per_bucket=2)
+    assert stats["buckets_compacted"] == 1
+    assert stats["files_after"] < stats["files_before"]
+    after = pq._bucket_files(pq.table_path(base, "records"))["pulse_bucket=0"]
+    assert len(after) <= 2
+    rows_after = sorted(
+        r.reference for r in pq.read_table(spark, base, "records").collect()
+    )
+    assert rows_after == rows_before
+    # under threshold now: second compaction is a no-op
+    assert pq.compact_table(spark, base, "records", max_files_per_bucket=2)[
+        "buckets_compacted"
+    ] == 0
