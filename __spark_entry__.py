@@ -1573,6 +1573,17 @@ def q86_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q87_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style one-pass table profile (operators/profile.py):
+    per-column null/distinct/min/max for the documents table in a
+    single scan + 1-row aggregate — the pipeline-health primitive run
+    before/after every curation stage."""
+    from block_explorer_spark.operators import profile as Pr
+
+    docs = _t(spark, sf, "documents")
+    return Pr.profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 def q85_approx_contract(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate aggregates under an accuracy contract: HLL++
     distinct counts and t-digest-style percentile sketches vs their
@@ -1710,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_window_frames": q84_window_frames,
         "q85_approx_contract": q85_approx_contract,
         "q86_corpus_pipeline": q86_corpus_pipeline,
+        "q87_table_profile": q87_table_profile,
     }
 
 
@@ -2820,5 +2832,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM sampled
             )
             GROUP BY split, lang
+        """,
+        "q87_table_profile": """
+            SELECT 'doc_id' AS "column",
+                   CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_repr,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_repr
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+                   CAST(COUNT(DISTINCT lang) AS BIGINT),
+                   MIN(lang), MAX(lang) FROM documents
+            UNION ALL
+            SELECT 'source', CAST(COUNT(*) - COUNT(source) AS BIGINT),
+                   CAST(COUNT(DISTINCT source) AS BIGINT),
+                   MIN(source), MAX(source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+                   CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+                   CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+            FROM documents
         """,
     }

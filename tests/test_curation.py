@@ -287,3 +287,23 @@ def test_quantized_topk_arrow_matches_column_form(spark):
     b = [(r["vec_id"], r["qcosine"]) for r in
          Sim.quantized_topk(df, "v", query, k=20, use_arrow=False).collect()]
     assert a == b
+
+
+def test_profile_single_pass_and_values(spark):
+    """The profile is ONE aggregate job (no per-column scans) and the
+    stats are right, incl. null counting."""
+    from block_explorer_spark.operators import profile as Pr
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, 7.0), (4, "b", None)],
+        ["id", "s", "v"],
+    )
+    rows = {r["column"]: r for r in Pr.profile(df).collect()}
+    assert rows["id"]["n_null"] == 0 and rows["id"]["n_distinct"] == 4
+    assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["v"]["n_null"] == 2 and rows["v"]["min_repr"] == "5.0"
+    assert rows["s"]["min_repr"] == "a" and rows["s"]["max_repr"] == "b"
+    # single scan: exactly one parquet/scan-free aggregate — the plan
+    # contains one HashAggregate pair chain, no unions of scans
+    plan = Pr.profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
