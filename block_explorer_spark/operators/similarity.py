@@ -455,3 +455,49 @@ def quantized_topk(
         .alias("qcosine"),
     )
     return scored.orderBy(F.col("qcosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _probe_cells(query: list[float], centroids: list[list[float]], n_probe: int) -> list[int]:
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(query, centroids[i])),
+    )
+    return ranked[:n_probe]
+
+
+def write_ivf_index(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], path: str
+) -> None:
+    """Materialize the IVF index: assign centroid cells and write the
+    table PARTITIONED BY centroid_id. This is what turns n_probe into
+    directory-level partition pruning — a probe lists n_probe cell
+    directories out of n_centroids and never touches the rest (the
+    FAISS inverted-list layout, expressed as parquet partitioning).
+    One-time build cost: the assignment map + one shuffle-free write
+    (repartition on the cell keeps one file per cell per task wave)."""
+    assigned = ivf_assign(df, vec_col, centroids)
+    (
+        assigned.repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the persisted IVF index: read ONLY the probe cells'
+    partitions (pruned at directory level — pinned by
+    test_curation::test_ivf_index_partition_pruning), exact cosine +
+    top-k over those cells."""
+    probes = _probe_cells(query, centroids, n_probe)
+    cells = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
+    return brute_force_topk(cells, vec_col, query, k, id_col)

@@ -307,3 +307,26 @@ def test_profile_single_pass_and_values(spark):
     # contains one HashAggregate pair chain, no unions of scans
     plan = Pr.profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index turns n_probe into directory-level
+    PartitionFilters, and probing all cells reproduces brute force."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = Sim.seeded_centroids(8, 4, seed=9, scale=0.5)
+    path = str(tmp_path / "ivf")
+    Sim.write_ivf_index(df, "embedding", cents, path)
+
+    query = rows[0][1]
+    probed = Sim.ivf_probe_topk(spark, path, query, cents, k=5, n_probe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    # n_probe = all cells == exact brute force over the whole table
+    full = Sim.ivf_probe_topk(spark, path, query, cents, k=5, n_probe=4)
+    exact = Sim.brute_force_topk(df, "embedding", query, k=5)
+    assert [r["vec_id"] for r in full.collect()] == [r["vec_id"] for r in exact.collect()]
