@@ -1599,14 +1599,21 @@ def q85_approx_contract(spark: SparkSession, sf: str) -> DataFrame:
     approx_d = F.approx_count_distinct("user_id", 0.02)
     exact_p50 = F.expr("percentile(value, 0.5D)")
     approx_p50 = F.expr("approx_percentile(value, 0.5D, 10000)")
+    # Relative-error booleans guard their denominators: a group with
+    # zero distinct users or exact_p50 == 0 would otherwise divide by
+    # zero -> NULL, spuriously mismatching the oracle's pinned TRUE.
+    hll_ok = F.when(exact_d == 0, approx_d == 0).otherwise(
+        F.abs(approx_d - exact_d) / exact_d <= 0.05
+    )
+    p50_ok = F.when(exact_p50 == 0, F.abs(approx_p50) <= F.lit(1e-9)).otherwise(
+        F.abs(approx_p50 - exact_p50) / F.abs(exact_p50) <= 0.05
+    )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         exact_d.alias("exact_users"),
-        (F.abs(approx_d - exact_d) / exact_d <= 0.05).alias("hll_within_5pct"),
+        hll_ok.alias("hll_within_5pct"),
         F.round(exact_p50, 6).alias("exact_p50"),
-        (F.abs(approx_p50 - exact_p50) / F.abs(exact_p50) <= 0.05).alias(
-            "p50_within_5pct"
-        ),
+        p50_ok.alias("p50_within_5pct"),
     )
 
 

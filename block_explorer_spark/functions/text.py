@@ -256,13 +256,24 @@ def repetition_signals_arrow() -> Column:
     scan-and-project with zero shuffle at any scale; batches stream
     through Arrow so memory stays bounded by the batch size.
     """
+    import re
+
     from pyspark.sql.functions import pandas_udf
+
+    # Replicate the SQL form split(lower(trim(text)), '\s+') EXACTLY:
+    # SQL trim strips SPACES only (not tabs/newlines), and Java split
+    # keeps a leading empty field — so '\ta a' tokenizes to
+    # ['', 'a', 'a'] (dup_word_frac 1/3), where Python's bare
+    # strip()/split() would give ['a', 'a'] (1/2). Java's \s is the
+    # ASCII class [ \t\n\x0b\f\r]; Python's re \s is unicode-wide, so
+    # the class is spelled out.
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @pandas_udf("struct<dup_word_frac:double,dup_2gram_frac:double,dup_3gram_frac:double>")
     def _rep(texts: pd.Series) -> pd.DataFrame:
         out = []
         for t in texts:
-            toks = (t or "").strip().lower().split()
+            toks = _ws.split((t or "").strip(" ").lower())
             if not toks:
                 toks = [""]  # split('') -> [''] in the SQL form
             L = len(toks)

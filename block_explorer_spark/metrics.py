@@ -65,3 +65,117 @@ class StageMetrics:
         before = self.totals()
         result = fn()
         return result, self.delta(before, self.totals())
+
+
+# ---------------------------------------------------------------------------
+# Continuous serving metrics (reference parity: Prometheus timers)
+# ---------------------------------------------------------------------------
+
+import threading
+import time
+from contextlib import contextmanager
+
+
+class MetricsRegistry:
+    """Continuous per-operation timers for the serving path — the
+    analog of the reference's Prometheus instrumentation
+    (etl/storage/storage_metrics.go:1-125 registers per-op
+    *_duration_seconds timers + error counters; exporter/metrics
+    serves them over HTTP). Every REST endpoint observes into this
+    registry on every call — normal operation, not just bench runs —
+    and the registry renders both Prometheus exposition text
+    (`/metrics`) and JSON (`/metrics.json`).
+
+    Thread-safe: the HTTP facade is a ThreadingHTTPServer. Bounded
+    memory: per-op latency samples cap at MAX_SAMPLES; beyond that a
+    deterministic stride-replacement keeps a stable spread without
+    unbounded growth (quantiles over the retained window).
+    """
+
+    MAX_SAMPLES = 4096
+
+    def __init__(self, namespace: str = "block_explorer"):
+        self.namespace = namespace
+        self._lock = threading.Lock()
+        self._ops: dict[str, dict] = {}
+
+    def observe(self, op: str, seconds: float, error: bool = False) -> None:
+        with self._lock:
+            st = self._ops.setdefault(
+                op,
+                {"count": 0, "errors": 0, "sum": 0.0, "min": None, "max": 0.0, "samples": []},
+            )
+            st["count"] += 1
+            st["errors"] += 1 if error else 0
+            st["sum"] += seconds
+            st["min"] = seconds if st["min"] is None else min(st["min"], seconds)
+            st["max"] = max(st["max"], seconds)
+            if len(st["samples"]) < self.MAX_SAMPLES:
+                st["samples"].append(seconds)
+            else:
+                st["samples"][st["count"] % self.MAX_SAMPLES] = seconds
+
+    @contextmanager
+    def timer(self, op: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        except Exception:
+            self.observe(op, time.perf_counter() - t0, error=True)
+            raise
+        self.observe(op, time.perf_counter() - t0)
+
+    @staticmethod
+    def _quantile(sorted_samples: list[float], q: float) -> float:
+        if not sorted_samples:
+            return 0.0
+        i = min(len(sorted_samples) - 1, max(0, int(q * len(sorted_samples)) - (q >= 1.0)))
+        return sorted_samples[min(i, len(sorted_samples) - 1)]
+
+    def snapshot(self) -> dict:
+        """Per-op {count, errors, sum_ms, min/p50/p95/p99/max ms}."""
+        out = {}
+        with self._lock:
+            items = [(op, dict(st, samples=list(st["samples"]))) for op, st in self._ops.items()]
+        for op, st in items:
+            s = sorted(st["samples"])
+            out[op] = {
+                "count": st["count"],
+                "errors": st["errors"],
+                "sum_ms": round(st["sum"] * 1000, 3),
+                "min_ms": round((st["min"] or 0.0) * 1000, 3),
+                "p50_ms": round(self._quantile(s, 0.50) * 1000, 3),
+                "p95_ms": round(self._quantile(s, 0.95) * 1000, 3),
+                "p99_ms": round(self._quantile(s, 0.99) * 1000, 3),
+                "max_ms": round(st["max"] * 1000, 3),
+            }
+        return out
+
+    def prometheus_text(self) -> str:
+        """Prometheus exposition format (the reference's wire format):
+        <ns>_<op>_duration_seconds summary + _errors_total counter."""
+        lines = []
+        snap = self.snapshot()
+        for op, st in sorted(snap.items()):
+            base = f"{self.namespace}_{op}_duration_seconds"
+            lines.append(f"# TYPE {base} summary")
+            for q in ("0.5", "0.95", "0.99"):
+                key = f"p{int(float(q) * 100)}_ms"
+                lines.append(f'{base}{{quantile="{q}"}} {st[key] / 1000.0:.6f}')
+            lines.append(f"{base}_sum {st['sum_ms'] / 1000.0:.6f}")
+            lines.append(f"{base}_count {st['count']}")
+            err = f"{self.namespace}_{op}_errors_total"
+            lines.append(f"# TYPE {err} counter")
+            lines.append(f"{err} {st['errors']}")
+        return "\n".join(lines) + "\n"
+
+    def snapshot_with_spark(self, spark) -> dict:
+        """snapshot() + cumulative Spark stage totals (tasks, input,
+        shuffle, spill) when the monitoring UI is enabled — the
+        per-endpoint latency + task-level profile in one artifact."""
+        out = {"endpoints": self.snapshot()}
+        try:
+            out["spark_stage_totals"] = StageMetrics(spark).totals()
+        except Exception:
+            out["spark_stage_totals"] = None
+        return out

@@ -74,6 +74,16 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
+    else:
+        # Exiting via exhaustion with labels still moving means the
+        # result is NOT a fixed point — silently returning it would be
+        # wrong-but-plausible (a component whose diameter exceeds
+        # max_iter keeps multiple labels). Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations (labels still changing); raise max_iter for "
+            "high-diameter graphs"
+        )
     return labels
 
 

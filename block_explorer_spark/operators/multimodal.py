@@ -1,23 +1,45 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-The Spark-side shape is real and tested — schema, partition-friendly
-layout, Arrow-batched mapInPandas UDFs with bounded batch sizes — but
-the codec step is stubbed: this container has no image/audio libs, so
-decode_fn defaults to a deterministic fake that derives "features"
-from the bytes. Swap `decode_fn` for a real decoder (PIL/torchaudio/
-pyav) in production; nothing else changes.
+The Spark-side shape — schema, partition-friendly layout,
+Arrow-batched mapInPandas UDFs with bounded batch sizes — carries two
+codec tiers:
+
+- `real_decode` / `real_resize` / `real_frame_sample`: REAL codecs.
+  PIL/pyav are used when installed (import-guarded); without them,
+  pure-stdlib decoders in functions/codecs.py handle PNG (full
+  RFC-2083 filter pipeline), PCM WAV, and Y4M video. Corrupt or
+  unrecognized payloads yield NULL features — corrupt media is data,
+  not an error, at 100 TB.
+- `fake_decode` (& friends): deterministic digest-derived stand-ins,
+  kept as the default for the oracle-checkable gate path (q32 pins
+  sha256/n_bytes, not features) and for tests that need
+  format-independent determinism.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 import hashlib
+import io
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from block_explorer_spark.functions import codecs
+
+try:  # optional: preferred image codec when the lib exists
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+try:  # optional: preferred video codec when the lib exists
+    import av as _pyav  # type: ignore
+except ImportError:
+    _pyav = None
 
 #: media table: opaque payload + typed metadata. Partition by
 #: (modality, shard) at scale; payloads never leave the executor.
@@ -45,23 +67,44 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def fake_decode(payload: bytes, n_features: int = 8) -> list[float]:
-    """Deterministic stand-in for a codec: features from the digest.
-
-    STUB — replace with a real decode (image resize / audio frames /
-    video frame-sample). Raises nothing; production decoders should
-    catch codec errors and emit NULL features instead of failing the
-    task (corrupt media is data, not an error, at 100 TB).
-    """
+    """Deterministic digest-derived features — the format-independent
+    stand-in used where the gate needs byte-level determinism
+    (oracle-replicable), regardless of which codec libs exist."""
     d = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in d[:n_features]]
 
 
-def real_decode(payload: bytes, n_features: int = 8) -> list[float]:
-    """The production codec hook. Not available in this container."""
-    raise NotImplementedError(
-        "codec libs (PIL/torchaudio/pyav) not installed; use fake_decode "
-        "or inject a decode_fn"
-    )
+def _pil_image_features(payload: bytes, n_features: int) -> list[float]:
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    return [
+        x / 255.0
+        for x in codecs._bucket_means(np.asarray(img, dtype=np.float64), n_features)
+    ]
+
+
+def real_decode(payload: bytes, n_features: int = 8) -> list[float] | None:
+    """REAL feature extraction: sniff the container, decode, pool to
+    n_features floats. PIL handles images when installed; otherwise
+    the pure-stdlib PNG decoder does. WAV -> windowed RMS energy;
+    Y4M video -> per-frame luma means. Unknown/corrupt payloads
+    return None (NULL features) instead of failing the task.
+    """
+    payload = payload or b""
+    kind = codecs.sniff(payload)
+    try:
+        if kind == "png":
+            if _PILImage is not None:
+                return _pil_image_features(payload, n_features)
+            return codecs.image_features(payload, n_features)
+        if kind == "wav":
+            return codecs.audio_features(payload, n_features)
+        if kind == "y4m":
+            return codecs.video_features(payload, n_features)
+        if _PILImage is not None:  # non-PNG image formats (JPEG, ...)
+            return _pil_image_features(payload, n_features)
+    except (codecs.CodecError, OSError, ValueError):
+        return None
+    return None
 
 
 def extract_features(
@@ -110,12 +153,27 @@ RESIZED_SCHEMA = T.StructType(
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for an image resize: truncate/pad the
-    payload to width*height bytes. STUB — swap for PIL in production;
-    the Spark-side contract (binary in, binary out, bounded batches)
-    is the real part."""
+    payload to width*height bytes — the format-independent contract
+    check (binary in, binary out, bounded batches)."""
     target = max(1, width * height)
     data = (payload or b"")[:target]
     return data + b"\x00" * (target - len(data))
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes | None:
+    """REAL image resize: PIL (LANCZOS->PNG) when installed, else the
+    pure-stdlib decode -> nearest-neighbor -> re-encode path. Corrupt
+    or non-image payloads resize to None (NULL), never a task error."""
+    payload = payload or b""
+    try:
+        if _PILImage is not None:
+            img = _PILImage.open(io.BytesIO(payload))
+            out = io.BytesIO()
+            img.resize((width, height)).save(out, format="PNG")
+            return out.getvalue()
+        return codecs.png_resize_nearest(payload, width, height)
+    except (codecs.CodecError, OSError, ValueError):
+        return None
 
 
 def resize_images(
@@ -162,10 +220,34 @@ FRAME_SCHEMA = T.StructType(
 
 def fake_frame_sample(payload: bytes, n_frames: int) -> list[bytes]:
     """Deterministic stand-in for video frame sampling: n_frames even
-    slices of the payload. STUB — swap for pyav frame decode."""
+    slices of the payload — the format-independent contract check."""
     data = payload or b"\x00"
     step = max(1, len(data) // n_frames)
     return [data[i * step : (i + 1) * step] or b"\x00" for i in range(n_frames)]
+
+
+def real_frame_sample(payload: bytes, n_frames: int) -> list[bytes]:
+    """REAL video frame sampling: pyav when installed (any container
+    it can demux), else the pure-stdlib Y4M parser — n_frames evenly
+    spaced raw frames. Corrupt payloads yield an empty list (rows
+    simply absent for that media_id), never a task error."""
+    payload = payload or b""
+    try:
+        if _pyav is not None and codecs.sniff(payload) != "y4m":
+            with _pyav.open(io.BytesIO(payload)) as container:
+                frames = [
+                    bytes(fr.to_ndarray(format="gray").tobytes())
+                    for fr in container.decode(video=0)
+                ]
+            if not frames:
+                return []
+            idx = [
+                i * (len(frames) - 1) // max(1, n_frames - 1) for i in range(n_frames)
+            ]
+            return [frames[i] for i in idx]
+        return codecs.y4m_sample_frames(payload, n_frames)
+    except (codecs.CodecError, OSError, ValueError):
+        return []
 
 
 def sample_frames(

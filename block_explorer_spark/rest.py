@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from block_explorer_spark import api
 from block_explorer_spark.functions import jets
 from block_explorer_spark.functions.refs import base58_encode
+from block_explorer_spark.metrics import MetricsRegistry
 from block_explorer_spark.plans import queries as Q
 
 INVALID_PARAMS_MESSAGE = "Invalid query or path parameters"  # handlers.go:28
@@ -101,6 +102,11 @@ class BlockExplorerApi:
         self.pulses = pulses
         self.jet_drops = jet_drops
         self.records = records
+        # Continuous per-endpoint timers, observed on EVERY request by
+        # the HTTP handler (reference parity: the Prometheus timers of
+        # etl/storage/storage_metrics.go:1-125 run in normal operation,
+        # not only under bench). Served at /metrics (+ /metrics.json).
+        self.metrics = MetricsRegistry()
 
     # -- rendering -----------------------------------------------------
 
@@ -412,24 +418,41 @@ class BlockExplorerApi:
 # HTTP transport
 # ---------------------------------------------------------------------------
 
+#: (metric_name, pattern, handler) — names match the reference's
+#: loadtest endpoint labels (load/run_configs/all_sequence.yaml).
 _ROUTES = [
-    (re.compile(r"^/api/v1/pulses$"), lambda a, m, p: a.pulses_list(p)),
-    (re.compile(r"^/api/v1/pulses/([^/]+)$"), lambda a, m, p: a.pulse_by_number(m.group(1))),
+    ("get_pulses", re.compile(r"^/api/v1/pulses$"), lambda a, m, p: a.pulses_list(p)),
     (
+        "get_pulse",
+        re.compile(r"^/api/v1/pulses/([^/]+)$"),
+        lambda a, m, p: a.pulse_by_number(m.group(1)),
+    ),
+    (
+        "get_jet_drops_by_pulse_number",
         re.compile(r"^/api/v1/pulses/([^/]+)/jet-drops$"),
         lambda a, m, p: a.jet_drops_by_pulse(m.group(1), p),
     ),
-    (re.compile(r"^/api/v1/jet-drops/([^/]+)$"), lambda a, m, p: a.jet_drop_by_id(unquote(m.group(1)))),
     (
+        "get_jet_drop_by_id",
+        re.compile(r"^/api/v1/jet-drops/([^/]+)$"),
+        lambda a, m, p: a.jet_drop_by_id(unquote(m.group(1))),
+    ),
+    (
+        "get_records",
         re.compile(r"^/api/v1/jet-drops/([^/]+)/records$"),
         lambda a, m, p: a.jet_drop_records(unquote(m.group(1)), p),
     ),
     (
+        "get_jet_drops_by_jet_id",
         re.compile(r"^/api/v1/jets/([^/]*)/jet-drops$"),
         lambda a, m, p: a.jet_drops_by_jet_id(m.group(1), p),
     ),
-    (re.compile(r"^/api/v1/lifeline/([^/]+)/records$"), lambda a, m, p: a.object_lifeline(m.group(1), p)),
-    (re.compile(r"^/api/v1/search$"), lambda a, m, p: a.search(p)),
+    (
+        "get_lifeline",
+        re.compile(r"^/api/v1/lifeline/([^/]+)/records$"),
+        lambda a, m, p: a.object_lifeline(m.group(1), p),
+    ),
+    ("search", re.compile(r"^/api/v1/search$"), lambda a, m, p: a.search(p)),
 ]
 
 
@@ -440,11 +463,19 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):  # noqa: N802 (stdlib naming)
+        import time
+
         parsed = urlparse(self.path)
         params = parse_qs(parsed.query)
-        for pattern, fn in _ROUTES:
+        if parsed.path == "/metrics":  # Prometheus exposition text
+            return self._reply_text(200, self.api.metrics.prometheus_text())
+        if parsed.path == "/metrics.json":
+            spark = self.api.pulses.sparkSession
+            return self._reply(200, self.api.metrics.snapshot_with_spark(spark))
+        for name, pattern, fn in _ROUTES:
             m = pattern.match(parsed.path)
             if m:
+                t0 = time.perf_counter()
                 try:
                     status, body = fn(self.api, m, params)
                 except HttpError as e:
@@ -454,8 +485,22 @@ class _Handler(BaseHTTPRequestHandler):
 
                     traceback.print_exc()
                     status, body = 500, {}
+                # error = server fault only; validation 4xx is a
+                # well-formed reply (the reference's error counters
+                # track handler failures the same way)
+                self.api.metrics.observe(
+                    name, time.perf_counter() - t0, error=status >= 500
+                )
                 return self._reply(status, body)
         self._reply(404, {})
+
+    def _reply_text(self, status: int, text: str):
+        data = text.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/plain; version=0.0.4")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
 
     def _reply(self, status: int, body: dict):
         data = json.dumps(body).encode()

@@ -318,7 +318,12 @@ def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
     if not hit_buckets:
         return 0
     touched = df.filter(F.col("pulse_bucket").isin(hit_buckets))
-    kept = touched.filter(~predicate)
+    # Keep rows where the predicate is NOT TRUE. A bare ~predicate drops
+    # NULL-predicate rows too (three-valued logic: ~NULL is NULL, and
+    # filter discards NULL) — e.g. an equality test on a nullable column
+    # would silently delete every NULL row in a hit bucket. Delete must
+    # remove exactly the rows the match pass (filter(predicate)) saw.
+    kept = touched.filter(~F.coalesce(predicate, F.lit(False)))
     n_deleted = touched.count() - kept.count()
 
     staging = os.path.join(base, f".staging-{name}-{uuid.uuid4().hex}")

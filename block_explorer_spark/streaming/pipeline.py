@@ -76,20 +76,24 @@ def pulses_from_raw(raw: DataFrame) -> DataFrame:
 def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
     """One micro-batch: transform + persist (idempotent, replay-safe).
 
-    Raw records dedup by reference FIRST: an at-least-once source can
-    deliver the same record twice within one batch (the reference's
-    importer stream does — db_integration_test.go:106-211, C5498),
-    and a duplicate entering the chain sort would read as a fork and
-    wrongly fail the whole drop. Upsert's PK merge only covers
+    Raw records dedup EXACT duplicates FIRST: an at-least-once source
+    can deliver the same record twice within one batch (the reference's
+    importer stream does — db_integration_test.go:106-211, C5498), and
+    a byte-identical duplicate entering the chain sort would read as a
+    fork and wrongly fail the whole drop. Upsert's PK merge only covers
     cross-batch replays; in-batch dedup has to happen pre-transform.
+    Dedup is over ALL columns, not just the reference: two rows sharing
+    a reference but differing in payload are a genuine in-batch fork
+    and must reach fork validation, not be collapsed to an arbitrary
+    winner (the reference's C5498 replay is byte-identical only).
     """
-    raw = raw.dropDuplicates(["reference"]).cache()
+    raw = raw.dropDuplicates().cache()
     records = None
     try:
         records = Tr.transform_pulse_data(raw).cache()
         pulses = pulses_from_raw(raw)
         drops = Tr.jet_drops_from_records(records, pulses)
-        # Materialize the transform once, then run the three table
+        # Materialize the transform once, then run the pulse + record
         # MERGEs as concurrent Spark jobs (the scheduler interleaves
         # them; the reference loads through a 200-worker pool,
         # configuration/configuration.go:126). Safe because each write
@@ -97,14 +101,46 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
         # partial failure self-heals on replay exactly as in the
         # sequential order.
         records.count()
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        touched = [
+            r.pulse_number for r in records.select("pulse_number").distinct().collect()
+        ]
+        with ThreadPoolExecutor(max_workers=2) as ex:
             futures = [
                 ex.submit(pq.save_pulse, spark, base, pulses),
-                ex.submit(pq.upsert, spark, base, "jet_drops", drops),
                 ex.submit(pq.upsert, spark, base, "records", records),
             ]
             for f in futures:
                 f.result()
+        # jet_drops AFTER the records merge: if any touched (pulse,
+        # jet) drop already exists — a pulse whose records arrive
+        # split across micro-batches — batch-local counts would
+        # overwrite the true totals (upsert is replace-on-key). The
+        # reference increments counters inside its load txn
+        # (storage.go:56-60); the idempotent analog is recomputing
+        # counts from the post-merge fact table, bucket-pruned to the
+        # touched pulses. Steady state (all-new pulses) skips the
+        # read-back entirely — one cheap key probe of the small
+        # jet_drops table decides.
+        if touched:
+            try:
+                prior = (
+                    pq.read_table(
+                        spark, base, "jet_drops",
+                        pulse_gte=min(touched), pulse_lte=max(touched),
+                    )
+                    .filter(F.col("pulse_number").isin(touched))
+                    .limit(1)
+                    .count()
+                )
+            except Exception:
+                prior = 0  # table absent: first batch ever
+            if prior:
+                post = pq.read_table(
+                    spark, base, "records",
+                    pulse_gte=min(touched), pulse_lte=max(touched),
+                ).filter(F.col("pulse_number").isin(touched))
+                drops = Tr.jet_drops_from_records(post, pulses)
+        pq.upsert(spark, base, "jet_drops", drops)
     finally:
         raw.unpersist()
         if records is not None:

@@ -38,6 +38,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--http", action="store_true", help="drive over the REST facade")
+    ap.add_argument(
+        "--artifact",
+        default="METRICS_LOADTEST.json",
+        help="where --http mode writes the server's /metrics.json scrape",
+    )
     args = ap.parse_args()
 
     spark = get_spark("loadtest")
@@ -123,6 +128,16 @@ def main() -> None:
     print(json.dumps({"metric": "api_load_latency", "mode": mode,
                       "dataset": "100p/1000jd/1000r",
                       "iters": args.iters, "endpoints": out}))
+
+    if args.http:
+        # The server's own continuous metrics (per-endpoint timers +
+        # Spark stage totals) — the reference's Prometheus scrape,
+        # persisted as an artifact per run.
+        with urllib.request.urlopen(base + "/metrics.json", timeout=30) as resp:
+            server_metrics = json.loads(resp.read())
+        with open(args.artifact, "w") as f:
+            json.dump(server_metrics, f, indent=1, sort_keys=True)
+        print(f"# server metrics -> {args.artifact}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -210,6 +210,14 @@ def test_arrow_matches_hof_signals(spark):
         (4, "x"),
         (5, "  "),
         (6, "one two"),
+        # SQL trim strips SPACES only; tab/newline padding survives it
+        # and split('\s+') then yields a leading empty token — the
+        # Arrow path must reproduce that, not Python strip() semantics.
+        (7, "\ta a"),
+        (8, "\na b a\n"),
+        (9, " \t x y x y \n "),
+        (10, "\t"),
+        (11, "a\t\tb\nc  c"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     rep = Tx.repetition_signals_arrow()(F.col("text"))
@@ -258,6 +266,21 @@ def test_connected_components_long_path_converges(spark):
     got = {r["id"]: r["component"] for r in G.connected_components(edges).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must fail loudly,
+    not return plausible-but-unconverged labels (ADVICE r3)."""
+    import pytest
+
+    from block_explorer_spark.operators import graph as G
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(edges, max_iter=3)
+    # the same graph converges with enough rounds
+    got = {r["id"]: r["component"] for r in G.connected_components(edges).collect()}
+    assert set(got.values()) == {0}
 
 
 def test_dedup_clusters_canonical_policy(spark):

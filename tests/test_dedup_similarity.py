@@ -262,9 +262,13 @@ def test_extract_features_small_batches(media):
     assert a == b
 
 
-def test_real_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        M.real_decode(b"x")
+def test_real_decode_handles_unknown_payload():
+    """real_decode is a REAL codec path now (round-4): unknown or
+    corrupt payloads decode to None (NULL features), never an
+    exception; real formats decode (covered in depth by
+    test_multimodal_codecs.py)."""
+    assert M.real_decode(b"x") is None
+    assert M.real_decode(b"") is None
 
 
 def test_resize_images(media):

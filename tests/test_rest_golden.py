@@ -420,3 +420,39 @@ def test_search_invalid_value(base_url):
         [("value", "is neither pulse number, jet drop id nor reference")],
         message_field="description",
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous serving metrics (round 4; reference parity:
+# etl/storage/storage_metrics.go:1-125 — per-op Prometheus timers
+# exported in normal operation, and load/run_configs scrape them)
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_endpoints_observe_every_request(base_url):
+    import urllib.request
+
+    # traffic across two endpoints, including a 400 (validation
+    # failures count as served requests, NOT handler errors)
+    get(base_url, f"/api/v1/pulses/{P0}")
+    get(base_url, f"/api/v1/pulses/{P0}")
+    get(base_url, "/api/v1/search?value=not_valid_value")  # -> 400
+
+    status, snap = get(base_url, "/metrics.json")
+    assert status == 200
+    eps = snap["endpoints"]
+    assert eps["get_pulse"]["count"] >= 2
+    assert eps["get_pulse"]["errors"] == 0
+    assert eps["get_pulse"]["p50_ms"] > 0
+    assert eps["get_pulse"]["max_ms"] >= eps["get_pulse"]["p50_ms"]
+    assert eps["search"]["count"] >= 1
+    assert eps["search"]["errors"] == 0  # 400 is not a server error
+    # spark stage totals present (None allowed when the UI is off)
+    assert "spark_stage_totals" in snap
+
+    with urllib.request.urlopen(base_url + "/metrics", timeout=30) as resp:
+        assert resp.status == 200
+        text = resp.read().decode()
+    assert "block_explorer_get_pulse_duration_seconds_count" in text
+    assert 'block_explorer_get_pulse_duration_seconds{quantile="0.5"}' in text
+    assert "block_explorer_search_errors_total 0" in text

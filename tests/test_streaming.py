@@ -75,6 +75,27 @@ def test_ingest_replay_idempotent(spark, tmp_path):
     assert pq.read_table(spark, base, "pulses").count() == 1
 
 
+def test_ingest_batch_fork_reaches_validation(spark, tmp_path):
+    """In-batch dedup is exact-duplicate only: two rows sharing a
+    reference but differing in payload are a genuine fork and must
+    reach chain validation (which invalidates the drop), NOT be
+    collapsed to an arbitrary winner. Byte-identical replays still
+    dedup away (C5498 semantics)."""
+    base = str(tmp_path / "wh")
+    rows = _raw_pulse_batch(7, 4_000_010, ("0", "1"))
+    # jet "0": duplicate its first record with a conflicting payload
+    forked = dict(rows[0])
+    forked["payload"] = b"conflicting-payload"
+    # jet "1": byte-identical replay of its first record (rows[3])
+    raw = spark.createDataFrame(rows + [forked, dict(rows[3])], schemas.RAW_RECORDS)
+    P.ingest_batch(spark, base, raw)
+
+    recs = pq.read_table(spark, base, "records")
+    # jet 1 intact (exact dup removed), jet 0 dropped as invalid fork
+    assert recs.filter(F.col("jet_id") == "1").count() == 3
+    assert recs.filter(F.col("jet_id") == "0").count() == 0
+
+
 def test_streaming_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
     base = str(tmp_path / "wh")
@@ -101,6 +122,55 @@ def test_streaming_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     assert pq.read_table(spark, base, "pulses").count() == 3
     assert pq.read_table(spark, base, "records").count() == 18
+
+
+def test_restart_resume_mid_batch_crash(spark, tmp_path, monkeypatch):
+    """Exactly-once-at-the-table e2e: kill the stream AFTER a
+    micro-batch persisted but BEFORE its offset committed (the
+    at-least-once window of foreachBatch), restart from the
+    checkpoint, and assert the replay neither loses nor duplicates
+    records and completeness flags converge. The reference pins
+    restart-derivable state in etl/controller/controller.go:55-78."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(_raw_pulse_batch(10, 4_000_010, ("0", "1")), schemas.RAW_RECORDS)
+    b2 = spark.createDataFrame(_raw_pulse_batch(11, 4_000_020, ("0", "1")), schemas.RAW_RECORDS)
+    b1.write.mode("append").parquet(src)
+    b2.write.mode("append").parquet(src)
+
+    real_ingest = P.ingest_batch
+    state = {"calls": 0}
+
+    def crash_after_persist(spark_, base_, raw_):
+        real_ingest(spark_, base_, raw_)
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError("injected crash after persist, before offset commit")
+
+    monkeypatch.setattr(P, "ingest_batch", crash_after_persist)
+    q = P.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=1)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    monkeypatch.setattr(P, "ingest_batch", real_ingest)
+
+    # the crashed batch DID persist (so the restart really replays it)
+    assert pq.read_table(spark, base, "records").count() > 0
+
+    q2 = P.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    # no lost, no duplicated records; flags converged
+    assert pq.read_table(spark, base, "records").count() == 12
+    assert pq.read_table(spark, base, "jet_drops").count() == 4
+    pulses = pq.read_table(spark, base, "pulses")
+    assert pulses.count() == 2
+    assert pulses.filter(F.col("is_complete")).count() == 2
+    assert {r.record_amount for r in pulses.collect()} == {6}
 
 
 def test_exporter_tail(spark, tmp_path):

@@ -224,6 +224,108 @@ def test_delete_where_touches_only_matching_buckets(spark, base):
     assert pq.delete_where(spark, base, "records", F.col("pulse_number") == 1500) == 0
 
 
+def test_upsert_crash_replay(spark, base, monkeypatch):
+    """Crash-recovery contract of the staged upsert (the documented
+    idempotent-but-not-atomic window): a kill between the staging
+    write and the partition overwrite leaves the table untouched and
+    no staging litter; a kill mid-commit (some buckets rewritten,
+    others stale) self-heals when the same batch replays. Matches the
+    reference's txn semantics pinned by
+    test/integration/db_integration_test.go:106-211."""
+    import os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    seed = [_rec_row(500, "0", i) for i in range(3)] + [
+        _rec_row(1500, "1", i) for i in range(3)
+    ]
+    for i, r in enumerate(seed):
+        r["reference"] = bytes([0xD0 + i])
+    pq.upsert(spark, base, "records", spark.createDataFrame(seed, schemas.RECORDS))
+    before = {
+        bytes(r.reference): bytes(r.payload)
+        for r in pq.read_table(spark, base, "records").collect()
+    }
+
+    # batch B: update one row per bucket (collision -> merge-rewrite path)
+    batch = [dict(seed[0], payload=b"new-0"), dict(seed[3], payload=b"new-3")]
+    bdf = spark.createDataFrame(batch, schemas.RECORDS)
+
+    # --- crash #1: after staging is written, before the table overwrite
+    tbl = os.path.abspath(pq.table_path(base, "records"))
+    orig_parquet = DataFrameWriter.parquet
+
+    def crash_on_commit(self, path, **kw):
+        if os.path.abspath(path) == tbl:
+            raise RuntimeError("injected crash before commit")
+        return orig_parquet(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_commit)
+    with pytest.raises(Exception, match="injected crash"):
+        pq.upsert(spark, base, "records", bdf)
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig_parquet)
+
+    after_crash = {
+        bytes(r.reference): bytes(r.payload)
+        for r in pq.read_table(spark, base, "records").collect()
+    }
+    assert after_crash == before  # table untouched
+    assert not [d for d in os.listdir(base) if d.startswith(".staging-")]
+
+    # replaying the SAME batch completes the merge
+    pq.upsert(spark, base, "records", bdf)
+    expected = dict(before)
+    expected[seed[0]["reference"]] = b"new-0"
+    expected[seed[3]["reference"]] = b"new-3"
+    healed = {
+        bytes(r.reference): bytes(r.payload)
+        for r in pq.read_table(spark, base, "records").collect()
+    }
+    assert healed == expected
+
+    # --- crash #2: mid-commit (bucket 0 rewritten, bucket 1 stale).
+    # That intermediate state is byte-identical to having merged only
+    # the bucket-0 half of the batch; replaying the FULL batch heals.
+    batch2 = [dict(seed[1], payload=b"v2-1"), dict(seed[4], payload=b"v2-4")]
+    pq.upsert(
+        spark, base, "records",
+        spark.createDataFrame([batch2[0]], schemas.RECORDS),
+    )  # simulated partial commit
+    pq.upsert(spark, base, "records", spark.createDataFrame(batch2, schemas.RECORDS))
+    expected[seed[1]["reference"]] = b"v2-1"
+    expected[seed[4]["reference"]] = b"v2-4"
+    final = {
+        bytes(r.reference): bytes(r.payload)
+        for r in pq.read_table(spark, base, "records").collect()
+    }
+    assert final == expected
+    assert pq.read_table(spark, base, "records").count() == 6  # no dupes
+
+
+def test_delete_where_null_predicate_rows_survive(spark, base):
+    """Three-valued-logic regression: a predicate over a nullable
+    column evaluates to NULL on NULL rows; delete must treat NULL as
+    not-a-match (keep the row), not silently delete it. Before the
+    fix, ~predicate dropped every NULL-predicate row in a hit bucket
+    and counted them as deleted."""
+    rows = [_rec_row(500, "0", i) for i in range(5)]
+    for i, r in enumerate(rows):
+        r["reference"] = bytes([0xC0 + i])
+    # rows 0-1 have a prev link, rows 2-4 are chain heads (NULL prev)
+    rows[0]["prev_record_reference"] = b"target"
+    rows[1]["prev_record_reference"] = b"other"
+    pq.upsert(spark, base, "records", spark.createDataFrame(rows, schemas.RECORDS))
+
+    n = pq.delete_where(
+        spark, base, "records", F.col("prev_record_reference") == b"target"
+    )
+    assert n == 1  # only the TRUE-predicate row, not the 3 NULL rows
+    left = pq.read_table(spark, base, "records")
+    assert left.count() == 4
+    assert left.filter(F.col("prev_record_reference").isNull()).count() == 3
+    assert left.filter(F.col("prev_record_reference") == b"other").count() == 1
+
+
 def test_compact_table_reduces_files_keeps_rows(spark, base):
     """Many small per-batch appends -> one file per bucket after
     compaction; row set identical."""
