@@ -353,7 +353,7 @@ def q23_quality(spark: SparkSession, sf: str) -> DataFrame:
 def q24_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram jaccard pairs via inverted shingle index."""
     docs = _t(spark, sf, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8)
+    pairs = D.jaccard_pairs_prefix(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8)
     return pairs.select(
         "id_a", "id_b", "inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1484,7 +1484,7 @@ def q83_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from block_explorer_spark.operators import graph as G
 
     docs = _t(spark, sf, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8)
+    pairs = D.jaccard_pairs_prefix(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8)
     cl = G.dedup_clusters(pairs)
     sizes = cl.groupBy(F.col("cluster_id").alias("__c")).agg(
         F.count(F.lit(1)).alias("n_members")
@@ -1623,7 +1623,7 @@ def q82_containment(spark: SparkSession, sf: str) -> DataFrame:
     that jaccard scores low. Same single-lineage inverted-index plan
     as q24 (dedup.containment_pairs)."""
     docs = _t(spark, sf, "documents")
-    pairs = D.containment_pairs(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.62)
+    pairs = D.containment_pairs_prefix(docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.62)
     return pairs.select(
         "id_a", "id_b", "inter", "size_a", "size_b",
         F.round("containment", 6).alias("containment"),

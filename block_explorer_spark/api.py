@@ -31,9 +31,12 @@ MIN_PULSE = 65536
 MAX_PULSE = 4294967295
 
 SORT_BY_INDEX = ("index_desc", "index_asc")  # api/handlers.go:566-578
-SORT_BY_PULSE = (  # api/handlers.go:705-723
-    "pulse_number_asc_jet_id_desc",
-    "pulse_number_desc_jet_id_asc",
+SORT_BY_PULSE = (  # api/handlers.go:705-723; wire literal uses the
+    # comma form — the generated enum VALUE, not its Go identifier
+    # (test/api raw query: sort_by=pulse_number_asc,jet_id_desc,
+    # handlers_test.go:1681-1737)
+    "pulse_number_asc,jet_id_desc",
+    "pulse_number_desc,jet_id_asc",
 )
 SORT_BY_PULSE_NUMBER = ("pulse_number_asc", "pulse_number_desc")  # api/handlers.go:727-747
 
@@ -215,6 +218,11 @@ def search_dispatch(value: str) -> tuple[str, object]:
     # does not — such inputs must fall through to jet-drop/reference
     # parsing instead of dispatching as pulse lookups.
     pn = int(value) if re.fullmatch(r"-?[0-9]+", value) else None
+    if pn is not None and not (-(2**63) <= pn < 2**63):
+        # Go's ParseInt overflows on >int64 digits and falls through to
+        # the jet-drop/reference branches (and ultimately 'is neither
+        # ...'), it does NOT report 'not valid pulse number'
+        pn = None
     if pn is not None:
         if not is_valid_pulse_number(pn):
             raise ValidationError([ValidationFailure("value", "not valid pulse number")])

@@ -118,10 +118,18 @@ def jet_drop_id_col(jet_id: Column | str = "jet_id", pulse_number: Column | str 
 
 
 def parse_jet_drop_id(value: str) -> tuple[str, int]:
-    """X2 inverse: "<jet>:<pulse>" -> (stored_jet_id, pulse_number)."""
+    """X2 inverse: "<jet>:<pulse>" -> (stored_jet_id, pulse_number).
+
+    Pulse must be a plain decimal that fits in int64 — Go's
+    strconv.ParseInt rejects overflow/underscores/whitespace, so a
+    21-digit pulse is a *format* error, not a huge jet drop id
+    (etl/models/models.go:94-113).
+    """
     jet, _, pulse = value.rpartition(":")
     if not is_valid_jet_id(jet):
         raise ValueError(f"invalid jet id in jet drop id: {value!r}")
+    if not re.fullmatch(r"-?[0-9]+", pulse) or not (-(2**63) <= int(pulse) < 2**63):
+        raise ValueError(f"invalid pulse in jet drop id: {value!r}")
     return display_to_storage(jet), int(pulse)
 
 

@@ -49,7 +49,14 @@ from block_explorer_spark.metrics import StageMetrics
 SF01 = "/root/testdata/sf0.1"
 BASE_DOCS = 5_000  # sf0.1 documents rows
 BASE_EMB = 2_000  # sf0.1 embeddings rows
-WORDS = [f"tok{i:03d}" for i in range(400)]
+#: 30k-token vocabulary with log-uniform rank sampling = Zipf
+#: rank-frequency (P(rank r) ∝ 1/r, top token ~7% like natural text),
+#: naturally bounded — no clipped-tail mass pileup. A small vocab with
+#: heavy concentration makes random docs share hot shingles and turns
+#: near-dup detection quadratic, which is a corpus pathology, not a
+#: workload (first curve attempt OOM'd exactly that way).
+VOCAB = 30_000
+WORDS = [f"tok{i:05d}" for i in range(VOCAB)]
 
 DOC_SCHEMA = T.StructType(
     [
@@ -73,8 +80,8 @@ SOURCES = ["web", "books", "code", "wiki", "news"]
 
 
 def _doc_text(rng: np.random.Generator, n_words: int) -> str:
-    # zipf-ish frequencies: low token ids much more likely
-    idx = np.minimum(rng.zipf(1.3, size=n_words) - 1, len(WORDS) - 1)
+    # log-uniform ranks: inverse-CDF of P(rank) ∝ 1/rank on [1, VOCAB]
+    idx = (VOCAB ** rng.random(n_words)).astype(int) - 1
     return " ".join(WORDS[i] for i in idx)
 
 
@@ -93,10 +100,11 @@ def gen_documents(spark, n_docs: int, seed: int):
                     rng = np.random.default_rng(src_id + seed * 1_000_003)
                     words = _doc_text(rng, 55).split()
                     mut = np.random.default_rng(doc_id + seed)
-                    for _ in range(3):  # 3-word mutation ~ jaccard .9
-                        words[int(mut.integers(0, len(words)))] = WORDS[
-                            int(mut.integers(0, len(WORDS)))
-                        ]
+                    # 1-word mutation: 3-gram jaccard ~0.89, safely
+                    # above the q25 threshold 0.8
+                    words[int(mut.integers(0, len(words)))] = WORDS[
+                        int(mut.integers(0, len(WORDS)))
+                    ]
                     text = " ".join(words)
                 else:
                     rng = np.random.default_rng(doc_id + seed * 2_000_003)
@@ -183,6 +191,14 @@ def main() -> None:
     collector = StageMetrics(spark)
     qs = entry.queries()
 
+    # Warm up the JVM/Python-worker/codegen paths before ANY
+    # measurement: the first query of a fresh session pays worker
+    # spin-up + codegen + parquet footer costs that inflated the first
+    # cell ~10x in the unwarmed run.
+    for name in QUERIES:
+        qs[name](spark, SF01).count()
+    spark.catalog.clearCache()
+
     results: dict[str, dict] = {}
     for scale in scales:
         sf_dir = SF01 if scale == 1 else build_corpus(spark, scale, args.root)
@@ -208,6 +224,10 @@ def main() -> None:
                 f"shW={results[name][f'x{scale}']['shuffle_write_mb']}MB",
                 file=sys.stderr,
             )
+            # checkpoint partial results — a JVM death at a larger
+            # scale must not lose the measurements already taken
+            with open(args.out + ".partial", "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
 
     # growth ratios vs linear
     for name, by_scale in results.items():
@@ -222,7 +242,10 @@ def main() -> None:
         "metric": "scale_curve",
         "seed": 17,
         "base_rows": {"documents": BASE_DOCS, "embeddings": BASE_EMB},
-        "corpus": "zipf-1.3 55-word docs, 8% near-dups of a 2% pool; 64-d/32-center embeddings",
+        "corpus": (
+            "log-uniform-rank 30k vocab, 40-70-word docs, 8% near-dups "
+            "(1-word mutations) of a 2% pool; 64-d/32-center embeddings"
+        ),
         "queries": results,
     }
     with open(args.out, "w") as f:

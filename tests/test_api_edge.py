@@ -47,8 +47,8 @@ def test_sort_by_index():
 
 
 def test_sort_by_pulse():
-    assert api.check_sort_by_pulse("pulse_number_asc_jet_id_desc") == (True, [])
-    assert api.check_sort_by_pulse("pulse_number_desc_jet_id_asc") == (False, [])
+    assert api.check_sort_by_pulse("pulse_number_asc,jet_id_desc") == (True, [])
+    assert api.check_sort_by_pulse("pulse_number_desc,jet_id_asc") == (False, [])
     _, failures = api.check_sort_by_pulse("nope")
     assert failures[0].property == "sort_by"
 

@@ -365,3 +365,72 @@ def test_seeded_centroids_deterministic_and_ivf_probe_subset(vectors):
     # probing every cell == brute force
     brute = Sim.brute_force_topk(vectors, "embedding", q, k=3)
     assert [r["vec_id"] for r in top.collect()] == [r["vec_id"] for r in brute.collect()]
+
+
+# ---------------------------------------------------------------------------
+# Prefix filtering (round 4): exactness of the scale-safe candidate
+# generation — jaccard_pairs_prefix / containment_pairs_prefix must
+# return byte-identical results to the unfiltered inverted index.
+# ---------------------------------------------------------------------------
+
+
+def _rand_corpus(spark, seed, n_docs=120, vocab=40, words=12):
+    """Small vocab on purpose: dense shingle collisions — the regime
+    where prefix filtering prunes hardest and an off-by-one in the
+    prefix length would show up as a missing pair."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        if i % 3 == 0 and i > 0:  # mutated copy of an earlier doc
+            base = rows[rng.randrange(len(rows))][1].split()
+            base[rng.randrange(len(base))] = f"w{rng.randrange(vocab)}"
+            rows.append((i, " ".join(base)))
+        else:
+            rows.append(
+                (i, " ".join(f"w{rng.randrange(vocab)}" for _ in range(words)))
+            )
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairs_key(df_out):
+    return sorted(
+        (r["id_a"], r["id_b"], r["inter"], r["size_a"], r["size_b"])
+        for r in df_out.collect()
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_jaccard_prefix_equals_unfiltered(spark, threshold):
+    docs = _rand_corpus(spark, seed=threshold)
+    sh = Tx.word_ngrams("text", 2)
+    plain = D.jaccard_pairs(docs, "doc_id", sh, threshold=threshold)
+    pref = D.jaccard_pairs_prefix(docs, "doc_id", sh, threshold=threshold)
+    assert _pairs_key(plain) == _pairs_key(pref)
+    assert len(_pairs_key(pref)) > 0  # non-vacuous
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.62])
+def test_containment_prefix_equals_unfiltered(spark, threshold):
+    docs = _rand_corpus(spark, seed=99)
+    sh = Tx.word_ngrams("text", 2)
+    plain = D.containment_pairs(docs, "doc_id", sh, threshold=threshold)
+    pref = D.containment_pairs_prefix(docs, "doc_id", sh, threshold=threshold)
+    assert _pairs_key(plain) == _pairs_key(pref)
+    assert len(_pairs_key(pref)) > 0
+
+
+def test_jaccard_prefix_exact_integer_boundary(spark):
+    """threshold * |d| landing on an exact integer must not shorten
+    the prefix through fp ceil error: two 10-shingle docs sharing
+    exactly 8 (jaccard 8/12 < 0.8) and a true 0.8+ pair both behave."""
+    a = " ".join(f"t{i}" for i in range(11))      # shingles t0..t10 (11 words -> 10 bigrams)
+    rows = [(1, a), (2, a), (3, a + " extra")]    # 1=2 exact, 3 superset
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = Tx.word_ngrams("text", 2)
+    plain = D.jaccard_pairs(docs, "doc_id", sh, threshold=0.8)
+    pref = D.jaccard_pairs_prefix(docs, "doc_id", sh, threshold=0.8)
+    assert _pairs_key(plain) == _pairs_key(pref)
+    ids = {(r[0], r[1]) for r in _pairs_key(pref)}
+    assert (1, 2) in ids

@@ -330,7 +330,7 @@ def test_jets_sort_error(base_url):
             (
                 "sort_by",
                 "query parameter 'sort_by' should be "
-                "'pulse_number_asc_jet_id_desc' or 'pulse_number_desc_jet_id_asc'",
+                "'pulse_number_asc,jet_id_desc' or 'pulse_number_desc,jet_id_asc'",
             )
         ]
     )
@@ -456,3 +456,324 @@ def test_metrics_endpoints_observe_every_request(base_url):
     assert "block_explorer_get_pulse_duration_seconds_count" in text
     assert 'block_explorer_get_pulse_duration_seconds{quantile="0.5"}' in text
     assert "block_explorer_search_errors_total 0" in text
+
+
+# ---------------------------------------------------------------------------
+# JetDropsByJetID e2e family (round 4): ported from
+# test/api/jd_by_jetid_test.go — jet-across-pulses, parent-prefix,
+# nonexistent, query params, negatives, star jet, prev/next chain.
+# ---------------------------------------------------------------------------
+
+JETID_P0 = 4_100_000  # separate pulse range from the main fixture
+JET_A, JET_B = "0010", "110"  # prefix-unrelated, like the two
+# GenerateRecordsFromOneJetSilence jets
+PULSES_IN_JET = 5
+REC_AMOUNT = 5
+
+
+@pytest.fixture(scope="module")
+def jetid_base_url(spark):
+    """jd_by_jetid_test.go:31-78 seeding: two unrelated jets, each with
+    a drop in PULSES_IN_JET consecutive pulses, REC_AMOUNT records."""
+    rng = random.Random(29)
+    pulses = gen.make_pulses(start=JETID_P0, count=PULSES_IN_JET)
+    drops = [
+        gen.make_jet_drop(rng, JETID_P0 + i * 10, jet, record_amount=REC_AMOUNT,
+                          timestamp=1_600_000_000 + i)
+        for i in range(PULSES_IN_JET)
+        for jet in (JET_A, JET_B)
+    ]
+    api_impl = BlockExplorerApi(
+        spark.createDataFrame(pulses, schemas.PULSES).cache(),
+        spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
+        spark.createDataFrame([], schemas.RECORDS).cache(),
+    )
+    server = serve(api_impl)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_jetid_drops_across_pulses(jetid_base_url):
+    """C5410 (jd_by_jetid_test.go:81-104): a jet with drops in N pulses
+    returns one drop per pulse with per-drop record amount, formatted
+    jet_drop_id, and non-empty hash/timestamp."""
+    for jet in (JET_A, JET_B):
+        status, body = get(jetid_base_url, f"/api/v1/jets/{jet}/jet-drops")
+        assert status == 200
+        assert body["total"] == PULSES_IN_JET
+        assert len(body["result"]) == PULSES_IN_JET
+        for jd in body["result"]:
+            assert jd["jet_id"] == jet
+            assert jd["jet_drop_id"] == f"{jet}:{jd['pulse_number']}"
+            assert jd["record_amount"] == REC_AMOUNT
+            assert jd["timestamp"]
+            assert jd["hash"]
+
+
+def test_jetid_children_by_parent_prefix(jetid_base_url):
+    """C5421 (jd_by_jetid_test.go:105-123): querying a starting prefix
+    of an existing JetID returns its descendants, all prefixed."""
+    for value in (JET_A[: len(JET_A) - round(len(JET_A) / 2)],  # "00"
+                  JET_B[: len(JET_B) - round(len(JET_B) / 2)]):  # "1"
+        status, body = get(jetid_base_url, f"/api/v1/jets/{value}/jet-drops")
+        assert status == 200
+        assert body["total"] > 0
+        assert body["result"]
+        for jd in body["result"]:
+            assert jd["jet_id"].startswith(value)
+
+
+def test_jetid_nonexistent_is_empty(jetid_base_url):
+    """C5422 (jd_by_jetid_test.go:118-143): a JetID that is neither a
+    prefix nor an extension of any stored jet yields an empty page."""
+    status, body = get(jetid_base_url, "/api/v1/jets/0111/jet-drops")
+    assert status == 200
+    assert body == {"total": 0, "result": []}
+
+
+def test_jetid_limit(jetid_base_url):
+    """C5423 (jd_by_jetid_test.go:194-202): limit bounds the page,
+    total still counts everything."""
+    status, body = get(
+        jetid_base_url, f"/api/v1/jets/{JET_A}/jet-drops?limit={PULSES_IN_JET - 1}"
+    )
+    assert status == 200
+    assert body["total"] == PULSES_IN_JET
+    assert len(body["result"]) == PULSES_IN_JET - 1
+
+
+def test_jetid_sort_asc_desc_pairs(jetid_base_url):
+    """C5424/C5425 (jd_by_jetid_test.go:203-238): the two-column sort
+    literals order the page by pulse in each direction."""
+    status, body = get(
+        jetid_base_url,
+        f"/api/v1/jets/{JET_A}/jet-drops?sort_by=pulse_number_asc,jet_id_desc",
+    )
+    assert status == 200
+    pns = [jd["pulse_number"] for jd in body["result"]]
+    assert len(pns) == PULSES_IN_JET and pns == sorted(pns)
+
+    status, body = get(
+        jetid_base_url,
+        f"/api/v1/jets/{JET_A}/jet-drops?sort_by=pulse_number_desc,jet_id_asc",
+    )
+    assert status == 200
+    pns = [jd["pulse_number"] for jd in body["result"]]
+    assert len(pns) == PULSES_IN_JET and pns == sorted(pns, reverse=True)
+
+
+def test_jetid_pulse_bounds(jetid_base_url):
+    """C5426-C5429 (jd_by_jetid_test.go:239-303): gt/gte/lt/lte pulse
+    bounds, with first-row and ordering pins."""
+    uniq = [JETID_P0 + i * 10 for i in range(PULSES_IN_JET)]
+    q = f"/api/v1/jets/{JET_A}/jet-drops"
+
+    status, body = get(
+        jetid_base_url,
+        f"{q}?pulse_number_gte={uniq[1]}&sort_by=pulse_number_asc,jet_id_desc",
+    )
+    assert body["total"] == PULSES_IN_JET - 1
+    assert body["result"][0]["pulse_number"] == uniq[1]
+    assert body["result"][0]["pulse_number"] < body["result"][1]["pulse_number"]
+
+    status, body = get(
+        jetid_base_url,
+        f"{q}?pulse_number_gt={uniq[1]}&sort_by=pulse_number_asc,jet_id_desc",
+    )
+    assert body["total"] == PULSES_IN_JET - 2
+    assert body["result"][0]["pulse_number"] == uniq[2]
+
+    status, body = get(jetid_base_url, f"{q}?pulse_number_lte={uniq[2]}")
+    assert body["total"] == 3  # default sort: pulse desc
+    assert body["result"][0]["pulse_number"] == uniq[2]
+    assert body["result"][0]["pulse_number"] > body["result"][1]["pulse_number"]
+
+    status, body = get(jetid_base_url, f"{q}?pulse_number_lt={uniq[2]}")
+    assert body["total"] == 2
+    assert body["result"][0]["pulse_number"] == uniq[1]
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        pytest.param(f"0010:{JETID_P0}", id="C5431-jetdropid"),
+        # a realistic mixed-char base58 reference (an all-zero-bytes
+        # ref would encode to all '1's, which IS a valid binary jet id)
+        pytest.param(base58_encode(bytes(range(1, 33))), id="C5432-reference"),
+        pytest.param("1234567890", id="C5433-decimal-number"),
+        pytest.param("01" * 120, id="C5434-binary-overlong"),
+    ],
+)
+def test_jetid_negative_values(jetid_base_url, value):
+    """C5431-C5434 (jd_by_jetid_test.go:299-314): JetDropID, reference,
+    decimal, and >216-digit binary values all fail jetID validation."""
+    status, body = get(jetid_base_url, f"/api/v1/jets/{value}/jet-drops")
+    assert status == 400
+    assert body == bad_request(
+        [("jet-id path parameter", "parameter does not match with jetID valid value")]
+    )
+
+
+def test_jetid_empty_value(jetid_base_url):
+    """C5430 (jd_by_jetid_test.go:301): empty path value accumulates
+    BOTH failures — empty + regexp mismatch (handlers.go:749-781 checks
+    are sequential, not early-return)."""
+    status, body = get(jetid_base_url, "/api/v1/jets//jet-drops")
+    assert status == 400
+    assert body == bad_request(
+        [
+            ("jet-id path parameter", "empty value of path parameter"),
+            ("jet-id path parameter", "parameter does not match with jetID valid value"),
+        ]
+    )
+
+
+def test_jetid_star_returns_all(spark):
+    """C5457 (jd_by_jetid_test.go:317-365): JetID='*' (stored root '')
+    matches every jet — star drops render jet_id '*' and '*:pn' ids,
+    non-star drops appear alongside."""
+    rng = random.Random(31)
+    n_star = 5
+    pulses = gen.make_pulses(start=JETID_P0, count=n_star + 1)
+    drops = [
+        gen.make_jet_drop(rng, JETID_P0 + i * 10, "", record_amount=2)
+        for i in range(n_star)
+    ] + [gen.make_jet_drop(rng, JETID_P0 + n_star * 10, "101", record_amount=1)]
+    api_impl = BlockExplorerApi(
+        spark.createDataFrame(pulses, schemas.PULSES).cache(),
+        spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
+        spark.createDataFrame([], schemas.RECORDS).cache(),
+    )
+    server = serve(api_impl)
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        status, body = get(base, "/api/v1/jets/*/jet-drops")
+        assert status == 200
+        assert body["total"] == n_star + 1
+        assert len(body["result"]) == n_star + 1
+        seen_pulses = set()
+        for jd in body["result"]:
+            if jd["jet_id"] == "*":
+                assert jd["record_amount"] == 2
+                assert jd["jet_drop_id"] == f"*:{jd['pulse_number']}"
+                seen_pulses.add(jd["pulse_number"])
+            else:
+                assert jd["jet_id"] == "101"
+        assert seen_pulses == {JETID_P0 + i * 10 for i in range(n_star)}
+    finally:
+        server.shutdown()
+
+
+def test_jetid_prev_next_chain_over_split_tree(spark):
+    """C5672 (jd_by_jetid_test.go:367-470): over a full split tree the
+    response carries prev/next JetDropIDs — root has no prev and two
+    next, leaves have one prev and no next, middles have both; every
+    prev is a jet-prefix parent at pulse-10, every next a child at
+    pulse+10."""
+    depth = 3
+    start = JETID_P0
+    pulses = gen.make_pulses(start=start, count=depth + 1)
+    drops = gen.make_jet_split_tree(seed=37, root_jet="0", start_pulse=start, depth=depth)
+    api_impl = BlockExplorerApi(
+        spark.createDataFrame(pulses, schemas.PULSES).cache(),
+        spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
+        spark.createDataFrame([], schemas.RECORDS).cache(),
+    )
+    server = serve(api_impl)
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        # the reference queries the jets of the LOWEST pulse — here the
+        # root — so the whole split tree arrives in one page and the
+        # prev/next maps (built from page + adjacent-pulse drops,
+        # handlers.go:207-241) see every parent-child hash link
+        status, body = get(base, "/api/v1/jets/0/jet-drops")
+        assert status == 200
+        n_total = 2 ** (depth + 1) - 1
+        assert body["total"] == n_total
+        n_root = n_leaf = n_middle = 0
+        max_pulse = start + 10 * depth
+        for jd in body["result"]:
+            if jd["pulse_number"] == start:
+                assert jd["prev_jet_drop_id"] == []
+                nxt = jd["next_jet_drop_id"]
+                assert len(nxt) == 2
+                for n in nxt:
+                    assert n["jet_id"].startswith(jd["jet_id"])
+                    assert n["pulse_number"] == jd["pulse_number"] + 10
+                    assert n["jet_drop_id"] == f"{n['jet_id']}:{n['pulse_number']}"
+                n_root += 1
+            elif jd["pulse_number"] == max_pulse:
+                prev = jd["prev_jet_drop_id"]
+                assert len(prev) == 1
+                assert jd["jet_id"].startswith(prev[0]["jet_id"])
+                assert prev[0]["pulse_number"] == jd["pulse_number"] - 10
+                assert jd["next_jet_drop_id"] == []
+                n_leaf += 1
+            else:
+                assert len(jd["prev_jet_drop_id"]) == 1
+                assert len(jd["next_jet_drop_id"]) == 2
+                n_middle += 1
+        # C5672's count pins: 1 root, 2^depth leaves, rest middles
+        assert n_root == 1
+        assert n_leaf == 2 ** depth
+        assert n_middle == n_total - n_leaf - n_root
+    finally:
+        server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Search e2e family (round 4): ported from test/api/search_test.go:28-182 —
+# syntax-driven dispatch (nonexistent pulse/jet-drop still answer with
+# meta, no storage lookup) and the negative catalogue.
+# ---------------------------------------------------------------------------
+
+
+def test_search_nonexistent_pulse_is_meta_only(base_url):
+    """C5163 (search_test.go:72-83): a valid-but-never-stored pulse
+    number answers 200 with the echoed meta — dispatch is syntactic."""
+    wrong = P0 + 1000
+    status, body = get(base_url, f"/api/v1/search?value={wrong}")
+    assert status == 200
+    assert body == {"type": "pulse", "meta": {"pulse_number": wrong}}
+
+
+def test_search_nonexistent_jet_drop_is_meta_only(base_url):
+    """C5165 (search_test.go:95-108): a well-formed jet drop id that
+    was never stored still answers 200 with the echoed meta."""
+    value = f"0110:{P0 + 20}"  # jet 0110 never seeded
+    status, body = get(base_url, f"/api/v1/search?value={value}")
+    assert status == 200
+    assert body == {"type": "jet-drop", "meta": {"jet_drop_id": value}}
+
+
+def test_search_zero_value(base_url):
+    """C5286 (search_test.go:165): '0' parses as int but fails pulse
+    validation — its failure reason differs from the generic one."""
+    status, body = get(base_url, "/api/v1/search?value=0")
+    assert status == 400
+    assert body == bad_request(
+        [("value", "not valid pulse number")], message_field="description"
+    )
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        # 45 binary digits: ParseInt overflows int64 in the reference,
+        # so this is NOT 'not valid pulse number' but the generic miss
+        pytest.param("010101010101010101010101010101010101010101010", id="C5161-bare-jetid"),
+        pytest.param("0qwerty123:!@:%23$%25^", id="C5162-invalid-chars"),
+        pytest.param("0101" * 60 + f":{4_000_000}", id="C5168-overlong-jet-prefix"),
+        pytest.param(f"0101:{2**63}1", id="C5289-pulse-overflows-int64"),
+        pytest.param("123456:789012", id="C5290-decimal-jet"),
+    ],
+)
+def test_search_negative_values(base_url, value):
+    """C5161/C5162/C5168/C5289/C5290 (search_test.go:152-176): every
+    malformed shape lands on the generic dispatch failure."""
+    status, body = get(base_url, f"/api/v1/search?value={value}")
+    assert status == 400
+    assert body == bad_request(
+        [("value", "is neither pulse number, jet drop id nor reference")],
+        message_field="description",
+    )
