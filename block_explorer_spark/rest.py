@@ -466,7 +466,10 @@ class _Handler(BaseHTTPRequestHandler):
         import time
 
         parsed = urlparse(self.path)
-        params = parse_qs(parsed.query)
+        # keep_blank_values: '?from_jet_drop_id=' is a PRESENT empty
+        # param — echo binds it and validation rejects it (e2e C5234);
+        # dropping it would silently un-filter instead
+        params = parse_qs(parsed.query, keep_blank_values=True)
         if parsed.path == "/metrics":  # Prometheus exposition text
             return self._reply_text(200, self.api.metrics.prometheus_text())
         if parsed.path == "/metrics.json":

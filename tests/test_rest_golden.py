@@ -660,6 +660,13 @@ def test_jetid_star_returns_all(spark):
             else:
                 assert jd["jet_id"] == "101"
         assert seen_pulses == {JETID_P0 + i * 10 for i in range(n_star)}
+        # C5671 (jd_by_id_test.go): the star jet drop resolves by its
+        # composite id "*:<pn>" on the point-lookup endpoint too
+        status, body = get(base, f"/api/v1/jet-drops/*:{JETID_P0}")
+        assert status == 200
+        assert body["jet_drop_id"] == f"*:{JETID_P0}"
+        assert body["jet_id"] == "*"
+        assert body["record_amount"] == 2
     finally:
         server.shutdown()
 
@@ -777,3 +784,61 @@ def test_search_negative_values(base_url, value):
         [("value", "is neither pulse number, jet drop id nor reference")],
         message_field="description",
     )
+
+
+# ---------------------------------------------------------------------------
+# JetDropsByPulse param family (round 4): test/api/jd_by_pulse_test.go
+# ---------------------------------------------------------------------------
+
+
+def test_jd_by_pulse_empty_pulse(base_url):
+    """C5227: a stored pulse with no drops answers 200/empty."""
+    status, body = get(base_url, f"/api/v1/pulses/{P0 + 10}/jet-drops")
+    assert status == 200
+    assert body == {"total": 0, "result": []}
+
+
+def test_jd_by_pulse_from_jet_drop_id_with_offset(base_url):
+    """C5232 (jd_by_pulse_test.go:196-206): jet_id >= from seek
+    (storage.go:481-483, inclusive) composed with offset."""
+    status, body = get(
+        base_url,
+        f"/api/v1/pulses/{P0 + 20}/jet-drops"
+        f"?from_jet_drop_id=001:{P0 + 20}&offset=1",
+    )
+    assert status == 200
+    assert body["total"] == 2  # 001, 010
+    assert [d["jet_drop_id"] for d in body["result"]] == [f"010:{P0 + 20}"]
+
+
+def test_jd_by_pulse_invalid_from_jet_drop_id(base_url):
+    """C5233/C5234/C5235 (jd_by_pulse_test.go:207-235): invalid, empty
+    and kilobyte-length from_jet_drop_id values are 400s (pulse
+    MaxInt64 is itself invalid — both failures accumulate)."""
+    from urllib.parse import quote
+
+    for bad in ("%^&Qwerty!@#$%123", "", "9" * 1000):
+        status, body = get(
+            base_url,
+            f"/api/v1/pulses/{2**63 - 1}/jet-drops?from_jet_drop_id={quote(bad)}",
+        )
+        assert status == 400
+        props = [f["property"] for f in body["validation_failures"]]
+        assert "pulse" in props and "jet drop id" in props
+
+
+def test_pulses_from_between_and_timestamp_bounds(base_url):
+    """C5215/C5216/C5217 (pulses_test.go:157-220): from_pulse_number
+    between two stored pulses acts as the <= bound; timestamp_gte/lte
+    filter the chain (fixture stamps P0+i*10 at 1_600_000_000+i*10)."""
+    status, body = get(
+        base_url, f"/api/v1/pulses?from_pulse_number={P0 + 15}"
+    )
+    assert status == 200
+    assert [p["pulse_number"] for p in body["result"]] == [P0 + 10, P0]
+
+    status, body = get(
+        base_url, "/api/v1/pulses?timestamp_gte=1600000020&timestamp_lte=1600000030"
+    )
+    assert status == 200
+    assert [p["pulse_number"] for p in body["result"]] == [P0 + 30, P0 + 20]
