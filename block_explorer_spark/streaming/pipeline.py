@@ -100,28 +100,25 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
         # targets a different table and each MERGE is idempotent —
         # partial failure self-heals on replay exactly as in the
         # sequential order.
-        records.count()
-        touched = [
-            r.pulse_number for r in records.select("pulse_number").distinct().collect()
-        ]
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            futures = [
-                ex.submit(pq.save_pulse, spark, base, pulses),
-                ex.submit(pq.upsert, spark, base, "records", records),
-            ]
-            for f in futures:
-                f.result()
-        # jet_drops AFTER the records merge: if any touched (pulse,
-        # jet) drop already exists — a pulse whose records arrive
-        # split across micro-batches — batch-local counts would
+        # One job materializes the cache AND yields the touched-pulse
+        # list (collect_set must scan every row, so it fully populates
+        # the cache exactly as count() did — without a second job).
+        touched = records.agg(
+            F.collect_set("pulse_number").alias("pns")
+        ).collect()[0]["pns"]
+        # Counter-correctness probe BEFORE the merges: if any touched
+        # (pulse, jet) drop already exists — a pulse whose records
+        # arrive split across micro-batches — batch-local counts would
         # overwrite the true totals (upsert is replace-on-key). The
         # reference increments counters inside its load txn
-        # (storage.go:56-60); the idempotent analog is recomputing
-        # counts from the post-merge fact table, bucket-pruned to the
-        # touched pulses. Steady state (all-new pulses) skips the
-        # read-back entirely — one cheap key probe of the small
-        # jet_drops table decides.
-        if touched:
+        # (storage.go:56-60); the idempotent analog recomputes counts
+        # from the post-merge fact table. The probe reads only the
+        # PRE-EXISTING jet_drops table, so it does not depend on this
+        # batch's merges — and in steady state (all-new pulses, probe
+        # empty) the jet_drops merge keeps its batch-local counts and
+        # runs CONCURRENTLY with the other two, as before.
+        prior = 0
+        if touched and os.path.exists(pq.table_path(base, "jet_drops")):
             try:
                 prior = (
                     pq.read_table(
@@ -133,14 +130,26 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
                     .count()
                 )
             except Exception:
-                prior = 0  # table absent: first batch ever
-            if prior:
-                post = pq.read_table(
-                    spark, base, "records",
-                    pulse_gte=min(touched), pulse_lte=max(touched),
-                ).filter(F.col("pulse_number").isin(touched))
-                drops = Tr.jet_drops_from_records(post, pulses)
-        pq.upsert(spark, base, "jet_drops", drops)
+                prior = 0  # unreadable/empty dir: first batch ever
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futures = [
+                ex.submit(pq.save_pulse, spark, base, pulses),
+                ex.submit(pq.upsert, spark, base, "records", records),
+            ]
+            if not prior:
+                futures.append(ex.submit(pq.upsert, spark, base, "jet_drops", drops))
+            for f in futures:
+                f.result()
+        if prior:
+            # Split-pulse path only: recompute counts from the merged
+            # fact table (bucket-pruned to the touched pulses), then
+            # merge jet_drops after the records merge has landed.
+            post = pq.read_table(
+                spark, base, "records",
+                pulse_gte=min(touched), pulse_lte=max(touched),
+            ).filter(F.col("pulse_number").isin(touched))
+            drops = Tr.jet_drops_from_records(post, pulses)
+            pq.upsert(spark, base, "jet_drops", drops)
     finally:
         raw.unpersist()
         if records is not None:

@@ -1,0 +1,184 @@
+"""Relational/GBE-store scaling: does the API stay fast as the table
+grows 100x?
+
+The analytic curve (scripts/scale_curve.py) shows the curation
+operators scale; this script shows the OTHER half of the 100 TB story:
+the pulse-bucketed storage layout keeps POINT work (an API page, a
+micro-batch merge) at constant cost while the table grows, because
+every such operation touches one bucket directory out of N.
+
+Measured per scale (x1 = 200 pulses ~100k records, x10 = 2k pulses ~
+1M, x100 = 20k pulses / 10M):
+
+  page_ms    keyset page of 50 records at one pulse (read_table with
+             pulse bounds -> partition-pruned scan -> order+limit)
+  upsert_s   MERGE of a fresh 512-record pulse batch (bucket-granular
+             dynamic overwrite; reference: ON CONFLICT txn,
+             etl/storage/storage.go:28-94)
+  scan_s     full-table count grouped by type — the deliberately
+             LINEAR contrast that proves the flat numbers above are
+             pruning, not cache
+
+Corpus: deterministic mapInPandas generation — per-row bytes derive
+from (pulse, jet, seq), so any scale/partitioning writes identical
+data; nothing data-sized touches the driver.
+
+Usage: python scripts/scale_relational.py [--scales 1,10,100]
+       [--out SCALE_RELATIONAL.json] [--root /root/repo/.scale_rel]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+
+
+from block_explorer_spark import get_spark, schemas
+from block_explorer_spark.operators import filters as Fl
+from block_explorer_spark.operators import pagination as Pg
+from block_explorer_spark.sources import parquet as P
+
+P0 = 4_000_000
+PULSE_STEP = 10
+BASE_PULSES = 200
+RECS_PER_PULSE = 512  # divisible by 8 jets -> exact per-jet chains
+JETS = [format(i, "03b") for i in range(8)]
+
+
+def _ref(pn: int, seq: int) -> bytes:
+    return pn.to_bytes(8, "big") + seq.to_bytes(8, "big") + b"\x00" * 16
+
+
+def gen_records(spark, n_pulses: int, start_idx: int = 0):
+    """RECORDS-schema rows: per pulse, RECS_PER_PULSE records spread
+    over 8 jets as activate->amend chains. References embed the pulse,
+    so batches generated at different start_idx never collide on PK."""
+
+    def make(batches):
+        per_jet = RECS_PER_PULSE // len(JETS)
+        for pdf in batches:
+            rows = []
+            for p_idx in pdf["id"]:
+                pn = P0 + (int(p_idx) + start_idx) * PULSE_STEP
+                seq = 0
+                for j_idx, jet in enumerate(JETS):
+                    obj = _ref(pn, 10_000 + j_idx)
+                    prev = None
+                    for i in range(per_jet):
+                        ref = _ref(pn, seq)
+                        rows.append(
+                            {
+                                "reference": ref,
+                                "type": "state" if i else "request",
+                                "object_reference": obj,
+                                "prototype_reference": b"proto",
+                                "payload": b"p" * 16,
+                                "prev_record_reference": prev,
+                                "hash": ref,
+                                "raw_data": b"r" * 16,
+                                "jet_id": jet,
+                                "pulse_number": pn,
+                                "order": i,
+                                "timestamp": 1_600_000_000 + int(p_idx),
+                            }
+                        )
+                        prev = ref
+                        seq += 1
+            yield pd.DataFrame(rows, columns=[f.name for f in schemas.RECORDS.fields])
+
+    parts = max(8, n_pulses // 100)
+    return spark.range(0, n_pulses, numPartitions=parts).mapInPandas(make, schemas.RECORDS)
+
+
+def build(spark, scale: int, root: str) -> str:
+    base = os.path.join(root, f"x{scale}")
+    if os.path.exists(os.path.join(base, "_DONE")):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    n_pulses = BASE_PULSES * scale
+    gen_records(spark, n_pulses).transform(P.with_bucket).write.partitionBy(
+        "pulse_bucket"
+    ).mode("overwrite").parquet(P.table_path(base, "records"))
+    open(os.path.join(base, "_DONE"), "w").close()
+    return base
+
+
+def measure(spark, base: str, scale: int) -> dict:
+    n_pulses = BASE_PULSES * scale
+    mid_pn = P0 + (n_pulses // 2) * PULSE_STEP
+
+    # -- page: keyset page at one pulse (the API's hot path) ----------
+    def page():
+        df = P.read_table(spark, base, "records", pulse_gte=mid_pn, pulse_lte=mid_pn)
+        df = Fl.apply_filters(df, Fl.equality(jet_id=JETS[3]))
+        return Pg.paginate(df, [("order", True)], limit=50).collect()
+
+    page()  # warm the file listing once; then measure steady-state
+    t0 = time.perf_counter()
+    n_iter = 5
+    for _ in range(n_iter):
+        rows = page()
+    page_ms = (time.perf_counter() - t0) / n_iter * 1000
+    assert len(rows) == 50, len(rows)
+
+    # -- upsert: merge a fresh one-pulse batch ------------------------
+    batch = gen_records(spark, 1, start_idx=n_pulses + 7)
+    t0 = time.perf_counter()
+    P.upsert(spark, base, "records", batch)
+    upsert_s = time.perf_counter() - t0
+
+    # -- scan: the linear contrast ------------------------------------
+    t0 = time.perf_counter()
+    by_type = (
+        P.read_table(spark, base, "records")
+        .groupBy("type")
+        .count()
+        .collect()
+    )
+    scan_s = time.perf_counter() - t0
+    total = sum(r["count"] for r in by_type)
+    assert total == n_pulses * RECS_PER_PULSE + RECS_PER_PULSE, total
+
+    return {
+        "pulses": n_pulses,
+        "records": total,
+        "page_ms": round(page_ms, 1),
+        "upsert_s": round(upsert_s, 2),
+        "scan_s": round(scan_s, 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,10,100")
+    ap.add_argument("--out", default="SCALE_RELATIONAL.json")
+    ap.add_argument("--root", default="/root/repo/.scale_rel")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-relational")
+    results = {}
+    for scale in (int(s) for s in args.scales.split(",")):
+        base = build(spark, scale, args.root)
+        results[f"x{scale}"] = measure(spark, base, scale)
+        print(f"# x{scale}: {results[f'x{scale}']}", file=sys.stderr)
+        with open(args.out + ".partial", "w") as f:
+            json.dump(results, f, indent=1)
+
+    payload = {"metric": "relational_scale", "base": {"pulses": BASE_PULSES,
+               "recs_per_pulse": RECS_PER_PULSE}, "scales": results}
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "relational_scale", "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
