@@ -15,9 +15,11 @@ Measured per scale (x1 = 200 pulses ~100k records, x10 = 2k pulses ~
   upsert_s   MERGE of a fresh 512-record pulse batch (bucket-granular
              dynamic overwrite; reference: ON CONFLICT txn,
              etl/storage/storage.go:28-94)
-  scan_s     full-table count grouped by type — the deliberately
-             LINEAR contrast that proves the flat numbers above are
-             pruning, not cache
+  scan_s     full-table count grouped by type — the LINEAR contrast.
+             Wall time barely moves (a column-pruned scan of even 10M
+             rows is sub-second on 32 cores), so the honest contrast
+             is INPUT BYTES: scan_input_mb grows ~100x while
+             page_input_mb stays a few MB — the pruning, measured
 
 Corpus: deterministic mapInPandas generation — per-row bytes derive
 from (pulse, jet, seq), so any scale/partitioning writes identical
@@ -42,6 +44,7 @@ import pandas as pd
 
 
 from block_explorer_spark import get_spark, schemas
+from block_explorer_spark.metrics import StageMetrics
 from block_explorer_spark.operators import filters as Fl
 from block_explorer_spark.operators import pagination as Pg
 from block_explorer_spark.sources import parquet as P
@@ -112,7 +115,7 @@ def build(spark, scale: int, root: str) -> str:
     return base
 
 
-def measure(spark, base: str, scale: int) -> dict:
+def measure(spark, base: str, scale: int, collector=None) -> dict:
     n_pulses = BASE_PULSES * scale
     mid_pn = P0 + (n_pulses // 2) * PULSE_STEP
 
@@ -123,11 +126,16 @@ def measure(spark, base: str, scale: int) -> dict:
         return Pg.paginate(df, [("order", True)], limit=50).collect()
 
     page()  # warm the file listing once; then measure steady-state
+    before = collector.totals() if collector else None
     t0 = time.perf_counter()
     n_iter = 5
     for _ in range(n_iter):
         rows = page()
     page_ms = (time.perf_counter() - t0) / n_iter * 1000
+    page_input_mb = (
+        round(collector.delta(before, collector.totals())["inputBytes"] / n_iter / 1e6, 2)
+        if collector else None
+    )
     assert len(rows) == 50, len(rows)
 
     # -- upsert: merge a fresh one-pulse batch ------------------------
@@ -137,6 +145,7 @@ def measure(spark, base: str, scale: int) -> dict:
     upsert_s = time.perf_counter() - t0
 
     # -- scan: the linear contrast ------------------------------------
+    before = collector.totals() if collector else None
     t0 = time.perf_counter()
     by_type = (
         P.read_table(spark, base, "records")
@@ -145,6 +154,10 @@ def measure(spark, base: str, scale: int) -> dict:
         .collect()
     )
     scan_s = time.perf_counter() - t0
+    scan_input_mb = (
+        round(collector.delta(before, collector.totals())["inputBytes"] / 1e6, 2)
+        if collector else None
+    )
     total = sum(r["count"] for r in by_type)
     assert total == n_pulses * RECS_PER_PULSE + RECS_PER_PULSE, total
 
@@ -152,8 +165,10 @@ def measure(spark, base: str, scale: int) -> dict:
         "pulses": n_pulses,
         "records": total,
         "page_ms": round(page_ms, 1),
+        "page_input_mb": page_input_mb,
         "upsert_s": round(upsert_s, 2),
         "scan_s": round(scan_s, 2),
+        "scan_input_mb": scan_input_mb,
     }
 
 
@@ -164,11 +179,15 @@ def main() -> None:
     ap.add_argument("--root", default="/root/repo/.scale_rel")
     args = ap.parse_args()
 
-    spark = get_spark("scale-relational")
+    spark = get_spark("scale-relational", **{"spark.ui.enabled": "true"})
+    try:
+        collector = StageMetrics(spark)
+    except Exception:
+        collector = None
     results = {}
     for scale in (int(s) for s in args.scales.split(",")):
         base = build(spark, scale, args.root)
-        results[f"x{scale}"] = measure(spark, base, scale)
+        results[f"x{scale}"] = measure(spark, base, scale, collector)
         print(f"# x{scale}: {results[f'x{scale}']}", file=sys.stderr)
         with open(args.out + ".partial", "w") as f:
             json.dump(results, f, indent=1)
