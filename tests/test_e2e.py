@@ -294,3 +294,27 @@ def test_reload_updates_pulse_links_and_drop_hashes(spark, tmp_path):
     row = pq.read_table(spark, base, "pulses").collect()[0]
     assert (row.jet_drop_amount, row.record_amount) == (1, 2)
     assert pq.read_table(spark, base, "records").count() == 2
+
+
+def test_amend_only_linked_chain_builds_lifeline(spark, tmp_path):
+    """reference: test/api/object_lifeline_test.go:84-114 (C4999) — a
+    lifeline delivered as linked AMEND records only (the activate head
+    lives in an earlier, never-delivered pulse) still ingests as a
+    complete chain and serves every record."""
+    base = str(tmp_path / "tables")
+    obj = b"\x77" * 8
+    external_head = b"\xee" * 8  # never delivered
+    prev = external_head
+    rows = []
+    for i in range(5):
+        ref = bytes([0x70 + i])
+        rows.append(_rec(ref, "amend", PN1, "0", i, obj=obj, prev=prev))
+        prev = ref
+    raw = spark.createDataFrame(rows, schemas.RAW_RECORDS)
+    P.ingest_batch(spark, base, raw)
+    records = pq.read_table(spark, base, "records")
+    page, total = Q.get_lifeline(records, obj, limit=100)
+    assert total == 5
+    # chain order preserved: desc by (pulse, order) = reverse delivery
+    # (order is 1..N per drop — chain_sort.py:43)
+    assert [r.order for r in page.collect()] == [5, 4, 3, 2, 1]
