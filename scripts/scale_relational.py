@@ -101,6 +101,73 @@ def gen_records(spark, n_pulses: int, start_idx: int = 0):
     return spark.range(0, n_pulses, numPartitions=parts).mapInPandas(make, schemas.RECORDS)
 
 
+def gen_raw(spark, n_pulses: int, start_idx: int = 0):
+    """RAW_RECORDS rows (the ingest pipeline's input shape) — same
+    deterministic layout as gen_records but pre-transform: kind +
+    position instead of type + order."""
+
+    def make(batches):
+        per_jet = RECS_PER_PULSE // len(JETS)
+        for pdf in batches:
+            rows = []
+            for p_idx in pdf["id"]:
+                pn = P0 + (int(p_idx) + start_idx) * PULSE_STEP
+                pos = 0
+                for j_idx, jet in enumerate(JETS):
+                    obj = _ref(pn, 10_000 + j_idx)
+                    prev = None
+                    for i in range(per_jet):
+                        ref = _ref(pn, pos)
+                        rows.append(
+                            {
+                                "reference": ref,
+                                "kind": "activate" if i == 0 else "amend",
+                                "object_reference": obj,
+                                "prototype_reference": b"proto",
+                                "payload": b"p" * 16,
+                                "prev_record_reference": prev,
+                                "hash": ref,
+                                "raw_data": b"r" * 16,
+                                "jet_id": jet,
+                                "pulse_number": pn,
+                                "timestamp": 1_600_000_000,
+                                "position": pos,
+                                "prev_pulse_number": pn - PULSE_STEP,
+                                "next_pulse_number": pn + PULSE_STEP,
+                            }
+                        )
+                        prev = ref
+                        pos += 1
+            yield pd.DataFrame(rows, columns=[f.name for f in schemas.RAW_RECORDS.fields])
+
+    parts = max(8, n_pulses // 50)
+    return spark.range(0, n_pulses, numPartitions=parts).mapInPandas(
+        make, schemas.RAW_RECORDS
+    )
+
+
+def measure_backfill(spark, root: str, n_pulses: int = 1000) -> dict:
+    """One BIG ingest_batch (the D3 backfill shape): n_pulses x
+    RECS_PER_PULSE raw records through dedup + chain sort + fork
+    validation + pulse/jet_drops derivation + three MERGEs."""
+    import tempfile
+
+    from block_explorer_spark.streaming import pipeline as pl
+
+    warm = tempfile.mkdtemp(prefix="bes_bf_warm_", dir=root)
+    pl.ingest_batch(spark, warm, gen_raw(spark, 2, start_idx=900_000))
+    base = tempfile.mkdtemp(prefix="bes_bf_", dir=root)
+    t0 = time.perf_counter()
+    pl.ingest_batch(spark, base, gen_raw(spark, n_pulses))
+    wall = time.perf_counter() - t0
+    landed = P.read_table(spark, base, "records").count()
+    n = n_pulses * RECS_PER_PULSE
+    assert landed == n, (landed, n)
+    shutil.rmtree(base)
+    shutil.rmtree(warm)
+    return {"records": n, "sec": round(wall, 1), "records_per_s": int(n / wall)}
+
+
 def build(spark, scale: int, root: str) -> str:
     base = os.path.join(root, f"x{scale}")
     if os.path.exists(os.path.join(base, "_DONE")):
@@ -184,7 +251,9 @@ def main() -> None:
         collector = StageMetrics(spark)
     except Exception:
         collector = None
-    results = {}
+    os.makedirs(args.root, exist_ok=True)
+    results = {"backfill_512k": measure_backfill(spark, args.root)}
+    print(f"# backfill: {results['backfill_512k']}", file=sys.stderr)
     for scale in (int(s) for s in args.scales.split(",")):
         base = build(spark, scale, args.root)
         results[f"x{scale}"] = measure(spark, base, scale, collector)
