@@ -842,3 +842,51 @@ def test_pulses_from_between_and_timestamp_bounds(base_url):
     )
     assert status == 200
     assert [p["pulse_number"] for p in body["result"]] == [P0 + 30, P0 + 20]
+
+
+# ---------------------------------------------------------------------------
+# JetDropRecords e2e additions (round 4): test/api/jd_records_test.go
+# ---------------------------------------------------------------------------
+
+
+def test_jd_records_nonexistent_drop_is_empty(base_url):
+    """C5324: a well-formed, never-stored jet drop id answers 200 with
+    an empty page — not an error."""
+    status, body = get(base_url, f"/api/v1/jet-drops/0110:{P0 + 20}/records")
+    assert status == 200
+    assert body == {"total": 0, "result": []}
+
+
+def test_jd_records_star_no_genesis(base_url):
+    """C5325: '*:pulse' addresses the root jet; with no genesis (root-
+    jet) records stored the page is empty, not an error."""
+    status, body = get(base_url, f"/api/v1/jet-drops/*:{P0 + 20}/records")
+    assert status == 200
+    assert body == {"total": 0, "result": []}
+
+
+def test_jd_records_star_returns_genesis(spark):
+    """C5331: records stored under the root jet ('' in storage, '*' on
+    the wire) are served by the '*:pulse' composite id."""
+    rng = random.Random(41)
+    pulses = gen.make_pulses(start=JETID_P0, count=1)
+    drops = [gen.make_jet_drop(rng, JETID_P0, "", record_amount=2)]
+    records = [
+        gen.make_record(rng, JETID_P0, "", order=i, rec_type="state") for i in range(2)
+    ]
+    api_impl = BlockExplorerApi(
+        spark.createDataFrame(pulses, schemas.PULSES).cache(),
+        spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
+        spark.createDataFrame(records, schemas.RECORDS).cache(),
+    )
+    server = serve(api_impl)
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        status, body = get(base, f"/api/v1/jet-drops/*:{JETID_P0}/records")
+        assert status == 200
+        assert body["total"] == 2
+        for r in body["result"]:
+            assert r["jet_id"] == "*"
+            assert r["jet_drop_id"] == f"*:{JETID_P0}"
+    finally:
+        server.shutdown()
