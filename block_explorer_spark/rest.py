@@ -438,8 +438,11 @@ _ROUTES = [
         lambda a, m, p: a.jet_drop_by_id(unquote(m.group(1))),
     ),
     (
+        # [^/]* not [^/]+: an empty jet drop id must still bind so
+        # validation can reject it with 400 (e2e C5334) — a non-match
+        # would fall through to the catch-all 404 instead.
         "get_records",
-        re.compile(r"^/api/v1/jet-drops/([^/]+)/records$"),
+        re.compile(r"^/api/v1/jet-drops/([^/]*)/records$"),
         lambda a, m, p: a.jet_drop_records(unquote(m.group(1)), p),
     ),
     (

@@ -352,7 +352,7 @@ def test_jets_hierarchy_page(base_url):
 
 
 def test_search_pulse(base_url):
-    """handlers_test.go:1250-1264"""
+    """handlers_test.go:1250-1264; e2e C5157 (search_test.go:61-71)"""
     status, body = get(base_url, f"/api/v1/search?value={P0 + 20}")
     assert status == 200
     assert body == {"type": "pulse", "meta": {"pulse_number": P0 + 20}}
@@ -368,14 +368,16 @@ def test_search_pulse_wrong_value(base_url):
 
 
 def test_search_jet_drop(base_url):
-    """handlers_test.go:1281-1296 — no storage check, echoes the id"""
+    """handlers_test.go:1281-1296 — no storage check, echoes the id;
+    e2e C5159 (search_test.go:83-94)"""
     status, body = get(base_url, "/api/v1/search?value=101010:4000999")
     assert status == 200
     assert body == {"type": "jet-drop", "meta": {"jet_drop_id": "101010:4000999"}}
 
 
 def test_search_object(base_url):
-    """handlers_test.go:1298-1312 — object ref answers as lifeline"""
+    """handlers_test.go:1298-1312 — object ref answers as lifeline;
+    e2e C5160 (search_test.go:108-117)"""
     status, body = get(base_url, f"/api/v1/search?value={base58_encode(OBJ_REF)}")
     assert status == 200
     assert body == {
@@ -385,7 +387,8 @@ def test_search_object(base_url):
 
 
 def test_search_record(base_url):
-    """handlers_test.go:1314-1345 — record ref answers index + object"""
+    """handlers_test.go:1314-1345 — record ref answers index + object;
+    e2e C5158 (search_test.go:131-149)"""
     status, body = get(base_url, f"/api/v1/search?value={base58_encode(REC_REF)}")
     assert status == 200
     assert body == {
@@ -398,7 +401,12 @@ def test_search_record(base_url):
 
 
 def test_search_record_not_exist(base_url):
-    """handlers_test.go:1347-1360"""
+    """handlers_test.go:1347-1360; e2e C5164 (search_test.go:185 —
+    nonexisting record_ref is an error). C5166's "nonexisting
+    object_reference answers 200 lifeline" relies on Go reference
+    strings carrying an object-vs-record marker; in this engine both
+    are bare 32-byte base58 values, so an unknown ref of either kind
+    lands here (documented adaptation)."""
     status, body = get(base_url, f"/api/v1/search?value={base58_encode(LOST_REF)}")
     assert status == 400
     assert body == bad_request(
@@ -890,3 +898,463 @@ def test_jd_records_star_returns_genesis(spark):
             assert r["jet_drop_id"] == f"*:{JETID_P0}"
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Pulses param/validation family (round 4): ported from
+# test/api/pulses_test.go — limit/offset boundary validation,
+# from_pulse_number seeks, out-of-range offsets. The module fixture
+# seeds 5 pulses P0..P0+40 (the reference seeds 100; assertions are
+# adapted to the 5-pulse chain, semantics identical).
+# ---------------------------------------------------------------------------
+
+
+def test_pulses_limit_min(base_url):
+    """C5170 (pulses_test.go:87-96): limit = 1 is valid and returns
+    the single newest pulse."""
+    status, body = get(base_url, "/api/v1/pulses?limit=1")
+    assert status == 200
+    assert body["total"] == 5
+    assert [p["pulse_number"] for p in body["result"]] == [P0 + 40]
+
+
+def test_pulses_limit_max(base_url):
+    """C5174 (pulses_test.go:97-106): limit = 1000 is valid and
+    returns everything."""
+    status, body = get(base_url, "/api/v1/pulses?limit=1000")
+    assert status == 200
+    assert body["total"] == 5
+    assert len(body["result"]) == 5
+    assert body["result"][0]["pulse_number"] == P0 + 40
+
+
+@pytest.mark.parametrize(
+    "limit", [0, 1001, -1],
+    ids=["C5172_zero", "C5173_too_big", "C5210_negative"],
+)
+def test_pulses_limit_boundaries_rejected(base_url, limit):
+    """C5172/C5173/C5210 (pulses_test.go:107-131): limit outside
+    [1, 1000] is a validation error."""
+    status, body = get(base_url, f"/api/v1/pulses?limit={limit}&offset=10")
+    assert status == 400
+    assert body == bad_request([("limit", "should be in range [1, 1000]")])
+
+
+def test_pulses_offset_min(base_url):
+    """C5175 (pulses_test.go:132-141): offset = 1 skips exactly the
+    newest pulse."""
+    status, body = get(base_url, "/api/v1/pulses?limit=10&offset=1")
+    assert status == 200
+    assert body["total"] == 5
+    assert body["result"][0]["pulse_number"] == P0 + 30
+    assert len(body["result"]) == 4
+
+
+def test_pulses_offset_zero(base_url):
+    """C5212 (pulses_test.go:142-149): offset = 0 is the unshifted
+    page."""
+    status, body = get(base_url, "/api/v1/pulses?limit=10&offset=0")
+    assert status == 200
+    assert body["result"][0]["pulse_number"] == P0 + 40
+
+
+def test_pulses_offset_negative(base_url):
+    """C5177 (pulses_test.go:150-155): offset = -1 is a validation
+    error."""
+    status, body = get(base_url, "/api/v1/pulses?limit=10&offset=-1")
+    assert status == 400
+    assert body == bad_request([("offset", "should not be negative")])
+
+
+def test_pulses_offset_out_of_range(base_url):
+    """C5178 (pulses_test.go:78-86): offset beyond the pulse count
+    keeps the full total but returns an empty page."""
+    status, body = get(base_url, "/api/v1/pulses?limit=10&offset=6")
+    assert status == 200
+    assert body["total"] == 5
+    assert body["result"] == []
+
+
+def test_pulses_limit_and_offset_tail(base_url):
+    """C5209 (pulses_test.go:67-77): limit 3 offset 3 lands on the
+    chain tail (2 rows remain of 5; the reference's 100-pulse seed
+    yields a full 3 — same arithmetic)."""
+    status, body = get(base_url, "/api/v1/pulses?limit=3&offset=3")
+    assert status == 200
+    assert body["total"] == 5
+    assert [p["pulse_number"] for p in body["result"]] == [P0 + 10, P0]
+
+
+def test_pulses_from_pulse_number_reduces_total(base_url):
+    """C5213 (pulses_test.go:166-176): from_pulse_number is a <= seek
+    that also shrinks the reported total."""
+    status, body = get(base_url, f"/api/v1/pulses?limit=20&from_pulse_number={P0 + 30}")
+    assert status == 200
+    assert body["total"] == 4
+    assert body["result"][0]["pulse_number"] == P0 + 30
+    assert len(body["result"]) == 4
+
+
+def test_pulses_from_pulse_number_below_min(base_url):
+    """C5214 (pulses_test.go:177-184): a from_pulse_number older than
+    every stored pulse yields an empty page."""
+    status, body = get(base_url, f"/api/v1/pulses?limit=20&from_pulse_number={P0 - 100}")
+    assert status == 200
+    assert body["result"] == []
+
+
+# ---------------------------------------------------------------------------
+# Pulse-by-number family (round 4): ported from test/api/pulse_test.go.
+# ---------------------------------------------------------------------------
+
+
+def test_pulse_chain_fields_every_pulse(base_url):
+    """C5218 (pulse_test.go:41-60): every stored pulse answers with its
+    own number, prev/next links at +-10 (edges omitted), its seeded
+    jet-drop/record counters, a timestamp, and no error fields."""
+    chain = [P0 + i * 10 for i in range(5)]
+    for i, pn in enumerate(chain):
+        status, body = get(base_url, f"/api/v1/pulses/{pn}")
+        assert status == 200
+        assert body["pulse_number"] == pn
+        if i == 0:
+            assert "prev_pulse_number" not in body  # first in db has no prev
+        else:
+            assert body["prev_pulse_number"] == pn - 10
+        if i == len(chain) - 1:
+            assert "next_pulse_number" not in body  # last in db has no next
+        else:
+            assert body["next_pulse_number"] == pn + 10
+        assert body["jet_drop_amount"] == 0  # fixture seeds zero counters
+        assert body["record_amount"] == 0
+        assert body["timestamp"]
+        assert "message" not in body
+        assert "validation_failures" not in body
+
+
+def test_pulse_nonexistent_beyond_chain(base_url):
+    """C5219 (pulse_test.go:61-64): a pulse 1000 past the stored chain
+    is 404."""
+    status, _ = get(base_url, f"/api/v1/pulses/{P0 + 40 + 1000}")
+    assert status == 404
+
+
+def test_pulse_zero_value(base_url):
+    """C5221 (pulse_test.go:65-68): pulse 0 is simply not found."""
+    status, _ = get(base_url, "/api/v1/pulses/0")
+    assert status == 404
+
+
+# ---------------------------------------------------------------------------
+# JetDropByID family (round 4): ported from test/api/jd_by_id_test.go —
+# happy path over every seeded drop plus the 9-case negative table.
+# ---------------------------------------------------------------------------
+
+
+def test_jd_by_id_every_seeded_drop(base_url):
+    """C5240 (jd_by_id_test.go:54-67): each stored drop resolves by its
+    composite id with matching jet/pulse split and non-empty
+    hash/timestamp."""
+    seeded = [
+        ("000", P0 + 20),
+        ("001", P0 + 20),
+        ("010", P0 + 20),
+        ("00", P0 + 30),
+    ]
+    for jet_id, pn in seeded:
+        status, body = get(base_url, f"/api/v1/jet-drops/{jet_id}:{pn}")
+        assert status == 200
+        assert body["jet_drop_id"] == f"{jet_id}:{pn}"
+        assert body["jet_id"] == jet_id
+        assert body["pulse_number"] == pn
+        assert body["hash"]
+        assert body["timestamp"]
+        assert "message" not in body
+        assert "validation_failures" not in body
+
+
+@pytest.mark.parametrize(
+    ("value", "status_exp"),
+    [
+        pytest.param(f"111:{P0 + 20}", 404, id="C5242_nonexistent_jet"),
+        pytest.param("11110000", 400, id="C5243_jet_id_alone"),
+        pytest.param(f"000:{P0 + 5}", 404, id="C5244_wrong_pulse"),
+        pytest.param("0qwerty123:!@#$%^", 400, id="C5245_invalid_values"),
+        pytest.param("01" * 130 + f":{P0 + 20}", 400, id="C5246_prefix_over_216"),
+        pytest.param("000:92233720368547758071", 400, id="C5247_pulse_over_int64"),
+        pytest.param("0:0", 404, id="C5248_zero_zero"),
+        pytest.param("*", 400, id="C5249_bare_star"),
+        pytest.param("12345:67890", 400, id="C5251_random_numbers"),
+    ],
+)
+def test_jd_by_id_negative_table(base_url, value, status_exp):
+    """C5242-C5251 (jd_by_id_test.go:105-115): malformed composite ids
+    are 400; well-formed ids that match nothing are 404."""
+    from urllib.parse import quote
+
+    status, body = get(base_url, f"/api/v1/jet-drops/{quote(value, safe='')}")
+    assert status == status_exp
+    if status_exp == 400:
+        assert body["code"] == "400"  # strconv.Itoa quirk on this endpoint
+        assert body["validation_failures"][0]["property"] == "jet drop id"
+
+
+# ---------------------------------------------------------------------------
+# JetDropRecords family (round 4): ported from test/api/jd_records_test.go
+# — per-drop totals, limit/offset, per-type pages, full-field render,
+# and the 9-case negative table.
+# ---------------------------------------------------------------------------
+
+
+def test_jd_records_totals_per_drop(base_url):
+    """C5323 (jd_records_test.go:77-93): each drop serves exactly its
+    own records (000:P0+20 holds 3 state + 1 request; 001:P0+20 holds
+    1 result) with clean error fields."""
+    status, body = get(base_url, f"/api/v1/jet-drops/000:{P0 + 20}/records")
+    assert status == 200
+    assert body["total"] == 4
+    assert len(body["result"]) == 4
+    types = sorted(r["type"] for r in body["result"])
+    assert types == ["request", "state", "state", "state"]
+    assert "message" not in body
+    assert "validation_failures" not in body
+
+    status, body = get(base_url, f"/api/v1/jet-drops/001:{P0 + 20}/records")
+    assert status == 200
+    assert body["total"] == 1
+    assert body["result"][0]["type"] == "result"
+
+
+def test_jd_records_limit_offset(base_url):
+    """C5326 (jd_records_test.go:137-147): offset skips in index order
+    while total stays the full per-drop count."""
+    status, body = get(
+        base_url, f"/api/v1/jet-drops/000:{P0 + 20}/records?limit=2&offset=1"
+    )
+    assert status == 200
+    assert body["total"] == 4
+    assert len(body["result"]) == 2
+    assert body["result"][0]["index"] == f"{P0 + 20}:1"
+
+
+@pytest.mark.parametrize(
+    ("rec_type", "drop_jet", "exp_total", "exp_index"),
+    [
+        pytest.param("state", "000", 3, f"4000020:0", id="C5328_state"),
+        pytest.param("request", "000", 1, f"4000020:3", id="C5329_request"),
+        pytest.param("result", "001", 1, f"4000020:0", id="C5330_result"),
+    ],
+)
+def test_jd_records_by_type(base_url, rec_type, drop_jet, exp_total, exp_index):
+    """C5328/C5329/C5330 (jd_records_test.go:194-229): the type param
+    narrows the page to exactly that record kind."""
+    status, body = get(
+        base_url, f"/api/v1/jet-drops/{drop_jet}:{P0 + 20}/records?type={rec_type}"
+    )
+    assert status == 200
+    assert body["total"] == exp_total
+    assert all(r["type"] == rec_type for r in body["result"])
+    assert body["result"][0]["index"] == exp_index
+
+
+def test_jd_records_all_fields(base_url):
+    """C5332 (jd_records_test.go:267-338): every rendered record carries
+    reference, object_reference, type, pulse_number, jet_id,
+    jet_drop_id, pulse:order index, hash and timestamp."""
+    status, body = get(base_url, f"/api/v1/jet-drops/000:{P0 + 20}/records")
+    assert status == 200
+    indices = set()
+    for r in body["result"]:
+        assert r["reference"]
+        assert r["object_reference"]
+        assert r["type"] in ("state", "request", "result")
+        assert r["pulse_number"] == P0 + 20
+        assert r["jet_id"] == "000"
+        assert r["jet_drop_id"] == f"000:{P0 + 20}"
+        pn, order = r["index"].split(":")
+        assert int(pn) == P0 + 20
+        indices.add(int(order))
+        assert r["hash"]
+        assert r["timestamp"]
+    assert indices == {0, 1, 2, 3}
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        pytest.param("0", id="C5333_zero"),
+        pytest.param("", id="C5334_empty"),
+        pytest.param(VALID_REF, id="C5335_object_ref"),
+        pytest.param("11110000", id="C5336_jet_id_alone"),
+        pytest.param("0qwerty123:!@:#$%^", id="C5337_invalid_value"),
+        pytest.param("01" * 300 + ":4000020", id="C5338_big_length_prefix"),
+        pytest.param("000:92233720368547758071", id="C5339_big_length_pulse"),
+        pytest.param("12345:67890", id="C5340_random_numbers"),
+        pytest.param(base58_encode(bytes(range(96, 128))), id="C5341_record_ref"),
+    ],
+)
+def test_jd_records_negative_table(base_url, value):
+    """C5333-C5341 (jd_records_test.go:357-367): every malformed
+    jet_drop_id form is a 400 validation error."""
+    from urllib.parse import quote
+
+    status, body = get(base_url, f"/api/v1/jet-drops/{quote(value, safe='')}/records")
+    assert status == 400
+    assert body == bad_request([("jet_drop_id", "invalid")])
+
+
+# ---------------------------------------------------------------------------
+# JetDropsByPulse family (round 4): ported from
+# test/api/jd_by_pulse_test.go — per-pulse happy path, nonexistent /
+# invalid pulses, and the paging cases over a 25-drop pulse.
+# ---------------------------------------------------------------------------
+
+
+def test_jd_by_pulse_complete_contents(base_url):
+    """C5223 (jd_by_pulse_test.go:54-79): the page covers every jet
+    of the pulse, each rendered with jet_drop_id == jet_id:pulse and
+    non-empty hash/timestamp."""
+    status, body = get(base_url, f"/api/v1/pulses/{P0 + 20}/jet-drops")
+    assert status == 200
+    assert body["total"] == 3
+    seen = set()
+    for jd in body["result"]:
+        assert jd["pulse_number"] == P0 + 20
+        assert jd["jet_drop_id"] == f"{jd['jet_id']}:{jd['pulse_number']}"
+        assert jd["hash"]
+        assert jd["timestamp"]
+        seen.add(jd["jet_id"])
+    assert seen == {"000", "001", "010"}
+
+
+def test_jd_by_pulse_nonexistent_pulse(base_url):
+    """C5225 (jd_by_pulse_test.go:80-85): a valid-but-unknown pulse is
+    an empty 200 page, not an error."""
+    status, body = get(base_url, f"/api/v1/pulses/{P0 + 10000}/jet-drops")
+    assert status == 200
+    assert body == {"total": 0, "result": []}
+
+
+@pytest.mark.parametrize(
+    "pulse", [9223372036854775807],
+    ids=["C5224_C5226_max_int64"],
+)
+def test_jd_by_pulse_invalid_pulse_number(base_url, pulse):
+    """C5224/C5226 (jd_by_pulse_test.go:86-94): a pulse outside the
+    platform range fails validation with this endpoint's '400' code."""
+    status, body = get(base_url, f"/api/v1/pulses/{pulse}/jet-drops")
+    assert status == 400
+    assert body == bad_request([("pulse", "invalid")], code="400")
+
+
+MANY_P0 = 4_200_000  # dedicated pulse range: 25 drops in one pulse
+MANY_DROPS = 25
+
+
+@pytest.fixture(scope="module")
+def many_base_url(spark):
+    """jd_by_pulse_test.go:133-155 seeding, scaled 101 -> 25 drops:
+    one pulse with MANY_DROPS jets (5-bit ids, lexicographic = numeric
+    order) plus a second pulse holding one 10-record drop (C5236)."""
+    rng = random.Random(43)
+    pulses = gen.make_pulses(start=MANY_P0, count=2)
+    drops = [
+        gen.make_jet_drop(rng, MANY_P0, format(i, "05b"), record_amount=1,
+                          timestamp=1_600_100_000)
+        for i in range(MANY_DROPS)
+    ]
+    drops.append(
+        gen.make_jet_drop(rng, MANY_P0 + 10, "00000", record_amount=10,
+                          timestamp=1_600_100_010)
+    )
+    api_impl = BlockExplorerApi(
+        spark.createDataFrame(pulses, schemas.PULSES).cache(),
+        spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
+        spark.createDataFrame([], schemas.RECORDS).cache(),
+    )
+    server = serve(api_impl)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_jd_by_pulse_default_limit(many_base_url):
+    """C5228 (jd_by_pulse_test.go:157-162): no params -> 20-row page,
+    full total."""
+    status, body = get(many_base_url, f"/api/v1/pulses/{MANY_P0}/jet-drops")
+    assert status == 200
+    assert len(body["result"]) == 20
+    assert body["total"] == MANY_DROPS
+
+
+def test_jd_by_pulse_all_params(many_base_url):
+    """C5229 (jd_by_pulse_test.go:163-174): from_jet_drop_id seeks to
+    the 2nd drop (total shrinks by 1), offset 10 + limit 10 then page
+    within the seek."""
+    from_id = f"{format(1, '05b')}:{MANY_P0}"
+    status, body = get(
+        many_base_url,
+        f"/api/v1/pulses/{MANY_P0}/jet-drops"
+        f"?limit=10&offset=10&from_jet_drop_id={from_id}",
+    )
+    assert status == 200
+    assert body["total"] == MANY_DROPS - 1
+    assert len(body["result"]) == 10
+    # jets sort ascending; seek starts at index 1, offset 10 more
+    assert body["result"][0]["jet_id"] == format(11, "05b")
+
+
+def test_jd_by_pulse_offset_one(many_base_url):
+    """C5230 (jd_by_pulse_test.go:175-185): offset 1 shifts the page
+    by exactly one drop in jet order."""
+    status, body = get(
+        many_base_url, f"/api/v1/pulses/{MANY_P0}/jet-drops?offset=1"
+    )
+    assert status == 200
+    assert len(body["result"]) == 20
+    assert body["total"] == MANY_DROPS
+    assert body["result"][0]["jet_id"] == format(1, "05b")
+
+
+def test_jd_by_pulse_offset_out_of_range(many_base_url):
+    """C5231 (jd_by_pulse_test.go:186-194): offset past the drop count
+    is an empty page."""
+    status, body = get(
+        many_base_url, f"/api/v1/pulses/{MANY_P0}/jet-drops?offset={MANY_DROPS}"
+    )
+    assert status == 200
+    assert body["result"] == []
+
+
+def test_jd_by_pulse_record_amount(many_base_url):
+    """C5236 (jd_by_pulse_test.go:112-131): a drop aggregating several
+    records reports that count in record_amount."""
+    status, body = get(many_base_url, f"/api/v1/pulses/{MANY_P0 + 10}/jet-drops")
+    assert status == 200
+    assert body["total"] == 1
+    assert body["result"][0]["record_amount"] == 10
+
+
+# ---------------------------------------------------------------------------
+# Search negative additions (round 4): remaining cases from
+# test/api/search_test.go's table.
+# ---------------------------------------------------------------------------
+
+
+def test_search_empty_value_param(base_url):
+    """C5287 (search_test.go:183): '?value=' (present but blank) is a
+    400, same as a missing param."""
+    status, _ = get(base_url, "/api/v1/search?value=")
+    assert status == 400
+
+
+def test_search_bare_object_id(base_url):
+    """C5288 (search_test.go:184): the reference rejects a bare
+    ObjectID string (not a full reference). Here the analogous miss is
+    a well-formed 32-byte ref unknown to storage — still a 400."""
+    status, body = get(
+        base_url, f"/api/v1/search?value={base58_encode(bytes(range(128, 160)))}"
+    )
+    assert status == 400
+    assert body == bad_request(
+        [("value", "record reference not found")], message_field="description"
+    )
