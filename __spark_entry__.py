@@ -1630,6 +1630,75 @@ def q82_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: SemDeDup within-cluster cosine threshold: the driver embeddings'
+#: max pairwise cosine is ~0.513, so 0.4 exercises real drops while
+#: staying deterministic (no boundary pair within rounding distance).
+SEMDEDUP_TAU = 0.4
+#: q90's token budget (~37% of the sf0.01 corpus's 27k tokens).
+TOKEN_BUDGET = 10_000
+
+
+def q88_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, arXiv:2303.09540): coarse-cluster the
+    embeddings with the SAME seeded centroids the IVF index uses
+    (q33), then drop any vector with a lower-id within-cluster
+    neighbor above cosine SEMDEDUP_TAU. Survivors + their cluster.
+    Deterministic end-to-end, so the DuckDB oracle replicates
+    assignment (centroid literals), the pairwise threshold join, and
+    the greedy lowest-id-wins keep rule exactly."""
+    emb = _t(spark, sf, "embeddings")
+    cents = Sim.seeded_centroids(EMB_DIM, IVF_CENTROIDS, seed=IVF_SEED, scale=0.125)
+    kept = Sim.semantic_dedup(emb, "embedding", cents, threshold=SEMDEDUP_TAU)
+    return kept.select("vec_id", "centroid_id")
+
+
+def q89_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened language mixture (the mT5/XLM-R
+    multilingual sampling recipe at alpha = 0.5): every language is
+    md5-downsampled toward the rarest one at rate
+    floor(10000 * sqrt(n_min / n_lang)). Rates use only correctly-
+    rounded IEEE ops (divide, sqrt), so the oracle reproduces the
+    exact member set from the same counts."""
+    from block_explorer_spark.operators import sampling as Smp
+
+    docs = _t(spark, sf, "documents")
+    kept = Smp.temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+def q90_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Budgeted corpus selection: the greedy quality-ranked prefix
+    whose token total fits TOKEN_BUDGET, computed by the two-level
+    cumulative sum of operators/selection.py (coarse score buckets +
+    per-bucket windows — never a one-partition global sort). The
+    oracle computes the same prefix with a plain global window, so the
+    distributed formulation is pinned against the naive one."""
+    from block_explorer_spark.operators import selection as Sel
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        Tx.quality_score("text").alias("quality"),
+        Tx.token_count("text").cast("long").alias("ntok"),
+    )
+    sel = Sel.budget_select(
+        scored, "quality", "ntok", "doc_id", budget=TOKEN_BUDGET, n_buckets=20
+    )
+    return sel.select("doc_id", "quality", "ntok", "cum_weight")
+
+
+def q91_crossdoc_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-5-gram audit (the C4/RefinedWeb
+    global-boilerplate signal): per document, how much of it is
+    shared verbatim with ANY other document — two shuffles total,
+    never pairwise (dedup.shared_shingle_stats)."""
+    docs = _t(spark, sf, "documents")
+    return D.shared_shingle_stats(docs, "doc_id", Tx.word_ngrams("text", 5))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1729,6 +1798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_approx_contract": q85_approx_contract,
         "q86_corpus_pipeline": q86_corpus_pipeline,
         "q87_table_profile": q87_table_profile,
+        "q88_semantic_dedup": q88_semantic_dedup,
+        "q89_temperature_mixture": q89_temperature_mixture,
+        "q90_token_budget_select": q90_token_budget_select,
+        "q91_crossdoc_ngrams": q91_crossdoc_ngrams,
     }
 
 
@@ -1836,6 +1909,31 @@ def _q33_oracle() -> str:
         WHERE a.cid = p.p1 OR a.cid = p.p2
         ORDER BY {_DUCK_COS} DESC, vec_id ASC
         LIMIT 10
+    """
+
+
+def _q88_oracle() -> str:
+    """SemDeDup replication: q33's literal-centroid assignment, then
+    the within-cluster cosine threshold join and the greedy
+    lowest-id-wins keep rule (drop v iff some u < v in v's cluster has
+    cos >= SEMDEDUP_TAU)."""
+    cents = Sim.seeded_centroids(EMB_DIM, IVF_CENTROIDS, seed=IVF_SEED, scale=0.125)
+    dists = ",".join(_duck_sqdist("embedding", c) for c in cents)
+    cos_xy = """list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(x.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+               * sqrt(list_sum(list_transform(y.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))"""
+    return f"""
+        WITH d AS (SELECT vec_id, embedding, [{dists}] AS dists FROM embeddings),
+        a AS (SELECT vec_id, embedding,
+                     CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS centroid_id
+              FROM d),
+        drp AS (SELECT DISTINCT x.vec_id AS v
+                FROM a x JOIN a y
+                  ON x.centroid_id = y.centroid_id AND y.vec_id < x.vec_id
+                WHERE {cos_xy} >= {SEMDEDUP_TAU})
+        SELECT vec_id, centroid_id FROM a
+        WHERE vec_id NOT IN (SELECT v FROM drp)
     """
 
 
@@ -2860,5 +2958,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT n_chars) AS BIGINT),
                    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
             FROM documents
+        """,
+        "q88_semantic_dedup": _q88_oracle(),
+        "q89_temperature_mixture": f"""
+            WITH c AS (SELECT lang AS s, count(*) AS n_s FROM documents GROUP BY lang),
+            m AS (SELECT min(n_s) AS n_min FROM c),
+            r AS (SELECT s, floor(10000 * sqrt(CAST(n_min AS DOUBLE) / n_s)) AS rate
+                  FROM c, m)
+            SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM documents d JOIN r ON d.lang = r.s
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 < rate
+            GROUP BY lang
+        """,
+        # The oracle computes the SAME greedy budget prefix with the
+        # naive global window the distributed two-level form replaces.
+        "q90_token_budget_select": f"""
+            WITH m AS (
+              SELECT doc_id,
+                CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS n,
+                CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END AS digit_r,
+                CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END AS punct_r,
+                list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                        t -> CAST(length(t) AS DOUBLE)))
+                  / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS mtl
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id, round(
+                  (CASE WHEN n >= 20 THEN 1.0 ELSE n / 20.0 END) * 0.4
+                + (1.0 - least(1.0, digit_r * 4)) * 0.2
+                + (1.0 - least(1.0, punct_r * 4)) * 0.2
+                + (CASE WHEN mtl >= 3 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+                CAST(n AS BIGINT) AS ntok
+              FROM m
+            ),
+            o AS (
+              SELECT doc_id, quality, ntok,
+                     sum(ntok) OVER (ORDER BY quality DESC, doc_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+              FROM scored
+            )
+            SELECT doc_id, quality, ntok, CAST(cum AS BIGINT) AS cum_weight
+            FROM o WHERE cum <= {TOKEN_BUDGET}
+        """,
+        "q91_crossdoc_ngrams": """
+            WITH tok AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 4, 1)),
+                i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+4], ' ')))) AS sh
+              FROM documents),
+            dfc AS (SELECT sh, count(*) AS c FROM tok GROUP BY sh)
+            SELECT t.doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                   round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac
+            FROM tok t JOIN dfc USING (sh) GROUP BY t.doc_id
         """,
     }

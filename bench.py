@@ -110,6 +110,11 @@ HEADLINE = [
     "q76_repetition",
     "q81_quantized_ann",
     "q86_corpus_pipeline",
+    # round 4: semantic dedup + cross-doc n-gram audit join the
+    # headline set (the other two new ops, q89/q90, are trivial
+    # aggregate shapes already represented by q77/q84)
+    "q88_semantic_dedup",
+    "q91_crossdoc_ngrams",
 ]
 
 

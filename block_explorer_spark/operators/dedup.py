@@ -620,3 +620,43 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "inter", "size_a", "size_b", "containment")
     )
+
+
+def shared_shingle_stats(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
+    """Per-document cross-corpus duplication signal (the C4/RefinedWeb
+    global-dedup scrub statistic): for each document, the fraction of
+    its distinct shingles that also occur in at least one OTHER
+    document. Unlike the pairwise jaccard family this never forms
+    pairs — it answers "how much of this doc is boilerplate shared
+    with the rest of the corpus" in two shuffles regardless of how
+    many documents share the shingle.
+
+    Plan: explode distinct shingles -> per-shingle document frequency
+    as a COUNT window partitioned by shingle (one hash shuffle; no
+    aggregate-then-join round trip, and no chance of the planner
+    broadcasting a huge post-agg side — the x100 OOM lesson) ->
+    per-doc ratio (second shuffle). At 100 TB the shingle key space is
+    bounded by a df-cap stop-shingle list exactly like
+    jaccard_pairs_prefix's (a shingle shared by millions of docs
+    carries no signal beyond "shared": cap its count, keep the flag).
+
+    Output: (id_col, n_shingles, n_shared, shared_frac), one row per
+    input document.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__sh"))
+    with_df = ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__sh")))
+    return (
+        with_df.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("shared_frac"),
+        )
+    )

@@ -87,3 +87,41 @@ def per_group_sample(df: DataFrame, group_cols: list[str], id_col: str, k: int) 
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — the multilingual
+    pre-training recipe (mT5 / XLM-R: sample stratum s with
+    probability ~ p_s^alpha): keep each stratum at rate
+    floor(denom * (n_min / n_s)^(1 - alpha)) / denom, which downsamples
+    every stratum toward the rarest one. alpha = 1 keeps everything;
+    alpha -> 0 flattens to uniform (rarest-stratum size everywhere).
+
+    Membership stays the md5-bucket predicate (deterministic,
+    engine-portable); the rates derive from per-stratum counts with
+    only correctly-rounded IEEE operations (divide, sqrt at
+    alpha = 0.5), so an oracle engine reproduces the exact member
+    set. Plan shape: one tiny groupBy on the stratum + a broadcast
+    join of the per-stratum rate back onto the scan — the scan itself
+    stays map-only.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n_s")
+    )
+    n_min = counts.agg(F.min("__n_s").alias("__n_min"))
+    frac = F.col("__n_min") / F.col("__n_s")  # double divide (exact IEEE)
+    keep = F.sqrt(frac) if alpha == 0.5 else F.pow(frac, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "__s", F.floor(F.lit(denom) * keep).alias("__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == rates["__s"])
+        .filter(hash_bucket(id_col, denom) < F.col("__rate"))
+        .drop("__s", "__rate")
+    )

@@ -501,3 +501,40 @@ def ivf_probe_topk(
     probes = _probe_cells(query, centroids, n_probe)
     cells = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
     return brute_force_topk(cells, vec_col, query, k, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): coarse clustering bounds the
+    candidate space, then within-cluster cosine pairs above
+    `threshold` mark redundant members; survivors are returned with
+    their `centroid_id`.
+
+    Keep policy (deterministic, single pass): drop v iff SOME u < v
+    in the same cluster has cos(u, v) >= threshold — greedy
+    lowest-id-wins, the same rule the paper's "keep one example per
+    semantic duplicate group" reduces to under a fixed ordering. No
+    iteration, no driver state.
+
+    Scale shape: the pairwise work is the per-cluster equi-join of
+    cosine_pairs (never all-pairs); cluster population is bounded by
+    choosing n_centroids ~ N/target_cluster_size at index build (the
+    FAISS coarse-quantizer sizing rule), and the same persisted
+    centroid assignment written for IVF probes (write_ivf_index) is
+    reused here, so the dedup pass adds zero new index cost.
+    """
+    assigned = df if "centroid_id" in df.columns else ivf_assign(df, vec_col, centroids)
+    # Per-cluster BLAS gram matrices instead of a self-join: a join on
+    # the low-cardinality centroid key plans as an 8-partition SMJ
+    # (parallelism = n_clusters); the applyInPandas block pass keeps
+    # the same results (pinned blas == fold by test) with one shuffle
+    # and striped O(chunk x cluster) memory — the q28 lesson.
+    pairs = cosine_pairs_blas(assigned, vec_col, "centroid_id", threshold, id_col)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(dropped, id_col, "left_anti")

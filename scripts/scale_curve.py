@@ -174,6 +174,9 @@ QUERIES = [
     "q33_ann_ivf",
     "q81_quantized_ann",
     "q86_corpus_pipeline",
+    # round-4 additions to the heavy-operator set
+    "q88_semantic_dedup",
+    "q91_crossdoc_ngrams",
 ]
 
 
@@ -182,8 +185,15 @@ def main() -> None:
     ap.add_argument("--scales", default="1,10,100")
     ap.add_argument("--out", default="SCALE_CURVE.json")
     ap.add_argument("--root", default="/root/repo/.scale")
+    ap.add_argument(
+        "--queries",
+        default=",".join(QUERIES),
+        help="comma list; results merge into --out so new operators "
+        "can be measured without re-running the whole set",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    queries = [q for q in args.queries.split(",") if q]
 
     import __spark_entry__ as entry
 
@@ -195,15 +205,20 @@ def main() -> None:
     # measurement: the first query of a fresh session pays worker
     # spin-up + codegen + parquet footer costs that inflated the first
     # cell ~10x in the unwarmed run.
-    for name in QUERIES:
+    for name in queries:
         qs[name](spark, SF01).count()
     spark.catalog.clearCache()
 
     results: dict[str, dict] = {}
+    if os.path.exists(args.out):  # merge-in mode for selective runs
+        with open(args.out) as f:
+            results = json.load(f).get("queries", {})
+        for name in queries:
+            results.pop(name, None)  # re-measure the requested ones
     for scale in scales:
         sf_dir = SF01 if scale == 1 else build_corpus(spark, scale, args.root)
         n_docs = BASE_DOCS * scale
-        for name in QUERIES:
+        for name in queries:
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.perf_counter()

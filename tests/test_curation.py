@@ -353,3 +353,167 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     full = Sim.ivf_probe_topk(spark, path, query, cents, k=5, n_probe=4)
     exact = Sim.brute_force_topk(df, "embedding", query, k=5)
     assert [r["vec_id"] for r in full.collect()] == [r["vec_id"] for r in exact.collect()]
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_greedy_lowest_id_wins(spark):
+    # One cluster around (1,0): vecs 1,2,3 mutually near-identical;
+    # another around (0,1): vecs 10,11 orthogonal to the first group.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),
+        (3, [0.998, 0.02]),
+        (10, [0.0, 1.0]),
+        (11, [0.01, 0.999]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    kept = Sim.semantic_dedup(df, "embedding", cents, threshold=0.95)
+    got = sorted(r["vec_id"] for r in kept.collect())
+    # greedy: 2 and 3 drop against 1; 11 drops against 10
+    assert got == [1, 10]
+
+
+def test_semantic_dedup_below_threshold_keeps_all(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.7, 0.7]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # single cluster -> all candidates compared, none above 0.999
+    kept = Sim.semantic_dedup(df, "embedding", [[0.5, 0.5]], threshold=0.999)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
+    # identical vectors land in DIFFERENT clusters (adversarial
+    # centroids): coarse blocking must not compare them — the
+    # documented recall trade of cluster-bounded dedup.
+    rows = [(1, [1.0, 0.05]), (2, [1.0, -0.05])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.1], [1.0, -0.1]]
+    kept = Sim.semantic_dedup(df, "embedding", cents, threshold=0.5)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture sampling — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_sample_alpha1_keeps_everything(corpus):
+    kept = Smp.temperature_sample(corpus, "lang", "doc_id", alpha=1.0)
+    assert kept.count() == corpus.count()
+
+
+def test_temperature_sample_rates_match_formula(corpus):
+    import math as _m
+
+    counts = {r["lang"]: r["n"] for r in corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_min = min(counts.values())
+    kept = Smp.temperature_sample(corpus, "lang", "doc_id", alpha=0.5)
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # brute-force replication of the md5-bucket predicate per stratum
+    import hashlib
+
+    for lang, n_s in counts.items():
+        rate = _m.floor(10_000 * _m.sqrt(n_min / n_s))
+        ids = [r["doc_id"] for r in corpus.filter(F.col("lang") == lang).collect()]
+        exp = sum(
+            1 for i in ids
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10_000 < rate
+        )
+        assert got.get(lang, 0) == exp
+    # the rarest stratum is kept whole (rate = denom)
+    rare = min(counts, key=counts.get)
+    assert got[rare] == counts[rare]
+
+
+# ---------------------------------------------------------------------------
+# Budgeted selection — round 4
+# ---------------------------------------------------------------------------
+
+
+def _naive_budget_prefix(rows, budget):
+    """(id, score, weight) -> ids of the greedy prefix."""
+    cum, out = 0, []
+    for i, s, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += w
+        if cum > budget:
+            break
+        out.append(i)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_budget_select_matches_naive_prefix(spark, seed):
+    import random as _r
+
+    rng = _r.Random(seed)
+    rows = [
+        (i, round(rng.random(), 6), rng.randint(1, 50)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["id", "score", "w"])
+    from block_explorer_spark.operators import selection as Sel
+
+    budget = 1500
+    got = sorted(
+        r["id"] for r in Sel.budget_select(df, "score", "w", "id", budget).collect()
+    )
+    assert got == _naive_budget_prefix(rows, budget)
+
+
+def test_budget_select_boundary_exact_fit(spark):
+    from block_explorer_spark.operators import selection as Sel
+
+    # weights 10 each, budget 30 -> exactly the 3 best kept, the
+    # 4th (which would hit 40) dropped even though cum == budget + 10
+    rows = [(i, 1.0 - i * 0.05, 10) for i in range(6)]
+    df = spark.createDataFrame(rows, ["id", "score", "w"])
+    got = Sel.budget_select(df, "score", "w", "id", budget=30).collect()
+    assert sorted(r["id"] for r in got) == [0, 1, 2]
+    assert {r["id"]: r["cum_weight"] for r in got} == {0: 10, 1: 20, 2: 30}
+
+
+def test_budget_select_no_global_single_partition_sort(spark):
+    from block_explorer_spark.operators import selection as Sel
+
+    rows = [(i, (i % 7) / 7.0, 5) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "score", "w"])
+    plan = (
+        Sel.budget_select(df, "score", "w", "id", budget=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # per-row windows must partition by the score bucket, not run as
+    # one global ORDER BY window over the data
+    assert "partitionBy=[__bkt" in plan.replace(" ", "") or "__bkt" in plan.split(
+        "Window"
+    )[1]
+
+
+# ---------------------------------------------------------------------------
+# Cross-document shared shingles — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_shared_shingle_stats_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown cat sits"),
+            (3, "totally unrelated words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"])
+        for r in D.shared_shingle_stats(df, "doc_id", Tx.word_ngrams("text", 3)).collect()
+    }
+    # doc1: shingles {the-quick-brown, quick-brown-fox, brown-fox-jumps};
+    # only "the quick brown" recurs (in doc2)
+    assert got[1] == (3, 1)
+    assert got[2] == (3, 1)
+    assert got[3] == (3, 0)

@@ -318,3 +318,138 @@ def test_amend_only_linked_chain_builds_lifeline(spark, tmp_path):
     # chain order preserved: desc by (pulse, order) = reverse delivery
     # (order is 1..N per drop — chain_sort.py:43)
     assert [r.order for r in page.collect()] == [5, 4, 3, 2, 1]
+
+
+def test_lifeline_states_single_pulse(spark, tmp_path):
+    """reference: test/api/object_lifeline_test.go:19-51 (C4993) — a
+    10-state linked chain delivered within ONE pulse builds the full
+    lifeline; every served record carries that pulse number and the
+    object's reference."""
+    base = str(tmp_path / "tables")
+    obj = b"\x91" * 8
+    prev = None
+    rows = []
+    for i in range(10):
+        ref = bytes([0x90 + i])
+        rows.append(
+            _rec(ref, "activate" if i == 0 else "amend", PN1, "0", i, obj=obj, prev=prev)
+        )
+        prev = ref
+    P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    records = pq.read_table(spark, base, "records")
+    page, total = Q.get_lifeline(records, obj, limit=100)
+    got = page.collect()
+    assert total == 10
+    assert all(r.pulse_number == PN1 for r in got)
+    assert all(bytes(r.object_reference) == obj for r in got)
+
+
+def test_lifeline_states_several_pulses(spark, tmp_path):
+    """reference: test/api/object_lifeline_test.go:53-82 (C4994) — a
+    linked chain of 10 states in each of 4 pulses serves all 40, each
+    row stamped with one of the four pulses."""
+    base = str(tmp_path / "tables")
+    obj = b"\x92" * 8
+    pulses = [PN1 + i * 10 for i in range(4)]
+    prev = None
+    rows = []
+    for i in range(40):
+        ref = bytes([i + 1]) + b"\x92"
+        rows.append(
+            _rec(ref, "activate" if i == 0 else "amend", pulses[i // 10], "0",
+                 i % 10, obj=obj, prev=prev)
+        )
+        prev = ref
+    P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    records = pq.read_table(spark, base, "records")
+    page, total = Q.get_lifeline(records, obj, limit=100)
+    got = page.collect()
+    assert total == 40
+    assert {r.pulse_number for r in got} == set(pulses)
+    # descending (pulse, order) — newest state first
+    keys = [(r.pulse_number, r.order) for r in got]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_lifeline_skipped_states_within_pulse_fail_drop(spark, tmp_path):
+    """reference: test/api/object_lifeline_test.go:158-187 (C5110) — a
+    pulse whose delivered states have a GAP (records 4-5 of 10 missing)
+    cannot build its chain: the whole drop is rejected, while the next
+    pulse's intact chain (whose head links to an undelivered external
+    state) still lands; the lifeline serves exactly those 10."""
+    base = str(tmp_path / "tables")
+    obj = b"\x93" * 8
+    refs = [bytes([i + 1]) + b"\x93" for i in range(20)]
+    all_rows = []
+    prev = None
+    for i, ref in enumerate(refs):
+        pn = PN1 if i < 10 else PN2
+        all_rows.append(
+            _rec(ref, "activate" if i == 0 else "amend", pn, "0", i % 10, obj=obj, prev=prev)
+        )
+        prev = ref
+    delivered = all_rows[:4] + all_rows[6:]  # gap inside pulse 1
+    P.ingest_batch(spark, base, spark.createDataFrame(delivered, schemas.RAW_RECORDS))
+    records = pq.read_table(spark, base, "records")
+    assert {r.pulse_number for r in records.select("pulse_number").distinct().collect()} == {PN2}
+    page, total = Q.get_lifeline(records, obj, limit=100)
+    assert total == 10
+    assert all(r.pulse_number == PN2 for r in page.collect())
+
+
+def test_lifeline_same_prev_state_fails_drop(spark, tmp_path):
+    """reference: test/api/object_lifeline_test.go:189-226 (C5004) —
+    several states claiming the SAME prev state fork the chain: the
+    forked pulse's drop is rejected; the following pulse's clean chain
+    is served."""
+    base = str(tmp_path / "tables")
+    obj = b"\x94" * 8
+    refs = [bytes([i + 1]) + b"\x94" for i in range(20)]
+    rows = []
+    prev = None
+    for i, ref in enumerate(refs):
+        pn = PN1 if i < 10 else PN2
+        if i < 10:
+            # states 5..9 of pulse 1 all claim refs[3] as prev (fork)
+            this_prev = refs[3] if 5 <= i else prev
+        else:
+            this_prev = prev
+        rows.append(
+            _rec(ref, "activate" if i == 0 else "amend", pn, "0", i % 10,
+                 obj=obj, prev=this_prev)
+        )
+        prev = ref
+    P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    records = pq.read_table(spark, base, "records")
+    assert {r.pulse_number for r in records.select("pulse_number").distinct().collect()} == {PN2}
+    page, total = Q.get_lifeline(records, obj, limit=100)
+    assert total == 10
+
+
+def test_records_with_empty_object_id_served_by_drop(spark, tmp_path):
+    """reference: test/api/request_result_records_test.go:55-78
+    (C5458/C5459) — request/result records with an EMPTY ObjectID are
+    still ingested and served by their jet drop id. The reference
+    derives a genesis object reference from the virtual payload
+    (genesisrefs.GenesisRef); payloads are opaque bytes in this model,
+    so the pinned adaptation is X10: empty object bytes render as an
+    omitted object_reference (functions/refs.py::null_if_empty_bytes),
+    and the records remain reachable through the drop, not the
+    lifeline."""
+    base = str(tmp_path / "tables")
+    rows = [
+        _rec(b"\xa1", "incoming_request", PN1, "0", 0, obj=b""),
+        _rec(b"\xa2", "result", PN1, "0", 1, obj=b""),
+        _rec(b"\xa3", "activate", PN1, "0", 2, obj=b"\x95" * 8),
+    ]
+    P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    records = pq.read_table(spark, base, "records")
+    page, total = Q.get_records_by_jet_drop(records, "0", PN1, limit=100)
+    assert total == 3
+    rendered = api.render_refs([r.asDict() for r in api.records_to_api(page).collect()])
+    by_type = {r["type"]: r for r in rendered}
+    assert "object_reference" not in {
+        k for k, v in by_type["request"].items() if v is not None
+    } or by_type["request"]["object_reference"] is None
+    assert by_type["result"].get("object_reference") is None
+    assert by_type["state"].get("object_reference")

@@ -571,8 +571,9 @@ def test_jetid_sort_asc_desc_pairs(jetid_base_url):
 
 
 def test_jetid_pulse_bounds(jetid_base_url):
-    """C5426-C5429 (jd_by_jetid_test.go:239-303): gt/gte/lt/lte pulse
-    bounds, with first-row and ordering pins."""
+    """C5426 (gte) / C5428 (gt) / C5427 (lte) / C5429 (lt)
+    (jd_by_jetid_test.go:239-285): the four pulse bounds, with
+    first-row and ordering pins."""
     uniq = [JETID_P0 + i * 10 for i in range(PULSES_IN_JET)]
     q = f"/api/v1/jets/{JET_A}/jet-drops"
 
@@ -1358,3 +1359,12 @@ def test_search_bare_object_id(base_url):
     assert body == bad_request(
         [("value", "record reference not found")], message_field="description"
     )
+
+
+@pytest.mark.skip(
+    reason="C5222 (pulse_test.go:69-85, empty-pulse read) is skipped in "
+    "the reference itself ('waiting for PENV-347'); no observable "
+    "contract to port until the reference defines one."
+)
+def test_pulse_empty_pulse_reference_skip():
+    pass
