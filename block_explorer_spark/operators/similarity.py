@@ -538,3 +538,40 @@ def semantic_dedup(
     pairs = cosine_pairs_blas(assigned, vec_col, "centroid_id", threshold, id_col)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(dropped, id_col, "left_anti")
+
+
+def ivf_assign_arrow(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """ivf_assign for LARGE centroid counts: one numpy argmin over the
+    full centroid matrix per Arrow batch (mapInPandas), instead of k
+    literal fold expressions in the plan. The Catalyst form is ideal
+    up to a few dozen centroids (codegen, no Python); past that the
+    expression tree and per-row k-fold cost dominate, while the BLAS
+    distance matrix here is O(batch x k) with one GEMM. Same
+    first-argmin tie rule, so results are identical (pinned by test).
+
+    This is the production assignment path when n_centroids scales
+    with corpus size (k ~ N / target_cluster_size): at 100 TB with
+    k in the tens of thousands, assignment stays one scan with
+    vectorized batches, and the result is written partitioned by
+    centroid_id exactly like write_ivf_index.
+    """
+    import pyspark.sql.types as T
+
+    cent = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    cent_sq = (cent * cent).sum(axis=1)  # ||c||^2 per centroid
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("centroid_id", T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (n, d)
+            # argmin ||x - c||^2 = argmin ||c||^2 - 2 x.c  (||x||^2 constant per row)
+            d2 = cent_sq[None, :] - 2.0 * (x @ cent.T)
+            pdf = pdf.copy()
+            pdf["centroid_id"] = d2.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)

@@ -199,7 +199,24 @@ def main() -> None:
 
     spark = get_spark("scale-curve", **{"spark.ui.enabled": "true"})
     collector = StageMetrics(spark)
-    qs = entry.queries()
+    qs = dict(entry.queries())
+
+    def q88_scaled_k_at(scale_):
+        """SemDeDup with n_centroids ∝ N (k = 8·scale, the FAISS
+        coarse-quantizer sizing rule) and the Arrow GEMM assignment —
+        the configuration the fixed-k q88 gate curve motivates:
+        bounded cluster population keeps the pairwise stage linear."""
+        from block_explorer_spark.operators import similarity as Sim
+
+        def run(spark_, sf_dir_):
+            emb = spark_.read.parquet(os.path.join(sf_dir_, "embeddings.parquet"))
+            cents = Sim.seeded_centroids(64, 8 * scale_, seed=7, scale=0.125)
+            assigned = Sim.ivf_assign_arrow(emb, "embedding", cents)
+            return Sim.semantic_dedup(assigned, "embedding", cents, threshold=0.4)
+
+        return run
+
+    qs["q88_scaled_k"] = q88_scaled_k_at(1)
 
     # Warm up the JVM/Python-worker/codegen paths before ANY
     # measurement: the first query of a fresh session pays worker
@@ -215,9 +232,11 @@ def main() -> None:
             results = json.load(f).get("queries", {})
         for name in queries:
             results.pop(name, None)  # re-measure the requested ones
+
     for scale in scales:
         sf_dir = SF01 if scale == 1 else build_corpus(spark, scale, args.root)
         n_docs = BASE_DOCS * scale
+        qs["q88_scaled_k"] = q88_scaled_k_at(scale)
         for name in queries:
             spark.catalog.clearCache()
             spark._jvm.System.gc()

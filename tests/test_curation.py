@@ -517,3 +517,26 @@ def test_shared_shingle_stats_counts(spark):
     assert got[1] == (3, 1)
     assert got[2] == (3, 1)
     assert got[3] == (3, 0)
+
+
+def test_ivf_assign_arrow_matches_catalyst(spark):
+    """The Arrow (numpy GEMM) assignment must agree with the literal-
+    fold Catalyst form on every row, including the first-argmin tie
+    rule — it is the production path when n_centroids scales with N."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = Sim.seeded_centroids(64, 8, seed=7, scale=0.125)
+    a = {
+        r["vec_id"]: r["centroid_id"]
+        for r in Sim.ivf_assign(emb, "embedding", cents).select(
+            "vec_id", "centroid_id").collect()
+    }
+    b = {
+        r["vec_id"]: r["centroid_id"]
+        for r in Sim.ivf_assign_arrow(emb, "embedding", cents).select(
+            "vec_id", "centroid_id").collect()
+    }
+    assert a == b and len(a) > 0
+    # exact-tie rule: two equidistant centroids -> the FIRST wins
+    tie = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    got = Sim.ivf_assign_arrow(tie, "embedding", [[1.0, 0.0], [-1.0, 0.0]]).head()
+    assert got["centroid_id"] == 0

@@ -453,3 +453,52 @@ def test_records_with_empty_object_id_served_by_drop(spark, tmp_path):
     } or by_type["request"]["object_reference"] is None
     assert by_type["result"].get("object_reference") is None
     assert by_type["state"].get("object_reference")
+
+
+def test_jet_drops_in_db_after_ingest(spark, tmp_path):
+    """reference: test/integration/db_integration_test.go:213-261
+    (C4992) — after ingesting two jets across two pulses, the
+    jet_drops store answers per pulse with one drop per jet, each
+    carrying its per-drop record count."""
+    base = str(tmp_path / "tables")
+    rows = []
+    for jet, obj in (("0", b"\xb1" * 8), ("1", b"\xb2" * 8)):
+        prev = None
+        for i, pn in enumerate((PN1, PN1, PN2, PN2)):
+            ref = bytes([0xB0 + i]) + jet.encode() * 2
+            rows.append(
+                _rec(ref, "activate" if i == 0 else "amend", pn, jet, i % 2,
+                     obj=obj, prev=prev)
+            )
+            prev = ref
+    P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    drops = pq.read_table(spark, base, "jet_drops")
+    by_pulse = {}
+    for r in drops.collect():
+        by_pulse.setdefault(r.pulse_number, []).append(r)
+    assert len(by_pulse[PN1]) == 2 and len(by_pulse[PN2]) == 2
+    assert {d.jet_id for d in by_pulse[PN1]} == {"0", "1"}
+    assert all(d.record_amount == 2 for d in by_pulse[PN1] + by_pulse[PN2])
+
+
+def test_pulses_in_db_with_derived_counters(spark, tmp_path):
+    """reference: test/integration/db_integration_test.go:263-307
+    (C5648) — the pulses store derives jet_drop_amount (2 jets) and
+    record_amount (4 records) per pulse from the ingested drops."""
+    base = str(tmp_path / "tables")
+    rows = []
+    for jet, obj in (("0", b"\xc1" * 8), ("1", b"\xc2" * 8)):
+        prev = None
+        for i, pn in enumerate((PN1, PN1, PN2, PN2)):
+            ref = bytes([0xC0 + i]) + jet.encode() * 2
+            rows.append(
+                _rec(ref, "activate" if i == 0 else "amend", pn, jet, i % 2,
+                     obj=obj, prev=prev)
+            )
+            prev = ref
+    P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    P.run_control_pass(spark, base)
+    pulses = {r.pulse_number: r for r in pq.read_table(spark, base, "pulses").collect()}
+    for pn in (PN1, PN2):
+        assert pulses[pn].jet_drop_amount == 2
+        assert pulses[pn].record_amount == 4
