@@ -1699,6 +1699,94 @@ def q91_crossdoc_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return D.shared_shingle_stats(docs, "doc_id", Tx.word_ngrams("text", 5))
 
 
+LM_K = 0.5  # add-k smoothing for the q92 bigram model
+
+
+def q92_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """LM-based quality scoring (the CCNet/Wikipedia-LM filter
+    recipe): train a bigram language model on the corpus itself
+    (unigram + bigram occurrence counts, add-k smoothing), then score
+    every document by its mean negative log-likelihood — high avg_nll
+    = surprising/low-quality text, the standard perplexity-bucket
+    input. Model "training" is two count aggregates; scoring is two
+    shuffle joins against the model tables (the model side would be
+    frequency-pruned at 100 TB — top-K bigrams + unigram backoff).
+    V (vocabulary size) is collected as a scalar at model-build time
+    (same pattern as q33's query vector)."""
+    docs = _t(spark, sf, "documents")
+    with_toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
+    bg = (
+        with_toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    uni = (
+        with_toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    v_size = uni.count()  # scalar model constant
+    nll = -F.log(
+        (F.col("cb") + F.lit(LM_K)) / (F.col("cu") + F.lit(LM_K) * F.lit(float(v_size)))
+    )
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .withColumn("nll", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+
+
+VOCAB_TOP = 20  # q93 vocabulary size (the gate corpus has ~45 tokens)
+
+
+def q93_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-coverage audit: learn a top-V vocabulary from the
+    corpus (count desc, token asc tiebreak — q65's rule), then score
+    every document's out-of-vocabulary occurrence rate. The vocab is
+    a broadcast join onto the exploded token stream — at any corpus
+    size the model side is V rows."""
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(VOCAB_TOP)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1802,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_temperature_mixture": q89_temperature_mixture,
         "q90_token_budget_select": q90_token_budget_select,
         "q91_crossdoc_ngrams": q91_crossdoc_ngrams,
+        "q92_lm_perplexity": q92_lm_perplexity,
+        "q93_oov_rate": q93_oov_rate,
     }
 
 
@@ -3015,5 +3105,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
                    round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac
             FROM tok t JOIN dfc USING (sh) GROUP BY t.doc_id
+        """,
+        # Bigram pairs use 1-based DuckDB indexing (toks[i], toks[i+1],
+        # i in 1..len-1) = Spark's 0-based (toks[i-1], toks[i]); V is
+        # the same scalar the Spark side collects at model build.
+        "q92_lm_perplexity": f"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                       FROM documents),
+            bg AS (
+              SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+                SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS b
+                FROM t WHERE len(toks) >= 2
+              )
+            ),
+            uni AS (
+              SELECT w1, count(*) AS cu
+              FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+            ),
+            big AS (
+              SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+            ),
+            v AS (SELECT count(*) AS V FROM uni)
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+                   round(avg(-ln((cb + {LM_K}) / (cu + {LM_K} * V))), 6) AS avg_nll
+            FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1), v
+            GROUP BY bg.doc_id
+        """,
+        "q93_oov_rate": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+              FROM documents
+            ),
+            vocab AS (
+              SELECT w FROM (SELECT w, count(*) AS n FROM tok GROUP BY w
+                             ORDER BY n DESC, w ASC LIMIT {VOCAB_TOP})
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS oov_frac
+            FROM tok LEFT JOIN vocab v USING (w)
+            GROUP BY doc_id
         """,
     }

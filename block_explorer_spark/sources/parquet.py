@@ -66,6 +66,7 @@ def read_table(
     name: str,
     pulse_gte: int | None = None,
     pulse_lte: int | None = None,
+    ignore_corrupt: bool = False,
 ) -> DataFrame:
     """Schema-pinned read; drops the physical bucket column.
 
@@ -80,11 +81,32 @@ def read_table(
     (plain parquet has no generated-column metadata), so the read
     layer owns the equivalence. (Pinned by
     test_plan_quality::test_pulse_bounds_prune_partitions.)
+
+    The read passes the pinned schema EXPLICITLY rather than letting
+    Spark sample footers: under schema evolution (a newer engine adds
+    a column to TABLE_SCHEMAS) buckets written before the upgrade
+    simply null-fill the new column per file — deterministic,
+    whichever file the footer sampler would have picked — and the
+    inference listing is skipped entirely (at 100 TB, footer sampling
+    is an extra S3 round per read). Pinned by
+    test_write_path::test_schema_evolution_old_buckets_null_fill.
+
+    ignore_corrupt=True opts this read into skipping undecodable files
+    (the operational sweep mode after partial hardware loss); the
+    default surfaces corruption loudly.
     """
+    from pyspark.sql import types as T
+
     path = table_path(base, name)
     cols = [f.name for f in TABLE_SCHEMAS[name].fields]
+    full = T.StructType(
+        list(TABLE_SCHEMAS[name].fields) + [T.StructField("pulse_bucket", T.LongType())]
+    )
     try:
-        df = spark.read.parquet(path)
+        reader = spark.read.schema(full)
+        if ignore_corrupt:
+            reader = reader.option("ignoreCorruptFiles", "true")
+        df = reader.parquet(path)  # absent path raises eagerly
     except AnalysisException:
         # Table not materialized yet (e.g. every drop of the first
         # batch failed validation, or a fresh warehouse): an absent

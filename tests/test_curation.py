@@ -540,3 +540,76 @@ def test_ivf_assign_arrow_matches_catalyst(spark):
     tie = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
     got = Sim.ivf_assign_arrow(tie, "embedding", [[1.0, 0.0], [-1.0, 0.0]]).head()
     assert got["centroid_id"] == 0
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity + OOV rate (q92/q93 shapes) — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_nll_formula(spark):
+    """Hand-checked add-k bigram NLL on a 2-doc corpus: P(b|a) =
+    (C(ab)+k) / (C(a)+k·V)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    from pyspark.sql import functions as F
+
+    toks = df.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks"))
+    bg = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+        )).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = toks.select(F.explode("toks").alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cu"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    V = uni.count()  # {a, b, c} -> 3
+    assert V == 3
+    k = 0.5
+    nll = -F.log((F.col("cb") + F.lit(k)) / (F.col("cu") + F.lit(k) * F.lit(float(V))))
+    got = {
+        r["doc_id"]: r["avg"]
+        for r in bg.join(big, ["w1", "w2"]).join(uni, "w1")
+        .withColumn("nll", nll).groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 6).alias("avg")).collect()
+    }
+    # corpus: C(a)=3, C(b)=3, C(c)=1; C(ab)=3, C(ba)=1, C(bc)=1
+    p_ab = (3 + k) / (3 + k * 3)
+    p_ba = (1 + k) / (3 + k * 3)
+    p_bc = (1 + k) / (3 + k * 3)
+    exp1 = round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    exp2 = round(-(math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    assert got[1] == pytest.approx(exp1, abs=1e-6)
+    assert got[2] == pytest.approx(exp2, abs=1e-6)
+
+
+def test_oov_rate_tiebreak_and_fraction(spark):
+    """Top-V vocab uses (count desc, token asc); OOV counts token
+    OCCURRENCES, not types."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "x x y z"), (2, "y z w w")], ["doc_id", "text"]
+    )
+    tok = df.select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+    vocab = (
+        tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc()).limit(2)
+    )
+    # counts: x=2, w=2, y=2, z=2 -> all tie at 2; token asc keeps {w, x}
+    assert {r["w"] for r in vocab.collect()} == {"w", "x"}
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"])
+        for r in tok.join(
+            F.broadcast(vocab.select("w", F.lit(1).alias("__v"))), "w", "left"
+        ).groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        ).collect()
+    }
+    assert got[1] == (4, 2)  # y z OOV
+    assert got[2] == (4, 2)  # y z OOV, w w in vocab

@@ -354,3 +354,57 @@ def test_compact_table_reduces_files_keeps_rows(spark, base):
     assert pq.compact_table(spark, base, "records", max_files_per_bucket=2)[
         "buckets_compacted"
     ] == 0
+
+
+def test_schema_evolution_old_buckets_null_fill(spark, base, monkeypatch):
+    """Round 4: a newer engine adds a column to a table schema; buckets
+    written before the upgrade must read back with the new column
+    null-filled (deterministically — read_table pins the schema
+    explicitly instead of footer sampling), and post-upgrade writes
+    coexist with old buckets in one unified read."""
+    from pyspark.sql import types as T
+
+    old = gen.make_pulses(start=4_000_000, count=3)
+    pq.upsert(spark, base, "pulses", spark.createDataFrame(old, schemas.PULSES))
+
+    evolved = T.StructType(
+        list(schemas.PULSES.fields) + [T.StructField("ingest_host", T.StringType())]
+    )
+    monkeypatch.setitem(pq.TABLE_SCHEMAS, "pulses", evolved)
+
+    # old buckets: new column present and null
+    got = pq.read_table(spark, base, "pulses")
+    assert "ingest_host" in got.columns
+    rows = got.collect()
+    assert len(rows) == 3
+    assert all(r["ingest_host"] is None for r in rows)
+
+    # a post-upgrade batch (different bucket range so both kinds of
+    # file exist on disk) joins the same unified read
+    new = [dict(p, pulse_number=p["pulse_number"] + 1_000_000, ingest_host="h1")
+           for p in gen.make_pulses(start=4_000_000, count=2)]
+    pq.upsert(spark, base, "pulses", spark.createDataFrame(new, evolved))
+    got = {r["pulse_number"]: r["ingest_host"] for r in
+           pq.read_table(spark, base, "pulses").collect()}
+    assert len(got) == 5
+    assert got[5_000_000] == "h1" and got[4_000_000] is None
+
+
+def test_corrupt_file_surfaces_unless_opted_out(spark, base):
+    """Round 4: a truncated/garbage file inside a bucket fails the
+    read loudly by default; ignore_corrupt=True is the explicit
+    operational sweep mode that serves the surviving rows."""
+    import glob
+    import os
+
+    pulses = gen.make_pulses(start=4_000_000, count=3)
+    pq.upsert(spark, base, "pulses", spark.createDataFrame(pulses, schemas.PULSES))
+    bucket_dir = glob.glob(os.path.join(base, "pulses", "pulse_bucket=*"))[0]
+    with open(os.path.join(bucket_dir, "part-corrupt.snappy.parquet"), "wb") as f:
+        f.write(b"not a parquet file at all")
+
+    with pytest.raises(Exception):
+        pq.read_table(spark, base, "pulses").collect()
+
+    rows = pq.read_table(spark, base, "pulses", ignore_corrupt=True).collect()
+    assert len(rows) == 3
