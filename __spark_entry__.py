@@ -1714,7 +1714,9 @@ def q92_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     V (vocabulary size) is collected as a scalar at model-build time
     (same pattern as q33's query vector)."""
     docs = _t(spark, sf, "documents")
-    with_toks = docs.select(
+    # the tokenize+explode stage amplifies per-row work; spread an
+    # under-partitioned scan across cores first (no-op at scale)
+    with_toks = D._spread(docs).select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     )
     bg = (
@@ -1762,7 +1764,7 @@ def q93_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     a broadcast join onto the exploded token stream — at any corpus
     size the model side is V rows."""
     docs = _t(spark, sf, "documents")
-    tok = docs.select(
+    tok = D._spread(docs).select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
     )
     vocab = (

@@ -645,7 +645,7 @@ def shared_shingle_stats(df: DataFrame, id_col: str, shingles: Column) -> DataFr
     """
     from pyspark.sql import Window
 
-    ex = df.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__sh"))
+    ex = _spread(df).select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__sh"))
     with_df = ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__sh")))
     return (
         with_df.groupBy("__id")

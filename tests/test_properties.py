@@ -245,3 +245,114 @@ def test_quantize_int8_error_bound(spark, vecs):
             continue
         for c, x in zip(codes, orig):
             assert abs(c / scale - x) <= 0.5 / scale + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round 4: budget selection, temperature mixture, shared-shingle stats
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=800),
+)
+@settings(max_examples=12, deadline=None)
+def test_budget_select_equals_naive_prefix(spark, rows, budget):
+    """budget_select's bucketed two-level cumulative sum == the plain
+    greedy prefix for any score/weight mix and any budget."""
+    from block_explorer_spark.operators import selection as Sel
+
+    data = [(i, round(float(s), 6), w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["id", "score", "w"])
+    got = sorted(r["id"] for r in Sel.budget_select(df, "score", "w", "id", budget).collect())
+    cum, exp = 0, []
+    for i, s, w in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += w
+        if cum > budget:
+            break
+        exp.append(i)
+    assert got == sorted(exp)
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),
+        st.integers(min_value=1, max_value=60),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_temperature_sample_monotone_and_complete_on_min(spark, sizes):
+    """For any stratum-size mix: the rarest stratum survives whole,
+    every kept set is a subset of the stratum, and kept counts match
+    the md5-rate replication."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from block_explorer_spark.operators import sampling as Smp
+
+    rows = [
+        (f"{s}-{i}", s) for s, n in sorted(sizes.items()) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = Smp.temperature_sample(df, "lang", "doc_id", alpha=0.5)
+    got = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_min = min(sizes.values())
+    for s, n in sizes.items():
+        rate = math.floor(10_000 * math.sqrt(n_min / n))
+        exp = sum(
+            1
+            for i in range(n)
+            if int(hashlib.md5(f"{s}-{i}".encode()).hexdigest()[:8], 16) % 10_000 < rate
+        )
+        assert got.get(s, 0) == exp
+    rare = min(sizes, key=lambda s: (sizes[s], s))
+    assert got.get(rare, 0) == sizes[rare]
+
+
+@given(st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=10, deadline=None)
+def test_shared_shingle_stats_matches_bruteforce(spark, seed):
+    """shared_shingle_stats == the per-doc brute-force set computation
+    for any random corpus."""
+    import random as _r
+
+    from block_explorer_spark.functions import text as Tx
+    from block_explorer_spark.operators import dedup as D
+
+    rng = _r.Random(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))))
+        for i in range(rng.randint(2, 8))
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"])
+        for r in D.shared_shingle_stats(df, "doc_id", Tx.word_ngrams("text", 3)).collect()
+    }
+
+    def shingles(t):
+        toks = t.lower().strip().split()
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    for i, s in sets.items():
+        shared = sum(
+            1 for sh in s if any(sh in o for j, o in sets.items() if j != i)
+        )
+        assert got[i] == (len(s), shared)
