@@ -1,0 +1,113 @@
+"""Incremental curated-corpus store: gates, in-batch + cross-batch
+dedup, replay idempotency, and the bucket-pruned dedup read
+(sources/corpus_store.py). The batch operators it composes are each
+oracle-certified (q20/q23/q76/q86); these tests pin the STORE
+semantics — what lands on disk across rounds and crashes."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark.sources import corpus_store as cs
+
+LONG = " ".join(f"tok{i}" for i in range(30))  # passes both gates
+
+
+def _doc(doc_id, text, lang="en", source="web"):
+    return (doc_id, text, lang, source)
+
+
+COLS = ["doc_id", "text", "lang", "source"]
+
+
+@pytest.fixture()
+def base(tmp_path):
+    return str(tmp_path / "corpus_base")
+
+
+def test_gates_and_in_batch_dedup(spark, base):
+    rows = [
+        _doc(1, LONG),
+        _doc(2, "too short"),                      # token floor
+        _doc(3, "spam " * 40),                     # repeated-word ceiling
+        _doc(4, LONG),                             # same fp as 1 -> in-batch dup
+        _doc(5, LONG + " extra"),                  # distinct fp
+    ]
+    stats = cs.ingest(spark, base, spark.createDataFrame(rows, COLS))
+    assert stats == {
+        "n_in": 5, "n_gated": 2, "n_batch_dup": 1, "n_known": 0, "n_added": 2,
+    }
+    got = {r["doc_id"] for r in cs.read_corpus(spark, base).collect()}
+    assert got == {1, 5}  # min doc_id wins the fp group
+
+
+def test_cross_batch_dedup_and_replay(spark, base):
+    b1 = [_doc(1, LONG), _doc(2, LONG + " extra")]
+    b2 = [_doc(10, LONG), _doc(11, LONG + " brand new words here")]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS))
+    stats = cs.ingest(spark, base, spark.createDataFrame(b2, COLS))
+    # doc 10 duplicates batch-1's doc 1 by content -> known, skipped
+    assert stats["n_known"] == 1 and stats["n_added"] == 1
+    ids = {r["doc_id"] for r in cs.read_corpus(spark, base).collect()}
+    assert ids == {1, 2, 11}
+
+    # full replay of either batch adds nothing (crash-recovery replay)
+    again = cs.ingest(spark, base, spark.createDataFrame(b1, COLS))
+    assert again["n_added"] == 0 and again["n_known"] == 2
+    assert cs.read_corpus(spark, base).count() == 3
+
+
+def test_ingest_replay_idempotent_after_partial_append(spark, base):
+    """Simulated mid-append crash: some rows of a batch are already on
+    disk (committed task files), the rest missing. Replaying the whole
+    batch converges to exactly-once content."""
+    b = [_doc(i, LONG + f" unique{i}") for i in range(6)]
+    cs.ingest(spark, base, spark.createDataFrame(b, COLS))
+    # "crash": delete some committed bucket files -> partial state
+    files = sorted(glob.glob(os.path.join(base, "corpus", "fp_bucket=*", "*.parquet")))
+    assert len(files) >= 2
+    for f in files[: len(files) // 2]:
+        os.remove(f)
+    n_after_crash = cs.read_corpus(spark, base).count()
+    assert n_after_crash < 6
+
+    stats = cs.ingest(spark, base, spark.createDataFrame(b, COLS))
+    assert stats["n_added"] == 6 - n_after_crash
+    got = cs.read_corpus(spark, base)
+    assert got.count() == 6
+    assert got.select("fp").distinct().count() == 6
+
+
+def test_dedup_read_prunes_buckets(spark, base):
+    """The cross-batch dedup must read only the fp_buckets the batch
+    hashes into — directory-level PartitionFilters, the contract that
+    bounds ingest I/O at corpus scale."""
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(i, LONG + f" w{i}") for i in range(20)], COLS))
+    batch = cs._prepared(spark.createDataFrame([_doc(100, LONG + " w1")], COLS))
+    buckets = [r.fp_bucket for r in batch.select("fp_bucket").distinct().collect()]
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(cs.CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
+    )
+    pruned = (
+        spark.read.schema(full).parquet(os.path.join(base, "corpus"))
+        .filter(F.col("fp_bucket").isin(buckets))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "fp_bucket" in part_lines[0]
+
+
+def test_empty_store_and_empty_batch(spark, base):
+    assert cs.read_corpus(spark, base).count() == 0
+    stats = cs.ingest(spark, base, spark.createDataFrame([], cs.CORPUS_SCHEMA)
+                      .select(*COLS))
+    assert stats["n_added"] == 0
+    assert cs.read_corpus(spark, base).count() == 0
