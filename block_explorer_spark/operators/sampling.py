@@ -120,8 +120,12 @@ def temperature_sample(
     rates = counts.crossJoin(F.broadcast(n_min)).select(
         "__s", F.floor(F.lit(denom) * keep).alias("__rate")
     )
+    # eqNullSafe: groupBy puts NULL-stratum rows in their own group, so
+    # a plain == join would compute their rate and then silently drop
+    # every one of them (NULL-unequal) — the three-valued-logic data
+    # loss pattern. NULL is a stratum like any other here.
     return (
-        df.join(F.broadcast(rates), df[strata_col] == rates["__s"])
+        df.join(F.broadcast(rates), df[strata_col].eqNullSafe(rates["__s"]))
         .filter(hash_bucket(id_col, denom) < F.col("__rate"))
         .drop("__s", "__rate")
     )

@@ -567,6 +567,8 @@ def ivf_assign_arrow(
 
     def assign(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: (0,) @ (k,d) raises
+                continue
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (n, d)
             # argmin ||x - c||^2 = argmin ||c||^2 - 2 x.c  (||x||^2 constant per row)
             d2 = cent_sq[None, :] - 2.0 * (x @ cent.T)

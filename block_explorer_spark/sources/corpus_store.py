@@ -149,3 +149,47 @@ def ingest(
         "n_known": n_known,
         "n_added": n_added,
     }
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    base: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    min_tokens: int = 20,
+    max_dup_word_frac: float = 0.3,
+):
+    """Continuous crawl ingest: readStream over a documents parquet
+    directory → foreachBatch(ingest). Source offsets checkpoint, so a
+    restart resumes at the first unprocessed file; a micro-batch
+    replayed after a crash re-runs the SAME idempotent ingest (its
+    fingerprints are already stored → n_added 0) — the identical
+    exactly-once recipe as the GBE ingest stream
+    (streaming/pipeline.py::start_ingest_stream)."""
+    raw = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest(spark, base, batch, min_tokens=min_tokens,
+               max_dup_word_frac=max_dup_word_frac)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -111,3 +111,28 @@ def test_empty_store_and_empty_batch(spark, base):
                       .select(*COLS))
     assert stats["n_added"] == 0
     assert cs.read_corpus(spark, base).count() == 0
+
+
+def test_streaming_ingest_resume_exactly_once(spark, base, tmp_path):
+    """Streamed crawl files curate into the store; a second
+    availableNow run from the same checkpoint picks up only NEW files,
+    and content stays exactly-once across both runs."""
+    src = str(tmp_path / "crawl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    b1 = [_doc(i, LONG + f" u{i}") for i in range(4)]
+    spark.createDataFrame(b1, COLS).coalesce(1).write.mode("append").parquet(src)
+    q = cs.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert cs.read_corpus(spark, base).count() == 4
+
+    # second wave: one genuinely new doc + one content-dup of wave 1
+    b2 = [_doc(10, LONG + " u1"), _doc(11, LONG + " fresh content")]
+    spark.createDataFrame(b2, COLS).coalesce(1).write.mode("append").parquet(src)
+    q = cs.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = cs.read_corpus(spark, base)
+    assert got.count() == 5  # dup content skipped, nothing re-ingested
+    assert got.select("fp").distinct().count() == 5

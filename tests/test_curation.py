@@ -613,3 +613,27 @@ def test_oov_rate_tiebreak_and_fraction(spark):
     }
     assert got[1] == (4, 2)  # y z OOV
     assert got[2] == (4, 2)  # y z OOV, w w in vocab
+
+
+def test_temperature_sample_null_stratum_is_a_stratum(spark):
+    """NULL-language rows form their own stratum: they are rated and
+    sampled like any other group, never silently dropped by the join
+    (eqNullSafe — the three-valued-logic loss pattern)."""
+    import hashlib
+    import math
+
+    rows = [(f"n{i}", None) for i in range(40)] + [(f"e{i}", "en") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = Smp.temperature_sample(df, "lang", "doc_id", alpha=0.5)
+    got = {r["lang"]: 0 for r in kept.collect()}
+    for r in kept.collect():
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    # en is the rarest (10) -> kept whole; NULL group downsampled at
+    # floor(10000*sqrt(10/40)) = 5000 per-10k
+    assert got.get("en", 0) == 10
+    rate = math.floor(10_000 * math.sqrt(10 / 40))
+    exp_null = sum(
+        1 for i in range(40)
+        if int(hashlib.md5(f"n{i}".encode()).hexdigest()[:8], 16) % 10_000 < rate
+    )
+    assert got.get(None, 0) == exp_null > 0
