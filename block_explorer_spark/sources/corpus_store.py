@@ -37,8 +37,21 @@ from pyspark.sql import types as T
 from pyspark.errors.exceptions.captured import AnalysisException
 
 from block_explorer_spark.functions import text as Tx
+from block_explorer_spark.operators import dedup as D
 
 N_BUCKETS = 64
+#: LSH sidecar parameters — must stay fixed for the lifetime of a
+#: store (band hashes are only comparable within one family).
+LSH_HASHES = 128
+LSH_BANDS = 16
+
+BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bhash", T.LongType()),
+    ]
+)
 
 #: Stored schema: the driver documents columns + fingerprint + token
 #: count (the two things every later pipeline stage re-derives).
@@ -83,12 +96,33 @@ def read_corpus(spark: SparkSession, base: str) -> DataFrame:
     return df.select(*[f.name for f in CORPUS_SCHEMA.fields])
 
 
+def _bands_path(base: str) -> str:
+    return os.path.join(base, "bands")
+
+
+def _doc_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, bhash) LSH rows for a document frame — the same
+    fused Arrow MinHash+banding stage the q25 gate certifies."""
+    b = D._banded_signatures(
+        df, id_col, Tx.word_ngrams("text", 3), LSH_HASHES, LSH_BANDS
+    )
+    return b.select(F.col("__id").alias("doc_id"), "band", "bhash")
+
+
+def read_bands(spark: SparkSession, base: str) -> DataFrame:
+    try:
+        return spark.read.schema(BANDS_SCHEMA).parquet(_bands_path(base))
+    except AnalysisException:
+        return spark.createDataFrame([], BANDS_SCHEMA)
+
+
 def ingest(
     spark: SparkSession,
     base: str,
     batch: DataFrame,
     min_tokens: int = 20,
     max_dup_word_frac: float = 0.3,
+    near_dup_threshold: float | None = None,
 ) -> dict:
     """One curation ingest round. Returns the audit counts
     {n_in, n_gated, n_batch_dup, n_known, n_added}.
@@ -121,25 +155,50 @@ def ingest(
     n_batch_dup = (n_in - n_gated_out) - n_canon
 
     path = _docs_path(base)
-    if os.path.exists(path):
+    store_exists = os.path.exists(path)
+    store_slice = None
+    if store_exists:
         buckets = [r.fp_bucket for r in canon.select("fp_bucket").distinct().collect()]
         full = T.StructType(
             list(CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
         )
-        known_fps = (
+        store_slice = (
             spark.read.schema(full)
             .parquet(path)
             .filter(F.col("fp_bucket").isin(buckets))
-            .select("fp")
+            .select("doc_id", "fp", "text")
         )
-        fresh = canon.join(known_fps, "fp", "left_anti")
+        fresh = canon.join(store_slice.select("fp"), "fp", "left_anti")
     else:
         fresh = canon
-    n_added = fresh.count()
-    n_known = n_canon - n_added
+    fresh = fresh.cache()
+    n_fresh = fresh.count()
+    n_known = n_canon - n_fresh
+
+    n_near_dup = 0
+    if near_dup_threshold is not None and n_fresh:
+        fresh, n_near_dup = _near_dup_filter(spark, base, fresh, near_dup_threshold)
+    n_added = n_fresh - n_near_dup
 
     if n_added:
         fresh.write.partitionBy("fp_bucket").mode("append").parquet(path)
+        if near_dup_threshold is not None:
+            _doc_bands(fresh).write.mode("append").parquet(_bands_path(base))
+    if near_dup_threshold is not None and store_exists and n_known:
+        # Replay heal: a crash between the doc append and the band
+        # append leaves stored docs with no LSH rows (invisible to
+        # future near-dup probes). On every ingest, any KNOWN doc of
+        # this batch that lacks band rows gets them regenerated from
+        # its stored text — replaying the crashed batch repairs the
+        # sidecar.
+        band_ids = read_bands(spark, base).select("doc_id").distinct()
+        missing = (
+            store_slice.join(canon.select("fp"), "fp", "left_semi")
+            .select("doc_id", "text")
+            .join(band_ids, "doc_id", "left_anti")
+        )
+        if missing.limit(1).count():
+            _doc_bands(missing).write.mode("append").parquet(_bands_path(base))
     prepared.unpersist()
     canon.unpersist()
     return {
@@ -147,8 +206,65 @@ def ingest(
         "n_gated": n_gated_out,
         "n_batch_dup": n_batch_dup,
         "n_known": n_known,
+        "n_near_dup": n_near_dup,
         "n_added": n_added,
     }
+
+
+def _near_dup_filter(
+    spark: SparkSession, base: str, fresh: DataFrame, threshold: float
+) -> tuple[DataFrame, int]:
+    """Exact-verified incremental near-dup: drop a fresh doc whose true
+    3-gram jaccard reaches `threshold` against EITHER a stored doc
+    sharing an LSH band bucket (the store always wins) or a lower-id
+    doc of the same batch (the greedy q86/q88 rule).
+
+    Stored candidates come from the band sidecar — only docs colliding
+    with the batch's band hashes are re-read and re-shingled, so the
+    verification cost is bounded by collisions, not store size. The
+    candidate fetch is a semi join against the corpus (at 100 TB a
+    doc_id-keyed projection would serve these point lookups; the fp
+    layout serves the exact-dedup path, which runs every batch).
+
+    Doc ids are re-keyed uid = 2·id (store) / 2·id+1 (batch) so one
+    verified-LSH pass handles both directions; requires non-negative
+    doc ids (the driver schema's convention)."""
+    stored_bands = read_bands(spark, base)
+    fresh_docs = fresh.select("doc_id", "text")
+    fresh_bands = _doc_bands(fresh_docs)
+    cand_ids = (
+        stored_bands.join(
+            fresh_bands.select("band", "bhash").distinct(), ["band", "bhash"], "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    stored_cand = (
+        read_corpus(spark, base)
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", "text")
+    )
+    u = stored_cand.select((F.col("doc_id") * 2).alias("uid"), "text").unionByName(
+        fresh_docs.select((F.col("doc_id") * 2 + 1).alias("uid"), "text")
+    )
+    pairs = D.minhash_lsh_pairs(
+        u, "uid", Tx.word_ngrams("text", 3),
+        threshold=threshold, num_hashes=LSH_HASHES, bands=LSH_BANDS,
+    )
+    even_a = (F.col("id_a") % 2) == 0
+    even_b = (F.col("id_b") % 2) == 0
+    vs_stored = pairs.filter(even_a & ~even_b).select(F.col("id_b").alias("uid")).unionByName(
+        pairs.filter(~even_a & even_b).select(F.col("id_a").alias("uid"))
+    )
+    in_batch = pairs.filter(~even_a & ~even_b).select(F.col("id_b").alias("uid"))
+    drops = (
+        vs_stored.unionByName(in_batch)
+        .distinct()
+        .select(((F.col("uid") - 1) / 2).cast("long").alias("doc_id"))
+    )
+    kept = fresh.join(drops, "doc_id", "left_anti").cache()
+    n_dropped = fresh.count() - kept.count()
+    return kept, n_dropped
 
 
 def start_ingest_stream(

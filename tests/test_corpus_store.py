@@ -40,7 +40,8 @@ def test_gates_and_in_batch_dedup(spark, base):
     ]
     stats = cs.ingest(spark, base, spark.createDataFrame(rows, COLS))
     assert stats == {
-        "n_in": 5, "n_gated": 2, "n_batch_dup": 1, "n_known": 0, "n_added": 2,
+        "n_in": 5, "n_gated": 2, "n_batch_dup": 1, "n_known": 0,
+        "n_near_dup": 0, "n_added": 2,
     }
     got = {r["doc_id"] for r in cs.read_corpus(spark, base).collect()}
     assert got == {1, 5}  # min doc_id wins the fp group
@@ -136,3 +137,70 @@ def test_streaming_ingest_resume_exactly_once(spark, base, tmp_path):
     got = cs.read_corpus(spark, base)
     assert got.count() == 5  # dup content skipped, nothing re-ingested
     assert got.select("fp").distinct().count() == 5
+
+
+def _mutate(text, i, word):
+    toks = text.split()
+    toks[i] = word
+    return " ".join(toks)
+
+
+def test_near_dup_against_store_dropped(spark, base):
+    """A second-wave doc that near-duplicates a STORED doc (different
+    fingerprint, high 3-gram jaccard) is caught by the band sidecar
+    and verified-dropped; an unrelated doc passes."""
+    cs.ingest(spark, base, spark.createDataFrame([_doc(1, LONG)], COLS),
+              near_dup_threshold=0.7)
+    b2 = [
+        _doc(10, _mutate(LONG, 5, "changed")),       # near-dup of doc 1
+        _doc(11, " ".join(f"other{i}" for i in range(30))),  # unrelated
+    ]
+    stats = cs.ingest(spark, base, spark.createDataFrame(b2, COLS),
+                      near_dup_threshold=0.7)
+    assert stats["n_near_dup"] == 1 and stats["n_added"] == 1
+    assert {r["doc_id"] for r in cs.read_corpus(spark, base).collect()} == {1, 11}
+
+
+def test_near_dup_within_batch_lowest_id_wins(spark, base):
+    b = [
+        _doc(5, LONG),
+        _doc(3, _mutate(LONG, 2, "zzz")),  # near-dup pair; 3 < 5
+        _doc(9, " ".join(f"w{i}" for i in range(30))),
+    ]
+    stats = cs.ingest(spark, base, spark.createDataFrame(b, COLS),
+                      near_dup_threshold=0.7)
+    assert stats["n_near_dup"] == 1
+    assert {r["doc_id"] for r in cs.read_corpus(spark, base).collect()} == {3, 9}
+
+
+def test_near_dup_off_admits_mutations(spark, base):
+    cs.ingest(spark, base, spark.createDataFrame([_doc(1, LONG)], COLS))
+    stats = cs.ingest(
+        spark, base,
+        spark.createDataFrame([_doc(10, _mutate(LONG, 5, "changed"))], COLS),
+    )
+    assert stats["n_added"] == 1  # exact-dedup only: different fp passes
+
+
+def test_band_sidecar_heals_on_replay(spark, base):
+    """Crash between doc append and band append: the stored doc has no
+    LSH rows. Replaying its batch regenerates them, after which
+    near-dups of it are caught again."""
+    import shutil
+
+    b1 = [_doc(1, LONG)]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS), near_dup_threshold=0.7)
+    shutil.rmtree(os.path.join(base, "bands"))  # the simulated crash
+
+    # heal: replay of batch 1 (doc now KNOWN) restores the sidecar
+    stats = cs.ingest(spark, base, spark.createDataFrame(b1, COLS),
+                      near_dup_threshold=0.7)
+    assert stats["n_known"] == 1 and stats["n_added"] == 0
+    assert cs.read_bands(spark, base).count() == cs.LSH_BANDS
+
+    stats = cs.ingest(
+        spark, base,
+        spark.createDataFrame([_doc(10, _mutate(LONG, 5, "changed"))], COLS),
+        near_dup_threshold=0.7,
+    )
+    assert stats["n_near_dup"] == 1 and stats["n_added"] == 0
