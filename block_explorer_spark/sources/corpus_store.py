@@ -201,6 +201,7 @@ def ingest(
             _doc_bands(missing).write.mode("append").parquet(_bands_path(base))
     prepared.unpersist()
     canon.unpersist()
+    fresh.unpersist()
     return {
         "n_in": n_in,
         "n_gated": n_gated_out,
@@ -264,6 +265,7 @@ def _near_dup_filter(
     )
     kept = fresh.join(drops, "doc_id", "left_anti").cache()
     n_dropped = fresh.count() - kept.count()
+    fresh.unpersist()  # caller rebinds to `kept`; drop the old cache
     return kept, n_dropped
 
 
