@@ -1754,6 +1754,29 @@ def q92_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q94_quality_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (the RefinedWeb rule:
+    keep the BEST member of each near-dup cluster, not an arbitrary
+    one): q83's exact-jaccard clusters join per-doc quality (q23's
+    score) and a (quality desc, doc_id asc) window marks the
+    survivor. Same shuffle budget as q83 plus one window on
+    cluster_id — the drop set is then a single anti-join away."""
+    from block_explorer_spark.operators import graph as G
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.jaccard_pairs_prefix(
+        docs, "doc_id", Tx.word_ngrams("text", 3), threshold=0.8
+    )
+    cl = G.dedup_clusters(pairs).select("doc_id", "cluster_id")
+    q = docs.select("doc_id", Tx.quality_score("text").alias("quality"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        cl.join(q, "doc_id")
+        .withColumn("is_survivor", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "is_survivor")
+    )
+
+
 VOCAB_TOP = 20  # q93 vocabulary size (the gate corpus has ~45 tokens)
 
 
@@ -1894,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_crossdoc_ngrams": q91_crossdoc_ngrams,
         "q92_lm_perplexity": q92_lm_perplexity,
         "q93_oov_rate": q93_oov_rate,
+        "q94_quality_survivors": q94_quality_survivors,
     }
 
 
@@ -3150,5 +3174,60 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS oov_frac
             FROM tok LEFT JOIN vocab v USING (w)
             GROUP BY doc_id
+        """,
+        # q83's recursive-CTE closure + q23's quality formula; the
+        # survivor is row 1 of the (quality desc, doc_id asc) window.
+        "q94_quality_survivors": f"""
+            WITH RECURSIVE tok AS ({_TOK}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            r AS (
+              SELECT DISTINCT u AS vx, u AS reach FROM e
+              UNION
+              SELECT r.vx, e.v AS reach FROM r JOIN e ON r.reach = e.u
+            ),
+            comp AS (SELECT vx AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY vx),
+            m AS (
+              SELECT doc_id,
+                CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS n,
+                CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END AS digit_r,
+                CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END AS punct_r,
+                list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                        t -> CAST(length(t) AS DOUBLE)))
+                  / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS mtl
+              FROM documents
+            ),
+            qual AS (
+              SELECT doc_id, round(
+                  (CASE WHEN n >= 20 THEN 1.0 ELSE n / 20.0 END) * 0.4
+                + (1.0 - least(1.0, digit_r * 4)) * 0.2
+                + (1.0 - least(1.0, punct_r * 4)) * 0.2
+                + (CASE WHEN mtl >= 3 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+              FROM m
+            )
+            SELECT c.doc_id, c.cluster_id, q.quality,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY q.quality DESC, c.doc_id ASC) = 1
+                     AS is_survivor
+            FROM comp c JOIN qual q USING (doc_id)
         """,
     }
