@@ -205,14 +205,25 @@ def main() -> None:
         """SemDeDup with n_centroids ∝ N (k = 8·scale, the FAISS
         coarse-quantizer sizing rule) and the Arrow GEMM assignment —
         the configuration the fixed-k q88 gate curve motivates:
-        bounded cluster population keeps the pairwise stage linear."""
+        bounded cluster population keeps the CANDIDATE space linear.
+        threshold = 0.9 (the realistic SemDeDup setting): the synthetic
+        corpus packs same-label vectors at cosine ~0.89, so the gate
+        query's permissive 0.4 makes the PAIR OUTPUT itself quadratic
+        in cluster density — a property of the data (everything
+        near-duplicates everything in its label), not of the plan."""
         from block_explorer_spark.operators import similarity as Sim
 
         def run(spark_, sf_dir_):
             emb = spark_.read.parquet(os.path.join(sf_dir_, "embeddings.parquet"))
             cents = Sim.seeded_centroids(64, 8 * scale_, seed=7, scale=0.125)
-            assigned = Sim.ivf_assign_arrow(emb, "embedding", cents)
-            return Sim.semantic_dedup(assigned, "embedding", cents, threshold=0.4)
+            # two-level assignment past a few hundred centroids: flat
+            # N*k GEMM is quadratic when k ∝ N (measured 273s at x1000
+            # vs 7s two-level; see ivf_assign_arrow docstring)
+            probes = 4 if 8 * scale_ > 256 else None
+            assigned = Sim.ivf_assign_arrow(
+                emb, "embedding", cents, coarse_probes=probes
+            )
+            return Sim.semantic_dedup(assigned, "embedding", cents, threshold=0.9)
 
         return run
 
@@ -227,11 +238,13 @@ def main() -> None:
     spark.catalog.clearCache()
 
     results: dict[str, dict] = {}
-    if os.path.exists(args.out):  # merge-in mode for selective runs
+    if os.path.exists(args.out):  # merge-in mode for selective runs:
+        # cells measured this run overwrite their (query, scale) slot;
+        # everything else (other queries AND other scales of the same
+        # query) is preserved, so a later --scales 1000 run extends
+        # the existing 1/10/100 columns instead of erasing them.
         with open(args.out) as f:
             results = json.load(f).get("queries", {})
-        for name in queries:
-            results.pop(name, None)  # re-measure the requested ones
 
     for scale in scales:
         sf_dir = SF01 if scale == 1 else build_corpus(spark, scale, args.root)

@@ -637,3 +637,34 @@ def test_temperature_sample_null_stratum_is_a_stratum(spark):
         if int(hashlib.md5(f"n{i}".encode()).hexdigest()[:8], 16) % 10_000 < rate
     )
     assert got.get(None, 0) == exp_null > 0
+
+
+def test_ivf_assign_arrow_two_level_blocks_near_dups_together(spark):
+    """The coarse_probes path is a deterministic blocking function:
+    near-identical vectors land in the same cell (same run-to-run),
+    which is the property semantic dedup blocking needs."""
+    import random as _r
+
+    rng = _r.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(50)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + 1e-6 for x in v]))  # near-identical twin
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = Sim.seeded_centroids(16, 64, seed=5, scale=0.5)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in Sim.ivf_assign_arrow(
+            df, "embedding", cents, coarse_probes=3
+        ).collect()
+    }
+    twins_together = sum(1 for i in range(50) if got[2 * i] == got[2 * i + 1])
+    assert twins_together == 50  # continuity: every twin pair co-locates
+    again = {
+        r["vec_id"]: r["centroid_id"]
+        for r in Sim.ivf_assign_arrow(
+            df, "embedding", cents, coarse_probes=3
+        ).collect()
+    }
+    assert again == got  # determinism across runs
