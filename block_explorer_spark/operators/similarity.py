@@ -638,6 +638,9 @@ def ivf_assign_arrow(
             rr = rows[upd]
             best[rr] = v[upd]
             best_id[rr] = cand[upd]
+        miss = best_id < 0  # every probed super-cell was empty (rare)
+        if miss.any():
+            best_id[miss] = _flat(x[miss])
         return best_id
 
     def assign(batches):

@@ -1,0 +1,197 @@
+"""Incremental vector store — the embedding-side twin of corpus_store.
+
+Embedding tables grow the same way document corpora do (daily batches
+of freshly embedded content), and the two things a pipeline asks of
+them — "is this vector new or a semantic duplicate?" on the way in,
+and "nearest neighbors of q" on the way out — both want the SAME
+layout: rows partitioned by their IVF coarse cell. This module keeps
+that layout incrementally:
+
+  - `create` trains centroids ONCE from the founding batch
+    (similarity.train_centroids — bounded-sample k-means, the FAISS
+    recipe), persists them as JSON beside the data, and ingests the
+    batch. Centroids are a store-lifetime constant: cells stay
+    comparable forever, and every later batch assigns against them
+    (Catalyst fold for small k, the Arrow two-level path for large).
+  - `add_batch` assigns the batch, exact-dedups by vec_id against
+    ONLY the touched cells (directory-pruned read), optionally
+    semantic-dedups against the stored members of those same cells
+    (cosine >= threshold drops the newcomer; in-batch, lowest id
+    wins — corpus_store's near-dup contract), and appends partitioned
+    by centroid_id. Replay after a crash converges: committed ids are
+    skipped, missing ones land.
+  - `probe` answers top-k reading only n_probe cell directories
+    (PartitionFilters, pinned by test) — the persisted-index promise
+    of similarity.ivf_probe_topk, kept true under continuous adds.
+
+Cost per batch: one assignment map + one cell-pruned read + one
+bounded pairwise pass + an append of only-new rows — never a scan of
+the store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from block_explorer_spark.operators import similarity as Sim
+
+#: Past this centroid count the Catalyst literal-fold assignment stops
+#: scaling; switch to the Arrow two-level path (see ivf_assign_arrow).
+ARROW_ASSIGN_AT = 64
+
+VECTORS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _data_path(base: str) -> str:
+    return os.path.join(base, "vectors")
+
+
+def _centroids_path(base: str) -> str:
+    return os.path.join(base, "centroids.json")
+
+
+def load_centroids(base: str) -> list[list[float]]:
+    with open(_centroids_path(base)) as f:
+        return json.load(f)
+
+
+def _assign(batch: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    if len(centroids) > ARROW_ASSIGN_AT:
+        return Sim.ivf_assign_arrow(
+            batch, "embedding", centroids, coarse_probes=4
+        )
+    return Sim.ivf_assign(batch, "embedding", centroids)
+
+
+def read_vectors(spark: SparkSession, base: str) -> DataFrame:
+    full = T.StructType(
+        list(VECTORS_SCHEMA.fields) + [T.StructField("centroid_id", T.IntegerType())]
+    )
+    try:
+        return spark.read.schema(full).parquet(_data_path(base))
+    except AnalysisException:
+        return spark.createDataFrame([], full)
+
+
+def create(
+    spark: SparkSession,
+    base: str,
+    batch: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    dedup_threshold: float | None = None,
+) -> dict:
+    """Found the store: train centroids on the batch, persist them,
+    ingest the batch through the same path every later add uses."""
+    os.makedirs(base, exist_ok=True)
+    cents = Sim.train_centroids(batch, "embedding", n_centroids, seed)
+    with open(_centroids_path(base), "w") as f:
+        json.dump(cents, f)
+    return add_batch(spark, base, batch, dedup_threshold=dedup_threshold)
+
+
+def add_batch(
+    spark: SparkSession,
+    base: str,
+    batch: DataFrame,
+    dedup_threshold: float | None = None,
+) -> dict:
+    """One incremental add. Returns {n_in, n_known, n_near_dup,
+    n_added}."""
+    cents = load_centroids(base)
+    assigned = _assign(batch.select(*[f.name for f in VECTORS_SCHEMA.fields]), cents)
+    assigned = assigned.cache()
+    n_in = assigned.count()
+
+    path = _data_path(base)
+    cells = [r.centroid_id for r in assigned.select("centroid_id").distinct().collect()]
+    stored_cells = None
+    if os.path.exists(path):
+        stored_cells = read_vectors(spark, base).filter(
+            F.col("centroid_id").isin(cells)
+        )
+        fresh = assigned.join(stored_cells.select("vec_id"), "vec_id", "left_anti")
+    else:
+        fresh = assigned
+    fresh = fresh.cache()
+    n_fresh = fresh.count()
+    n_known = n_in - n_fresh
+
+    n_near_dup = 0
+    if dedup_threshold is not None and n_fresh:
+        # One verified pairwise pass per cell over stored members +
+        # fresh rows: stored wins, else lowest vec_id (re-keyed
+        # uid = 2*id / 2*id+1 — corpus_store's rule).
+        stored_side = (
+            stored_cells.select(
+                (F.col("vec_id") * 2).alias("uid"), "embedding", "centroid_id"
+            )
+            if stored_cells is not None
+            else spark.createDataFrame(
+                [], "uid long, embedding array<float>, centroid_id int"
+            )
+        )
+        u = stored_side.unionByName(
+            fresh.select(
+                (F.col("vec_id") * 2 + 1).alias("uid"), "embedding", "centroid_id"
+            )
+        )
+        pairs = Sim.cosine_pairs_blas(
+            u, "embedding", "centroid_id", threshold=dedup_threshold, id_col="uid"
+        )
+        even_a = (F.col("id_a") % 2) == 0
+        even_b = (F.col("id_b") % 2) == 0
+        drops = (
+            pairs.filter(even_a & ~even_b).select(F.col("id_b").alias("uid"))
+            .unionByName(pairs.filter(~even_a & even_b).select(F.col("id_a").alias("uid")))
+            .unionByName(pairs.filter(~even_a & ~even_b).select(F.col("id_b").alias("uid")))
+            .distinct()
+            .select(((F.col("uid") - 1) / 2).cast("long").alias("vec_id"))
+        )
+        kept = fresh.join(drops, "vec_id", "left_anti").cache()
+        n_near_dup = n_fresh - kept.count()
+        fresh.unpersist()
+        fresh = kept
+    n_added = n_fresh - n_near_dup
+
+    if n_added:
+        (
+            fresh.repartition("centroid_id")
+            .write.partitionBy("centroid_id")
+            .mode("append")
+            .parquet(path)
+        )
+    assigned.unpersist()
+    fresh.unpersist()
+    return {
+        "n_in": n_in,
+        "n_known": n_known,
+        "n_near_dup": n_near_dup,
+        "n_added": n_added,
+    }
+
+
+def probe(
+    spark: SparkSession,
+    base: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k over the probe cells only (directory-pruned read)."""
+    cents = load_centroids(base)
+    return Sim.ivf_probe_topk(
+        spark, _data_path(base), query, cents, k=k, n_probe=n_probe
+    )

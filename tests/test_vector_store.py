@@ -1,0 +1,109 @@
+"""Incremental vector store (sources/vector_store.py): founding
+train+ingest, replay-idempotent adds, semantic dedup against stored
+members, and partition-pruned probes under continuous growth."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark.sources import vector_store as vs
+
+
+def _vecs(rng, n, center, spread=0.05, start_id=0, label=0):
+    rows = []
+    for i in range(n):
+        v = [c + rng.gauss(0, spread) for c in center]
+        rows.append((start_id + i, v, label))
+    return rows
+
+
+CENTERS = {
+    0: [1.0, 0.0, 0.0, 0.0],
+    1: [0.0, 1.0, 0.0, 0.0],
+    2: [0.0, 0.0, 1.0, 0.0],
+}
+
+
+@pytest.fixture()
+def base(tmp_path):
+    return str(tmp_path / "vstore")
+
+
+def _founding(spark, base, rng):
+    rows = []
+    for lab, c in CENTERS.items():
+        rows.extend(_vecs(rng, 20, c, start_id=100 * lab, label=lab))
+    df = spark.createDataFrame(rows, vs.VECTORS_SCHEMA)
+    return vs.create(spark, base, df, n_centroids=3, seed=1)
+
+
+def test_create_and_replay_idempotent(spark, base):
+    rng = random.Random(7)
+    stats = _founding(spark, base, rng)
+    assert stats["n_added"] == 60 and stats["n_known"] == 0
+    # replay the founding batch: everything already known
+    rows = []
+    rng2 = random.Random(7)
+    for lab, c in CENTERS.items():
+        rows.extend(_vecs(rng2, 20, c, start_id=100 * lab, label=lab))
+    again = vs.add_batch(spark, base, spark.createDataFrame(rows, vs.VECTORS_SCHEMA))
+    assert again["n_known"] == 60 and again["n_added"] == 0
+    assert vs.read_vectors(spark, base).count() == 60
+
+
+def test_add_batch_grows_and_probe_finds_neighbors(spark, base):
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    new = spark.createDataFrame(
+        _vecs(rng, 5, CENTERS[1], start_id=900, label=1), vs.VECTORS_SCHEMA
+    )
+    stats = vs.add_batch(spark, base, new)
+    assert stats["n_added"] == 5
+    got = vs.probe(spark, base, CENTERS[1], k=10, n_probe=1).collect()
+    assert len(got) == 10
+    # neighbors of center-1 are the label-1 ids (founding 100s + new 900s)
+    assert all(100 <= r["vec_id"] < 200 or r["vec_id"] >= 900 for r in got)
+
+
+def test_semantic_dedup_against_store(spark, base):
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    stored = vs.read_vectors(spark, base).filter("vec_id = 100").head()
+    dup = [float(x) for x in stored["embedding"]]
+    batch = spark.createDataFrame(
+        [(700, dup, 1), (800, [0.0, 0.0, 0.0, 1.0], 2)],  # 800: far from all
+        vs.VECTORS_SCHEMA,
+    )
+    stats = vs.add_batch(spark, base, batch, dedup_threshold=0.999)
+    assert stats["n_near_dup"] == 1 and stats["n_added"] == 1
+    ids = {r["vec_id"] for r in vs.read_vectors(spark, base).collect()}
+    assert 800 in ids and 700 not in ids
+
+
+def test_probe_prunes_partitions(spark, base):
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    plan = (
+        vs.probe(spark, base, CENTERS[0], k=5, n_probe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and "centroid_id" in part[0]
+
+
+def test_in_batch_near_dup_lowest_id_wins(spark, base):
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    v = [0.0, 0.0, 0.0, 1.0]  # far from every stored center
+    batch = spark.createDataFrame(
+        [(51, v, 9), (50, [x for x in v], 9)], vs.VECTORS_SCHEMA
+    )
+    stats = vs.add_batch(spark, base, batch, dedup_threshold=0.999)
+    assert stats["n_near_dup"] == 1
+    ids = {r["vec_id"] for r in vs.read_vectors(spark, base).collect()}
+    assert 50 in ids and 51 not in ids
