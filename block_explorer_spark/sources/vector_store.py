@@ -195,3 +195,36 @@ def probe(
     return Sim.ivf_probe_topk(
         spark, _data_path(base), query, cents, k=k, n_probe=n_probe
     )
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    base: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    dedup_threshold: float | None = None,
+):
+    """Continuous embedding ingest: readStream over a vectors parquet
+    directory → foreachBatch(add_batch). The store must already be
+    founded (create) so centroids exist. Checkpointed offsets resume
+    at the first unprocessed file; replayed micro-batches re-run the
+    idempotent add (known ids skipped) — the corpus_store streaming
+    contract on the embedding side."""
+    stream = (
+        spark.readStream.schema(VECTORS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        add_batch(spark, base, batch, dedup_threshold=dedup_threshold)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

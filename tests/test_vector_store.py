@@ -107,3 +107,27 @@ def test_in_batch_near_dup_lowest_id_wins(spark, base):
     assert stats["n_near_dup"] == 1
     ids = {r["vec_id"] for r in vs.read_vectors(spark, base).collect()}
     assert 50 in ids and 51 not in ids
+
+
+def test_streaming_adds_resume_exactly_once(spark, base, tmp_path):
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    src = str(tmp_path / "embsrc")
+    ckpt = str(tmp_path / "embckpt")
+    os.makedirs(src)
+    w1 = _vecs(rng, 4, CENTERS[0], start_id=500, label=0)
+    spark.createDataFrame(w1, vs.VECTORS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = vs.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert vs.read_vectors(spark, base).count() == 64
+
+    # second wave includes a replayed id (500) and one new row
+    w2 = [w1[0]] + _vecs(rng, 1, CENTERS[2], start_id=600, label=2)
+    spark.createDataFrame(w2, vs.VECTORS_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = vs.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = vs.read_vectors(spark, base)
+    assert got.count() == 65
+    assert got.select("vec_id").distinct().count() == 65
