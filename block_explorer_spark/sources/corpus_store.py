@@ -181,6 +181,12 @@ def ingest(
     n_added = n_fresh - n_near_dup
 
     if n_added:
+        # Cut the lineage from the store BEFORE mutating it: the band
+        # write below re-evaluates `fresh` after the docs append, and
+        # a cache-evicted recompute would re-read the store mid-change
+        # (stale relation -> partition-schema assertion; and the
+        # anti-join would see the batch's own rows).
+        fresh = fresh.localCheckpoint()
         fresh.write.partitionBy("fp_bucket").mode("append").parquet(path)
         if near_dup_threshold is not None:
             _doc_bands(fresh).write.mode("append").parquet(_bands_path(base))
@@ -311,3 +317,97 @@ def start_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def delete_where(spark: SparkSession, base: str, predicate) -> int:
+    """Targeted deletion (retention / right-to-be-forgotten sweep):
+    remove every stored document matching `predicate` (a Column over
+    CORPUS_SCHEMA) and return the count removed.
+
+    Only fp_buckets that actually hold matching rows are rewritten
+    (staged write → dynamic partition overwrite — parquet.delete_where's
+    protocol); under three-valued logic rows where the predicate
+    evaluates to NULL are KEPT (not TRUE != TRUE — the
+    coalesce(p, False) rule).
+
+    Index consistency — the part naive deletes get wrong: the LSH band
+    sidecar must forget the deleted docs too, otherwise future
+    near-duplicates of removed content keep matching ghost band rows
+    and are silently suppressed forever (an RTBF sweep that quietly
+    re-censors resubmissions is a correctness bug, pinned by
+    test_corpus_store::test_delete_forgets_near_dup_index). The band
+    table is small (LSH_BANDS rows of three longs per doc), so it is
+    rewritten whole; at corpus scale it would be bucketed by doc hash
+    and rewritten bucket-wise like the docs.
+    """
+    path = _docs_path(base)
+    if not os.path.exists(path):
+        return 0
+    full = T.StructType(
+        list(CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
+    )
+    table = spark.read.schema(full).parquet(path)
+    hit = F.coalesce(predicate, F.lit(False))
+    # localCheckpoint, not cache: the doomed set is re-used AFTER the
+    # files it was computed from are rewritten/removed — a cache can be
+    # partially evicted and recompute against deleted files
+    # (FileNotFound); the checkpoint cuts the lineage eagerly.
+    doomed = table.filter(hit).select("doc_id", "fp_bucket").localCheckpoint()
+    n_deleted = doomed.count()
+    if not n_deleted:
+        return 0
+    buckets = [r.fp_bucket for r in doomed.select("fp_bucket").distinct().collect()]
+    touched = table.filter(F.col("fp_bucket").isin(buckets))
+    kept = touched.filter(~hit)
+
+    import shutil
+    import uuid
+
+    staging = os.path.join(base, f".staging-delete-{uuid.uuid4().hex}")
+    try:
+        kept.write.partitionBy("fp_bucket").mode("overwrite").parquet(staging)
+        try:
+            staged = spark.read.schema(full).parquet(staging)
+            written = {
+                r.fp_bucket for r in staged.select("fp_bucket").distinct().collect()
+            }
+            (
+                staged.write.partitionBy("fp_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(path)
+            )
+        except AnalysisException:
+            written = set()  # every row of every hit bucket deleted
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # staging output; a bucket that emptied completely must be
+        # removed explicitly (parquet.delete_where's rule)
+        for b in set(buckets) - written:
+            shutil.rmtree(os.path.join(path, f"fp_bucket={b}"), ignore_errors=True)
+        # the rmtree bypasses Spark's write path, so its shared file-
+        # status cache still lists the removed files — later reads
+        # would FileNotFound; drop the stale listing explicitly
+        spark.catalog.refreshByPath(path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    bands_path = _bands_path(base)
+    if os.path.exists(bands_path):
+        remaining = (
+            read_bands(spark, base)
+            .join(doomed.select("doc_id"), "doc_id", "left_anti")
+            .cache()
+        )
+        remaining.count()  # materialize before overwriting the source
+        b_staging = os.path.join(base, f".staging-bands-{uuid.uuid4().hex}")
+        try:
+            remaining.write.mode("overwrite").parquet(b_staging)
+            spark.read.schema(BANDS_SCHEMA).parquet(b_staging).write.mode(
+                "overwrite"
+            ).parquet(bands_path)
+        finally:
+            import shutil
+
+            shutil.rmtree(b_staging, ignore_errors=True)
+        remaining.unpersist()
+    return n_deleted

@@ -366,6 +366,9 @@ def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
             written = set()  # every row of every hit bucket deleted
         for b in set(hit_buckets) - written:
             shutil.rmtree(os.path.join(path, f"pulse_bucket={b}"), ignore_errors=True)
+        # rmtree bypasses Spark's write path: evict the stale file
+        # listing or a later read of this table FileNotFounds
+        spark.catalog.refreshByPath(path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return n_deleted

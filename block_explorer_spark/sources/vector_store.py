@@ -167,6 +167,9 @@ def add_batch(
     n_added = n_fresh - n_near_dup
 
     if n_added:
+        # checkpoint before the append: the write's lineage reads the
+        # same store path it mutates (corpus_store's lesson)
+        fresh = fresh.localCheckpoint()
         (
             fresh.repartition("centroid_id")
             .write.partitionBy("centroid_id")

@@ -204,3 +204,49 @@ def test_band_sidecar_heals_on_replay(spark, base):
         near_dup_threshold=0.7,
     )
     assert stats["n_near_dup"] == 1 and stats["n_added"] == 0
+
+
+def test_delete_where_removes_and_counts(spark, base):
+    rows = [_doc(1, LONG, source="keepme"), _doc(2, LONG + " extra", source="dropme"),
+            _doc(3, LONG + " more words", source="dropme")]
+    cs.ingest(spark, base, spark.createDataFrame(rows, COLS))
+    n = cs.delete_where(spark, base, F.col("source") == "dropme")
+    assert n == 2
+    got = {r["doc_id"] for r in cs.read_corpus(spark, base).collect()}
+    assert got == {1}
+    # idempotent: nothing left to match
+    assert cs.delete_where(spark, base, F.col("source") == "dropme") == 0
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, base):
+    """Three-valued logic: rows where the predicate is NULL are kept
+    (coalesce(p, False)) — the silent-data-loss pattern from the
+    round-3 advisory on parquet.delete_where."""
+    rows = [_doc(1, LONG), _doc(2, LONG + " extra")]
+    df = spark.createDataFrame(rows, COLS).withColumn(
+        "lang", F.when(F.col("doc_id") == 2, F.lit(None)).otherwise(F.col("lang"))
+    )
+    cs.ingest(spark, base, df)
+    # predicate 'lang = de' is NULL for doc 2 -> doc 2 must survive
+    n = cs.delete_where(spark, base, F.col("lang") == "de")
+    assert n == 0
+    assert cs.read_corpus(spark, base).count() == 2
+
+
+def test_delete_forgets_near_dup_index(spark, base):
+    """RTBF correctness: after deleting a doc, a RESUBMITTED near-dup
+    of its content must be ADMITTED — the band sidecar must not keep
+    ghost rows that silently re-censor future submissions."""
+    cs.ingest(spark, base, spark.createDataFrame([_doc(1, LONG)], COLS),
+              near_dup_threshold=0.7)
+    n = cs.delete_where(spark, base, F.col("doc_id") == 1)
+    assert n == 1
+    assert cs.read_bands(spark, base).count() == 0  # index forgot too
+
+    stats = cs.ingest(
+        spark, base,
+        spark.createDataFrame([_doc(10, _mutate(LONG, 5, "changed"))], COLS),
+        near_dup_threshold=0.7,
+    )
+    assert stats["n_near_dup"] == 0 and stats["n_added"] == 1
+    assert {r["doc_id"] for r in cs.read_corpus(spark, base).collect()} == {10}
