@@ -250,3 +250,44 @@ def test_delete_forgets_near_dup_index(spark, base):
     )
     assert stats["n_near_dup"] == 0 and stats["n_added"] == 1
     assert {r["doc_id"] for r in cs.read_corpus(spark, base).collect()} == {10}
+
+
+def test_ingest_log_audit_trail(spark, base):
+    s1 = cs.ingest(spark, base, spark.createDataFrame([_doc(1, LONG)], COLS))
+    cs.log_ingest(spark, base, s1)
+    s2 = cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(1, LONG), _doc(2, LONG + " extra")], COLS))
+    rid = cs.log_ingest(spark, base, s2)
+    assert rid == 2
+    hist = {r["round_id"]: r for r in cs.ingest_history(spark, base).collect()}
+    assert hist[1]["n_added"] == 1
+    assert hist[2]["n_known"] == 1 and hist[2]["n_added"] == 1
+
+
+def test_ingest_converges_under_any_batching(spark, tmp_path):
+    """Invariant: HOWEVER a document set is partitioned into ingest
+    batches (including replays), the final store content is the same
+    canonical set — the property that makes the store safe to feed
+    from any mix of backfills, retries, and parallel crawls."""
+    import random as _r
+
+    docs = [_doc(i, LONG + f" u{i // 2}") for i in range(12)]  # 6 dup pairs
+    canonical = None
+    for seed in (0, 1, 2):
+        rng = _r.Random(seed)
+        shuffled = docs[:]
+        rng.shuffle(shuffled)
+        base = str(tmp_path / f"b{seed}")
+        i = 0
+        while i < len(shuffled):
+            step = rng.randint(1, 5)
+            batch = shuffled[i : i + step]
+            i += step
+            cs.ingest(spark, base, spark.createDataFrame(batch, COLS))
+            if rng.random() < 0.4:  # random replay of the same batch
+                cs.ingest(spark, base, spark.createDataFrame(batch, COLS))
+        got = {r["fp"] for r in cs.read_corpus(spark, base).collect()}
+        assert len(got) == 6  # one survivor per content group
+        if canonical is None:
+            canonical = got
+        assert got == canonical  # same CONTENT set regardless of batching
