@@ -453,3 +453,46 @@ def ingest_history(spark: SparkSession, base: str) -> DataFrame:
             os.path.join(base, "ingest_log"))
     except AnalysisException:
         return spark.createDataFrame([], INGEST_LOG_SCHEMA)
+
+
+def canonicalize(spark: SparkSession, base: str) -> int:
+    """Re-canonicalization sweep: enforce one-doc-per-fingerprint
+    (min doc_id wins) across the whole store, returning the number of
+    rows removed.
+
+    WHY IT EXISTS: ingest is optimistic — two ingests running
+    CONCURRENTLY with overlapping content can both pass the
+    known-fp check before either append lands (plain parquet has no
+    transaction log to serialize them), leaving duplicate
+    fingerprints. Same-store ingest is therefore single-writer by
+    contract; where parallel writers are unavoidable, this sweep is
+    the periodic repair — the standard lakehouse pattern (optimistic
+    append + compaction-time invariant enforcement). Only buckets that
+    actually contain duplicate fingerprints are rewritten; the band
+    sidecar keeps the surviving doc's rows and drops the losers'.
+    """
+    path = _docs_path(base)
+    if not os.path.exists(path):
+        return 0
+    full = T.StructType(
+        list(CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
+    )
+    table = spark.read.schema(full).parquet(path)
+    losers = (
+        table.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__keep"))
+        .filter(F.col("__n") > 1)
+        .select("fp", "__keep")
+    )
+    doomed = (
+        table.join(losers, "fp")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id", "fp_bucket")
+        .localCheckpoint()
+    )
+    n = doomed.count()
+    if not n:
+        return 0
+    ids = [r.doc_id for r in doomed.select("doc_id").distinct().collect()]
+    return_n = delete_where(spark, base, F.col("doc_id").isin(ids))
+    return return_n

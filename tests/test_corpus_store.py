@@ -291,3 +291,26 @@ def test_ingest_converges_under_any_batching(spark, tmp_path):
         if canonical is None:
             canonical = got
         assert got == canonical  # same CONTENT set regardless of batching
+
+
+def test_canonicalize_repairs_racing_ingests(spark, base):
+    """Two 'concurrent' ingests of overlapping content (simulated by
+    appending past the dedup check) leave duplicate fingerprints; the
+    canonicalization sweep restores one-doc-per-fp with min doc_id
+    surviving, and removes nothing on a clean store."""
+    cs.ingest(spark, base, spark.createDataFrame([_doc(1, LONG)], COLS),
+              near_dup_threshold=0.7)
+    # simulate the race: a second writer appends the same content with
+    # a different doc_id, bypassing ingest's known-fp check
+    dup = cs._prepared(spark.createDataFrame([_doc(9, LONG)], COLS))
+    dup.write.partitionBy("fp_bucket").mode("append").parquet(
+        os.path.join(base, "corpus"))
+    cs._doc_bands(dup).write.mode("append").parquet(os.path.join(base, "bands"))
+    assert cs.read_corpus(spark, base).count() == 2  # corrupted state
+
+    n = cs.canonicalize(spark, base)
+    assert n == 1
+    rows = cs.read_corpus(spark, base).collect()
+    assert [r["doc_id"] for r in rows] == [1]  # min doc_id survived
+    assert {r["doc_id"] for r in cs.read_bands(spark, base).collect()} == {1}
+    assert cs.canonicalize(spark, base) == 0  # idempotent / clean no-op
