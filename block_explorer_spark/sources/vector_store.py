@@ -231,3 +231,58 @@ def start_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def canonicalize(spark: SparkSession, base: str) -> int:
+    """Enforce one-row-per-vec_id across the store (the repair for
+    racing concurrent adds — add_batch is optimistic and plain parquet
+    has no transaction log; same-store adds are single-writer by
+    contract, this sweep is the periodic invariant enforcement —
+    corpus_store.canonicalize's twin). The earliest-written duplicate
+    survives arbitrarily-but-deterministically (min centroid_id, then
+    file order is irrelevant since duplicate vec_ids carry identical
+    vectors); only cells holding duplicates are rewritten."""
+    import shutil
+    import uuid
+
+    path = _data_path(base)
+    if not os.path.exists(path):
+        return 0
+    table = read_vectors(spark, base)
+    dup_ids = (
+        table.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("vec_id")
+    )
+    hit_cells = [
+        r.centroid_id
+        for r in table.join(dup_ids, "vec_id", "left_semi")
+        .select("centroid_id").distinct().collect()
+    ]
+    if not hit_cells:
+        return 0
+    touched = table.filter(F.col("centroid_id").isin(hit_cells))
+    n_before = touched.count()
+    kept = touched.dropDuplicates(["vec_id"]).localCheckpoint()
+    n_removed = n_before - kept.count()
+    if not n_removed:
+        return 0
+    staging = os.path.join(base, f".staging-canon-{uuid.uuid4().hex}")
+    try:
+        kept.write.partitionBy("centroid_id").mode("overwrite").parquet(staging)
+        full = T.StructType(
+            list(VECTORS_SCHEMA.fields)
+            + [T.StructField("centroid_id", T.IntegerType())]
+        )
+        (
+            spark.read.schema(full).parquet(staging)
+            .write.partitionBy("centroid_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        spark.catalog.refreshByPath(path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_removed

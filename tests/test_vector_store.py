@@ -131,3 +131,19 @@ def test_streaming_adds_resume_exactly_once(spark, base, tmp_path):
     got = vs.read_vectors(spark, base)
     assert got.count() == 65
     assert got.select("vec_id").distinct().count() == 65
+
+
+def test_canonicalize_repairs_duplicate_ids(spark, base):
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    # simulate a racing add: append an existing vec_id directly
+    dup = vs.read_vectors(spark, base).filter("vec_id = 100").localCheckpoint()
+    dup.write.partitionBy("centroid_id").mode("append").parquet(
+        os.path.join(base, "vectors"))
+    assert vs.read_vectors(spark, base).count() == 61  # corrupted
+
+    assert vs.canonicalize(spark, base) == 1
+    got = vs.read_vectors(spark, base)
+    assert got.count() == 60
+    assert got.select("vec_id").distinct().count() == 60
+    assert vs.canonicalize(spark, base) == 0  # clean no-op
