@@ -298,7 +298,11 @@ def main() -> None:
             wall = time.perf_counter() - t0
             results.setdefault(name, {})[f"x{scale}"] = {
                 "sec": round(wall, 2),
-                "rows_in": n_docs if "ann" not in name else BASE_EMB * scale,
+                "rows_in": (
+                    BASE_EMB * scale
+                    if ("ann" in name or "q88" in name)  # embedding-table ops
+                    else n_docs
+                ),
                 "shuffle_read_mb": round(delta["shuffleReadBytes"] / 1e6, 1),
                 "shuffle_write_mb": round(delta["shuffleWriteBytes"] / 1e6, 1),
                 "spill_mb": round(
