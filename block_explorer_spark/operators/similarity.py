@@ -160,15 +160,21 @@ def train_centroids(
     )
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(X))
-    # k-means++ seeding
+    # k-means++ seeding with a RUNNING min-distance vector: only the
+    # newest center's distances are computed per step (O(k·n·d)).
+    # The original formulation recomputed every center's distances
+    # each step — O(k²·n·d), which at k = 2048 on a 100k sample is
+    # ~1300 GFLOP of pure waste and stalled large-k index builds.
     centers = [X[rng.integers(len(X))]]
+    d2 = np.sum((X - centers[0]) ** 2, axis=1)
     for _ in range(1, k):
-        d2 = np.min([np.sum((X - c) ** 2, axis=1) for c in centers], axis=0)
         total = d2.sum()
         if total == 0:
-            centers.append(X[rng.integers(len(X))])
-            continue
-        centers.append(X[np.searchsorted(np.cumsum(d2 / total), rng.random())])
+            nxt = X[rng.integers(len(X))]
+        else:
+            nxt = X[np.searchsorted(np.cumsum(d2 / total), rng.random())]
+        centers.append(nxt)
+        np.minimum(d2, np.sum((X - nxt) ** 2, axis=1), out=d2)
     C = np.stack(centers)
     x2 = (X**2).sum(axis=1)
     for _ in range(15):  # Lloyd iterations
