@@ -3082,7 +3082,7 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT s, floor(10000 * sqrt(CAST(n_min AS DOUBLE) / n_s)) AS rate
                   FROM c, m)
             SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
-            FROM documents d JOIN r ON d.lang = r.s
+            FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.s
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 < rate
             GROUP BY lang
         """,

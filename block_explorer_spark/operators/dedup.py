@@ -641,22 +641,32 @@ def shared_shingle_stats(df: DataFrame, id_col: str, shingles: Column) -> DataFr
     carries no signal beyond "shared": cap its count, keep the flag).
 
     Output: (id_col, n_shingles, n_shared, shared_frac), one row per
-    input document.
+    input document — including documents whose shingle array is NULL
+    or empty (n_shingles=0, shared_frac NULL). Within-doc repeats are
+    collapsed with array_distinct before the explode so a shingle
+    repeated inside ONE document never counts as cross-corpus shared
+    (ADVICE r4 contract fix; callers passing already-distinct arrays
+    like word_ngrams are unaffected).
     """
     from pyspark.sql import Window
 
-    ex = _spread(df).select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__sh"))
+    ex = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles)).alias("__sh"),
+    )
     with_df = ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__sh")))
+    stats = with_df.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("__df") > 1).cast("long")).alias("n_shared"),
+    )
     return (
-        with_df.groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("__df") > 1).cast("long")).alias("n_shared"),
-        )
+        df.select(F.col(id_col).alias("__id"))
+        .distinct()
+        .join(stats, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            "n_shingles",
-            "n_shared",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("shared_frac"),
         )
     )

@@ -67,6 +67,18 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
+def _rekey(id_col: str, offset: int):
+    """uid = 2*id + offset, with a row-level guard: ids outside
+    [0, 2^62) would silently wrap the doubled key and the later
+    `(uid-1) DIV 2` decode would target the wrong document (ADVICE
+    r4). assert_true is JVM-side — no extra job, raises on violation."""
+    ok = F.assert_true(
+        F.col(id_col).between(0, (1 << 62) - 1),
+        F.lit(f"{id_col} outside [0, 2^62): 2*id re-key would overflow"),
+    )
+    return F.when(ok.isNull(), F.col(id_col) * 2 + offset)
+
+
 def _docs_path(base: str) -> str:
     return os.path.join(base, "corpus")
 
@@ -251,8 +263,8 @@ def _near_dup_filter(
         .join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", "text")
     )
-    u = stored_cand.select((F.col("doc_id") * 2).alias("uid"), "text").unionByName(
-        fresh_docs.select((F.col("doc_id") * 2 + 1).alias("uid"), "text")
+    u = stored_cand.select(_rekey("doc_id", 0).alias("uid"), "text").unionByName(
+        fresh_docs.select(_rekey("doc_id", 1).alias("uid"), "text")
     )
     pairs = D.minhash_lsh_pairs(
         u, "uid", Tx.word_ngrams("text", 3),
@@ -267,7 +279,8 @@ def _near_dup_filter(
     drops = (
         vs_stored.unionByName(in_batch)
         .distinct()
-        .select(((F.col("uid") - 1) / 2).cast("long").alias("doc_id"))
+        # integer DIV: float division misdecodes doc_id >= 2^53 (ADVICE r4)
+        .select(F.expr("(uid - 1) DIV 2").alias("doc_id"))
     )
     kept = fresh.join(drops, "doc_id", "left_anti").cache()
     n_dropped = fresh.count() - kept.count()

@@ -94,7 +94,16 @@ def create(
     dedup_threshold: float | None = None,
 ) -> dict:
     """Found the store: train centroids on the batch, persist them,
-    ingest the batch through the same path every later add uses."""
+    ingest the batch through the same path every later add uses.
+
+    Refuses to re-found an existing store: centroids are a
+    store-lifetime constant (cell pruning and probe correctness depend
+    on it), so retraining over data partitioned by the OLD cells would
+    silently corrupt the layout (ADVICE r4)."""
+    if os.path.exists(_centroids_path(base)):
+        raise FileExistsError(
+            f"vector store at {base} is already founded; use add_batch"
+        )
     os.makedirs(base, exist_ok=True)
     cents = Sim.train_centroids(batch, "embedding", n_centroids, seed)
     with open(_centroids_path(base), "w") as f:
@@ -134,9 +143,11 @@ def add_batch(
         # One verified pairwise pass per cell over stored members +
         # fresh rows: stored wins, else lowest vec_id (re-keyed
         # uid = 2*id / 2*id+1 — corpus_store's rule).
+        from block_explorer_spark.sources.corpus_store import _rekey
+
         stored_side = (
             stored_cells.select(
-                (F.col("vec_id") * 2).alias("uid"), "embedding", "centroid_id"
+                _rekey("vec_id", 0).alias("uid"), "embedding", "centroid_id"
             )
             if stored_cells is not None
             else spark.createDataFrame(
@@ -145,7 +156,7 @@ def add_batch(
         )
         u = stored_side.unionByName(
             fresh.select(
-                (F.col("vec_id") * 2 + 1).alias("uid"), "embedding", "centroid_id"
+                _rekey("vec_id", 1).alias("uid"), "embedding", "centroid_id"
             )
         )
         pairs = Sim.cosine_pairs_blas(
@@ -158,7 +169,10 @@ def add_batch(
             .unionByName(pairs.filter(~even_a & even_b).select(F.col("id_a").alias("uid")))
             .unionByName(pairs.filter(~even_a & ~even_b).select(F.col("id_b").alias("uid")))
             .distinct()
-            .select(((F.col("uid") - 1) / 2).cast("long").alias("vec_id"))
+            # integer DIV, not float division: for vec_id >= 2^53 the
+            # double quotient rounds and the anti-join below would drop
+            # the WRONG row (ADVICE r4)
+            .select(F.expr("(uid - 1) DIV 2").alias("vec_id"))
         )
         kept = fresh.join(drops, "vec_id", "left_anti").cache()
         n_near_dup = n_fresh - kept.count()
@@ -238,12 +252,16 @@ def canonicalize(spark: SparkSession, base: str) -> int:
     racing concurrent adds — add_batch is optimistic and plain parquet
     has no transaction log; same-store adds are single-writer by
     contract, this sweep is the periodic invariant enforcement —
-    corpus_store.canonicalize's twin). The earliest-written duplicate
-    survives arbitrarily-but-deterministically (min centroid_id, then
-    file order is irrelevant since duplicate vec_ids carry identical
-    vectors); only cells holding duplicates are rewritten."""
+    corpus_store.canonicalize's twin). The survivor is deterministic:
+    min centroid_id, then min embedding hash (the tiebreak only
+    matters for genuinely divergent re-adds); only cells holding
+    duplicates are rewritten, and cells whose rows were ALL duplicate
+    losers are rmtree'd afterwards — dynamic partition overwrite never
+    deletes a cell absent from the staged output (ADVICE r4)."""
     import shutil
     import uuid
+
+    from pyspark.sql.window import Window
 
     path = _data_path(base)
     if not os.path.exists(path):
@@ -264,10 +282,19 @@ def canonicalize(spark: SparkSession, base: str) -> int:
         return 0
     touched = table.filter(F.col("centroid_id").isin(hit_cells))
     n_before = touched.count()
-    kept = touched.dropDuplicates(["vec_id"]).localCheckpoint()
+    w = Window.partitionBy("vec_id").orderBy("centroid_id", F.hash("embedding"))
+    kept = (
+        touched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint()
+    )
     n_removed = n_before - kept.count()
     if not n_removed:
         return 0
+    kept_cells = {
+        r.centroid_id for r in kept.select("centroid_id").distinct().collect()
+    }
     staging = os.path.join(base, f".staging-canon-{uuid.uuid4().hex}")
     try:
         kept.write.partitionBy("centroid_id").mode("overwrite").parquet(staging)
@@ -282,6 +309,13 @@ def canonicalize(spark: SparkSession, base: str) -> int:
             .mode("overwrite")
             .parquet(path)
         )
+        # a cell whose every row was a duplicate loser is absent from
+        # the staged output, so dynamic overwrite left its old files
+        # intact — remove those directories explicitly
+        for cell in set(hit_cells) - kept_cells:
+            shutil.rmtree(
+                os.path.join(path, f"centroid_id={cell}"), ignore_errors=True
+            )
         spark.catalog.refreshByPath(path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -519,6 +519,38 @@ def test_shared_shingle_stats_counts(spark):
     assert got[3] == (3, 0)
 
 
+def test_shared_shingle_stats_contract_nulls_and_repeats(spark):
+    """ADVICE r4 contract pins: a NULL/empty shingle array still yields
+    a row (n_shingles=0, frac NULL), and a shingle repeated WITHIN one
+    doc does not count as cross-corpus shared."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sh", T.ArrayType(T.StringType())),
+    ])
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "a", "b"]),   # "a" repeats in-doc only
+            (2, ["c", "d"]),
+            (3, []),                 # empty
+            (4, None),               # NULL
+            (5, ["b", "e"]),        # shares "b" with doc 1
+        ],
+        schema,
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["shared_frac"])
+        for r in D.shared_shingle_stats(df, "doc_id", F.col("sh")).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == (2, 1, 0.5)       # distinct {a,b}; only b shared
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (0, 0, None)
+    assert got[4] == (0, 0, None)
+    assert got[5] == (2, 1, 0.5)
+
+
 def test_ivf_assign_arrow_matches_catalyst(spark):
     """The Arrow (numpy GEMM) assignment must agree with the literal-
     fold Catalyst form on every row, including the first-argmin tie

@@ -147,3 +147,53 @@ def test_canonicalize_repairs_duplicate_ids(spark, base):
     assert got.count() == 60
     assert got.select("vec_id").distinct().count() == 60
     assert vs.canonicalize(spark, base) == 0  # clean no-op
+
+
+def test_create_refuses_refound(spark, base):
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    again = spark.createDataFrame(_vecs(random.Random(9), 5, CENTERS[0],
+                                        start_id=900), vs.VECTORS_SCHEMA)
+    with pytest.raises(FileExistsError):
+        vs.create(spark, base, again, n_centroids=3, seed=2)
+    # centroids untouched, add_batch still the supported path
+    assert len(vs.load_centroids(base)) == 3
+    assert vs.add_batch(spark, base, again)["n_added"] == 5
+
+
+def test_canonicalize_removes_fully_emptied_cell(spark, base):
+    """A duplicate vec_id re-added with a DIFFERENT embedding lands in
+    another cell; if that cell holds only duplicate losers, dynamic
+    partition overwrite alone would leave its files behind (ADVICE r4)."""
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    store = vs.read_vectors(spark, base)
+    cells = sorted(r.centroid_id for r in
+                   store.select("centroid_id").distinct().collect())
+    # fabricate a loser-only cell: take ids that live in cells[0] and
+    # re-append them under a brand-new cell id
+    victims = store.filter(F.col("centroid_id") == cells[0]).limit(3) \
+                   .localCheckpoint()
+    fake_cell = max(cells) + 100
+    victims.withColumn("centroid_id", F.lit(fake_cell)) \
+        .write.partitionBy("centroid_id").mode("append") \
+        .parquet(os.path.join(base, "vectors"))
+    spark.catalog.refreshByPath(os.path.join(base, "vectors"))
+    assert vs.canonicalize(spark, base) == 3
+    # survivor is the min-centroid copy; the loser-only cell dir is gone
+    got = vs.read_vectors(spark, base)
+    assert got.count() == 60
+    assert got.filter(F.col("centroid_id") == fake_cell).count() == 0
+    assert not os.path.exists(
+        os.path.join(base, "vectors", f"centroid_id={fake_cell}"))
+
+
+def test_rekey_guard_rejects_out_of_range_ids(spark, base):
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    bad = spark.createDataFrame(
+        [((1 << 62) + 5, [1.0, 0.0, 0.0, 0.0], 0)], vs.VECTORS_SCHEMA)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        vs.add_batch(spark, base, bad, dedup_threshold=0.95)
