@@ -1777,6 +1777,31 @@ def q94_quality_survivors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SUBSTR_W = 20  # q95 gate window: the gate docs average ~54 tokens, so the
+# operator's Lee-et-al default of 50 would barely fit; 20 exercises the
+# same plan with ~750 duplicated windows in the sf0.01 corpus.
+
+
+def q95_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, the
+    windowed-hash distributed form — operators/substrings.py): find
+    every W-token run duplicated anywhere in the corpus, keep its
+    globally-first occurrence, strip all other occurrences as merged
+    spans. One row per document that lost a span; cleaned text is
+    reported as an md5 prefix so the oracle compares it exactly."""
+    from block_explorer_spark.operators import substrings as Sub
+
+    docs = _t(spark, sf, "documents")
+    out = Sub.exact_substring_dedup(docs, "doc_id", "text", window=SUBSTR_W)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "n_removed",
+        F.substring(F.md5("cleaned_text"), 1, 16).alias("cleaned_hash"),
+    )
+
+
 VOCAB_TOP = 20  # q93 vocabulary size (the gate corpus has ~45 tokens)
 
 
@@ -1918,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_lm_perplexity": q92_lm_perplexity,
         "q93_oov_rate": q93_oov_rate,
         "q94_quality_survivors": q94_quality_survivors,
+        "q95_exact_substring_dedup": q95_exact_substring_dedup,
     }
 
 
@@ -3229,5 +3255,71 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY q.quality DESC, c.doc_id ASC) = 1
                      AS is_survivor
             FROM comp c JOIN qual q USING (doc_id)
+        """,
+        # The oracle replays the full windowed-hash ExactSubstr pass:
+        # same tokenizer, same md5-prefix window key, same first-
+        # occurrence survivor rule, same gaps-and-islands span merge.
+        "q95_exact_substring_dedup": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, i AS pos,
+                     substr(md5(array_to_string(toks[i+1:i+{SUBSTR_W}], ' ')), 1, 16) AS whash
+              FROM t, UNNEST(range(len(toks) - {SUBSTR_W - 1})) AS u(i)
+              WHERE len(toks) >= {SUBSTR_W}
+            ),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY whash) AS occ
+              FROM w
+            ),
+            marked AS (SELECT doc_id, pos FROM ranked WHERE occ >= 2 AND rn > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + {SUBSTR_W}) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS new_isl
+              FROM marked
+            ),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id, span_id, min(pos) AS s, max(pos) + {SUBSTR_W} AS e
+              FROM isl2 GROUP BY doc_id, span_id
+            ),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(e - s) AS BIGINT) AS n_removed
+              FROM spans GROUP BY doc_id
+            ),
+            keep AS (
+              SELECT t.doc_id, u.i AS pos, t.toks[u.i + 1] AS tok
+              FROM t, UNNEST(range(len(t.toks))) AS u(i)
+              WHERE t.doc_id IN (SELECT doc_id FROM per_doc)
+                AND NOT EXISTS (SELECT 1 FROM spans s
+                                WHERE s.doc_id = t.doc_id
+                                  AND u.i >= s.s AND u.i < s.e)
+            ),
+            cleaned AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ctext
+              FROM keep GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(len(t.toks) AS INTEGER) AS n_tokens,
+                   p.n_spans, p.n_removed,
+                   substr(md5(coalesce(c.ctext, '')), 1, 16) AS cleaned_hash
+            FROM per_doc p
+            JOIN t USING (doc_id)
+            LEFT JOIN cleaned c USING (doc_id)
         """,
     }
