@@ -1802,6 +1802,174 @@ def q95_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 40  # q96/q97 merge-table size
+BPE_MAX_TYPES = 10_000  # frequency prune for the training type table
+BPE_BUDGET = 20_000  # q97 token budget, in BPE tokens
+
+
+def q96_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE token accounting (functions/bpe.py — the public Sennrich/
+    GPT-2 merge algorithm, deterministic): learn the merge table from
+    the corpus word-type frequencies, then count BPE tokens per
+    document via per-TYPE application (distinct words -> Arrow apply
+    -> join back). The oracle learns the same merge table from the
+    same parquet via DuckDB word counts and replays application
+    entirely in SQL (recursive CTE over space-separated symbol
+    strings) — independent application paths, shared deterministic
+    trainer."""
+    from block_explorer_spark.functions import bpe as B
+
+    docs = _t(spark, sf, "documents")
+    merges = B.learn_bpe(docs, "doc_id", "text", BPE_MERGES, BPE_MAX_TYPES)
+    return B.bpe_token_counts(docs, "doc_id", "text", merges)
+
+
+def q97_bpe_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """q90's greedy budget selection re-keyed on BPE tokens (what a
+    real pre-training budget counts) — two-level cumulative sum,
+    weights from q96's per-doc BPE counts."""
+    from block_explorer_spark.functions import bpe as B
+    from block_explorer_spark.operators import selection as Sel
+
+    docs = _t(spark, sf, "documents")
+    merges = B.learn_bpe(docs, "doc_id", "text", BPE_MERGES, BPE_MAX_TYPES)
+    counts = B.bpe_token_counts(docs, "doc_id", "text", merges)
+    scored = docs.select(
+        "doc_id", Tx.quality_score("text").alias("quality")
+    ).join(counts.select("doc_id", "n_bpe_tokens"), "doc_id")
+    sel = Sel.budget_select(
+        scored, "quality", "n_bpe_tokens", "doc_id", budget=BPE_BUDGET, n_buckets=20
+    )
+    return sel.select("doc_id", "quality", "n_bpe_tokens", "cum_weight")
+
+
+def _oracle_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _learn_bpe_for_oracle() -> list[tuple[str, str]]:
+    """The oracle's own merge-table derivation: word-type counts via
+    DuckDB over the certification parquet, then the shared
+    deterministic trainer. Application in the SQL below is fully
+    independent of the engine's Arrow path."""
+    import duckdb
+
+    from block_explorer_spark.functions import bpe as B
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT w, count(*) AS c FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+          FROM '{_oracle_sf_dir()}/documents.parquet' WHERE trim(text) <> ''
+        ) GROUP BY w ORDER BY c DESC, w ASC LIMIT {BPE_MAX_TYPES}
+        """
+    ).fetchall()
+    con.close()
+    return B.train_merges(rows, BPE_MERGES)
+
+
+def _bpe_oracle_ctes() -> str:
+    """Shared recursive-CTE block: tok/types -> per-type BPE length
+    via replay of the merge table (space-separated symbol strings;
+    symbols never contain whitespace). Returns the WITH body up to a
+    `lens(w, n_bpe)` CTE."""
+    merges = _learn_bpe_for_oracle()
+    assert merges, "gate corpus must yield at least one BPE merge"
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    m_lit = ", ".join(f"{q(a + ' ' + b)}: {r}" for r, (a, b) in enumerate(merges))
+    r_lit = ", ".join(f"{r}: [{q(a)}, {q(b)}]" for r, (a, b) in enumerate(merges))
+    best = """list_aggregate(list_filter(list_transform(
+             range(1, len(string_split(substr(s, 2, length(s) - 2), '  '))),
+             i -> m[string_split(substr(s, 2, length(s) - 2), '  ')[i] || ' ' ||
+                  string_split(substr(s, 2, length(s) - 2), '  ')[i+1]][1]),
+             x -> x IS NOT NULL), 'min')"""
+    return f"""
+            mm AS (SELECT MAP {{{m_lit}}} AS m),
+            rm AS (SELECT MAP {{{r_lit}}} AS r),
+            tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            ),
+            types AS (SELECT DISTINCT w FROM tok),
+            seq0 AS (
+              SELECT w, ' ' || array_to_string(
+                       list_transform(range(1, length(w) + 1), i -> w[i:i]),
+                       '  ') || ' ' AS s
+              FROM types
+            ),
+            bpe AS (
+              SELECT w, s FROM seq0
+              UNION ALL
+              SELECT w, replace(s, ' ' || r[best][1][1] || '  ' || r[best][1][2] || ' ',
+                                   ' ' || r[best][1][1] || r[best][1][2] || ' ') AS s
+              FROM (SELECT w, s, {best} AS best FROM bpe, mm), rm
+              WHERE best IS NOT NULL
+            ),
+            fin AS (
+              SELECT w, s FROM (SELECT w, s, {best} AS best FROM bpe, mm)
+              WHERE best IS NULL
+            ),
+            lens AS (
+              SELECT w, len(string_split(substr(s, 2, length(s) - 2), '  ')) AS n_bpe
+              FROM fin
+            )"""
+
+
+def _q96_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_bpe_oracle_ctes()}
+        SELECT t.doc_id, count(*) AS n_words,
+               CAST(sum(l.n_bpe) AS BIGINT) AS n_bpe_tokens
+        FROM tok t JOIN lens l USING (w)
+        GROUP BY t.doc_id
+    """
+
+
+def _q97_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_bpe_oracle_ctes()},
+        counts AS (
+          SELECT t.doc_id, CAST(sum(l.n_bpe) AS BIGINT) AS n_bpe_tokens
+          FROM tok t JOIN lens l USING (w) GROUP BY t.doc_id
+        ),
+        m2 AS (
+          SELECT doc_id,
+            CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS n,
+            CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END AS digit_r,
+            CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END AS punct_r,
+            list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    t -> CAST(length(t) AS DOUBLE)))
+              / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS mtl
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, round(
+              (CASE WHEN n >= 20 THEN 1.0 ELSE n / 20.0 END) * 0.4
+            + (1.0 - least(1.0, digit_r * 4)) * 0.2
+            + (1.0 - least(1.0, punct_r * 4)) * 0.2
+            + (CASE WHEN mtl >= 3 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+          FROM m2
+        ),
+        o AS (
+          SELECT s.doc_id, s.quality, c.n_bpe_tokens,
+                 sum(c.n_bpe_tokens) OVER (ORDER BY s.quality DESC, s.doc_id ASC
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+          FROM scored s JOIN counts c USING (doc_id)
+        )
+        SELECT doc_id, quality, n_bpe_tokens, CAST(cum AS BIGINT) AS cum_weight
+        FROM o WHERE cum <= {BPE_BUDGET}
+    """
+
+
 VOCAB_TOP = 20  # q93 vocabulary size (the gate corpus has ~45 tokens)
 
 
@@ -1944,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_oov_rate": q93_oov_rate,
         "q94_quality_survivors": q94_quality_survivors,
         "q95_exact_substring_dedup": q95_exact_substring_dedup,
+        "q96_bpe_tokenize": q96_bpe_tokenize,
+        "q97_bpe_budget_select": q97_bpe_budget_select,
     }
 
 
@@ -3322,4 +3492,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN t USING (doc_id)
             LEFT JOIN cleaned c USING (doc_id)
         """,
+        "q96_bpe_tokenize": _q96_oracle(),
+        "q97_bpe_budget_select": _q97_oracle(),
     }

@@ -62,6 +62,9 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duck_con(SF_DIR)
     queries = entrymod.queries()
+    # oracles that embed corpus-derived model literals (q96/q97 BPE
+    # merges) must derive them from the SAME sf dir being certified
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
     oracles = entrymod.oracle_sql()
     failures = 0
     record: dict[str, dict] = {}
