@@ -1843,6 +1843,51 @@ def q97_bpe_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     return sel.select("doc_id", "quality", "n_bpe_tokens", "cum_weight")
 
 
+PHASH_MAX_HAMMING = 6
+
+#: q98 fixture pixels, shared with the oracle: 8x9 grayscale per doc,
+#: base image keyed by the doc's group (doc_id DIV 10) so groups form
+#: perceptual near-dup families, one doc-specific pixel perturbed.
+_Q98_PX = """transform(sequence(0, 71), i -> CAST((
+    CAST(conv(substr(md5(concat(CAST(doc_id DIV 10 AS STRING), ':',
+                                CAST(i AS STRING))), 1, 2), 16, 10) AS INT)
+    + IF(i = CAST(doc_id % 72 AS INT), CAST(doc_id % 97 AS INT), 0)
+  ) % 256 AS INT))"""
+
+
+def q98_perceptual_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup joining the multimodal and dedup
+    families: deterministic 8x9 grayscale fixtures (md5-derived
+    pixels, near-dup by construction within doc_id-groups) are
+    ENCODED to real PNGs, decoded back through the stdlib codec,
+    dHashed (codecs.dhash64), and paired via exact pigeonhole hamming
+    blocking (dedup.hamming_pairs — never all-pairs). The oracle
+    recomputes the dHash bits directly from the same pixel definition
+    and brute-forces pairs, so the whole encode->decode->hash->block
+    path is certified against an independent formulation."""
+    import numpy as _np
+    import pandas as _pd
+
+    from block_explorer_spark.functions import codecs as C
+    from block_explorer_spark.operators import multimodal as M
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    media = D._spread(docs).select("doc_id", F.expr(_Q98_PX).alias("px"))
+
+    def _encode(batches):
+        for pdf in batches:
+            payloads = [
+                C.png_encode(_np.array(p, dtype=_np.uint8).reshape(8, 9))
+                for p in pdf["px"]
+            ]
+            yield _pd.DataFrame({"media_id": pdf["doc_id"].values, "payload": payloads})
+
+    fixtures = media.mapInPandas(_encode, schema="media_id long, payload binary")
+    return M.perceptual_dedup_pairs(
+        fixtures, "media_id", "payload", max_hamming=PHASH_MAX_HAMMING
+    )
+
+
 def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -2114,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_exact_substring_dedup": q95_exact_substring_dedup,
         "q96_bpe_tokenize": q96_bpe_tokenize,
         "q97_bpe_budget_select": q97_bpe_budget_select,
+        "q98_perceptual_dedup": q98_perceptual_dedup,
     }
 
 
@@ -3494,4 +3540,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q96_bpe_tokenize": _q96_oracle(),
         "q97_bpe_budget_select": _q97_oracle(),
+        # dHash bits recomputed straight from the shared pixel
+        # definition; brute-force pair join (the engine's blocking is
+        # exact, so the sets must agree).
+        "q98_perceptual_dedup": f"""
+            WITH px AS (
+              SELECT doc_id, list_transform(range(0, 72), i ->
+                (('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR) || ':' ||
+                                     CAST(i AS VARCHAR)), 1, 2))::INT
+                 + CASE WHEN i = doc_id % 72
+                        THEN CAST(doc_id % 97 AS INT) ELSE 0 END) % 256) AS p
+              FROM documents
+            ),
+            bits AS (
+              SELECT doc_id, list_transform(range(0, 64), k ->
+                CASE WHEN p[(k // 8) * 9 + (k % 8) + 1] >
+                          p[(k // 8) * 9 + (k % 8) + 2]
+                     THEN 1 ELSE 0 END) AS b
+              FROM px
+            )
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(len(list_filter(range(1, 65),
+                        k -> a.b[k] <> c.b[k])) AS INTEGER) AS hamming
+            FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+            WHERE len(list_filter(range(1, 65), k -> a.b[k] <> c.b[k]))
+                  <= {PHASH_MAX_HAMMING}
+        """,
     }

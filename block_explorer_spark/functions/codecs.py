@@ -161,6 +161,41 @@ def png_encode(pixels: np.ndarray) -> bytes:
     )
 
 
+def _block_mean(px: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Deterministic area-mean downsample of a 2-D array to
+    (rows, cols): output cell (r, c) = mean of the input block
+    [floor(r*h/rows), floor((r+1)*h/rows)) x [floor(c*w/cols), ...).
+    Identity when the input is already (rows, cols)."""
+    h, w = px.shape
+    rb = (np.arange(rows + 1) * h) // rows
+    cb = (np.arange(cols + 1) * w) // cols
+    out = np.empty((rows, cols), dtype=np.float64)
+    for r in range(rows):
+        for c in range(cols):
+            out[r, c] = px[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].mean()
+    return out
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (the public dHash recipe: Krawetz,
+    "Kind of Like That", 2013): grayscale -> area-mean resize to
+    8 rows x 9 cols -> bit (r*8 + c) = px[r, c] > px[r, c+1].
+
+    Fully deterministic (no filter kernels, integer block bounds), so
+    a SQL oracle can recompute it from the same pixel values. Returns
+    a SIGNED 64-bit value (bit 63 wraps negative) — the layout
+    simhash/hamming blocking already uses."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    px = _block_mean(px, 8, 9)
+    bits = (px[:, :-1] > px[:, 1:]).ravel()  # row-major: bit k = r*8+c
+    val = 0
+    for k in np.nonzero(bits)[0]:
+        val |= 1 << int(k)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def png_resize_nearest(payload: bytes, width: int, height: int) -> bytes:
     """Real image resize: decode -> nearest-neighbor resample (numpy
     index gather) -> re-encode. Nearest-neighbor is the standard

@@ -551,10 +551,35 @@ def simhash_pairs(
     leaving one intact), so the result is EXACT — identical to the
     all-pairs hamming filter — not probabilistic.
     """
+    sh = simhash_table(df, id_col, shingles, bits=bits, hash_expr=hash_expr)
+    return hamming_pairs(
+        sh, "__id", "__sim", max_hamming=max_hamming, blocks=blocks, bits=bits
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    blocks: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """EXACT pairs with hamming(hash) <= max_hamming over any
+    precomputed `bits`-bit hash column (simhash, dHash/pHash, ...).
+
+    Pigeonhole blocking: split the hash into `blocks` chunks; a pair
+    within hamming distance < blocks shares at least one exact chunk
+    → one groupBy on (chunk_idx, chunk) + in-bucket pair expansion,
+    then verify true distance via bit_count(xor). Requires
+    blocks > max_hamming for completeness, so the result equals the
+    all-pairs hamming filter without ever forming all pairs.
+    Output: (id_a, id_b, sim_a, sim_b, hamming), id_a < id_b.
+    """
     assert blocks > max_hamming, "need blocks > max_hamming for exactness"
     assert bits % blocks == 0, "bits must divide evenly into blocks"
     chunk_bits = bits // blocks
-    sh = simhash_table(df, id_col, shingles, bits=bits, hash_expr=hash_expr)
+    sh = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__sim"))
     chunks = sh.select(
         "__id",
         "__sim",

@@ -297,3 +297,68 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.avg("width").alias("avg_width"),
         F.avg("height").alias("avg_height"),
     )
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    batch_size: int = 256,
+) -> DataFrame:
+    """(id, dhash) per image payload: decode (PIL when installed,
+    else the stdlib PNG path) -> 64-bit difference hash
+    (codecs.dhash64 — grayscale, area-mean 8x9, horizontal-gradient
+    bits). Corrupt/undecodable payloads yield NULL, not an error.
+
+    Doc-local and Arrow-batched: the expensive part (decode) never
+    shuffles; only the 8-byte hash leaves the executor. Near-dup
+    joins over the result go through dedup.hamming_pairs (pigeonhole
+    blocking — exact, never all-pairs)."""
+
+    def _decode(payload: bytes) -> np.ndarray | None:
+        try:
+            if payload[:8] == codecs.PNG_SIG:
+                return codecs.png_decode(payload)
+            if _PILImage is not None:
+                img = _PILImage.open(io.BytesIO(payload))
+                return np.asarray(img.convert("L"))
+        except (codecs.CodecError, OSError, ValueError):
+            return None
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                hashes = []
+                for p in chunk[payload_col]:
+                    img = _decode(bytes(p)) if p is not None else None
+                    hashes.append(codecs.dhash64(img) if img is not None else None)
+                yield pd.DataFrame({id_col: chunk[id_col].values, "dhash": hashes})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def perceptual_dedup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash + exact hamming blocking.
+    (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming."""
+    from block_explorer_spark.operators import dedup as D
+
+    hashes = perceptual_hashes(media, id_col, payload_col).filter(
+        F.col("dhash").isNotNull()
+    )
+    return D.hamming_pairs(
+        hashes, id_col, "dhash", max_hamming=max_hamming, blocks=blocks
+    ).select("id_a", "id_b", "hamming")
