@@ -499,6 +499,7 @@ def ivf_probe_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Query the persisted IVF index: read ONLY the probe cells'
     partitions, exact cosine + top-k over those cells.
@@ -510,10 +511,23 @@ def ivf_probe_topk(
     15.5s of a probe against an 8000-cell / 2M-row index, vs sub-
     second with direct cell paths. Cells that are empty on disk
     (no directory) are simply skipped. Root-scan fallback remains for
-    indexes written without directory partitioning."""
+    indexes written without directory partitioning.
+
+    `files`: optional explicit live-file list (a manifest snapshot —
+    vector_store's transactional layout); the probe then reads only
+    the listed files of the probe cells, so no filesystem listing
+    happens at all and concurrent store mutations can't tear the
+    read."""
     import os
 
     probes = _probe_cells(query, centroids, n_probe)
+    if files is not None:
+        tags = [f"centroid_id={c}{os.sep}" for c in probes]
+        sel = [f for f in files if any(t in f for t in tags)]
+        if not sel:
+            return spark.createDataFrame([], f"{id_col} long, cosine double")
+        cells = spark.read.option("basePath", path).parquet(*sorted(sel))
+        return brute_force_topk(cells, vec_col, query, k, id_col)
     cell_dirs = [
         os.path.join(path, f"centroid_id={c}")
         for c in probes

@@ -25,11 +25,23 @@ argument) over a bucketed parquet layout:
 Scale shape per ingest: quality gates are map-only; in-batch dedup is
 one small groupBy; cross-batch dedup is one join against a
 partition-pruned slice of the store; the append writes only new rows.
+
+Writes are TRANSACTIONAL (round 5): every mutation stages immutable
+uniquely-named files, then publishes them with one atomic manifest
+swap (sources/manifest.py — the compare-and-swap commit the reference
+gets from Postgres, etl/storage/storage.go:28-82). Docs and the LSH
+band sidecar commit in the SAME manifest, so they can never desync;
+racing ingests serialize through the CAS (the loser re-validates its
+dedup against the winner's commit and retries); deletes stop listing
+files instead of removing them, so concurrent readers keep a
+consistent snapshot until `manifest.vacuum`.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +50,7 @@ from pyspark.errors.exceptions.captured import AnalysisException
 
 from block_explorer_spark.functions import text as Tx
 from block_explorer_spark.operators import dedup as D
+from block_explorer_spark.sources import manifest as Mf
 
 N_BUCKETS = 64
 #: LSH sidecar parameters — must stay fixed for the lifetime of a
@@ -95,16 +108,46 @@ def _prepared(batch: DataFrame) -> DataFrame:
     ).withColumn("fp_bucket", F.pmod(F.xxhash64("fp"), F.lit(N_BUCKETS)))
 
 
-def read_corpus(spark: SparkSession, base: str) -> DataFrame:
-    """Schema-pinned read of the curated corpus (absent store = empty,
-    same convention as parquet.read_table)."""
-    full = T.StructType(
-        list(CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
+_FULL_SCHEMA = T.StructType(
+    list(CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
+)
+
+
+def _stage_write(
+    df: DataFrame, base: str, data_name: str, partition_by: str | None = None
+) -> list[str]:
+    """Stage a write as immutable uniquely-named files; invisible
+    until a manifest commit lists them (manifest.stage_df)."""
+    return Mf.stage_df(df, base, data_name, partition_by)
+
+
+def _bucket_files(rels: list[str], buckets: list[int]) -> list[str]:
+    """Python-side partition pruning over manifest relpaths — at 100 TB
+    the manifest IS the file listing, so pruning costs no filesystem
+    round trips at all."""
+    tags = {f"fp_bucket={b}{os.sep}" for b in buckets}
+    return [r for r in rels if any(t in r for t in tags)]
+
+
+def _read_docs_files(
+    spark: SparkSession, base: str, rels: list[str]
+) -> DataFrame:
+    if not rels:
+        return spark.createDataFrame([], _FULL_SCHEMA)
+    return (
+        spark.read.schema(_FULL_SCHEMA)
+        .option("basePath", _docs_path(base))
+        .parquet(*sorted(os.path.join(base, r) for r in rels))
     )
-    try:
-        df = spark.read.schema(full).parquet(_docs_path(base))
-    except AnalysisException:
-        return spark.createDataFrame([], CORPUS_SCHEMA)
+
+
+def read_corpus(
+    spark: SparkSession, base: str, snapshot: dict | None = None
+) -> DataFrame:
+    """Schema-pinned read of the curated corpus at the latest (or a
+    pinned) manifest snapshot; absent store = empty."""
+    m = snapshot if snapshot is not None else Mf.read(base)
+    df = _read_docs_files(spark, base, m["families"].get("docs", []))
     return df.select(*[f.name for f in CORPUS_SCHEMA.fields])
 
 
@@ -121,11 +164,16 @@ def _doc_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return b.select(F.col("__id").alias("doc_id"), "band", "bhash")
 
 
-def read_bands(spark: SparkSession, base: str) -> DataFrame:
-    try:
-        return spark.read.schema(BANDS_SCHEMA).parquet(_bands_path(base))
-    except AnalysisException:
+def read_bands(
+    spark: SparkSession, base: str, snapshot: dict | None = None
+) -> DataFrame:
+    m = snapshot if snapshot is not None else Mf.read(base)
+    rels = m["families"].get("bands", [])
+    if not rels:
         return spark.createDataFrame([], BANDS_SCHEMA)
+    return spark.read.schema(BANDS_SCHEMA).parquet(
+        *sorted(os.path.join(base, r) for r in rels)
+    )
 
 
 def ingest(
@@ -139,13 +187,22 @@ def ingest(
     """One curation ingest round. Returns the audit counts
     {n_in, n_gated, n_batch_dup, n_known, n_added}.
 
-    Stages (one composed plan up to the final append):
+    Stages (one composed plan up to the final staged write):
       1. quality gates — token floor + repeated-word ceiling, map-only;
       2. in-batch dedup — min doc_id per fingerprint (q86's rule);
-      3. cross-batch dedup — left-anti against the store slice whose
-         fp_buckets the batch touches (directory-pruned read);
-      4. append the survivors.
-    """
+      3. cross-batch dedup — left-anti against the snapshot slice
+         whose fp_buckets the batch touches (manifest-pruned read);
+      4. stage the survivors (+ their band rows) and COMMIT one
+         manifest listing both — docs and the LSH sidecar publish
+         atomically, so the round-4 crash window (docs landed, bands
+         missing) and its replay-heal are gone by construction.
+
+    Concurrency: dedup runs against a pinned manifest snapshot; if
+    another writer commits first, the CAS fails, this writer discards
+    its staged files and re-runs the dedup against the new snapshot —
+    two racing ingests of overlapping content can never both land the
+    same fingerprint (pinned by
+    test_corpus_store::test_concurrent_ingests_never_duplicate)."""
     prepared = _prepared(batch).cache()
     n_in = prepared.count()
 
@@ -165,61 +222,59 @@ def ingest(
     ).cache()
     n_canon = canon.count()
     n_batch_dup = (n_in - n_gated_out) - n_canon
+    buckets = [r.fp_bucket for r in canon.select("fp_bucket").distinct().collect()]
 
-    path = _docs_path(base)
-    store_exists = os.path.exists(path)
-    store_slice = None
-    if store_exists:
-        buckets = [r.fp_bucket for r in canon.select("fp_bucket").distinct().collect()]
-        full = T.StructType(
-            list(CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
-        )
-        store_slice = (
-            spark.read.schema(full)
-            .parquet(path)
-            .filter(F.col("fp_bucket").isin(buckets))
-            .select("doc_id", "fp", "text")
-        )
-        fresh = canon.join(store_slice.select("fp"), "fp", "left_anti")
-    else:
-        fresh = canon
-    fresh = fresh.cache()
-    n_fresh = fresh.count()
-    n_known = n_canon - n_fresh
+    while True:
+        snap = Mf.read(base)
+        doc_rels = snap["families"].get("docs", [])
+        slice_rels = _bucket_files(doc_rels, buckets)
+        if slice_rels:
+            store_slice = _read_docs_files(spark, base, slice_rels).select(
+                "doc_id", "fp", "text"
+            )
+            fresh = canon.join(store_slice.select("fp"), "fp", "left_anti")
+        else:
+            fresh = canon
+        fresh = fresh.cache()
+        n_fresh = fresh.count()
+        n_known = n_canon - n_fresh
 
-    n_near_dup = 0
-    if near_dup_threshold is not None and n_fresh:
-        fresh, n_near_dup = _near_dup_filter(spark, base, fresh, near_dup_threshold)
-    n_added = n_fresh - n_near_dup
+        n_near_dup = 0
+        if near_dup_threshold is not None and n_fresh:
+            fresh, n_near_dup = _near_dup_filter(
+                spark, base, fresh, near_dup_threshold, snap
+            )
+        n_added = n_fresh - n_near_dup
 
-    if n_added:
-        # Cut the lineage from the store BEFORE mutating it: the band
-        # write below re-evaluates `fresh` after the docs append, and
-        # a cache-evicted recompute would re-read the store mid-change
-        # (stale relation -> partition-schema assertion; and the
-        # anti-join would see the batch's own rows).
+        if not n_added:
+            fresh.unpersist()
+            break
+        # checkpoint so the band write below reuses the dedup result
+        # instead of re-running the whole plan
         fresh = fresh.localCheckpoint()
-        fresh.write.partitionBy("fp_bucket").mode("append").parquet(path)
-        if near_dup_threshold is not None:
-            _doc_bands(fresh).write.mode("append").parquet(_bands_path(base))
-    if near_dup_threshold is not None and store_exists and n_known:
-        # Replay heal: a crash between the doc append and the band
-        # append leaves stored docs with no LSH rows (invisible to
-        # future near-dup probes). On every ingest, any KNOWN doc of
-        # this batch that lacks band rows gets them regenerated from
-        # its stored text — replaying the crashed batch repairs the
-        # sidecar.
-        band_ids = read_bands(spark, base).select("doc_id").distinct()
-        missing = (
-            store_slice.join(canon.select("fp"), "fp", "left_semi")
-            .select("doc_id", "text")
-            .join(band_ids, "doc_id", "left_anti")
+        new_docs = _stage_write(fresh, base, "corpus", partition_by="fp_bucket")
+        new_bands = (
+            _stage_write(_doc_bands(fresh), base, "bands")
+            if near_dup_threshold is not None
+            else []
         )
-        if missing.limit(1).count():
-            _doc_bands(missing).write.mode("append").parquet(_bands_path(base))
+        families = dict(snap["families"])
+        families["docs"] = doc_rels + new_docs
+        if new_bands:
+            families["bands"] = snap["families"].get("bands", []) + new_bands
+        try:
+            Mf.commit(base, families, expect_version=snap["version"])
+            fresh.unpersist()
+            break
+        except Mf.CommitConflict:
+            # loser path: another writer landed first — our staged
+            # files are unreferenced; discard and re-validate the
+            # dedup against the new snapshot
+            Mf.discard(base, new_docs + new_bands)
+            fresh.unpersist()
+
     prepared.unpersist()
     canon.unpersist()
-    fresh.unpersist()
     return {
         "n_in": n_in,
         "n_gated": n_gated_out,
@@ -231,7 +286,11 @@ def ingest(
 
 
 def _near_dup_filter(
-    spark: SparkSession, base: str, fresh: DataFrame, threshold: float
+    spark: SparkSession,
+    base: str,
+    fresh: DataFrame,
+    threshold: float,
+    snapshot: dict | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact-verified incremental near-dup: drop a fresh doc whose true
     3-gram jaccard reaches `threshold` against EITHER a stored doc
@@ -248,7 +307,7 @@ def _near_dup_filter(
     Doc ids are re-keyed uid = 2·id (store) / 2·id+1 (batch) so one
     verified-LSH pass handles both directions; requires non-negative
     doc ids (the driver schema's convention)."""
-    stored_bands = read_bands(spark, base)
+    stored_bands = read_bands(spark, base, snapshot)
     fresh_docs = fresh.select("doc_id", "text")
     fresh_bands = _doc_bands(fresh_docs)
     cand_ids = (
@@ -259,7 +318,7 @@ def _near_dup_filter(
         .distinct()
     )
     stored_cand = (
-        read_corpus(spark, base)
+        read_corpus(spark, base, snapshot)
         .join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", "text")
     )
@@ -338,92 +397,63 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
     CORPUS_SCHEMA) and return the count removed.
 
     Only fp_buckets that actually hold matching rows are rewritten
-    (staged write → dynamic partition overwrite — parquet.delete_where's
-    protocol); under three-valued logic rows where the predicate
-    evaluates to NULL are KEPT (not TRUE != TRUE — the
-    coalesce(p, False) rule).
+    (their surviving rows go to NEW files); the commit is one atomic
+    manifest swap that drops the touched files and the deleted docs'
+    band rows together — a reader mid-query keeps its snapshot, a
+    reader arriving after the commit sees neither docs nor index rows
+    (reader-atomic, the round-4 gap). Old files stay on disk until
+    `manifest.vacuum`. Under three-valued logic rows where the
+    predicate evaluates to NULL are KEPT (the coalesce(p, False)
+    rule).
 
     Index consistency — the part naive deletes get wrong: the LSH band
     sidecar must forget the deleted docs too, otherwise future
     near-duplicates of removed content keep matching ghost band rows
-    and are silently suppressed forever (an RTBF sweep that quietly
-    re-censors resubmissions is a correctness bug, pinned by
+    and are silently suppressed forever (pinned by
     test_corpus_store::test_delete_forgets_near_dup_index). The band
     table is small (LSH_BANDS rows of three longs per doc), so it is
     rewritten whole; at corpus scale it would be bucketed by doc hash
     and rewritten bucket-wise like the docs.
     """
-    path = _docs_path(base)
-    if not os.path.exists(path):
-        return 0
-    full = T.StructType(
-        list(CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
-    )
-    table = spark.read.schema(full).parquet(path)
     hit = F.coalesce(predicate, F.lit(False))
-    # localCheckpoint, not cache: the doomed set is re-used AFTER the
-    # files it was computed from are rewritten/removed — a cache can be
-    # partially evicted and recompute against deleted files
-    # (FileNotFound); the checkpoint cuts the lineage eagerly.
-    doomed = table.filter(hit).select("doc_id", "fp_bucket").localCheckpoint()
-    n_deleted = doomed.count()
-    if not n_deleted:
-        return 0
-    buckets = [r.fp_bucket for r in doomed.select("fp_bucket").distinct().collect()]
-    touched = table.filter(F.col("fp_bucket").isin(buckets))
-    kept = touched.filter(~hit)
+    while True:
+        snap = Mf.read(base)
+        doc_rels = snap["families"].get("docs", [])
+        if not doc_rels:
+            return 0
+        table = _read_docs_files(spark, base, doc_rels)
+        # localCheckpoint: the doomed set is re-used after the commit;
+        # snapshot files are immutable until vacuum, but cutting the
+        # lineage keeps the band rewrite from re-running the filter.
+        doomed = table.filter(hit).select("doc_id", "fp_bucket").localCheckpoint()
+        n_deleted = doomed.count()
+        if not n_deleted:
+            return 0
+        buckets = [
+            r.fp_bucket for r in doomed.select("fp_bucket").distinct().collect()
+        ]
+        touched_rels = _bucket_files(doc_rels, buckets)
+        kept = _read_docs_files(spark, base, touched_rels).filter(~hit)
+        new_docs = _stage_write(kept, base, "corpus", partition_by="fp_bucket")
 
-    import shutil
-    import uuid
-
-    staging = os.path.join(base, f".staging-delete-{uuid.uuid4().hex}")
-    try:
-        kept.write.partitionBy("fp_bucket").mode("overwrite").parquet(staging)
-        try:
-            staged = spark.read.schema(full).parquet(staging)
-            written = {
-                r.fp_bucket for r in staged.select("fp_bucket").distinct().collect()
-            }
-            (
-                staged.write.partitionBy("fp_bucket")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-                .parquet(path)
+        new_bands: list[str] = []
+        if snap["families"].get("bands"):
+            remaining = read_bands(spark, base, snap).join(
+                doomed.select("doc_id"), "doc_id", "left_anti"
             )
-        except AnalysisException:
-            written = set()  # every row of every hit bucket deleted
-        # dynamic overwrite only replaces partitions PRESENT in the
-        # staging output; a bucket that emptied completely must be
-        # removed explicitly (parquet.delete_where's rule)
-        for b in set(buckets) - written:
-            shutil.rmtree(os.path.join(path, f"fp_bucket={b}"), ignore_errors=True)
-        # the rmtree bypasses Spark's write path, so its shared file-
-        # status cache still lists the removed files — later reads
-        # would FileNotFound; drop the stale listing explicitly
-        spark.catalog.refreshByPath(path)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+            new_bands = _stage_write(remaining, base, "bands")
 
-    bands_path = _bands_path(base)
-    if os.path.exists(bands_path):
-        remaining = (
-            read_bands(spark, base)
-            .join(doomed.select("doc_id"), "doc_id", "left_anti")
-            .cache()
-        )
-        remaining.count()  # materialize before overwriting the source
-        b_staging = os.path.join(base, f".staging-bands-{uuid.uuid4().hex}")
+        families = dict(snap["families"])
+        families["docs"] = [r for r in doc_rels if r not in set(touched_rels)] + new_docs
+        if snap["families"].get("bands"):
+            families["bands"] = new_bands
         try:
-            remaining.write.mode("overwrite").parquet(b_staging)
-            spark.read.schema(BANDS_SCHEMA).parquet(b_staging).write.mode(
-                "overwrite"
-            ).parquet(bands_path)
-        finally:
-            import shutil
-
-            shutil.rmtree(b_staging, ignore_errors=True)
-        remaining.unpersist()
-    return n_deleted
+            Mf.commit(base, families, expect_version=snap["version"])
+            return n_deleted
+        except Mf.CommitConflict:
+            # a racing writer committed; our rewrite was computed from
+            # a stale snapshot — discard and redo against the new one
+            Mf.discard(base, new_docs + new_bands)
 
 
 INGEST_LOG_SCHEMA = T.StructType(
@@ -473,24 +503,18 @@ def canonicalize(spark: SparkSession, base: str) -> int:
     (min doc_id wins) across the whole store, returning the number of
     rows removed.
 
-    WHY IT EXISTS: ingest is optimistic — two ingests running
-    CONCURRENTLY with overlapping content can both pass the
-    known-fp check before either append lands (plain parquet has no
-    transaction log to serialize them), leaving duplicate
-    fingerprints. Same-store ingest is therefore single-writer by
-    contract; where parallel writers are unavoidable, this sweep is
-    the periodic repair — the standard lakehouse pattern (optimistic
-    append + compaction-time invariant enforcement). Only buckets that
-    actually contain duplicate fingerprints are rewritten; the band
-    sidecar keeps the surviving doc's rows and drops the losers'.
+    WHY IT EXISTS (round 5): racing ingests now serialize through the
+    manifest CAS, so a healthy store can no longer acquire duplicate
+    fingerprints. The sweep remains as defense-in-depth — repair for
+    stores built by pre-manifest writers or corrupted out-of-band —
+    and as the invariant check tests pin. Only buckets that actually
+    contain duplicate fingerprints are rewritten; the band sidecar
+    keeps the surviving doc's rows and drops the losers'.
     """
-    path = _docs_path(base)
-    if not os.path.exists(path):
+    snap = Mf.read(base)
+    if not snap["families"].get("docs"):
         return 0
-    full = T.StructType(
-        list(CORPUS_SCHEMA.fields) + [T.StructField("fp_bucket", T.LongType())]
-    )
-    table = spark.read.schema(full).parquet(path)
+    table = _read_docs_files(spark, base, snap["families"]["docs"])
     losers = (
         table.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__keep"))

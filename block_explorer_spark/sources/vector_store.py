@@ -37,9 +37,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.errors.exceptions.captured import AnalysisException
 
 from block_explorer_spark.operators import similarity as Sim
+from block_explorer_spark.sources import manifest as Mf
 
 #: Past this centroid count the Catalyst literal-fold assignment stops
 #: scaling; switch to the Arrow two-level path (see ivf_assign_arrow).
@@ -75,14 +75,31 @@ def _assign(batch: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return Sim.ivf_assign(batch, "embedding", centroids)
 
 
-def read_vectors(spark: SparkSession, base: str) -> DataFrame:
-    full = T.StructType(
-        list(VECTORS_SCHEMA.fields) + [T.StructField("centroid_id", T.IntegerType())]
+_FULL_SCHEMA = T.StructType(
+    list(VECTORS_SCHEMA.fields) + [T.StructField("centroid_id", T.IntegerType())]
+)
+
+
+def _cell_files(rels: list[str], cells: list[int]) -> list[str]:
+    tags = {f"centroid_id={c}{os.sep}" for c in cells}
+    return [r for r in rels if any(t in r for t in tags)]
+
+
+def _read_files(spark: SparkSession, base: str, rels: list[str]) -> DataFrame:
+    if not rels:
+        return spark.createDataFrame([], _FULL_SCHEMA)
+    return (
+        spark.read.schema(_FULL_SCHEMA)
+        .option("basePath", _data_path(base))
+        .parquet(*sorted(os.path.join(base, r) for r in rels))
     )
-    try:
-        return spark.read.schema(full).parquet(_data_path(base))
-    except AnalysisException:
-        return spark.createDataFrame([], full)
+
+
+def read_vectors(
+    spark: SparkSession, base: str, snapshot: dict | None = None
+) -> DataFrame:
+    m = snapshot if snapshot is not None else Mf.read(base)
+    return _read_files(spark, base, m["families"].get("vectors", []))
 
 
 def create(
@@ -118,80 +135,93 @@ def add_batch(
     dedup_threshold: float | None = None,
 ) -> dict:
     """One incremental add. Returns {n_in, n_known, n_near_dup,
-    n_added}."""
+    n_added}.
+
+    Transactional (round 5): dedup validates against a pinned
+    manifest snapshot; the surviving rows stage as immutable files
+    and publish with one CAS commit. A racing add that wins the
+    version forces this writer to discard its staged files and
+    re-validate against the winner's snapshot — two concurrent adds
+    can never both land the same vec_id."""
     cents = load_centroids(base)
     assigned = _assign(batch.select(*[f.name for f in VECTORS_SCHEMA.fields]), cents)
     assigned = assigned.cache()
     n_in = assigned.count()
-
-    path = _data_path(base)
     cells = [r.centroid_id for r in assigned.select("centroid_id").distinct().collect()]
-    stored_cells = None
-    if os.path.exists(path):
-        stored_cells = read_vectors(spark, base).filter(
-            F.col("centroid_id").isin(cells)
-        )
-        fresh = assigned.join(stored_cells.select("vec_id"), "vec_id", "left_anti")
-    else:
-        fresh = assigned
-    fresh = fresh.cache()
-    n_fresh = fresh.count()
-    n_known = n_in - n_fresh
 
-    n_near_dup = 0
-    if dedup_threshold is not None and n_fresh:
-        # One verified pairwise pass per cell over stored members +
-        # fresh rows: stored wins, else lowest vec_id (re-keyed
-        # uid = 2*id / 2*id+1 — corpus_store's rule).
-        from block_explorer_spark.sources.corpus_store import _rekey
+    while True:
+        snap = Mf.read(base)
+        vec_rels = snap["families"].get("vectors", [])
+        cell_rels = _cell_files(vec_rels, cells)
+        stored_cells = _read_files(spark, base, cell_rels) if cell_rels else None
+        if stored_cells is not None:
+            fresh = assigned.join(stored_cells.select("vec_id"), "vec_id", "left_anti")
+        else:
+            fresh = assigned
+        fresh = fresh.cache()
+        n_fresh = fresh.count()
+        n_known = n_in - n_fresh
 
-        stored_side = (
-            stored_cells.select(
-                _rekey("vec_id", 0).alias("uid"), "embedding", "centroid_id"
-            )
-            if stored_cells is not None
-            else spark.createDataFrame(
-                [], "uid long, embedding array<float>, centroid_id int"
-            )
-        )
-        u = stored_side.unionByName(
-            fresh.select(
-                _rekey("vec_id", 1).alias("uid"), "embedding", "centroid_id"
-            )
-        )
-        pairs = Sim.cosine_pairs_blas(
-            u, "embedding", "centroid_id", threshold=dedup_threshold, id_col="uid"
-        )
-        even_a = (F.col("id_a") % 2) == 0
-        even_b = (F.col("id_b") % 2) == 0
-        drops = (
-            pairs.filter(even_a & ~even_b).select(F.col("id_b").alias("uid"))
-            .unionByName(pairs.filter(~even_a & even_b).select(F.col("id_a").alias("uid")))
-            .unionByName(pairs.filter(~even_a & ~even_b).select(F.col("id_b").alias("uid")))
-            .distinct()
-            # integer DIV, not float division: for vec_id >= 2^53 the
-            # double quotient rounds and the anti-join below would drop
-            # the WRONG row (ADVICE r4)
-            .select(F.expr("(uid - 1) DIV 2").alias("vec_id"))
-        )
-        kept = fresh.join(drops, "vec_id", "left_anti").cache()
-        n_near_dup = n_fresh - kept.count()
-        fresh.unpersist()
-        fresh = kept
-    n_added = n_fresh - n_near_dup
+        n_near_dup = 0
+        if dedup_threshold is not None and n_fresh:
+            # One verified pairwise pass per cell over stored members +
+            # fresh rows: stored wins, else lowest vec_id (re-keyed
+            # uid = 2*id / 2*id+1 — corpus_store's rule).
+            from block_explorer_spark.sources.corpus_store import _rekey
 
-    if n_added:
-        # checkpoint before the append: the write's lineage reads the
-        # same store path it mutates (corpus_store's lesson)
-        fresh = fresh.localCheckpoint()
-        (
-            fresh.repartition("centroid_id")
-            .write.partitionBy("centroid_id")
-            .mode("append")
-            .parquet(path)
+            stored_side = (
+                stored_cells.select(
+                    _rekey("vec_id", 0).alias("uid"), "embedding", "centroid_id"
+                )
+                if stored_cells is not None
+                else spark.createDataFrame(
+                    [], "uid long, embedding array<float>, centroid_id int"
+                )
+            )
+            u = stored_side.unionByName(
+                fresh.select(
+                    _rekey("vec_id", 1).alias("uid"), "embedding", "centroid_id"
+                )
+            )
+            pairs = Sim.cosine_pairs_blas(
+                u, "embedding", "centroid_id", threshold=dedup_threshold, id_col="uid"
+            )
+            even_a = (F.col("id_a") % 2) == 0
+            even_b = (F.col("id_b") % 2) == 0
+            drops = (
+                pairs.filter(even_a & ~even_b).select(F.col("id_b").alias("uid"))
+                .unionByName(pairs.filter(~even_a & even_b).select(F.col("id_a").alias("uid")))
+                .unionByName(pairs.filter(~even_a & ~even_b).select(F.col("id_b").alias("uid")))
+                .distinct()
+                # integer DIV, not float division: for vec_id >= 2^53
+                # the double quotient rounds and the anti-join below
+                # would drop the WRONG row (ADVICE r4)
+                .select(F.expr("(uid - 1) DIV 2").alias("vec_id"))
+            )
+            kept = fresh.join(drops, "vec_id", "left_anti").cache()
+            n_near_dup = n_fresh - kept.count()
+            fresh.unpersist()
+            fresh = kept
+        n_added = n_fresh - n_near_dup
+
+        if not n_added:
+            fresh.unpersist()
+            break
+        new_rels = Mf.stage_df(
+            fresh.repartition("centroid_id"), base, "vectors",
+            partition_by="centroid_id",
         )
+        try:
+            Mf.commit(
+                base, {"vectors": vec_rels + new_rels}, expect_version=snap["version"]
+            )
+            fresh.unpersist()
+            break
+        except Mf.CommitConflict:
+            Mf.discard(base, new_rels)
+            fresh.unpersist()
+
     assigned.unpersist()
-    fresh.unpersist()
     return {
         "n_in": n_in,
         "n_known": n_known,
@@ -207,10 +237,17 @@ def probe(
     k: int = 10,
     n_probe: int = 2,
 ) -> DataFrame:
-    """Top-k over the probe cells only (directory-pruned read)."""
+    """Top-k over the probe cells only: the manifest snapshot IS the
+    file listing, so the probe reads exactly the live files of the
+    probe cells — no directory listing, and a concurrent add/delete
+    can't tear the read."""
     cents = load_centroids(base)
+    files = [
+        os.path.join(base, r)
+        for r in Mf.read(base)["families"].get("vectors", [])
+    ]
     return Sim.ivf_probe_topk(
-        spark, _data_path(base), query, cents, k=k, n_probe=n_probe
+        spark, _data_path(base), query, cents, k=k, n_probe=n_probe, files=files
     )
 
 
@@ -248,75 +285,61 @@ def start_ingest_stream(
 
 
 def canonicalize(spark: SparkSession, base: str) -> int:
-    """Enforce one-row-per-vec_id across the store (the repair for
-    racing concurrent adds — add_batch is optimistic and plain parquet
-    has no transaction log; same-store adds are single-writer by
-    contract, this sweep is the periodic invariant enforcement —
-    corpus_store.canonicalize's twin). The survivor is deterministic:
-    min centroid_id, then min embedding hash (the tiebreak only
-    matters for genuinely divergent re-adds); only cells holding
-    duplicates are rewritten, and cells whose rows were ALL duplicate
-    losers are rmtree'd afterwards — dynamic partition overwrite never
-    deletes a cell absent from the staged output (ADVICE r4)."""
-    import shutil
-    import uuid
-
+    """Enforce one-row-per-vec_id across the store. Racing adds now
+    serialize through the manifest CAS (add_batch), so the sweep is
+    defense-in-depth: repair for stores corrupted out-of-band or
+    migrated from pre-manifest writers — corpus_store.canonicalize's
+    twin. The survivor is deterministic: min centroid_id, then min
+    embedding hash (the tiebreak only matters for genuinely divergent
+    re-adds). The commit is one manifest swap replacing the hit
+    cells' files; a cell whose every row was a duplicate loser simply
+    stops being listed (the round-4 dynamic-overwrite
+    leftover-directory hazard is gone by construction). Old files
+    remain until manifest.vacuum."""
     from pyspark.sql.window import Window
 
-    path = _data_path(base)
-    if not os.path.exists(path):
-        return 0
-    table = read_vectors(spark, base)
-    dup_ids = (
-        table.groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .select("vec_id")
-    )
-    hit_cells = [
-        r.centroid_id
-        for r in table.join(dup_ids, "vec_id", "left_semi")
-        .select("centroid_id").distinct().collect()
-    ]
-    if not hit_cells:
-        return 0
-    touched = table.filter(F.col("centroid_id").isin(hit_cells))
-    n_before = touched.count()
-    w = Window.partitionBy("vec_id").orderBy("centroid_id", F.hash("embedding"))
-    kept = (
-        touched.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .localCheckpoint()
-    )
-    n_removed = n_before - kept.count()
-    if not n_removed:
-        return 0
-    kept_cells = {
-        r.centroid_id for r in kept.select("centroid_id").distinct().collect()
-    }
-    staging = os.path.join(base, f".staging-canon-{uuid.uuid4().hex}")
-    try:
-        kept.write.partitionBy("centroid_id").mode("overwrite").parquet(staging)
-        full = T.StructType(
-            list(VECTORS_SCHEMA.fields)
-            + [T.StructField("centroid_id", T.IntegerType())]
+    while True:
+        snap = Mf.read(base)
+        vec_rels = snap["families"].get("vectors", [])
+        if not vec_rels:
+            return 0
+        table = _read_files(spark, base, vec_rels)
+        dup_ids = (
+            table.groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .select("vec_id")
         )
-        (
-            spark.read.schema(full).parquet(staging)
-            .write.partitionBy("centroid_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(path)
+        hit_cells = [
+            r.centroid_id
+            for r in table.join(dup_ids, "vec_id", "left_semi")
+            .select("centroid_id").distinct().collect()
+        ]
+        if not hit_cells:
+            return 0
+        touched_rels = _cell_files(vec_rels, hit_cells)
+        touched = _read_files(spark, base, touched_rels)
+        n_before = touched.count()
+        w = Window.partitionBy("vec_id").orderBy("centroid_id", F.hash("embedding"))
+        kept = (
+            touched.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
-        # a cell whose every row was a duplicate loser is absent from
-        # the staged output, so dynamic overwrite left its old files
-        # intact — remove those directories explicitly
-        for cell in set(hit_cells) - kept_cells:
-            shutil.rmtree(
-                os.path.join(path, f"centroid_id={cell}"), ignore_errors=True
-            )
-        spark.catalog.refreshByPath(path)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
-    return n_removed
+        new_rels = Mf.stage_df(
+            kept.repartition("centroid_id"), base, "vectors",
+            partition_by="centroid_id",
+        )
+        n_removed = n_before - _read_files(spark, base, new_rels).count()
+        if not n_removed:
+            Mf.discard(base, new_rels)
+            return 0
+        families = dict(snap["families"])
+        families["vectors"] = [
+            r for r in vec_rels if r not in set(touched_rels)
+        ] + new_rels
+        try:
+            Mf.commit(base, families, expect_version=snap["version"])
+            return n_removed
+        except Mf.CommitConflict:
+            Mf.discard(base, new_rels)

@@ -63,25 +63,39 @@ def test_cross_batch_dedup_and_replay(spark, base):
     assert cs.read_corpus(spark, base).count() == 3
 
 
-def test_ingest_replay_idempotent_after_partial_append(spark, base):
-    """Simulated mid-append crash: some rows of a batch are already on
-    disk (committed task files), the rest missing. Replaying the whole
-    batch converges to exactly-once content."""
+def test_ingest_crash_before_commit_is_invisible_and_replay_converges(spark, base):
+    """Mid-ingest crash under the manifest protocol: files staged into
+    the data directory WITHOUT a committed manifest are invisible —
+    there is no partial state to read. Replaying the batch lands all
+    rows; vacuum removes the orphaned staged files."""
+    from block_explorer_spark.sources import manifest as Mf
+
     b = [_doc(i, LONG + f" unique{i}") for i in range(6)]
-    cs.ingest(spark, base, spark.createDataFrame(b, COLS))
-    # "crash": delete some committed bucket files -> partial state
-    files = sorted(glob.glob(os.path.join(base, "corpus", "fp_bucket=*", "*.parquet")))
-    assert len(files) >= 2
-    for f in files[: len(files) // 2]:
-        os.remove(f)
-    n_after_crash = cs.read_corpus(spark, base).count()
-    assert n_after_crash < 6
+    # "crash": stage the write but never commit (what a process death
+    # between stage_move and commit leaves behind)
+    prepared = cs._prepared(spark.createDataFrame(b, COLS))
+    orphans = cs._stage_write(prepared, base, "corpus", partition_by="fp_bucket")
+    # ...plus one committed version so the store exists at all
+    cs.ingest(spark, base, spark.createDataFrame(b[:2], COLS))
+    assert len(orphans) >= 1
+    assert cs.read_corpus(spark, base).count() == 2  # orphans invisible
 
     stats = cs.ingest(spark, base, spark.createDataFrame(b, COLS))
-    assert stats["n_added"] == 6 - n_after_crash
+    assert stats["n_added"] == 4 and stats["n_known"] == 2
     got = cs.read_corpus(spark, base)
     assert got.count() == 6
     assert got.select("fp").distinct().count() == 6
+    # physical orphan files exist until vacuumed
+    n_files_before = len(
+        glob.glob(os.path.join(base, "corpus", "fp_bucket=*", "*.parquet"))
+    )
+    removed = Mf.vacuum(base)
+    assert removed == len(orphans)
+    n_files_after = len(
+        glob.glob(os.path.join(base, "corpus", "fp_bucket=*", "*.parquet"))
+    )
+    assert n_files_after == n_files_before - removed
+    assert cs.read_corpus(spark, base).count() == 6  # vacuum is invisible too
 
 
 def test_dedup_read_prunes_buckets(spark, base):
@@ -182,21 +196,28 @@ def test_near_dup_off_admits_mutations(spark, base):
     assert stats["n_added"] == 1  # exact-dedup only: different fp passes
 
 
-def test_band_sidecar_heals_on_replay(spark, base):
-    """Crash between doc append and band append: the stored doc has no
-    LSH rows. Replaying its batch regenerates them, after which
-    near-dups of it are caught again."""
-    import shutil
+def test_band_sidecar_commits_atomically_with_docs(spark, base):
+    """Docs and the LSH sidecar publish in ONE manifest: the round-4
+    crash window (docs landed, bands missing -> near-dups invisible)
+    cannot occur. A pre-commit crash leaves NEITHER; a committed
+    ingest always has both, and near-dup probes against it work."""
+    from block_explorer_spark.sources import manifest as Mf
 
     b1 = [_doc(1, LONG)]
-    cs.ingest(spark, base, spark.createDataFrame(b1, COLS), near_dup_threshold=0.7)
-    shutil.rmtree(os.path.join(base, "bands"))  # the simulated crash
+    # simulated crash: stage docs AND bands, no commit -> neither visible
+    prepared = cs._prepared(spark.createDataFrame(b1, COLS))
+    cs._stage_write(prepared, base, "corpus", partition_by="fp_bucket")
+    cs._stage_write(cs._doc_bands(prepared), base, "bands")
+    assert cs.read_corpus(spark, base).count() == 0
+    assert cs.read_bands(spark, base).count() == 0
 
-    # heal: replay of batch 1 (doc now KNOWN) restores the sidecar
+    # the real ingest commits both at once
     stats = cs.ingest(spark, base, spark.createDataFrame(b1, COLS),
                       near_dup_threshold=0.7)
-    assert stats["n_known"] == 1 and stats["n_added"] == 0
+    assert stats["n_added"] == 1
+    assert cs.read_corpus(spark, base).count() == 1
     assert cs.read_bands(spark, base).count() == cs.LSH_BANDS
+    assert Mf.read(base)["version"] == 1  # one atomic commit
 
     stats = cs.ingest(
         spark, base,
@@ -293,19 +314,27 @@ def test_ingest_converges_under_any_batching(spark, tmp_path):
         assert got == canonical  # same CONTENT set regardless of batching
 
 
-def test_canonicalize_repairs_racing_ingests(spark, base):
-    """Two 'concurrent' ingests of overlapping content (simulated by
-    appending past the dedup check) leave duplicate fingerprints; the
-    canonicalization sweep restores one-doc-per-fp with min doc_id
-    surviving, and removes nothing on a clean store."""
+def test_canonicalize_repairs_out_of_band_duplicates(spark, base):
+    """Racing ingests serialize through the manifest CAS now, but the
+    sweep stays as defense-in-depth (stores corrupted out-of-band or
+    migrated from pre-manifest writers). Fabricate a duplicate-fp
+    state by committing a manifest that lists a bypass write, then
+    verify the sweep restores one-doc-per-fp (min doc_id survives)
+    and forgets the losers' band rows."""
+    from block_explorer_spark.sources import manifest as Mf
+
     cs.ingest(spark, base, spark.createDataFrame([_doc(1, LONG)], COLS),
               near_dup_threshold=0.7)
-    # simulate the race: a second writer appends the same content with
-    # a different doc_id, bypassing ingest's known-fp check
+    # out-of-band writer: stages the same content under a new doc_id
+    # and commits it WITHOUT running dedup
     dup = cs._prepared(spark.createDataFrame([_doc(9, LONG)], COLS))
-    dup.write.partitionBy("fp_bucket").mode("append").parquet(
-        os.path.join(base, "corpus"))
-    cs._doc_bands(dup).write.mode("append").parquet(os.path.join(base, "bands"))
+    new_docs = cs._stage_write(dup, base, "corpus", partition_by="fp_bucket")
+    new_bands = cs._stage_write(cs._doc_bands(dup), base, "bands")
+    snap = Mf.read(base)
+    fams = dict(snap["families"])
+    fams["docs"] = fams["docs"] + new_docs
+    fams["bands"] = fams["bands"] + new_bands
+    Mf.commit(base, fams, expect_version=snap["version"])
     assert cs.read_corpus(spark, base).count() == 2  # corrupted state
 
     n = cs.canonicalize(spark, base)
@@ -314,3 +343,78 @@ def test_canonicalize_repairs_racing_ingests(spark, base):
     assert [r["doc_id"] for r in rows] == [1]  # min doc_id survived
     assert {r["doc_id"] for r in cs.read_bands(spark, base).collect()} == {1}
     assert cs.canonicalize(spark, base) == 0  # idempotent / clean no-op
+
+
+def test_concurrent_ingests_never_duplicate(spark, base):
+    """THE round-5 guarantee: two writers ingesting overlapping
+    content CONCURRENTLY cannot both land the same fingerprint — the
+    manifest CAS serializes them and the loser re-validates. No
+    canonicalize needed afterwards."""
+    import threading
+
+    shared = [_doc(100 + i, LONG + f" shared{i}") for i in range(4)]
+    batches = [
+        shared + [_doc(200 + i, LONG + f" only-a{i}") for i in range(3)],
+        shared + [_doc(300 + i, LONG + f" only-b{i}") for i in range(3)],
+    ]
+    results: dict[int, dict] = {}
+    errors: list[Exception] = []
+
+    def run(idx: int) -> None:
+        try:
+            results[idx] = cs.ingest(
+                spark, base, spark.createDataFrame(batches[idx], COLS)
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = cs.read_corpus(spark, base)
+    # 4 shared docs land exactly once + 3 unique per writer
+    assert got.count() == 10
+    assert got.select("fp").distinct().count() == 10
+    # the loser re-validated: total adds = 10, not 14
+    assert sum(r["n_added"] for r in results.values()) == 10
+    assert cs.canonicalize(spark, base) == 0  # clean WITHOUT the sweep
+
+
+def test_ingest_conflict_forces_revalidation(spark, base, monkeypatch):
+    """Deterministic loser path (the thread race above may serialize
+    by luck): the first commit attempt of writer B is preceded by a
+    competing ingest landing the SAME content, so B's CAS fails and
+    its retry must re-classify those docs as known."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    shared = [_doc(50 + i, LONG + f" race{i}") for i in range(3)]
+    original_commit = Mf.commit
+    fired = {"done": False}
+
+    def sabotaged_commit(b, families, expect_version, meta=None):
+        if not fired["done"]:
+            fired["done"] = True
+            # competing writer wins the version B expected (same
+            # content, different doc ids)
+            monkeypatch.setattr(cs.Mf, "commit", original_commit)
+            cs.ingest(spark, base, spark.createDataFrame(
+                [_doc(900 + i, t) for i, (_d, t, _l, _s) in enumerate(shared)],
+                COLS))
+            monkeypatch.setattr(cs.Mf, "commit", sabotaged_commit)
+        return original_commit(b, families, expect_version, meta)
+
+    monkeypatch.setattr(cs.Mf, "commit", sabotaged_commit)
+    stats = cs.ingest(spark, base, spark.createDataFrame(shared, COLS))
+    monkeypatch.setattr(cs.Mf, "commit", original_commit)
+    # B's first validation saw an empty store; after the forced
+    # conflict its retry found all 3 fingerprints already present
+    assert stats["n_added"] == 0 and stats["n_known"] == 3
+    got = cs.read_corpus(spark, base)
+    assert got.count() == 3
+    assert got.select("fp").distinct().count() == 3
+    # B's discarded staged files are unreferenced -> vacuum removes them
+    assert Mf.vacuum(base) >= 0
+    assert cs.read_corpus(spark, base).count() == 3

@@ -133,13 +133,27 @@ def test_streaming_adds_resume_exactly_once(spark, base, tmp_path):
     assert got.select("vec_id").distinct().count() == 65
 
 
+def _commit_bypass(spark, base, df):
+    """Fabricate out-of-band corruption: stage rows and commit them
+    WITHOUT running add_batch's dedup (what a pre-manifest or buggy
+    external writer would leave behind)."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    rels = Mf.stage_df(
+        df.repartition("centroid_id"), base, "vectors", partition_by="centroid_id"
+    )
+    snap = Mf.read(base)
+    fams = dict(snap["families"])
+    fams["vectors"] = fams.get("vectors", []) + rels
+    Mf.commit(base, fams, expect_version=snap["version"])
+
+
 def test_canonicalize_repairs_duplicate_ids(spark, base):
     rng = random.Random(7)
     _founding(spark, base, rng)
-    # simulate a racing add: append an existing vec_id directly
+    # out-of-band writer: an existing vec_id committed again
     dup = vs.read_vectors(spark, base).filter("vec_id = 100").localCheckpoint()
-    dup.write.partitionBy("centroid_id").mode("append").parquet(
-        os.path.join(base, "vectors"))
+    _commit_bypass(spark, base, dup)
     assert vs.read_vectors(spark, base).count() == 61  # corrupted
 
     assert vs.canonicalize(spark, base) == 1
@@ -162,28 +176,32 @@ def test_create_refuses_refound(spark, base):
 
 
 def test_canonicalize_removes_fully_emptied_cell(spark, base):
-    """A duplicate vec_id re-added with a DIFFERENT embedding lands in
-    another cell; if that cell holds only duplicate losers, dynamic
-    partition overwrite alone would leave its files behind (ADVICE r4)."""
+    """A duplicate vec_id committed out-of-band with a DIFFERENT
+    embedding lands in another cell; if that cell holds only duplicate
+    losers it must vanish from the live set entirely (ADVICE r4 — the
+    manifest commit just stops listing it), and vacuum removes its
+    files from disk."""
+    from block_explorer_spark.sources import manifest as Mf
+
     rng = random.Random(7)
     _founding(spark, base, rng)
     store = vs.read_vectors(spark, base)
     cells = sorted(r.centroid_id for r in
                    store.select("centroid_id").distinct().collect())
-    # fabricate a loser-only cell: take ids that live in cells[0] and
-    # re-append them under a brand-new cell id
+    # fabricate a loser-only cell: ids that live in cells[0],
+    # committed again under a brand-new cell id
     victims = store.filter(F.col("centroid_id") == cells[0]).limit(3) \
                    .localCheckpoint()
     fake_cell = max(cells) + 100
-    victims.withColumn("centroid_id", F.lit(fake_cell)) \
-        .write.partitionBy("centroid_id").mode("append") \
-        .parquet(os.path.join(base, "vectors"))
-    spark.catalog.refreshByPath(os.path.join(base, "vectors"))
+    _commit_bypass(
+        spark, base, victims.withColumn("centroid_id", F.lit(fake_cell))
+    )
     assert vs.canonicalize(spark, base) == 3
-    # survivor is the min-centroid copy; the loser-only cell dir is gone
+    # survivor is the min-centroid copy; the loser-only cell is gone
     got = vs.read_vectors(spark, base)
     assert got.count() == 60
     assert got.filter(F.col("centroid_id") == fake_cell).count() == 0
+    Mf.vacuum(base)
     assert not os.path.exists(
         os.path.join(base, "vectors", f"centroid_id={fake_cell}"))
 
@@ -197,3 +215,39 @@ def test_rekey_guard_rejects_out_of_range_ids(spark, base):
     from pyspark.errors.exceptions.captured import SparkRuntimeException
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         vs.add_batch(spark, base, bad, dedup_threshold=0.95)
+
+
+def test_concurrent_adds_never_duplicate(spark, base):
+    """Round-5 guarantee, embedding side: two writers adding
+    overlapping vec_ids concurrently serialize through the manifest
+    CAS — each id lands exactly once, no canonicalize needed."""
+    import threading
+
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    shared = _vecs(random.Random(21), 5, CENTERS[1], start_id=500, label=1)
+    batches = [
+        shared + _vecs(random.Random(22), 3, CENTERS[0], start_id=600, label=0),
+        shared + _vecs(random.Random(23), 3, CENTERS[2], start_id=700, label=2),
+    ]
+    results: dict[int, dict] = {}
+    errors: list[Exception] = []
+
+    def run(idx):
+        try:
+            results[idx] = vs.add_batch(
+                spark, base, spark.createDataFrame(batches[idx], vs.VECTORS_SCHEMA))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [__import__("threading").Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = vs.read_vectors(spark, base)
+    assert got.count() == 60 + 5 + 3 + 3
+    assert got.select("vec_id").distinct().count() == 71
+    assert sum(r["n_added"] for r in results.values()) == 11
+    assert vs.canonicalize(spark, base) == 0
