@@ -294,9 +294,10 @@ def render_refs(rows: list[dict], cols: tuple[str, ...] = (
     return out
 
 
-def pulses_to_api(pulses: DataFrame) -> DataFrame:
+def pulses_to_api(pulses: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """PulseToAPI: -1 prev/next sentinels become NULL (omitted fields).
 
+    `extra` columns (e.g. the lazy `__total`) pass through unmapped.
     reference: api/mappers.go:57-75
     """
     null_if_sentinel = lambda c: F.when(F.col(c) == -1, F.lit(None)).otherwise(F.col(c))  # noqa: E731
@@ -308,12 +309,53 @@ def pulses_to_api(pulses: DataFrame) -> DataFrame:
         "jet_drop_amount",
         "record_amount",
         "timestamp",
+        *extra,
     )
 
 
-def jet_drops_to_api(drops: DataFrame) -> DataFrame:
+def pulse_row_to_api(row: dict) -> dict:
+    """Driver-side twin of pulses_to_api for the serving fast path
+    (a collected row dict instead of a DataFrame) — identical
+    mapping: the 7 API fields, -1 prev/next sentinels become None.
+    reference: api/mappers.go:57-75"""
+    return {
+        "pulse_number": row["pulse_number"],
+        "prev_pulse_number": None
+        if row["prev_pulse_number"] == -1
+        else row["prev_pulse_number"],
+        "next_pulse_number": None
+        if row["next_pulse_number"] == -1
+        else row["next_pulse_number"],
+        "is_complete": row["is_complete"],
+        "jet_drop_amount": row["jet_drop_amount"],
+        "record_amount": row["record_amount"],
+        "timestamp": row["timestamp"],
+    }
+
+
+def jet_drop_row_to_api(row: dict) -> dict:
+    """Driver-side twin of jet_drops_to_api for the serving fast path
+    — identical mapping: base64 hash, composite id, display jet id.
+    reference: api/mappers.go:77-95"""
+    import base64
+
+    display = jets.ROOT_DISPLAY if row["jet_id"] == "" else row["jet_id"]
+    return {
+        "hash": base64.b64encode(bytes(row["hash"])).decode("ascii")
+        if row["hash"] is not None
+        else None,
+        "jet_drop_id": f"{display}:{row['pulse_number']}",
+        "jet_id": display,
+        "pulse_number": row["pulse_number"],
+        "record_amount": row["record_amount"],
+        "timestamp": row["timestamp"],
+    }
+
+
+def jet_drops_to_api(drops: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """JetDropToAPI: base64 hash + composite id + display jet id.
 
+    `extra` columns (e.g. the lazy `__total`) pass through unmapped.
     reference: api/mappers.go:77-95
     """
     return drops.select(
@@ -323,4 +365,31 @@ def jet_drops_to_api(drops: DataFrame) -> DataFrame:
         "pulse_number",
         F.col("record_amount").cast("long").alias("record_amount"),
         "timestamp",
+        *extra,
     )
+
+
+def serving_tables(*tables: DataFrame, target_partitions: int = 2):
+    """Prepare dimension tables for point-serving: coalesce to a few
+    partitions and pin in memory.
+
+    The REST surface runs many SMALL jobs per request (filtered page,
+    total count, chain-edge probes); with a dimension cached across 32
+    partitions every one of those jobs schedules 32 tasks to touch a
+    few hundred rows, and task-launch overhead — not I/O — dominates
+    the measured p50 (~600 ms on the loadtest shape). Serving tables
+    the size of the pulse/jet-drop dims (one row per ~10 s pulse; tens
+    of drops per pulse) belong in 1-4 partitions.
+
+    Scale note: this is for the BOUNDED dims a point-serving API
+    fronts. The record table at 100 TB is not a serving-cache
+    candidate — the reference serves it from an indexed Postgres, and
+    the equivalent here is the key-bucketed parquet layout
+    (sources/parquet.py) with partition-pruned point reads; pass only
+    the dims you want pinned."""
+    out = []
+    for df in tables:
+        cached = df.coalesce(target_partitions).cache()
+        cached.count()  # materialize before serving traffic
+        out.append(cached)
+    return tuple(out)

@@ -139,13 +139,23 @@ def get_pulses(
     ascending: bool = False,
     limit: int = Pg.DEFAULT_LIMIT,
     offset: int = 0,
-) -> tuple[DataFrame, int]:
+    lazy_total: bool = False,
+) -> tuple[DataFrame, int | None]:
     """GET /api/v1/pulses — filtered page with W2 chain repair.
 
     F2 4-way pulse range + F3 timestamp range + `pulse_number <= from`
     + sort + page/total, then adjacent-row repair of prev/next links
     *within the page* (the reference repairs the fetched slice:
     etl/storage/storage.go:303-358).
+
+    `lazy_total=True` is the serving hot path: instead of a separate
+    count ACTION (a full extra Spark job per request — the dominant
+    cost at point-serving latencies), the total rides along as a
+    `__total` window column over the filtered set and the function
+    returns (page, None); the caller reads it from the collected rows.
+    The empty-frame window is a single partition of the FILTERED pulse
+    dim — bounded by construction (one row per ~10 s pulse), the same
+    bounded-window argument as budget_select's bucket prefix.
     """
     df = Fl.apply_filters(
         pulses,
@@ -153,7 +163,11 @@ def get_pulses(
         Fl.timestamp_range(gte=ts_gte, lte=ts_lte),
         (F.col("pulse_number") <= from_pulse) if from_pulse is not None else None,
     )
-    total = df.count()
+    if lazy_total:
+        total = None
+        df = df.withColumn("__total", F.count(F.lit(1)).over(Window.partitionBy()))
+    else:
+        total = df.count()
     page = Pg.paginate(df, [("pulse_number", ascending)], limit, offset)
     # Interior rows repair against page-adjacent rows only (the
     # reference's vectorized walk is page-local, storage.go:326-357);
@@ -203,6 +217,90 @@ def get_pulses(
     return out.orderBy(
         F.col("pulse_number").asc() if ascending else F.col("pulse_number").desc()
     ), total
+
+
+def get_pulses_rows(
+    pulses: DataFrame,
+    from_pulse: int | None = None,
+    ts_gte: int | None = None,
+    ts_lte: int | None = None,
+    pulse_gt: int | None = None,
+    pulse_gte: int | None = None,
+    pulse_lt: int | None = None,
+    pulse_lte: int | None = None,
+    ascending: bool = False,
+    limit: int = Pg.DEFAULT_LIMIT,
+    offset: int = 0,
+) -> tuple[list[dict], int]:
+    """Serving fast path for GET /api/v1/pulses: collect the plain
+    filtered page (ONE simple Spark job, total fused as a window
+    column), then do the W2 chain repair driver-side over the <=1000
+    collected rows, plus ONE tiny aggregate for the page-edge probes.
+
+    This is the REFERENCE'S OWN architecture — it fetches the slice
+    from storage and repairs prev/next links imperatively in Go
+    (etl/storage/storage.go:326-357, api edge fixes 360-379). The
+    declarative form (get_pulses) remains the batch/analytics path;
+    at point-serving latencies its per-request plan construction and
+    three broadcast subqueries dominate wall time (measured ~700 ms
+    vs ~250 ms for this form on the loadtest shape), while the repair
+    itself is O(page) row logic either way.
+
+    Returns (rows sorted per `ascending` with repaired links, total).
+    Row dicts carry the raw pulse columns (no API mapping)."""
+    df = Fl.apply_filters(
+        pulses,
+        Fl.range_4way("pulse_number", gt=pulse_gt, gte=pulse_gte, lt=pulse_lt, lte=pulse_lte),
+        Fl.timestamp_range(gte=ts_gte, lte=ts_lte),
+        (F.col("pulse_number") <= from_pulse) if from_pulse is not None else None,
+    )
+    df = df.withColumn("__total", F.count(F.lit(1)).over(Window.partitionBy()))
+    page = Pg.paginate(df, [("pulse_number", ascending)], limit, offset)
+    rows = [r.asDict() for r in page.collect()]
+    if not rows:
+        return [], df.drop("__total").count()
+    total = rows[0]["__total"]
+    for r in rows:
+        r.pop("__total", None)
+
+    rows.sort(key=lambda r: r["pulse_number"])
+    orig_prev = [r["prev_pulse_number"] for r in rows]
+    n = len(rows)
+    # W2 interior repair (storage.go:326-357): prev keyed on the lag
+    # row, next OVERWRITTEN from the lead row iff its prev points back
+    for i, r in enumerate(rows):
+        lag_key = rows[i - 1]["pulse_number"] if i > 0 else None
+        r["prev_pulse_number"] = (
+            orig_prev[i] if lag_key is not None and lag_key == orig_prev[i] else W.MISSING
+        )
+        lead_prev = orig_prev[i + 1] if i + 1 < n else None
+        r["next_pulse_number"] = (
+            rows[i + 1]["pulse_number"]
+            if lead_prev is not None and lead_prev == r["pulse_number"]
+            else W.MISSING
+        )
+    # Page-edge fixes consult the full table (storage.go:360-379):
+    # one combined aggregate — next-real for the highest row, prev
+    # existence for the lowest row's stored link.
+    lo_prev = orig_prev[0]
+    hi = rows[-1]["pulse_number"]
+    edge = pulses.agg(
+        F.min(
+            F.when(F.col("prev_pulse_number") == F.lit(hi), F.col("pulse_number"))
+        ).alias("__next_real"),
+        F.max(
+            F.when(F.col("pulse_number") == F.lit(lo_prev), F.lit(1))
+        ).alias("__prev_exists"),
+    ).collect()[0]
+    rows[-1]["next_pulse_number"] = (
+        edge["__next_real"] if edge["__next_real"] is not None else W.MISSING
+    )
+    rows[0]["prev_pulse_number"] = (
+        lo_prev if edge["__prev_exists"] is not None else W.MISSING
+    )
+    if not ascending:
+        rows.reverse()
+    return rows, total
 
 
 def get_incomplete_pulses(pulses: DataFrame) -> DataFrame:
@@ -315,20 +413,27 @@ def get_jet_drops_by_jet_id(
     pulse_lte: int | None = None,
     pulse_ascending: bool = False,
     limit: int = 1000,
-) -> tuple[DataFrame, int]:
+    lazy_total: bool = False,
+) -> tuple[DataFrame, int | None]:
     """GET /api/v1/jets/{id}/jet-drops — hierarchy page.
 
     F9 (jet + ancestors + descendants) + F2 pulse range + two-column
     sort with opposing directions (pulse asc ⇒ jet desc and vice versa)
     + LIMIT (no offset on this endpoint) + total.
     reference: etl/storage/storage.go:533-561
-    """
+
+    `lazy_total=True`: total rides along as a `__total` window column
+    instead of a second count job (see get_pulses); the filtered set
+    is one jet's hierarchy slice — bounded."""
     df = Fl.apply_filters(
         jet_drops,
         Fl.jet_hierarchy(jet_id, jets.jet_parents(jet_id)[:-1]),
         Fl.range_4way("pulse_number", gt=pulse_gt, gte=pulse_gte, lt=pulse_lt, lte=pulse_lte),
     )
     sort = [("pulse_number", pulse_ascending), ("jet_id", not pulse_ascending)]
+    if lazy_total:
+        df = df.withColumn("__total", F.count(F.lit(1)).over(Window.partitionBy()))
+        return Pg.paginate(df, sort, limit, 0), None
     page = Pg.paginate(df, sort, limit, 0)
     return page, df.count()
 

@@ -36,6 +36,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from block_explorer_spark import api
 from block_explorer_spark.functions import jets
@@ -247,24 +248,62 @@ class BlockExplorerApi:
             pulse_lte=bounds["pulse_number_lte"],
             pulse_ascending=ascending,
             limit=limit,
+            lazy_total=True,
         )
-        page_rows = [r.asDict() for r in api.jet_drops_to_api(page).collect()]
-        if not page_rows:
+        raw_rows = [r.asDict() for r in page.collect()]
+        if not raw_rows:
             return 200, {"total": 0, "result": []}
-        # Hash-chain prev/next enrichment over the page plus the two
-        # adjacent pulses (handlers.go:207-241, createNextPrevMaps).
-        pns = [r["pulse_number"] for r in page_rows]
-        prev_pulse, next_pulse = self._adjacent_pulses(min(pns), max(pns))
-        enriched = Q.enrich_with_hash_chain(page, self.jet_drops, prev_pulse, next_pulse)
+        total = raw_rows[0]["__total"]
+        # Serving fast path (the reference's own shape: fetch the
+        # slice, then build createNextPrevMaps in app code,
+        # api/handlers.go:207-297): the hash-chain set is the page
+        # plus the two adjacent pulses' drops — all driver-sized —
+        # so the enrichment joins become dict lookups over collected
+        # rows. One extra Spark job fetches the adjacent drops with
+        # the adjacent-pulse bounds fused in as a broadcast scalar.
+        pns = [r["pulse_number"] for r in raw_rows]
+        lo, hi = min(pns), max(pns)
+        bounds_df = self.pulses.agg(
+            F.max(F.when(F.col("pulse_number") < lo, F.col("pulse_number"))).alias("__prev"),
+            F.min(F.when(F.col("pulse_number") > hi, F.col("pulse_number"))).alias("__next"),
+        )
+        adj_rows = [
+            r.asDict()
+            for r in self.jet_drops.crossJoin(F.broadcast(bounds_df))
+            .filter(
+                (F.col("pulse_number") == F.col("__prev"))
+                | (F.col("pulse_number") == F.col("__next"))
+            )
+            .collect()
+        ]
+        # union + dropDuplicates([jet_id, pulse_number]), page first
+        combined: dict[tuple, dict] = {}
+        for r in raw_rows + adj_rows:
+            combined.setdefault((r["jet_id"], r["pulse_number"]), r)
+        # J4 hash-chain edges: parent.hash == child.first/second_prev_hash
+        by_hash: dict[bytes, list[dict]] = {}
+        for r in combined.values():
+            if r["hash"] is not None:
+                by_hash.setdefault(bytes(r["hash"]), []).append(r)
         prev_map: dict[str, list] = {}
         next_map: dict[str, list] = {}
-        for e in enriched.collect():
-            child = f"{jets.storage_to_display(e['child_jet_id'])}:{e['child_pulse_number']}"
-            parent_row = {"jet_id": e["parent_jet_id"], "pulse_number": e["parent_pulse_number"]}
-            parent = f"{jets.storage_to_display(e['parent_jet_id'])}:{e['parent_pulse_number']}"
-            child_row = {"jet_id": e["child_jet_id"], "pulse_number": e["child_pulse_number"]}
-            prev_map.setdefault(child, []).append(self._prev_next_entry(parent_row))
-            next_map.setdefault(parent, []).append(self._prev_next_entry(child_row))
+        seen_edges: set[tuple] = set()
+        for child in combined.values():
+            for link in ("first_prev_hash", "second_prev_hash"):
+                h = child[link]
+                if h is None:
+                    continue
+                for parent in by_hash.get(bytes(h), []):
+                    edge = (parent["jet_id"], parent["pulse_number"],
+                            child["jet_id"], child["pulse_number"])
+                    if edge in seen_edges:
+                        continue
+                    seen_edges.add(edge)
+                    child_id = f"{jets.storage_to_display(child['jet_id'])}:{child['pulse_number']}"
+                    parent_id = f"{jets.storage_to_display(parent['jet_id'])}:{parent['pulse_number']}"
+                    prev_map.setdefault(child_id, []).append(self._prev_next_entry(parent))
+                    next_map.setdefault(parent_id, []).append(self._prev_next_entry(child))
+        page_rows = [api.jet_drop_row_to_api(r) for r in raw_rows]
         drops = [
             self._render_drop(
                 r, prev_map.get(r["jet_drop_id"], []), next_map.get(r["jet_drop_id"], [])
@@ -304,7 +343,7 @@ class BlockExplorerApi:
         failures += sort_failures
         if failures:
             raise _validation_error(failures)
-        page, total = Q.get_pulses(
+        raw_rows, total = Q.get_pulses_rows(
             self.pulses,
             from_pulse=from_pulse,
             ts_gte=_int_param(params, "timestamp_gte", []),
@@ -317,7 +356,8 @@ class BlockExplorerApi:
             limit=limit,
             offset=offset,
         )
-        return 200, self._render_pulses(page, total)
+        rows = [api.pulse_row_to_api(r) for r in raw_rows]
+        return 200, {"total": total, "result": [_strip_none(r) for r in rows]}
 
     def pulse_by_number(self, pulse_path: str) -> tuple[int, dict]:
         """reference: api/handlers.go:389-402 (non-integer / overflowing

@@ -49,10 +49,13 @@ def main() -> None:
     pulses_rows, drops_rows, records_rows = gen.make_flat_seed(
         seed=11, n_pulses=100, n_drops=1000, n_records=1000
     )
-    pulses = spark.createDataFrame(pulses_rows, schemas.PULSES).cache()
-    drops = spark.createDataFrame(drops_rows, schemas.JET_DROPS).cache()
-    records = spark.createDataFrame(records_rows, schemas.RECORDS).cache()
-    pulses.count(), drops.count(), records.count()
+    from block_explorer_spark import api as api_mod
+
+    pulses, drops, records = api_mod.serving_tables(
+        spark.createDataFrame(pulses_rows, schemas.PULSES),
+        spark.createDataFrame(drops_rows, schemas.JET_DROPS),
+        spark.createDataFrame(records_rows, schemas.RECORDS),
+    )
 
     pn = pulses_rows[40]["pulse_number"]
     d0 = drops_rows[0]
