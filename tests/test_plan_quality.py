@@ -143,3 +143,49 @@ def test_stratified_sample_is_scan_predicate(spark):
     of the final small groupBy, and no join node at all."""
     text = plan(entry.queries()["q77_stratified_sample"](spark, SF))
     assert "Join" not in text
+
+
+def test_q90_row_cumsum_is_partitioned_window(spark):
+    """q90/q97 budget selection: the PER-ROW cumulative sum must be a
+    window PARTITIONED by the score bucket — the one-partition global
+    ordered window (the classic scale killer this operator exists to
+    avoid) may appear only for the <= n_buckets+1 bucket-prefix rows."""
+    df = entry.queries()["q90_token_budget_select"](spark, SF)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    row_level = [
+        ln for ln in text.splitlines()
+        if "Window [" in ln and "], [__bkt" in ln and "DESC" not in ln.split("], [")[-2]
+    ]
+    assert any("quality" in ln for ln in row_level), text
+
+
+def test_q94_no_smj_no_cartesian(spark):
+    text = plan(entry.queries()["q94_quality_survivors"](spark, SF))
+    assert "SortMergeJoin" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_q95_two_shuffles_and_doc_local_windows(spark):
+    """ExactSubstr: window hashing happens in the scan stage (no
+    shuffle before the whash Exchange), exactly one Exchange on whash
+    and one on doc_id, broadcast join back to docs, no SMJ."""
+    df = entry.queries()["q95_exact_substring_dedup"](spark, SF)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "BroadcastHashJoin" in text
+    hash_exchanges = {
+        ln.split("Exchange hashpartitioning(")[1].split(",")[0]
+        for ln in text.splitlines()
+        if "Exchange hashpartitioning" in ln
+    }
+    # one shuffle keyed on the window hash, one on the doc id — no more
+    assert len(hash_exchanges) == 2, text
+
+
+def test_q98_no_cartesian_blocked_join(spark):
+    """Perceptual dedup must pair via the (chunk_idx, chunk) buckets —
+    never an all-pairs nested loop."""
+    text = plan(entry.queries()["q98_perceptual_dedup"](spark, SF))
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
