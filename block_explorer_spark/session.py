@@ -33,6 +33,13 @@ _BASE_CONF = {
     # and convert at the column level where needed.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
+    # Pre-coalesce shuffle width: AQE picks the FINAL partition count
+    # by target size, so small gate/bench shuffles still collapse to a
+    # handful of partitions, while the 5M-doc banding/CC shuffles start
+    # from 256 instead of 32 — the round-4 x1000 cells spilled 106/74 GB
+    # precisely because 1/32 of a corpus-wide shuffle had to fit in one
+    # task's memory (re-measured in SCALE_CURVE.json after this change).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }

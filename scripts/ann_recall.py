@@ -122,8 +122,20 @@ def main() -> None:
         two = Sim.ivf_assign_arrow(emb, "embedding", cents, coarse_probes=4).cache()
         two.count()
 
+        # the two-level caveat measured directly: how often does the
+        # sqrt(k) super-centroid route land in the true argmin cell?
+        agree = (
+            flat.alias("a")
+            .join(two.alias("b"), "vec_id")
+            .filter(F.col("a.centroid_id") == F.col("b.centroid_id"))
+            .count()
+        )
+        cell["two_level_assignment_agreement"] = round(agree / n_vecs, 4)
+        print(f"# x{scale} two-level agreement: {agree / n_vecs:.4f}",
+              file=sys.stderr)
+
         for name, assigned in (("ivf_flat", flat), ("ivf_two_level", two)):
-            for n_probe in (1, 2, 4, 8):
+            for n_probe in (1, 2, 4, 8, 16, 32, 64):
                 recalls, secs = [], []
                 for q, t in zip(queries, truth):
                     probes = Sim._probe_cells(q, cents, n_probe)
