@@ -115,6 +115,11 @@ HEADLINE = [
     # aggregate shapes already represented by q77/q84)
     "q88_semantic_dedup",
     "q91_crossdoc_ngrams",
+    # round 5: exact substring dedup (window-hash + span merge) and
+    # BPE tokenization (type-table train + Arrow apply) join; q97 is
+    # q90's shape and q98 is fixture-sized — already represented
+    "q95_exact_substring_dedup",
+    "q96_bpe_tokenize",
 ]
 
 

@@ -404,6 +404,48 @@ def get_jet_drop_by_id(
     return drop, _nearest(True), _nearest(False)
 
 
+def get_jet_drop_by_id_rows(
+    jet_drops: DataFrame, jet_id: str, pulse_number: int
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Serving fast path for GET /api/v1/jet-drops/{id}: the same
+    (drop, prev siblings, next siblings) answer as get_jet_drop_by_id
+    in ONE collect — one sibling-filtered scan, the two nearest-pulse
+    edges fused in as a broadcast scalar, rows classified driver-side.
+    The declarative triple stays for batch callers; per-request this
+    replaces three collects (each with its own broadcast subquery)
+    with a single bounded job."""
+    sib = jets.sibling_exprs(jet_id)
+    cand = jet_drops.filter(Fl.in_list("jet_id", sib))
+    edges = cand.agg(
+        F.max(
+            F.when(F.col("pulse_number") < pulse_number, F.col("pulse_number"))
+        ).alias("__prev"),
+        F.min(
+            F.when(F.col("pulse_number") > pulse_number, F.col("pulse_number"))
+        ).alias("__next"),
+    )
+    rows = [
+        r.asDict()
+        for r in cand.crossJoin(F.broadcast(edges))
+        .filter(
+            (F.col("pulse_number") == F.lit(pulse_number))
+            | (F.col("pulse_number") == F.col("__prev"))
+            | (F.col("pulse_number") == F.col("__next"))
+        )
+        .collect()
+    ]
+    drop = [
+        r for r in rows
+        if r["pulse_number"] == pulse_number and r["jet_id"] == jet_id
+    ]
+    prev = [r for r in rows if r["pulse_number"] == r["__prev"]]
+    nxt = [r for r in rows if r["pulse_number"] == r["__next"]]
+    for r in rows:
+        r.pop("__prev", None)
+        r.pop("__next", None)
+    return drop, prev, nxt
+
+
 def get_jet_drops_by_jet_id(
     jet_drops: DataFrame,
     jet_id: str,

@@ -408,13 +408,16 @@ class BlockExplorerApi:
             raise _validation_error(
                 [api.ValidationFailure("jet drop id", f"invalid: {e}")], code="400"
             ) from None
-        drop, prev, nxt = Q.get_jet_drop_by_id(self.jet_drops, jet_id, pulse_number)
-        rows = [r.asDict() for r in api.jet_drops_to_api(drop).collect()]
-        if not rows:
+        drop, prev, nxt = Q.get_jet_drop_by_id_rows(
+            self.jet_drops, jet_id, pulse_number
+        )
+        if not drop:
             raise HttpError(404, {})
-        prev_list = [self._prev_next_entry(r.asDict()) for r in prev.collect()]
-        next_list = [self._prev_next_entry(r.asDict()) for r in nxt.collect()]
-        return 200, self._render_drop(rows[0], prev_list, next_list)
+        prev_list = [self._prev_next_entry(r) for r in prev]
+        next_list = [self._prev_next_entry(r) for r in nxt]
+        return 200, self._render_drop(
+            api.jet_drop_row_to_api(drop[0]), prev_list, next_list
+        )
 
     def search(self, params: dict) -> tuple[int, dict]:
         """reference: api/handlers.go:458-553 (message field is

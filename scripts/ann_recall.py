@@ -78,6 +78,11 @@ def main() -> None:
     ap.add_argument("--scales", default="100,1000")
     ap.add_argument("--out", default="ANN_RECALL.json")
     ap.add_argument("--root", default="/root/repo/.scale")
+    ap.add_argument(
+        "--k", type=int, default=None,
+        help="override n_centroids (default 8*scale, the k-proportional-"
+        "to-N sizing); results key as x<scale>_k<k>",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -92,7 +97,7 @@ def main() -> None:
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
         n_vecs = emb.count()
         queries = _queries_for(emb, n_vecs)
-        k_cents = 8 * scale
+        k_cents = args.k if args.k is not None else 8 * scale
 
         print(f"# x{scale}: training k={k_cents} centroids", file=sys.stderr)
         t0 = time.perf_counter()
@@ -184,7 +189,8 @@ def main() -> None:
         flat.unpersist()
         two.unpersist()
         emb.unpersist()
-        results[f"x{scale}"] = cell
+        key = f"x{scale}" if args.k is None else f"x{scale}_k{args.k}"
+        results[key] = cell
         with open(args.out, "w") as f:
             json.dump({"metric": "ann_recall", "k": K,
                        "n_queries": N_QUERIES, "scales": results}, f,
