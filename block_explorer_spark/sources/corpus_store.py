@@ -17,10 +17,10 @@ argument) over a bucketed parquet layout:
     byte volume, not the corpus (the same directory-pruning contract
     as the GBE store's pulse buckets, parquet.read_table).
   - Ingest appends only fingerprints PROVEN absent, so replaying a
-    batch after any crash converges: rows that were committed are
-    skipped as known, rows that were not are appended — idempotent-
-    but-not-atomic, the same recovery contract as parquet.upsert
-    (pinned by test_corpus_store::test_ingest_replay_idempotent).
+    batch after any crash converges: committed rows are skipped as
+    known, uncommitted staged files are invisible until vacuumed —
+    idempotent AND atomic since round 5 (pinned by
+    test_ingest_crash_before_commit_is_invisible_and_replay_converges).
 
 Scale shape per ingest: quality gates are map-only; in-batch dedup is
 one small groupBy; cross-batch dedup is one join against a
@@ -40,8 +40,6 @@ consistent snapshot until `manifest.vacuum`.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

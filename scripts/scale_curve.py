@@ -308,6 +308,11 @@ def main() -> None:
                 "spill_mb": round(
                     (delta["memoryBytesSpilled"] + delta["diskBytesSpilled"]) / 1e6, 1
                 ),
+                # memoryBytesSpilled records the IN-MEMORY size of each
+                # spilled collection and inflates with spill-event
+                # count; diskBytesSpilled is the physical I/O actually
+                # paid — report both so the curve is interpretable
+                "spill_disk_mb": round(delta["diskBytesSpilled"] / 1e6, 1),
                 "tasks": delta["numTasks"],
             }
             print(
