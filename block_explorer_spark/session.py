@@ -33,22 +33,32 @@ _BASE_CONF = {
     # and convert at the column level where needed.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
-    # Pre-coalesce shuffle width: AQE picks the FINAL partition count
-    # by target size, so small gate/bench shuffles still collapse to a
-    # handful of partitions, while the 5M-doc banding/CC shuffles start
-    # from 256 instead of 32 — the round-4 x1000 cells spilled 106/74 GB
-    # precisely because 1/32 of a corpus-wide shuffle had to fit in one
-    # task's memory (re-measured in SCALE_CURVE.json after this change).
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
+
+
+#: Shuffle sizing is DATA-SCALE dependent, and the right knob is AQE's
+#: pre-coalesce width, not spark.sql.shuffle.partitions: start wide,
+#: let AQE coalesce down by target size. At gate/bench scale (sf0.1)
+#: starting at 256 costs every map task 8x the shuffle buckets for
+#: nothing (measured +25% on the bench headline), while at the x1000
+#: corpus it cuts q25/q83 wall 20-32% by not forcing 1/32 of a
+#: corpus-wide shuffle through one task's memory (SCALE_CURVE.json).
+#: So the default stays 32-wide and scale runs opt in:
+#:   SPARK_GRAFT_WIDE_SHUFFLE=256 python scripts/scale_curve.py ...
+#: (scripts/scale_curve.py sets it for itself). On a real cluster this
+#: is cluster-level config — initialPartitionNum ~ 2-3x total cores.
+_WIDE_SHUFFLE_ENV = "SPARK_GRAFT_WIDE_SHUFFLE"
 
 
 def builder(app_name: str = "block-explorer-spark", **overrides: str) -> SparkSession.Builder:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     b = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     conf = dict(_BASE_CONF)
+    wide = os.environ.get(_WIDE_SHUFFLE_ENV)
+    if wide:
+        conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = wide
     conf.update({k: str(v) for k, v in overrides.items()})
     for k, v in conf.items():
         b = b.config(k, v)

@@ -197,7 +197,18 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    spark = get_spark("scale-curve", **{"spark.ui.enabled": "true"})
+    # wide pre-coalesce shuffles: the scale configuration (see
+    # session.py) — x1000 q25/q83 run 20-32% faster at 256 while AQE
+    # still coalesces the small cells down by target size
+    os.environ.setdefault("SPARK_GRAFT_WIDE_SHUFFLE", "256")
+    spark = get_spark(
+        "scale-curve",
+        **{
+            "spark.ui.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+                os.environ["SPARK_GRAFT_WIDE_SHUFFLE"],
+        },
+    )
     collector = StageMetrics(spark)
     qs = dict(entry.queries())
 
