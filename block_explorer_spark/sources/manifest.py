@@ -167,12 +167,18 @@ def discard(base: str, relpaths: list[str]) -> None:
             pass
 
 
-def vacuum(base: str, keep_last: int = 1) -> int:
+def vacuum(base: str, keep_last: int = 1, min_age_s: float = 0.0) -> int:
     """Physically delete files referenced by NO manifest among the
     latest `keep_last` versions, plus older manifest versions
-    themselves. Returns the number of data files removed. Run with a
-    grace period in production (readers may hold older manifests);
-    tests call it directly."""
+    themselves. Returns the number of data files removed.
+
+    `min_age_s` is the concurrency guard: a writer stages files
+    BEFORE its commit lists them, so an unreferenced file younger
+    than the stage-to-commit window may belong to an in-flight write
+    — vacuum skips files modified within `min_age_s` seconds. Set it
+    above the longest expected commit window in production (and above
+    any reader-snapshot lifetime when keep_last=1); tests that
+    fabricate orphans use the 0 default."""
     v = current_version(base)
     if v == 0:
         return 0
@@ -196,6 +202,9 @@ def vacuum(base: str, keep_last: int = 1) -> int:
             m = json.load(f)
         for rels in m["families"].values():
             data_dirs.update(rel.split(os.sep, 1)[0] for rel in rels)
+    import time
+
+    now = time.time()
     removed = 0
     for d in data_dirs:
         droot = os.path.join(base, d)
@@ -203,10 +212,17 @@ def vacuum(base: str, keep_last: int = 1) -> int:
             continue
         for root, _dirs, files in os.walk(droot, topdown=False):
             for fn in files:
-                rel = os.path.relpath(os.path.join(root, fn), base)
-                if rel not in live:
-                    os.unlink(os.path.join(root, fn))
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, base)
+                if rel in live:
+                    continue
+                try:
+                    if min_age_s and now - os.path.getmtime(full) < min_age_s:
+                        continue  # possibly a racing writer's staged file
+                    os.unlink(full)
                     removed += 1
+                except FileNotFoundError:
+                    pass  # racing vacuum/discard already took it
             if not os.listdir(root):
                 os.rmdir(root)
     for name in os.listdir(_mdir(base)):

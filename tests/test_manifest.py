@@ -95,3 +95,18 @@ def test_discard_removes_staged_files(base):
     Mf.discard(base, [rel])
     assert not os.path.exists(os.path.join(base, rel))
     Mf.discard(base, [rel])  # idempotent
+
+
+def test_vacuum_min_age_protects_in_flight_staged_files(base):
+    """A writer stages files BEFORE committing; vacuum with a grace
+    window must not eat them."""
+    _touch(base, "data/a.parquet")
+    Mf.commit(base, {"docs": ["data/a.parquet"]}, expect_version=0)
+    staged = _touch(base, "data/in-flight.parquet")  # fresh, uncommitted
+    assert Mf.vacuum(base, min_age_s=3600) == 0
+    assert os.path.exists(os.path.join(base, staged))
+    # the same file IS removable once old enough
+    old = os.path.join(base, staged)
+    os.utime(old, (0, 0))
+    assert Mf.vacuum(base, min_age_s=3600) == 1
+    assert not os.path.exists(old)
