@@ -177,6 +177,8 @@ QUERIES = [
     # round-4 additions to the heavy-operator set
     "q88_semantic_dedup",
     "q91_crossdoc_ngrams",
+    # round 5: exact substring dedup (window-hash + span merge)
+    "q95_exact_substring_dedup",
 ]
 
 

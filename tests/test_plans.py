@@ -438,3 +438,56 @@ def test_get_records_by_jet_drop_ref(spark):
 
     page, total = Q.get_records_by_jet_drop(df, "00", P, limit=1000)
     assert total == 0 and page.collect() == []
+
+
+def test_serving_fast_paths_match_declarative(spark):
+    """The round-5 serving fast paths (get_pulses_rows, the fused
+    point lookup) must agree with the declarative DataFrame forms on
+    every filter/sort/offset shape — the REST layer switched to them,
+    so this pin is what keeps the two from drifting."""
+    pulses = gen.make_pulses(start=1000, count=8, gaps=(2, 5))
+    df = spark.createDataFrame(pulses, schemas.PULSES)
+    configs = [
+        dict(ascending=False, limit=3),
+        dict(ascending=True, limit=3, offset=1),
+        dict(ascending=True, limit=1, offset=1),
+        dict(ascending=False, limit=100),
+        dict(pulse_gt=1000, pulse_lt=1060, ascending=True, limit=100),
+        dict(from_pulse=1030, limit=2),
+        dict(ascending=True, limit=5, offset=50),  # empty page
+    ]
+    for cfg in configs:
+        page, total = Q.get_pulses(df, **cfg)
+        want = [
+            (r.pulse_number, r.prev_pulse_number, r.next_pulse_number)
+            for r in page.collect()
+        ]
+        rows, fast_total = Q.get_pulses_rows(df, **cfg)
+        got = [
+            (r["pulse_number"], r["prev_pulse_number"], r["next_pulse_number"])
+            for r in rows
+        ]
+        assert got == want, cfg
+        assert fast_total == total, cfg
+
+
+def test_jet_drop_point_fast_path_matches_declarative(spark):
+    _pulses, drops, _records = gen.make_flat_seed(
+        seed=11, n_pulses=6, n_drops=40, n_records=40
+    )
+    df = spark.createDataFrame(drops, schemas.JET_DROPS)
+    sample = df.select("jet_id", "pulse_number").limit(3).collect()
+    for s in sample:
+        d0, p0, n0 = Q.get_jet_drop_by_id(df, s.jet_id, s.pulse_number)
+        want = (
+            {(r.jet_id, r.pulse_number) for r in d0.collect()},
+            {(r.jet_id, r.pulse_number) for r in p0.collect()},
+            {(r.jet_id, r.pulse_number) for r in n0.collect()},
+        )
+        drop, prev, nxt = Q.get_jet_drop_by_id_rows(df, s.jet_id, s.pulse_number)
+        got = (
+            {(r["jet_id"], r["pulse_number"]) for r in drop},
+            {(r["jet_id"], r["pulse_number"]) for r in prev},
+            {(r["jet_id"], r["pulse_number"]) for r in nxt},
+        )
+        assert got == want, (s.jet_id, s.pulse_number)
