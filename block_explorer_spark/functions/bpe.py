@@ -86,17 +86,15 @@ def apply_merges(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     syms = list(word)
     while len(syms) > 1:
         best_rank = None
+        a, b = None, None
         for i in range(len(syms) - 1):
-            r = ranks.get((syms[i], syms[i + 1]))
+            pair = (syms[i], syms[i + 1])
+            r = ranks.get(pair)
             if r is not None and (best_rank is None or r < best_rank):
                 best_rank = r
+                a, b = pair
         if best_rank is None:
             break
-        a, b = None, None
-        for pair, r in ranks.items():
-            if r == best_rank:
-                a, b = pair
-                break
         out: list[str] = []
         i = 0
         while i < len(syms):
