@@ -250,9 +250,18 @@ def ingest(
         # checkpoint so the band write below reuses the dedup result
         # instead of re-running the whole plan
         fresh = fresh.localCheckpoint()
-        new_docs = _stage_write(fresh, base, "corpus", partition_by="fp_bucket")
+        # repartition ON the partition column first: without it every
+        # shuffle partition writes its own file into every bucket it
+        # holds rows for (up to tasks x buckets files PER INGEST — the
+        # small-files explosion scripts/store_bench.py measured as
+        # linearly-growing round time); with it, one file per touched
+        # bucket per ingest
+        new_docs = _stage_write(
+            fresh.repartition("fp_bucket"), base, "corpus",
+            partition_by="fp_bucket",
+        )
         new_bands = (
-            _stage_write(_doc_bands(fresh), base, "bands")
+            _stage_write(_doc_bands(fresh).coalesce(4), base, "bands")
             if near_dup_threshold is not None
             else []
         )
@@ -432,7 +441,10 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
         ]
         touched_rels = _bucket_files(doc_rels, buckets)
         kept = _read_docs_files(spark, base, touched_rels).filter(~hit)
-        new_docs = _stage_write(kept, base, "corpus", partition_by="fp_bucket")
+        new_docs = _stage_write(
+            kept.repartition("fp_bucket"), base, "corpus",
+            partition_by="fp_bucket",
+        )
 
         new_bands: list[str] = []
         if snap["families"].get("bands"):
@@ -494,6 +506,51 @@ def ingest_history(spark: SparkSession, base: str) -> DataFrame:
             os.path.join(base, "ingest_log"))
     except AnalysisException:
         return spark.createDataFrame([], INGEST_LOG_SCHEMA)
+
+
+def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
+    """Maintenance compaction: rewrite the corpus so each fp_bucket
+    holds `files_per_bucket` files, and the band sidecar a handful —
+    every ingest adds one file per touched bucket, so after R rounds a
+    bucket holds R files and BOTH the manifest and every snapshot read
+    grow linearly with history (scripts/store_bench.py measures the
+    drift). One staged rewrite + one manifest swap; readers holding
+    the old snapshot are untouched; old files wait for vacuum.
+    Returns the number of files retired. The GBE store's
+    parquet.compact_table, restated over the manifest layout."""
+    while True:
+        snap = Mf.read(base)
+        doc_rels = snap["families"].get("docs", [])
+        band_rels = snap["families"].get("bands", [])
+        from collections import Counter
+
+        per_bucket = Counter(
+            r.split("fp_bucket=")[1].split(os.sep)[0]
+            for r in doc_rels
+            if "fp_bucket=" in r
+        )
+        fragmented = any(c > files_per_bucket for c in per_bucket.values())
+        if not fragmented and len(band_rels) <= 4:
+            return 0
+        docs = _read_docs_files(spark, base, doc_rels)
+        new_docs = _stage_write(
+            docs.repartition("fp_bucket"), base, "corpus",
+            partition_by="fp_bucket",
+        )
+        new_bands = (
+            _stage_write(read_bands(spark, base, snap).coalesce(4), base, "bands")
+            if band_rels
+            else []
+        )
+        families = dict(snap["families"])
+        families["docs"] = new_docs
+        if band_rels:
+            families["bands"] = new_bands
+        try:
+            Mf.commit(base, families, expect_version=snap["version"])
+            return len(doc_rels) + len(band_rels)
+        except Mf.CommitConflict:
+            Mf.discard(base, new_docs + new_bands)
 
 
 def canonicalize(spark: SparkSession, base: str) -> int:

@@ -418,3 +418,44 @@ def test_ingest_conflict_forces_revalidation(spark, base, monkeypatch):
     # B's discarded staged files are unreferenced -> vacuum removes them
     assert Mf.vacuum(base) >= 0
     assert cs.read_corpus(spark, base).count() == 3
+
+
+def test_compact_shrinks_files_preserves_data(spark, base):
+    from block_explorer_spark.sources import manifest as Mf
+
+    # 3 rounds x 40 distinct docs: most buckets receive one file PER
+    # ROUND, so the store is genuinely fragmented (>1 file/bucket)
+    for r in range(3):
+        batch = [
+            _doc(100 * r + i,
+                 " ".join(f"r{r}d{i}t{j}" for j in range(30)))
+            for i in range(40)
+        ]
+        cs.ingest(spark, base, spark.createDataFrame(batch, COLS),
+                  near_dup_threshold=0.7)
+    before = Mf.read(base)
+    want = {(r["doc_id"], r["fp"]) for r in cs.read_corpus(spark, base).collect()}
+    n_bands = cs.read_bands(spark, base).count()
+    retired = cs.compact(spark, base)
+    assert retired == len(before["families"]["docs"]) + len(before["families"]["bands"])
+    after = Mf.read(base)
+    assert after["version"] == before["version"] + 1
+    assert len(after["families"]["docs"]) < len(before["families"]["docs"])
+    got = {(r["doc_id"], r["fp"]) for r in cs.read_corpus(spark, base).collect()}
+    assert got == want
+    assert cs.read_bands(spark, base).count() == n_bands
+    # old snapshot still readable until vacuum
+    assert cs.read_corpus(spark, base, before).count() == len(want)
+    Mf.vacuum(base)
+    assert cs.read_corpus(spark, base).count() == len(want)
+
+
+def test_ingest_writes_one_file_per_touched_bucket(spark, base):
+    from block_explorer_spark.sources import manifest as Mf
+
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(i, LONG + f" b{i}") for i in range(40)], COLS))
+    rels = Mf.read(base)["families"]["docs"]
+    buckets = {r.split("fp_bucket=")[1].split(os.sep)[0] for r in rels}
+    # one file per bucket, not one per (task x bucket)
+    assert len(rels) == len(buckets)
