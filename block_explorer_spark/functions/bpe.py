@@ -44,10 +44,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def train_merges(
+def train_merges_naive(
     word_counts: Iterable[tuple[str, int]], n_merges: int
 ) -> list[tuple[str, str]]:
-    """Learn up to `n_merges` BPE merges from (word, count) pairs.
+    """Reference trainer: full pair rescan per merge — O(merges x
+    types x word_len). Kept as the executable spec the fast trainer
+    is parity-pinned against (test_bpe::test_fast_trainer_matches_
+    naive); use `train_merges` for anything bigger than a fixture.
     Deterministic: best pair = max count, ties by smallest (a, b).
     Stops early when no adjacent pair occurs at least twice."""
     seqs: list[tuple[list[str], int]] = [
@@ -73,6 +76,108 @@ def train_merges(
                     syms[i : i + 2] = [a + b]
                 else:
                     i += 1
+    return merges
+
+
+def _pairs(syms: list[str]) -> Counter:
+    return Counter(zip(syms, syms[1:]))
+
+
+def _merge_in_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of (a, b) — the
+    exact in-word semantics of the naive trainer's in-place loop."""
+    out: list[str] = []
+    i = 0
+    ab = a + b
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_merges(
+    word_counts: Iterable[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn up to `n_merges` BPE merges from (word, count) pairs —
+    incremental-pair-count trainer (the standard BPE training
+    optimization, as in Sennrich's public learn_bpe): after a merge,
+    only the pair counts adjacent to the merged pair's occurrences
+    change, so each round touches ONLY the word types containing the
+    winning pair instead of rescanning every type. A lazy max-heap
+    (stale entries skipped on pop) picks the winner in O(log P).
+
+    Byte-for-byte the same output as `train_merges_naive` (pinned by
+    test_bpe) at O((types x word_len) + merges x touched) instead of
+    O(merges x types x word_len) — the difference between hours and
+    seconds at a production 32k-merge vocabulary (SCALE.md row
+    `bpe_train`). Deterministic: best pair = max count, ties by
+    smallest (a, b); stops when no pair occurs at least twice."""
+    import heapq
+
+    seqs: list[list[str]] = []
+    freqs: list[int] = []
+    for w, c in word_counts:
+        if w:
+            seqs.append(list(w))
+            freqs.append(int(c))
+
+    pair_counts: Counter = Counter()
+    pair_where: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, c) in enumerate(zip(seqs, freqs)):
+        for pair, k in _pairs(syms).items():
+            pair_counts[pair] += k * c
+            pair_where.setdefault(pair, set()).add(idx)
+
+    # heap of (-count, pair); entries go stale when counts change —
+    # validity is checked against pair_counts on pop. Tuple order
+    # gives exactly the naive tie-break: max count, then smallest
+    # pair lexicographically.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        neg, pair = heapq.heappop(heap)
+        cur = pair_counts.get(pair, 0)
+        if -neg != cur or cur == 0:
+            continue  # stale entry
+        if cur < 2:
+            break
+        merges.append(pair)
+        a, b = pair
+        touched: set[tuple[str, str]] = set()
+        for idx in pair_where.pop(pair, ()):
+            syms = seqs[idx]
+            before = _pairs(syms)
+            if (a, b) not in before:
+                continue  # stale membership (pair merged away earlier)
+            after_syms = _merge_in_word(syms, a, b)
+            seqs[idx] = after_syms
+            after = _pairs(after_syms)
+            c = freqs[idx]
+            for p in before.keys() | after.keys():
+                d = (after.get(p, 0) - before.get(p, 0)) * c
+                if d:
+                    pair_counts[p] += d
+                    touched.add(p)
+                if after.get(p):
+                    pair_where.setdefault(p, set()).add(idx)
+        # the merged pair itself is gone everywhere; re-heap the
+        # final counts of every changed pair (stale heap entries are
+        # skipped on pop)
+        pair_counts.pop(pair, None)
+        touched.discard(pair)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

@@ -145,8 +145,32 @@ def read_corpus(
     """Schema-pinned read of the curated corpus at the latest (or a
     pinned) manifest snapshot; absent store = empty."""
     m = snapshot if snapshot is not None else Mf.read(base)
+    if m["version"] == 0 and os.path.isdir(_docs_path(base)):
+        _raise_unmigrated(base)
     df = _read_docs_files(spark, base, m["families"].get("docs", []))
     return df.select(*[f.name for f in CORPUS_SCHEMA.fields])
+
+
+def _raise_unmigrated(base: str) -> None:
+    if Mf._oldest_inflight_start(base) is not None:
+        return  # a registered writer is mid-first-commit, not legacy data
+    orphans = Mf.unmanifested_files(base, ["corpus", "bands"])
+    if orphans:
+        raise RuntimeError(
+            f"corpus store at {base} has data files but no committed "
+            f"manifest (written by a pre-manifest version?). Run "
+            f"corpus_store.migrate(base) once to adopt "
+            f"{sum(len(v) for v in orphans.values())} files, or move "
+            f"them aside. Reading would silently return an empty store."
+        )
+
+
+def migrate(base: str) -> int:
+    """One-shot adoption of a store written before the manifest log
+    existed (round <= 4 writers): commits every unlisted parquet file
+    under corpus/ and bands/ into the next manifest version so the
+    snapshot readers see it. Idempotent; returns files adopted."""
+    return Mf.adopt(base, {"docs": "corpus", "bands": "bands"})
 
 
 def _bands_path(base: str) -> str:
@@ -222,63 +246,64 @@ def ingest(
     n_batch_dup = (n_in - n_gated_out) - n_canon
     buckets = [r.fp_bucket for r in canon.select("fp_bucket").distinct().collect()]
 
-    while True:
-        snap = Mf.read(base)
-        doc_rels = snap["families"].get("docs", [])
-        slice_rels = _bucket_files(doc_rels, buckets)
-        if slice_rels:
-            store_slice = _read_docs_files(spark, base, slice_rels).select(
-                "doc_id", "fp", "text"
-            )
-            fresh = canon.join(store_slice.select("fp"), "fp", "left_anti")
-        else:
-            fresh = canon
-        fresh = fresh.cache()
-        n_fresh = fresh.count()
-        n_known = n_canon - n_fresh
+    with Mf.write_intent(base):
+        while True:
+            snap = Mf.read(base)
+            doc_rels = snap["families"].get("docs", [])
+            slice_rels = _bucket_files(doc_rels, buckets)
+            if slice_rels:
+                store_slice = _read_docs_files(spark, base, slice_rels).select(
+                    "doc_id", "fp", "text"
+                )
+                fresh = canon.join(store_slice.select("fp"), "fp", "left_anti")
+            else:
+                fresh = canon
+            fresh = fresh.cache()
+            n_fresh = fresh.count()
+            n_known = n_canon - n_fresh
 
-        n_near_dup = 0
-        if near_dup_threshold is not None and n_fresh:
-            fresh, n_near_dup = _near_dup_filter(
-                spark, base, fresh, near_dup_threshold, snap
-            )
-        n_added = n_fresh - n_near_dup
+            n_near_dup = 0
+            if near_dup_threshold is not None and n_fresh:
+                fresh, n_near_dup = _near_dup_filter(
+                    spark, base, fresh, near_dup_threshold, snap
+                )
+            n_added = n_fresh - n_near_dup
 
-        if not n_added:
-            fresh.unpersist()
-            break
-        # checkpoint so the band write below reuses the dedup result
-        # instead of re-running the whole plan
-        fresh = fresh.localCheckpoint()
-        # repartition ON the partition column first: without it every
-        # shuffle partition writes its own file into every bucket it
-        # holds rows for (up to tasks x buckets files PER INGEST — the
-        # small-files explosion scripts/store_bench.py measured as
-        # linearly-growing round time); with it, one file per touched
-        # bucket per ingest
-        new_docs = _stage_write(
-            fresh.repartition("fp_bucket"), base, "corpus",
-            partition_by="fp_bucket",
-        )
-        new_bands = (
-            _stage_write(_doc_bands(fresh).coalesce(4), base, "bands")
-            if near_dup_threshold is not None
-            else []
-        )
-        families = dict(snap["families"])
-        families["docs"] = doc_rels + new_docs
-        if new_bands:
-            families["bands"] = snap["families"].get("bands", []) + new_bands
-        try:
-            Mf.commit(base, families, expect_version=snap["version"])
-            fresh.unpersist()
-            break
-        except Mf.CommitConflict:
-            # loser path: another writer landed first — our staged
-            # files are unreferenced; discard and re-validate the
-            # dedup against the new snapshot
-            Mf.discard(base, new_docs + new_bands)
-            fresh.unpersist()
+            if not n_added:
+                fresh.unpersist()
+                break
+            # checkpoint so the band write below reuses the dedup result
+            # instead of re-running the whole plan
+            fresh = fresh.localCheckpoint()
+            # repartition ON the partition column first: without it every
+            # shuffle partition writes its own file into every bucket it
+            # holds rows for (up to tasks x buckets files PER INGEST — the
+            # small-files explosion scripts/store_bench.py measured as
+            # linearly-growing round time); with it, one file per touched
+            # bucket per ingest
+            new_docs = _stage_write(
+                fresh.repartition("fp_bucket"), base, "corpus",
+                partition_by="fp_bucket",
+            )
+            new_bands = (
+                _stage_write(_doc_bands(fresh).coalesce(4), base, "bands")
+                if near_dup_threshold is not None
+                else []
+            )
+            families = dict(snap["families"])
+            families["docs"] = doc_rels + new_docs
+            if new_bands:
+                families["bands"] = snap["families"].get("bands", []) + new_bands
+            try:
+                Mf.commit(base, families, expect_version=snap["version"])
+                fresh.unpersist()
+                break
+            except Mf.CommitConflict:
+                # loser path: another writer landed first — our staged
+                # files are unreferenced; discard and re-validate the
+                # dedup against the new snapshot
+                Mf.discard(base, new_docs + new_bands)
+                fresh.unpersist()
 
     prepared.unpersist()
     canon.unpersist()
@@ -398,6 +423,7 @@ def start_ingest_stream(
     )
 
 
+@Mf.with_write_intent
 def delete_where(spark: SparkSession, base: str, predicate) -> int:
     """Targeted deletion (retention / right-to-be-forgotten sweep):
     remove every stored document matching `predicate` (a Column over
@@ -508,6 +534,7 @@ def ingest_history(spark: SparkSession, base: str) -> DataFrame:
         return spark.createDataFrame([], INGEST_LOG_SCHEMA)
 
 
+@Mf.with_write_intent
 def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
     """Maintenance compaction: rewrite the corpus so each fp_bucket
     holds `files_per_bucket` files, and the band sidecar a handful —
@@ -553,6 +580,7 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
             Mf.discard(base, new_docs + new_bands)
 
 
+@Mf.with_write_intent
 def canonicalize(spark: SparkSession, base: str) -> int:
     """Re-canonicalization sweep: enforce one-doc-per-fingerprint
     (min doc_id wins) across the whole store, returning the number of
@@ -561,8 +589,10 @@ def canonicalize(spark: SparkSession, base: str) -> int:
     WHY IT EXISTS (round 5): racing ingests now serialize through the
     manifest CAS, so a healthy store can no longer acquire duplicate
     fingerprints. The sweep remains as defense-in-depth — repair for
-    stores built by pre-manifest writers or corrupted out-of-band —
-    and as the invariant check tests pin. Only buckets that actually
+    stores whose MANIFESTED data was corrupted out-of-band (a writer
+    bypassing ingest) — and as the invariant check tests pin. It reads
+    via the manifest, so it canNOT see pre-manifest data; a legacy
+    store must run `migrate(base)` first (round-5 ADVICE). Only buckets that actually
     contain duplicate fingerprints are rewritten; the band sidecar
     keeps the surviving doc's rows and drops the losers'.
     """

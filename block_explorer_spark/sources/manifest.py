@@ -67,14 +67,27 @@ def current_version(base: str) -> int:
 def read(base: str) -> dict:
     """The latest committed manifest:
     {"version": N, "families": {name: [relpath, ...]}, "meta": {...}}.
-    Version 0 (nothing committed) has empty families."""
-    v = current_version(base)
-    if v == 0:
-        return {"version": 0, "families": {}, "meta": {}}
-    with open(_vpath(base, v)) as f:
-        m = json.load(f)
-    m["version"] = v
-    return m
+    Version 0 (nothing committed) has empty families.
+
+    Retries on FileNotFoundError: between listing versions and opening
+    v{N}.json, a concurrent commit followed by vacuum(keep_last=1) can
+    delete version N — re-resolve the latest version and try again
+    (bounded; an unreadable store after retries is a real error)."""
+    for _ in range(8):
+        v = current_version(base)
+        if v == 0:
+            return {"version": 0, "families": {}, "meta": {}}
+        try:
+            with open(_vpath(base, v)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue  # vacuumed under us; newest version moved on
+        m["version"] = v
+        return m
+    raise FileNotFoundError(
+        f"manifest versions under {base} kept disappearing mid-read; "
+        "vacuum keep_last is racing readers too aggressively"
+    )
 
 
 def live_files(base: str, family: str, manifest: dict | None = None) -> list[str]:
@@ -104,10 +117,28 @@ def commit(
         os.fsync(f.fileno())
     try:
         os.link(tmp, _vpath(base, new_version))  # atomic CAS
-    except FileExistsError as e:
-        raise CommitConflict(f"version {new_version} already committed") from e
-    finally:
+        won = True
+    except OSError as e:
+        # NFS retransmit quirk: link(2) can report failure even though
+        # the link WAS created (the reply to a retried request hits the
+        # now-existing target). Raising CommitConflict then would make
+        # the winner discard its own staged files while the committed
+        # manifest references them. Verify before deciding: if our temp
+        # file now has link count >= 2, the link is ours and the commit
+        # succeeded.
+        try:
+            won = os.stat(tmp).st_nlink >= 2
+        except OSError:
+            won = False
+        if not won:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"version {new_version} already committed"
+            ) from e
+    try:
         os.unlink(tmp)
+    except FileNotFoundError:
+        pass
     return new_version
 
 
@@ -156,6 +187,66 @@ def stage_df(df, base: str, data_name: str, partition_by: str | None = None) -> 
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def unmanifested_files(base: str, data_dir_names: list[str]) -> dict[str, list[str]]:
+    """Parquet relpaths sitting under the named data directories that
+    no committed manifest lists — evidence of a store written before
+    the manifest log existed (or out-of-band)."""
+    listed: set[str] = set()
+    try:
+        names = os.listdir(_mdir(base))
+    except FileNotFoundError:
+        names = []
+    for name in names:
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(_mdir(base), name)) as f:
+                for rels in json.load(f)["families"].values():
+                    listed.update(rels)
+    out: dict[str, list[str]] = {}
+    for d in data_dir_names:
+        droot = os.path.join(base, d)
+        if not os.path.isdir(droot):
+            continue
+        found = []
+        for root, _dirs, files in os.walk(droot):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(root, fn), base)
+                if rel not in listed:
+                    found.append(rel)
+        if found:
+            out[d] = sorted(found)
+    return out
+
+
+def adopt(base: str, families_by_dir: dict[str, str]) -> int:
+    """One-shot migration for stores written BEFORE the manifest log
+    existed: commit every pre-existing parquet file under each data
+    directory into the next manifest version, under the given family
+    name (`families_by_dir` maps family -> data directory name).
+    Idempotent: files already listed in a manifest are skipped, and a
+    call finding nothing to adopt commits nothing. Returns the number
+    of files adopted."""
+    snap = read(base)
+    orphans = unmanifested_files(
+        base, sorted(set(families_by_dir.values()))
+    )
+    if not orphans:
+        return 0
+    families = {k: list(v) for k, v in snap["families"].items()}
+    n = 0
+    for family, dirname in families_by_dir.items():
+        extra = orphans.get(dirname, [])
+        if extra:
+            families[family] = families.get(family, []) + extra
+            n += len(extra)
+    if not n:
+        return 0
+    commit(base, families, expect_version=snap["version"],
+           meta={"adopted": n})
+    return n
+
+
 def discard(base: str, relpaths: list[str]) -> None:
     """Remove staged-but-uncommitted files (the loser's cleanup after
     a CommitConflict). Only ever called on files the caller itself
@@ -167,18 +258,116 @@ def discard(base: str, relpaths: list[str]) -> None:
             pass
 
 
-def vacuum(base: str, keep_last: int = 1, min_age_s: float = 0.0) -> int:
+_INFLIGHT_TTL_S = 3600.0
+
+
+def begin_write(base: str) -> str:
+    """Register an in-flight write BEFORE staging any file. Returns a
+    token; `end_write` (or the `write_intent` context manager) removes
+    it after commit/discard. While the marker exists, `vacuum` will
+    not delete any file modified after the marker's start time, so a
+    slow stage-then-commit survives a concurrent vacuum regardless of
+    `min_age_s`. Markers older than `_INFLIGHT_TTL_S` are treated as
+    crashed writers and ignored (their staged files become ordinary
+    vacuum-able orphans)."""
+    import time
+
+    os.makedirs(_mdir(base), exist_ok=True)
+    token = f".inflight-{uuid.uuid4().hex}"
+    path = os.path.join(_mdir(base), token)
+    with open(path, "w") as f:
+        json.dump({"start": time.time()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return token
+
+
+def end_write(base: str, token: str) -> None:
+    try:
+        os.unlink(os.path.join(_mdir(base), token))
+    except FileNotFoundError:
+        pass
+
+
+class write_intent:
+    """Context manager pairing begin_write/end_write around a
+    stage + commit sequence."""
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def __enter__(self):
+        self.token = begin_write(self.base)
+        return self.token
+
+    def __exit__(self, *exc):
+        end_write(self.base, self.token)
+        return False
+
+
+def with_write_intent(fn):
+    """Decorator for writer entry points shaped `fn(spark, base, ...)`:
+    registers a write intent (vacuum lease) for the duration of the
+    call, so a concurrent vacuum never deletes this writer's staged
+    files mid-commit-window."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, base, *args, **kwargs):
+        with write_intent(base):
+            return fn(spark, base, *args, **kwargs)
+
+    return wrapper
+
+
+def _oldest_inflight_start(base: str) -> float | None:
+    """Start time of the oldest LIVE in-flight writer, None if none.
+    Markers past the TTL are crashed writers: removed and ignored."""
+    import time
+
+    try:
+        names = os.listdir(_mdir(base))
+    except FileNotFoundError:
+        return None
+    now = time.time()
+    oldest = None
+    for name in names:
+        if not name.startswith(".inflight-"):
+            continue
+        path = os.path.join(_mdir(base), name)
+        try:
+            with open(path) as f:
+                start = float(json.load(f)["start"])
+        except (OSError, ValueError, KeyError):
+            continue
+        if now - start > _INFLIGHT_TTL_S:
+            try:
+                os.unlink(path)  # crashed writer; lease expired
+            except FileNotFoundError:
+                pass
+            continue
+        oldest = start if oldest is None else min(oldest, start)
+    return oldest
+
+
+def vacuum(base: str, keep_last: int = 1, min_age_s: float = 300.0) -> int:
     """Physically delete files referenced by NO manifest among the
     latest `keep_last` versions, plus older manifest versions
     themselves. Returns the number of data files removed.
 
-    `min_age_s` is the concurrency guard: a writer stages files
-    BEFORE its commit lists them, so an unreferenced file younger
-    than the stage-to-commit window may belong to an in-flight write
-    — vacuum skips files modified within `min_age_s` seconds. Set it
-    above the longest expected commit window in production (and above
-    any reader-snapshot lifetime when keep_last=1); tests that
-    fabricate orphans use the 0 default."""
+    Two concurrency guards, both on by default:
+
+    - in-flight tracking (precise): writers that registered via
+      `begin_write`/`write_intent` are leases — no file modified
+      after the oldest live writer's start time is deleted, however
+      small `min_age_s` is. Leases expire after `_INFLIGHT_TTL_S`
+      (crashed writer).
+    - `min_age_s` (heuristic backstop, default 300 s): files modified
+      within the window are skipped even with no registered writer —
+      covers writers that bypass `write_intent` and readers holding a
+      recent snapshot when keep_last=1. Tests that fabricate orphans
+      pass min_age_s=0 explicitly; 0 relies solely on the tracked
+      in-flight window."""
     v = current_version(base)
     if v == 0:
         return 0
@@ -205,6 +394,7 @@ def vacuum(base: str, keep_last: int = 1, min_age_s: float = 0.0) -> int:
     import time
 
     now = time.time()
+    inflight_start = _oldest_inflight_start(base)
     removed = 0
     for d in data_dirs:
         droot = os.path.join(base, d)
@@ -217,8 +407,11 @@ def vacuum(base: str, keep_last: int = 1, min_age_s: float = 0.0) -> int:
                 if rel in live:
                     continue
                 try:
-                    if min_age_s and now - os.path.getmtime(full) < min_age_s:
+                    mtime = os.path.getmtime(full)
+                    if min_age_s and now - mtime < min_age_s:
                         continue  # possibly a racing writer's staged file
+                    if inflight_start is not None and mtime >= inflight_start:
+                        continue  # registered writer still in its commit window
                     os.unlink(full)
                     removed += 1
                 except FileNotFoundError:

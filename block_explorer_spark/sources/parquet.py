@@ -1,38 +1,57 @@
-"""Partitioned-parquet storage layout + idempotent upsert protocol.
+"""Partitioned-parquet storage layout + TRANSACTIONAL upsert protocol.
 
-The reference gets idempotency from PostgreSQL PK upserts inside one
-transaction (S4/S5: etl/storage/storage.go:28-94). Plain parquet has
-no MERGE, so the engine uses a partition-overwrite protocol:
+The reference gets idempotency AND atomicity from PostgreSQL PK
+upserts inside one transaction (S4/S5: etl/storage/storage.go:28-94).
+Plain parquet has no MERGE, so the engine uses a partition-bucketed
+merge protocol committed through the manifest CAS log
+(sources/manifest.py — the same Delta/Iceberg-style commit the
+document/vector stores adopted in round 5, extended to the relational
+tables in round 6):
 
   * every table is partitioned by `pulse_bucket` = pulse_number // N
     (N=1000 pulses ≈ 2.7h of chain ≈ one healthy parquet partition at
     production record rates; tune per deployment);
-  * an upsert of rows touching buckets B rewrites exactly those bucket
-    directories as merge(old rows not in batch, batch rows), keyed on
+  * an upsert of rows touching buckets B stages NEW immutable files
+    holding merge(old bucket rows not in batch, batch rows), keyed on
     the table's PK — `INSERT ... ON CONFLICT DO UPDATE` semantics with
-    bucket granularity, via dynamic partition overwrite (only touched
-    partitions replaced, never the table);
+    bucket granularity — then publishes them with ONE compare-and-swap
+    manifest commit that atomically swaps the touched buckets' file
+    lists. A reader mid-upsert keeps its snapshot (old files are
+    immutable until `manifest.vacuum`); two racing writers to the SAME
+    bucket serialize through the CAS — the loser discards its staged
+    files, re-reads the winner's snapshot, and re-merges, so no
+    writer's rows are ever lost (pinned by
+    test_write_path::test_concurrent_upserts_same_bucket_lose_nothing);
+  * `save_jet_drop_data` commits jet_drops + records (and the ingest
+    pipeline commits pulses + jet_drops + records) in ONE manifest
+    swap — the multi-table atomicity of the reference's single load
+    txn, which round 5's per-store logs could not express;
   * counters/flags are never mutated in place — they are derived
     (operators/aggregates.py) or recomputed into the pulses table by
-    the control plane, so a crash between two table writes self-heals
-    on the next idempotent pass (same keys → same rows).
+    the control plane, and every merge is idempotent (same keys →
+    same rows), so replay after any crash converges.
 
 At cluster scale each bucket rewrite is one task-parallel job over
-the incoming batch's buckets; unrelated partitions are untouched, so
-concurrent backfills of disjoint pulse ranges don't conflict.
+the incoming batch's buckets; unrelated partitions are untouched, and
+the manifest IS the file listing — a read never LISTs the object
+store. Warehouses written before the log existed (or fixtures written
+straight to the directory, e.g. scripts/scale_relational.py) read via
+the legacy directory path and are adopted into an initial manifest on
+their first transactional write (`manifest.adopt`).
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
+import re
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors.exceptions.captured import AnalysisException
 
 from block_explorer_spark import schemas
+from block_explorer_spark.sources import manifest as Mf
 
 PULSE_BUCKET_SIZE = 1000
 
@@ -49,6 +68,8 @@ TABLE_SCHEMAS = {
     "records": schemas.RECORDS,
 }
 
+_BUCKET_RE = re.compile(r"pulse_bucket=(-?\d+)")
+
 
 def with_bucket(df: DataFrame) -> DataFrame:
     return df.withColumn(
@@ -60,6 +81,56 @@ def table_path(base: str, name: str) -> str:
     return os.path.join(base, name)
 
 
+def _full_schema(name: str):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(TABLE_SCHEMAS[name].fields)
+        + [T.StructField("pulse_bucket", T.LongType())]
+    )
+
+
+def _rel_bucket(rel: str) -> int | None:
+    m = _BUCKET_RE.search(rel)
+    return int(m.group(1)) if m else None
+
+
+def _bucket_rels(rels: list[str], buckets) -> list[str]:
+    """Python-side partition pruning over manifest relpaths — the
+    manifest is the file listing, so pruning costs no filesystem
+    round trips (corpus_store._bucket_files' relational twin)."""
+    want = set(buckets)
+    return [r for r in rels if _rel_bucket(r) in want]
+
+
+def _read_rels(
+    spark: SparkSession,
+    base: str,
+    name: str,
+    rels: list[str],
+    ignore_corrupt: bool = False,
+) -> DataFrame:
+    """File-list read of manifested table files, schema-pinned, with
+    the pulse_bucket partition column derived from the paths."""
+    if not rels:
+        return spark.createDataFrame([], _full_schema(name))
+    reader = spark.read.schema(_full_schema(name)).option(
+        "basePath", table_path(base, name)
+    )
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return reader.parquet(*sorted(os.path.join(base, r) for r in rels))
+
+
+def _adopt_if_legacy(base: str) -> None:
+    """First transactional write against a warehouse written before
+    the manifest log (or populated by direct .parquet() writes, e.g.
+    the scale fixtures): commit the pre-existing files as version 1 so
+    the CAS protocol governs everything after. Idempotent."""
+    if Mf.current_version(base) == 0:
+        Mf.adopt(base, {name: name for name in TABLE_SCHEMAS})
+
+
 def read_table(
     spark: SparkSession,
     base: str,
@@ -67,73 +138,222 @@ def read_table(
     pulse_gte: int | None = None,
     pulse_lte: int | None = None,
     ignore_corrupt: bool = False,
+    snapshot: dict | None = None,
 ) -> DataFrame:
     """Schema-pinned read; drops the physical bucket column.
 
-    Pulse bounds, when given, are applied to BOTH `pulse_number` and
-    the `pulse_bucket` partition column *before* the bucket column is
-    dropped. The bucket predicate is what turns a pulse range into
-    directory-level partition pruning (`PartitionFilters` in the plan)
-    — a filter on `pulse_number` alone only skips row groups after
-    every bucket directory has already been listed, which at 100 TB is
-    the difference between touching one bucket and listing them all.
-    Catalyst cannot derive bucket = pulse_number // N on its own
-    (plain parquet has no generated-column metadata), so the read
-    layer owns the equivalence. (Pinned by
-    test_plan_quality::test_pulse_bounds_prune_partitions.)
+    Manifested warehouses read the snapshot's file list (pass
+    `snapshot` to pin one across several reads — reader isolation
+    under concurrent upserts/deletes). Pulse bounds prune buckets
+    Python-side over the manifest relpaths AND as partition filters,
+    so a pulse range touches one bucket's bytes, not the table's.
+    Warehouses with no manifest (pre-round-6, or fixtures written
+    straight to the directory) fall back to the legacy directory
+    read, where the bucket predicate drives Spark's own partition
+    pruning (`PartitionFilters`, pinned by
+    test_plan_quality::test_pulse_bounds_prune_partitions).
 
     The read passes the pinned schema EXPLICITLY rather than letting
     Spark sample footers: under schema evolution (a newer engine adds
     a column to TABLE_SCHEMAS) buckets written before the upgrade
-    simply null-fill the new column per file — deterministic,
-    whichever file the footer sampler would have picked — and the
-    inference listing is skipped entirely (at 100 TB, footer sampling
-    is an extra S3 round per read). Pinned by
+    simply null-fill the new column per file — deterministic — and
+    the inference listing is skipped entirely (at 100 TB, footer
+    sampling is an extra S3 round per read). Pinned by
     test_write_path::test_schema_evolution_old_buckets_null_fill.
 
     ignore_corrupt=True opts this read into skipping undecodable files
     (the operational sweep mode after partial hardware loss); the
     default surfaces corruption loudly.
     """
-    from pyspark.sql import types as T
-
-    path = table_path(base, name)
     cols = [f.name for f in TABLE_SCHEMAS[name].fields]
-    full = T.StructType(
-        list(TABLE_SCHEMAS[name].fields) + [T.StructField("pulse_bucket", T.LongType())]
-    )
-    try:
-        reader = spark.read.schema(full)
-        if ignore_corrupt:
-            reader = reader.option("ignoreCorruptFiles", "true")
-        df = reader.parquet(path)  # absent path raises eagerly
-    except AnalysisException:
-        # Table not materialized yet (e.g. every drop of the first
-        # batch failed validation, or a fresh warehouse): an absent
-        # table IS an empty table — schemas are pinned, so serve the
-        # typed empty relation instead of failing the read. The
-        # reference gets this for free from CREATE TABLE migrations.
-        return spark.createDataFrame([], TABLE_SCHEMAS[name])
+    lo_b = pulse_gte // PULSE_BUCKET_SIZE if pulse_gte is not None else None
+    hi_b = pulse_lte // PULSE_BUCKET_SIZE if pulse_lte is not None else None
+
+    if snapshot is None and Mf.current_version(base) == 0:
+        # legacy directory layout
+        path = table_path(base, name)
+        try:
+            reader = spark.read.schema(_full_schema(name))
+            if ignore_corrupt:
+                reader = reader.option("ignoreCorruptFiles", "true")
+            df = reader.parquet(path)  # absent path raises eagerly
+        except AnalysisException:
+            # Absent table IS an empty table — schemas are pinned, so
+            # serve the typed empty relation (the reference gets this
+            # from CREATE TABLE migrations).
+            return spark.createDataFrame([], TABLE_SCHEMAS[name])
+    else:
+        m = snapshot if snapshot is not None else Mf.read(base)
+        rels = m["families"].get(name, [])
+        if lo_b is not None or hi_b is not None:
+            rels = [
+                r
+                for r in rels
+                if (b := _rel_bucket(r)) is None
+                or ((lo_b is None or b >= lo_b) and (hi_b is None or b <= hi_b))
+            ]
+        if not rels:
+            return spark.createDataFrame([], TABLE_SCHEMAS[name])
+        df = _read_rels(spark, base, name, rels, ignore_corrupt)
+
     if pulse_gte is not None:
         df = df.filter(
-            (F.col("pulse_bucket") >= pulse_gte // PULSE_BUCKET_SIZE)
-            & (F.col("pulse_number") >= pulse_gte)
+            (F.col("pulse_bucket") >= lo_b) & (F.col("pulse_number") >= pulse_gte)
         )
     if pulse_lte is not None:
         df = df.filter(
-            (F.col("pulse_bucket") <= pulse_lte // PULSE_BUCKET_SIZE)
-            & (F.col("pulse_number") <= pulse_lte)
+            (F.col("pulse_bucket") <= hi_b) & (F.col("pulse_number") <= pulse_lte)
         )
     return df.select(*cols)
 
 
 def init_table(spark: SparkSession, base: str, name: str) -> None:
-    """Create an empty partitioned table if absent."""
+    """Create an empty partitioned table directory if absent (an
+    absent table already reads as empty; this exists for layout
+    tooling that expects the directory)."""
     path = table_path(base, name)
     if os.path.exists(path):
         return
     empty = spark.createDataFrame([], TABLE_SCHEMAS[name])
     with_bucket(empty).write.partitionBy("pulse_bucket").mode("append").parquet(path)
+
+
+def _plan_and_stage(
+    spark: SparkSession,
+    base: str,
+    snap: dict,
+    name: str,
+    prep: DataFrame,
+    batch_keys: DataFrame,
+    buckets: list[int],
+    key_bucket_affinity: bool,
+) -> tuple[list[str], list[str]]:
+    """One table's share of a transactional upsert against a pinned
+    snapshot: stage the files, return (staged_rels, new_family_list).
+    Nothing is visible until the caller's manifest commit."""
+    keys = TABLE_KEYS[name]
+    rels = snap["families"].get(name, [])
+
+    if not key_bucket_affinity and rels:
+        # Column-pruned key scan over the full table: any bucket that
+        # already holds one of the batch's keys joins the rewrite set,
+        # so its stale copy is anti-joined away below (the reference's
+        # global ON CONFLICT semantics, storage.go:28-94, at the cost
+        # of an O(table keys) scan per merge).
+        stale = [
+            r.pulse_bucket
+            for r in _read_rels(spark, base, name, rels)
+            .select(*keys, "pulse_bucket")
+            .join(F.broadcast(batch_keys), on=keys, how="left_semi")
+            .select("pulse_bucket")
+            .distinct()
+            .collect()
+        ]
+        buckets = sorted(set(buckets) | set(stale))
+
+    touched = _bucket_rels(rels, buckets)
+    existing = _read_rels(spark, base, name, touched)
+
+    # Fast path — the steady-state ingest case: if no batch key already
+    # exists in the touched buckets (a column-pruned key scan + semi
+    # join), the batch stages as pure new files and the old bucket data
+    # is never rewritten. Cost O(batch), not O(bucket) — at 100 TB a
+    # bucket is GB-scale while a micro-batch is KB-scale. Replays and
+    # updates (key collision) fall through to the merge-rewrite,
+    # preserving upsert semantics.
+    collisions = 0
+    if touched:
+        collisions = (
+            existing.select(*keys)
+            .join(F.broadcast(batch_keys), on=keys, how="left_semi")
+            .limit(1)
+            .count()
+        )
+    if collisions == 0:
+        new_rels = Mf.stage_df(prep, base, name, partition_by="pulse_bucket")
+        return new_rels, rels + new_rels
+
+    kept = existing.join(F.broadcast(batch_keys), on=keys, how="left_anti")
+    merged = kept.select(*prep.columns).unionByName(prep)
+    new_rels = Mf.stage_df(merged, base, name, partition_by="pulse_bucket")
+    survivors = [r for r in rels if r not in set(touched)]
+    return new_rels, survivors + new_rels
+
+
+def upsert_many(
+    spark: SparkSession,
+    base: str,
+    batches: dict[str, DataFrame],
+    *,
+    key_bucket_affinity: bool = True,
+) -> None:
+    """MERGE several tables' batches in ONE atomic manifest commit —
+    the multi-table transaction of the reference's load path
+    (etl/storage/storage.go:28-82: jet drops + records + counters in
+    a single Postgres txn). whenMatched → replace with batch row (ON
+    CONFLICT DO UPDATE); whenNotMatched → insert. Re-running the same
+    batches is a no-op by construction.
+
+    Key→bucket affinity: by default PK uniqueness is enforced within
+    the buckets the batch touches, under the invariant that a key
+    never changes its pulse_number (and hence bucket) — true for the
+    reference's data, whose record/jet-drop identity embeds the pulse
+    number. Pass ``key_bucket_affinity=False`` for sources that cannot
+    guarantee it (widens the collision check to a column-pruned key
+    scan of the whole table).
+
+    Concurrency: staging runs against a pinned snapshot; if another
+    writer commits first the CAS fails, this writer discards its
+    staged files and re-merges against the new snapshot — racing
+    same-bucket upserts never lose rows. Per-table staging jobs run in
+    parallel threads (they are independent Spark jobs)."""
+    _adopt_if_legacy(base)
+    prepped: dict[str, tuple] = {}
+    for name, batch in batches.items():
+        keys = TABLE_KEYS[name]
+        prep = with_bucket(batch.dropDuplicates(keys)).cache()
+        buckets = [
+            r.pulse_bucket
+            for r in prep.select("pulse_bucket").distinct().collect()
+        ]
+        if not buckets:  # empty batch: nothing to merge
+            prep.unpersist()
+            continue
+        prepped[name] = (prep, prep.select(*keys).distinct(), buckets)
+    if not prepped:
+        return
+
+    try:
+        with Mf.write_intent(base):
+            while True:
+                snap = Mf.read(base)
+                families = dict(snap["families"])
+                staged: list[str] = []
+
+                def one(item):
+                    name, (prep, bkeys, buckets) = item
+                    return name, _plan_and_stage(
+                        spark, base, snap, name, prep, bkeys, buckets,
+                        key_bucket_affinity,
+                    )
+
+                if len(prepped) > 1:
+                    with ThreadPoolExecutor(max_workers=len(prepped)) as ex:
+                        results = list(ex.map(one, prepped.items()))
+                else:
+                    results = [one(next(iter(prepped.items())))]
+                for name, (new_rels, family) in results:
+                    staged.extend(new_rels)
+                    families[name] = family
+                try:
+                    Mf.commit(base, families, expect_version=snap["version"])
+                    return
+                except Mf.CommitConflict:
+                    # loser path: re-merge against the winner's commit
+                    Mf.discard(base, staged)
+    finally:
+        for prep, _, _ in prepped.values():
+            prep.unpersist()
 
 
 def upsert(
@@ -144,114 +364,10 @@ def upsert(
     *,
     key_bucket_affinity: bool = True,
 ) -> None:
-    """MERGE `batch` into the table keyed on TABLE_KEYS[name].
-
-    whenMatched → replace with batch row (reference's ON CONFLICT DO
-    UPDATE); whenNotMatched → insert. Implemented as: read only the
-    buckets the batch touches, anti-join out rows whose key appears in
-    the batch, union the batch, dynamic-partition-overwrite those
-    buckets. Re-running the same batch is a no-op by construction.
-
-    Key→bucket affinity: by default PK uniqueness is enforced within
-    the buckets the batch touches, under the invariant that a key never
-    changes its pulse_number (and hence bucket). The invariant holds
-    for the reference's data — insolar record/jet-drop identity embeds
-    the pulse number (record IDs carry their pulse in the leading
-    bytes; jet_drops/pulses key ON pulse_number itself), so a
-    re-delivered key always lands in its original bucket. Pass
-    ``key_bucket_affinity=False`` when ingesting from a source that
-    cannot guarantee this: the collision check then widens to a
-    column-pruned key scan of the whole table and stale copies of
-    batch keys in *other* buckets are rewritten out, matching the
-    reference's global ON CONFLICT semantics (storage.go:28-94) at the
-    cost of an O(table keys) scan per merge.
-    """
-    keys = TABLE_KEYS[name]
-    path = table_path(base, name)
-    batch = with_bucket(batch.dropDuplicates(keys))
-
-    if not os.path.exists(path):
-        batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
-        return
-
-    try:
-        # Schema probe: a directory that exists but holds no parquet
-        # (an earlier batch wrote 0 rows — e.g. every drop failed
-        # validation) is an empty table; append is the whole merge.
-        spark.read.parquet(path).schema
-    except AnalysisException:
-        batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
-        return
-
-    batch_keys = batch.select(*keys).distinct()
-    buckets = [r.pulse_bucket for r in batch.select("pulse_bucket").distinct().collect()]
-
-    if not key_bucket_affinity:
-        # Column-pruned key scan over the full table: any bucket that
-        # already holds one of the batch's keys joins the rewrite set,
-        # so its stale copy is anti-joined away below.
-        stale_buckets = [
-            r.pulse_bucket
-            for r in spark.read.parquet(path)
-            .select(*keys, "pulse_bucket")
-            .join(F.broadcast(batch_keys), on=keys, how="left_semi")
-            .select("pulse_bucket")
-            .distinct()
-            .collect()
-        ]
-        buckets = sorted(set(buckets) | set(stale_buckets))
-
-    existing = spark.read.parquet(path).filter(F.col("pulse_bucket").isin(buckets))
-
-    # Fast path — the steady-state ingest case: if no batch key already
-    # exists in the touched buckets (a column-pruned key scan + semi
-    # join), plain append suffices and the old bucket data is never
-    # rewritten. Cost O(batch), not O(bucket) — at 100 TB a bucket is
-    # GB-scale while a micro-batch is KB-scale, so rewriting the bucket
-    # per batch would dominate ingest. Replays/updates (key collision)
-    # fall through to the merge-rewrite, preserving upsert semantics.
-    collisions = (
-        existing.select(*keys)
-        .join(F.broadcast(batch_keys), on=keys, how="left_semi")
-        .limit(1)
-        .count()
+    """Single-table MERGE (see upsert_many)."""
+    upsert_many(
+        spark, base, {name: batch}, key_bucket_affinity=key_bucket_affinity
     )
-    if collisions == 0:
-        batch.write.partitionBy("pulse_bucket").mode("append").parquet(path)
-        return
-
-    kept = existing.join(F.broadcast(batch_keys), on=keys, how="left_anti")
-    merged = kept.select(*batch.columns).unionByName(batch)
-
-    # Materialize the merge to a staging directory BEFORE overwriting:
-    # the dynamic-partition-overwrite below must never lazily re-read
-    # the very directories it is replacing (a crash mid-rewrite would
-    # otherwise permanently lose the pre-existing rows of the touched
-    # buckets). With staging, a crash before the final overwrite leaves
-    # the table untouched; the remaining non-atomic window is Spark's
-    # own per-partition commit protocol, and replaying the batch heals
-    # it (same keys → same rows). The reference gets full atomicity
-    # from a single Postgres txn (storage.go:28-94); bucket rewrites
-    # here are idempotent-but-not-atomic, by design.
-    staging = os.path.join(base, f".staging-{name}-{uuid.uuid4().hex}")
-    try:
-        merged.write.partitionBy("pulse_bucket").mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        (
-            staged.write.partitionBy("pulse_bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(path)
-        )
-        # Dynamic overwrite only replaces buckets present in the output:
-        # a rewrite-set bucket whose every row was superseded (possible
-        # only in the affinity=False path) would otherwise keep its
-        # stale directory.
-        written = {r.pulse_bucket for r in staged.select("pulse_bucket").distinct().collect()}
-        for b in set(buckets) - written:
-            shutil.rmtree(os.path.join(path, f"pulse_bucket={b}"), ignore_errors=True)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
 
 
 def save_jet_drop_data(
@@ -260,16 +376,13 @@ def save_jet_drop_data(
     jet_drops: DataFrame,
     records: DataFrame,
 ) -> None:
-    """S4: persist a batch of canonical jet drops + their records.
-
-    Two idempotent MERGEs (drops keyed (pulse, jet), records keyed
-    reference). The reference wraps these plus counter bumps in one
-    Postgres txn (etl/storage/storage.go:28-82); here counters are
-    derived so partial failure between the two writes self-heals on
-    retry — same keys produce the same final state.
+    """S4: persist a batch of canonical jet drops + their records in
+    ONE atomic commit (drops keyed (pulse, jet), records keyed
+    reference) — the same all-or-nothing visibility as the reference's
+    single load txn (etl/storage/storage.go:28-82). Counters are
+    derived, so replay after any crash converges to the same state.
     """
-    upsert(spark, base, "jet_drops", jet_drops)
-    upsert(spark, base, "records", records)
+    upsert_many(spark, base, {"jet_drops": jet_drops, "records": records})
 
 
 def save_pulse(spark: SparkSession, base: str, pulses: DataFrame) -> None:
@@ -319,71 +432,56 @@ def refresh_pulse_counters(spark: SparkSession, base: str) -> None:
 
 
 def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
-    """Targeted delete: remove rows matching `predicate`, rewriting
-    ONLY the buckets that contain matches. Returns rows deleted.
-
-    The retention / right-to-be-forgotten sweep a long-lived corpus
-    warehouse needs: at 100 TB a delete must not touch the 99.9% of
-    bucket directories with no matching rows. Same staging discipline
-    as upsert (idempotent-but-not-atomic: replaying the same delete
-    is a no-op); a bucket whose every row matches is removed outright.
-    """
-    path = table_path(base, name)
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException:
-        return 0
-    hit_buckets = [
-        r.pulse_bucket
-        for r in df.filter(predicate).select("pulse_bucket").distinct().collect()
-    ]
-    if not hit_buckets:
-        return 0
-    touched = df.filter(F.col("pulse_bucket").isin(hit_buckets))
-    # Keep rows where the predicate is NOT TRUE. A bare ~predicate drops
-    # NULL-predicate rows too (three-valued logic: ~NULL is NULL, and
-    # filter discards NULL) — e.g. an equality test on a nullable column
-    # would silently delete every NULL row in a hit bucket. Delete must
-    # remove exactly the rows the match pass (filter(predicate)) saw.
-    kept = touched.filter(~F.coalesce(predicate, F.lit(False)))
-    n_deleted = touched.count() - kept.count()
-
-    staging = os.path.join(base, f".staging-{name}-{uuid.uuid4().hex}")
-    try:
-        kept.write.partitionBy("pulse_bucket").mode("overwrite").parquet(staging)
-        try:
-            staged = spark.read.parquet(staging)
-            written = {
-                r.pulse_bucket for r in staged.select("pulse_bucket").distinct().collect()
-            }
-            (
-                staged.write.partitionBy("pulse_bucket")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-                .parquet(path)
+    """Targeted delete (retention / right-to-be-forgotten): remove
+    rows matching `predicate`, rewriting ONLY the buckets that contain
+    matches, published as one atomic manifest swap. Returns rows
+    deleted. A reader holding the pre-delete snapshot keeps it (old
+    files are immutable until vacuum — pinned by
+    test_write_path::test_reader_snapshot_survives_delete); a bucket
+    whose every row matched simply stops being listed. Rows where the
+    predicate evaluates to NULL are KEPT (three-valued logic: delete
+    removes exactly the rows `filter(predicate)` matches)."""
+    _adopt_if_legacy(base)
+    with Mf.write_intent(base):
+        while True:
+            snap = Mf.read(base)
+            rels = snap["families"].get(name, [])
+            if not rels:
+                return 0
+            df = _read_rels(spark, base, name, rels)
+            hit_buckets = [
+                r.pulse_bucket
+                for r in df.filter(predicate)
+                .select("pulse_bucket")
+                .distinct()
+                .collect()
+            ]
+            if not hit_buckets:
+                return 0
+            touched = _bucket_rels(rels, hit_buckets)
+            tdf = _read_rels(spark, base, name, touched)
+            kept = tdf.filter(~F.coalesce(predicate, F.lit(False)))
+            n_deleted = tdf.count() - kept.count()
+            new_rels = Mf.stage_df(
+                kept, base, name, partition_by="pulse_bucket"
             )
-        except AnalysisException:
-            written = set()  # every row of every hit bucket deleted
-        for b in set(hit_buckets) - written:
-            shutil.rmtree(os.path.join(path, f"pulse_bucket={b}"), ignore_errors=True)
-        # rmtree bypasses Spark's write path: evict the stale file
-        # listing or a later read of this table FileNotFounds
-        spark.catalog.refreshByPath(path)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
-    return n_deleted
+            families = dict(snap["families"])
+            families[name] = [
+                r for r in rels if r not in set(touched)
+            ] + new_rels
+            try:
+                Mf.commit(base, families, expect_version=snap["version"])
+                return n_deleted
+            except Mf.CommitConflict:
+                Mf.discard(base, new_rels)
 
 
-def _bucket_files(path: str) -> dict[str, list[str]]:
-    out: dict[str, list[str]] = {}
-    if not os.path.isdir(path):
-        return out
-    for entry in os.listdir(path):
-        if entry.startswith("pulse_bucket="):
-            d = os.path.join(path, entry)
-            out[entry] = sorted(
-                f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith(".")
-            )
+def _files_per_bucket(rels: list[str]) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for r in rels:
+        b = _rel_bucket(r)
+        if b is not None:
+            out.setdefault(b, []).append(r)
     return out
 
 
@@ -396,38 +494,46 @@ def compact_table(
     10 s batches is ~8600 files per hot bucket, and file-open overhead
     then dominates scans). Rewrites ONLY the offending buckets, one
     task (= one output file) per bucket via repartition on the bucket
-    column. Returns {buckets_compacted, files_before, files_after}.
+    column, published as one manifest swap (readers keep their
+    snapshot; old files wait for vacuum). Returns
+    {buckets_compacted, files_before, files_after}.
     """
-    path = table_path(base, name)
-    per_bucket = _bucket_files(path)
-    needy = {d: fs for d, fs in per_bucket.items() if len(fs) > max_files_per_bucket}
-    if not needy:
-        return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
-    bucket_ids = [int(d.split("=", 1)[1]) for d in needy]
-    files_before = sum(len(fs) for fs in needy.values())
-
-    df = spark.read.parquet(path).filter(F.col("pulse_bucket").isin(bucket_ids))
-    staging = os.path.join(base, f".staging-{name}-{uuid.uuid4().hex}")
-    try:
-        (
-            df.repartition("pulse_bucket")
-            .write.partitionBy("pulse_bucket")
-            .mode("overwrite")
-            .parquet(staging)
-        )
-        staged = spark.read.parquet(staging)
-        (
-            staged.write.partitionBy("pulse_bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(path)
-        )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
-    after = _bucket_files(path)
-    files_after = sum(len(after.get(d, [])) for d in needy)
-    return {
-        "buckets_compacted": len(needy),
-        "files_before": files_before,
-        "files_after": files_after,
-    }
+    _adopt_if_legacy(base)
+    with Mf.write_intent(base):
+        while True:
+            snap = Mf.read(base)
+            rels = snap["families"].get(name, [])
+            per_bucket = _files_per_bucket(rels)
+            needy = {
+                b: fs
+                for b, fs in per_bucket.items()
+                if len(fs) > max_files_per_bucket
+            }
+            if not needy:
+                return {
+                    "buckets_compacted": 0,
+                    "files_before": 0,
+                    "files_after": 0,
+                }
+            files_before = sum(len(fs) for fs in needy.values())
+            touched = [r for fs in needy.values() for r in fs]
+            df = _read_rels(spark, base, name, touched)
+            new_rels = Mf.stage_df(
+                df.repartition("pulse_bucket"),
+                base,
+                name,
+                partition_by="pulse_bucket",
+            )
+            families = dict(snap["families"])
+            families[name] = [
+                r for r in rels if r not in set(touched)
+            ] + new_rels
+            try:
+                Mf.commit(base, families, expect_version=snap["version"])
+                return {
+                    "buckets_compacted": len(needy),
+                    "files_before": files_before,
+                    "files_after": len(new_rels),
+                }
+            except Mf.CommitConflict:
+                Mf.discard(base, new_rels)

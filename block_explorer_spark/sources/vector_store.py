@@ -99,7 +99,23 @@ def read_vectors(
     spark: SparkSession, base: str, snapshot: dict | None = None
 ) -> DataFrame:
     m = snapshot if snapshot is not None else Mf.read(base)
+    if m["version"] == 0 and os.path.isdir(_data_path(base)):
+        orphans = Mf.unmanifested_files(base, ["vectors"])
+        if orphans:
+            raise RuntimeError(
+                f"vector store at {base} has data files but no "
+                f"committed manifest (pre-manifest writer?). Run "
+                f"vector_store.migrate(base) once to adopt them; "
+                f"reading would silently return an empty store."
+            )
     return _read_files(spark, base, m["families"].get("vectors", []))
+
+
+def migrate(base: str) -> int:
+    """One-shot adoption of a store written before the manifest log
+    (round <= 4 writers): commits unlisted parquet files under
+    vectors/ into the next manifest version. Idempotent."""
+    return Mf.adopt(base, {"vectors": "vectors"})
 
 
 def create(
@@ -284,11 +300,14 @@ def start_ingest_stream(
     )
 
 
+@Mf.with_write_intent
 def canonicalize(spark: SparkSession, base: str) -> int:
     """Enforce one-row-per-vec_id across the store. Racing adds now
     serialize through the manifest CAS (add_batch), so the sweep is
-    defense-in-depth: repair for stores corrupted out-of-band or
-    migrated from pre-manifest writers — corpus_store.canonicalize's
+    defense-in-depth: repair for stores whose MANIFESTED data was
+    corrupted out-of-band, or that were adopted via `migrate(base)`
+    AFTER running it (it reads via the manifest, so it cannot see
+    un-adopted pre-manifest files) — corpus_store.canonicalize's
     twin. The survivor is deterministic: min centroid_id, then min
     embedding hash (the tiebreak only matters for genuinely divergent
     re-adds). The commit is one manifest swap replacing the hit

@@ -22,7 +22,6 @@ The same `ingest_batch` drives the non-streaming micro-batch loop
 from __future__ import annotations
 
 import os
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,15 +130,15 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
                 )
             except Exception:
                 prior = 0  # unreadable/empty dir: first batch ever
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            futures = [
-                ex.submit(pq.save_pulse, spark, base, pulses),
-                ex.submit(pq.upsert, spark, base, "records", records),
-            ]
-            if not prior:
-                futures.append(ex.submit(pq.upsert, spark, base, "jet_drops", drops))
-            for f in futures:
-                f.result()
+        # Round 6: ONE manifest commit for the whole load — pulses,
+        # records and (steady state) jet_drops publish atomically,
+        # matching the reference's single load txn (storage.go:28-82).
+        # upsert_many stages the per-table writes in parallel threads
+        # internally, so this keeps the previous concurrency.
+        batches = {"pulses": pulses, "records": records}
+        if not prior:
+            batches["jet_drops"] = drops
+        pq.upsert_many(spark, base, batches)
         if prior:
             # Split-pulse path only: recompute counts from the merged
             # fact table (bucket-pruned to the touched pulses), then

@@ -74,3 +74,49 @@ def test_learn_bpe_spark_matches_local_trainer(spark):
         c.update(t.strip().lower().split())
     want = B.train_merges(sorted(c.items(), key=lambda kv: (-kv[1], kv[0])), 8)
     assert got == want
+
+
+def test_fast_trainer_matches_naive():
+    """Round-6 item 2: the incremental-pair-count trainer must be
+    byte-for-byte the naive trainer (full rescan per merge) on a
+    fixture corpus — including tie-breaks, overlap handling (runs of
+    one char), and early stop."""
+    import random
+
+    rng = random.Random(42)
+    words = {}
+    text = (
+        "the quick brown fox jumps over the lazy dog repeatedly while "
+        "tokenization needs deterministic byte pair encoding merges "
+        "aaaa aaaaaaa banana internationalization"
+    )
+    for w in text.split():
+        words[w] = words.get(w, 0) + rng.randint(1, 50)
+    for _ in range(300):
+        w = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 12)))
+        words[w] = words.get(w, 0) + rng.randint(1, 20)
+    wc = sorted(words.items())
+    for n in (1, 7, 40, 300, 5000):  # 5000 > exhaustion: early stop too
+        assert B.train_merges(wc, n) == B.train_merges_naive(wc, n), n
+
+
+def test_fast_trainer_production_vocab_speed():
+    """32k merges over a 10k-type table must train in seconds (the
+    naive rescan is O(merges x types x word_len) — hours). Generous
+    CI bound; the measured figure lives in SCALE.md (bpe_train)."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    types = {}
+    for _ in range(10_000):
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(3, 15))
+        )
+        types[w] = rng.randint(1, 1000)
+    t0 = time.time()
+    merges = B.train_merges(sorted(types.items()), 32_000)
+    dt = time.time() - t0
+    assert len(merges) == 32_000
+    assert dt < 60, f"32k-merge training took {dt:.1f}s"

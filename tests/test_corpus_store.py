@@ -89,7 +89,7 @@ def test_ingest_crash_before_commit_is_invisible_and_replay_converges(spark, bas
     n_files_before = len(
         glob.glob(os.path.join(base, "corpus", "fp_bucket=*", "*.parquet"))
     )
-    removed = Mf.vacuum(base)
+    removed = Mf.vacuum(base, min_age_s=0)
     assert removed == len(orphans)
     n_files_after = len(
         glob.glob(os.path.join(base, "corpus", "fp_bucket=*", "*.parquet"))
@@ -416,7 +416,7 @@ def test_ingest_conflict_forces_revalidation(spark, base, monkeypatch):
     assert got.count() == 3
     assert got.select("fp").distinct().count() == 3
     # B's discarded staged files are unreferenced -> vacuum removes them
-    assert Mf.vacuum(base) >= 0
+    assert Mf.vacuum(base, min_age_s=0) >= 0
     assert cs.read_corpus(spark, base).count() == 3
 
 
@@ -446,7 +446,7 @@ def test_compact_shrinks_files_preserves_data(spark, base):
     assert cs.read_bands(spark, base).count() == n_bands
     # old snapshot still readable until vacuum
     assert cs.read_corpus(spark, base, before).count() == len(want)
-    Mf.vacuum(base)
+    Mf.vacuum(base, min_age_s=0)
     assert cs.read_corpus(spark, base).count() == len(want)
 
 
@@ -459,3 +459,34 @@ def test_ingest_writes_one_file_per_touched_bucket(spark, base):
     buckets = {r.split("fp_bucket=")[1].split(os.sep)[0] for r in rels}
     # one file per bucket, not one per (task x bucket)
     assert len(rels) == len(buckets)
+
+
+def test_pre_manifest_store_raises_until_migrated(spark, base):
+    """round-5 ADVICE: a store directory holding data files with NO
+    committed manifest must raise loudly (it would otherwise silently
+    read as empty), and migrate() must adopt the files exactly once."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    # fabricate a pre-manifest (round<=4) store: files under corpus/
+    # but no _manifest log at all
+    prepared = cs._prepared(
+        spark.createDataFrame([_doc(1, LONG), _doc(2, LONG + " x")], COLS)
+    )
+    prepared.write.mode("overwrite").partitionBy("fp_bucket").parquet(
+        os.path.join(base, "corpus")
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "_manifest"), ignore_errors=True)
+    with pytest.raises(RuntimeError, match="migrate"):
+        cs.read_corpus(spark, base).count()
+    n = cs.migrate(base)
+    assert n >= 1
+    assert {r.doc_id for r in cs.read_corpus(spark, base).collect()} == {1, 2}
+    assert cs.migrate(base) == 0  # idempotent
+    # and normal ingest continues on the adopted store
+    stats = cs.ingest(
+        spark, base,
+        spark.createDataFrame([_doc(1, LONG), _doc(9, LONG + " y z")], COLS),
+    )
+    assert stats["n_known"] == 1 and stats["n_added"] == 1

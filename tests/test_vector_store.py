@@ -201,7 +201,7 @@ def test_canonicalize_removes_fully_emptied_cell(spark, base):
     got = vs.read_vectors(spark, base)
     assert got.count() == 60
     assert got.filter(F.col("centroid_id") == fake_cell).count() == 0
-    Mf.vacuum(base)
+    Mf.vacuum(base, min_age_s=0)
     assert not os.path.exists(
         os.path.join(base, "vectors", f"centroid_id={fake_cell}"))
 
@@ -251,3 +251,21 @@ def test_concurrent_adds_never_duplicate(spark, base):
     assert got.select("vec_id").distinct().count() == 71
     assert sum(r["n_added"] for r in results.values()) == 11
     assert vs.canonicalize(spark, base) == 0
+
+
+def test_pre_manifest_vector_store_raises_until_migrated(spark, base):
+    """round-5 ADVICE twin of the corpus-store case: data files without
+    a manifest raise loudly; migrate() adopts them once."""
+    import shutil
+
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    want = {r.vec_id for r in vs.read_vectors(spark, base).collect()}
+    # simulate a pre-manifest store: keep the data files, drop the log
+    shutil.rmtree(os.path.join(base, "_manifest"))
+    with pytest.raises(RuntimeError, match="migrate"):
+        vs.read_vectors(spark, base).count()
+    assert vs.migrate(base) >= 1
+    got = {r.vec_id for r in vs.read_vectors(spark, base).collect()}
+    assert got == want
+    assert vs.migrate(base) == 0

@@ -216,25 +216,32 @@ def test_delete_where_touches_only_matching_buckets(spark, base):
     assert left.filter(F.col("pulse_number") == 1500).count() == 3
     assert sorted(os.listdir(bucket1)) == files_before  # untouched bucket intact
 
-    # deleting everything in a bucket removes its directory
+    # deleting everything in a bucket stops listing it (round 6: the
+    # commit is a manifest swap; files persist for snapshot readers
+    # until vacuum physically removes them and their empty directory)
+    from block_explorer_spark.sources import manifest as Mf
+
     n = pq.delete_where(spark, base, "records", F.col("pulse_number") == 1500)
     assert n == 3
+    assert pq.read_table(spark, base, "records").filter(
+        F.col("pulse_number") == 1500
+    ).count() == 0
+    Mf.vacuum(base, min_age_s=0)
     assert not os.path.exists(bucket1)
     # idempotent: re-running deletes nothing
     assert pq.delete_where(spark, base, "records", F.col("pulse_number") == 1500) == 0
 
 
 def test_upsert_crash_replay(spark, base, monkeypatch):
-    """Crash-recovery contract of the staged upsert (the documented
-    idempotent-but-not-atomic window): a kill between the staging
-    write and the partition overwrite leaves the table untouched and
-    no staging litter; a kill mid-commit (some buckets rewritten,
-    others stale) self-heals when the same batch replays. Matches the
-    reference's txn semantics pinned by
-    test/integration/db_integration_test.go:106-211."""
+    """Crash-recovery contract of the transactional upsert (round 6):
+    a kill between staging and the manifest commit leaves the table
+    untouched — the staged files exist but NOTHING lists them, so
+    there is no partial state to read at all; replaying the same batch
+    completes the merge. Matches the reference's txn semantics pinned
+    by test/integration/db_integration_test.go:106-211."""
     import os
 
-    from pyspark.sql.readwriter import DataFrameWriter
+    from block_explorer_spark.sources import manifest as Mf
 
     seed = [_rec_row(500, "0", i) for i in range(3)] + [
         _rec_row(1500, "1", i) for i in range(3)
@@ -251,19 +258,16 @@ def test_upsert_crash_replay(spark, base, monkeypatch):
     batch = [dict(seed[0], payload=b"new-0"), dict(seed[3], payload=b"new-3")]
     bdf = spark.createDataFrame(batch, schemas.RECORDS)
 
-    # --- crash #1: after staging is written, before the table overwrite
-    tbl = os.path.abspath(pq.table_path(base, "records"))
-    orig_parquet = DataFrameWriter.parquet
+    # --- crash #1: after the merge is staged, before the manifest CAS
+    orig_commit = Mf.commit
 
-    def crash_on_commit(self, path, **kw):
-        if os.path.abspath(path) == tbl:
-            raise RuntimeError("injected crash before commit")
-        return orig_parquet(self, path, **kw)
+    def crash_on_commit(*a, **kw):
+        raise RuntimeError("injected crash before commit")
 
-    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_commit)
+    monkeypatch.setattr(Mf, "commit", crash_on_commit)
     with pytest.raises(Exception, match="injected crash"):
         pq.upsert(spark, base, "records", bdf)
-    monkeypatch.setattr(DataFrameWriter, "parquet", orig_parquet)
+    monkeypatch.setattr(Mf, "commit", orig_commit)
 
     after_crash = {
         bytes(r.reference): bytes(r.payload)
@@ -335,7 +339,13 @@ def test_compact_table_reduces_files_keeps_rows(spark, base):
             r["reference"] = bytes([0xC0 + batch * 3 + i])
         pq.upsert(spark, base, "records", spark.createDataFrame(rows, schemas.RECORDS))
 
-    before = pq._bucket_files(pq.table_path(base, "records"))["pulse_bucket=0"]
+    from block_explorer_spark.sources import manifest as Mf
+
+    def live_bucket_files(bucket):
+        rels = Mf.read(base)["families"]["records"]
+        return pq._files_per_bucket(rels).get(bucket, [])
+
+    before = live_bucket_files(0)
     assert len(before) >= 6  # each append fast-path left a file
     rows_before = sorted(
         r.reference for r in pq.read_table(spark, base, "records").collect()
@@ -344,7 +354,7 @@ def test_compact_table_reduces_files_keeps_rows(spark, base):
     stats = pq.compact_table(spark, base, "records", max_files_per_bucket=2)
     assert stats["buckets_compacted"] == 1
     assert stats["files_after"] < stats["files_before"]
-    after = pq._bucket_files(pq.table_path(base, "records"))["pulse_bucket=0"]
+    after = live_bucket_files(0)
     assert len(after) <= 2
     rows_after = sorted(
         r.reference for r in pq.read_table(spark, base, "records").collect()
@@ -399,8 +409,15 @@ def test_corrupt_file_surfaces_unless_opted_out(spark, base):
 
     pulses = gen.make_pulses(start=4_000_000, count=3)
     pq.upsert(spark, base, "pulses", spark.createDataFrame(pulses, schemas.PULSES))
-    bucket_dir = glob.glob(os.path.join(base, "pulses", "pulse_bucket=*"))[0]
-    with open(os.path.join(bucket_dir, "part-corrupt.snappy.parquet"), "wb") as f:
+    # bit-rot a LIVE (manifested) file in place — an out-of-band file
+    # dropped into the directory would simply be invisible (round 6:
+    # reads list the manifest, not the directory). Corrupt a second
+    # bucket's file so healthy rows remain to serve in sweep mode.
+    extra = gen.make_pulses(start=9_000_000, count=1)
+    pq.upsert(spark, base, "pulses", spark.createDataFrame(extra, schemas.PULSES))
+    victim_dir = glob.glob(os.path.join(base, "pulses", "pulse_bucket=9000"))[0]
+    victim = glob.glob(os.path.join(victim_dir, "*.parquet"))[0]
+    with open(victim, "wb") as f:
         f.write(b"not a parquet file at all")
 
     with pytest.raises(Exception):
@@ -408,3 +425,100 @@ def test_corrupt_file_surfaces_unless_opted_out(spark, base):
 
     rows = pq.read_table(spark, base, "pulses", ignore_corrupt=True).collect()
     assert len(rows) == 3
+
+
+def test_concurrent_upserts_same_bucket_lose_nothing(spark, base):
+    """Round-6 gate (VERDICT item 1): two writers merging DIFFERENT
+    rows into the SAME bucket concurrently — e.g. a backfill
+    overlapping live ingest on one pulse range — must both land. The
+    old dynamic-partition-overwrite protocol could lose the loser's
+    rows; the manifest CAS serializes them (the loser re-merges
+    against the winner's commit and retries)."""
+    import threading
+
+    seed = [_rec_row(500, "0", i) for i in range(3)]
+    for i, r in enumerate(seed):
+        r["reference"] = bytes([0xA0 + i])
+    pq.upsert(spark, base, "records", spark.createDataFrame(seed, schemas.RECORDS))
+
+    def writer(tag, start):
+        rows = [_rec_row(500, "0", start + i) for i in range(4)]
+        for i, r in enumerate(rows):
+            r["reference"] = bytes([tag, i])
+        pq.upsert(spark, base, "records", spark.createDataFrame(rows, schemas.RECORDS))
+
+    errs = []
+
+    def run(tag, start):
+        try:
+            writer(tag, start)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(0x01, 10))
+    t2 = threading.Thread(target=run, args=(0x02, 20))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    refs = sorted(
+        bytes(r.reference)
+        for r in pq.read_table(spark, base, "records").collect()
+    )
+    want = sorted(
+        [bytes([0xA0 + i]) for i in range(3)]
+        + [bytes([0x01, i]) for i in range(4)]
+        + [bytes([0x02, i]) for i in range(4)]
+    )
+    assert refs == want  # zero lost rows, zero duplicates
+
+
+def test_reader_snapshot_survives_delete(spark, base):
+    """Round-6 gate (VERDICT item 1): a reader that pinned a manifest
+    snapshot before a delete commits keeps reading the full
+    pre-delete row set (old files are immutable until vacuum), while
+    a fresh reader sees the post-delete state."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    rows = [_rec_row(500, "0", i) for i in range(6)]
+    for i, r in enumerate(rows):
+        r["reference"] = bytes([0xE0 + i])
+    pq.upsert(spark, base, "records", spark.createDataFrame(rows, schemas.RECORDS))
+
+    snap = Mf.read(base)
+    pinned = pq.read_table(spark, base, "records", snapshot=snap)
+
+    n = pq.delete_where(spark, base, "records", F.col("order") >= 3)
+    assert n == 3
+    # fresh reader: post-delete state
+    assert pq.read_table(spark, base, "records").count() == 3
+    # pinned reader: still the pre-delete world, row-for-row
+    assert pinned.count() == 6
+    # and a snapshot taken now is isolated from a LATER upsert too
+    snap2 = Mf.read(base)
+    pinned2 = pq.read_table(spark, base, "records", snapshot=snap2)
+    more = [_rec_row(500, "0", 99)]
+    more[0]["reference"] = bytes([0xFF])
+    pq.upsert(spark, base, "records", spark.createDataFrame(more, schemas.RECORDS))
+    assert pinned2.count() == 3
+    assert pq.read_table(spark, base, "records").count() == 4
+
+
+def test_save_jet_drop_data_single_atomic_commit(spark, base):
+    """Round 6: jet_drops + records publish in ONE manifest version —
+    the reference's single-txn visibility (storage.go:28-82). No
+    intermediate version exists where one table landed without the
+    other."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    pn = 4_000_000
+    drops = [_drop_row(pn, "00", 3), _drop_row(pn, "01", 3)]
+    recs = [_rec_row(pn, j, i) for j in ("00", "01") for i in range(3)]
+    v0 = Mf.current_version(base)
+    pq.save_jet_drop_data(
+        spark,
+        base,
+        spark.createDataFrame(drops, schemas.JET_DROPS),
+        spark.createDataFrame(recs, schemas.RECORDS),
+    )
+    assert Mf.current_version(base) == v0 + 1  # one commit, two tables
+    assert pq.read_table(spark, base, "jet_drops").count() == 2
+    assert pq.read_table(spark, base, "records").count() == 6
