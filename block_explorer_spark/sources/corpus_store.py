@@ -64,6 +64,19 @@ BANDS_SCHEMA = T.StructType(
     ]
 )
 
+#: ExactSubstr sidecar (round 6): one row per W-token sliding window
+#: of every ACCEPTED document — q95's candidate structure
+#: (operators/substrings.py, Lee et al. 2022 arXiv:2107.06499),
+#: persisted beside the LSH band sidecar so a crawl batch's windows
+#: can probe everything already accepted.
+WHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("whash", T.StringType()),
+    ]
+)
+
 #: Stored schema: the driver documents columns + fingerprint + token
 #: count (the two things every later pipeline stage re-derives).
 CORPUS_SCHEMA = T.StructType(
@@ -154,7 +167,7 @@ def read_corpus(
 def _raise_unmigrated(base: str) -> None:
     if Mf._oldest_inflight_start(base) is not None:
         return  # a registered writer is mid-first-commit, not legacy data
-    orphans = Mf.unmanifested_files(base, ["corpus", "bands"])
+    orphans = Mf.unmanifested_files(base, ["corpus", "bands", "whashes"])
     if orphans:
         raise RuntimeError(
             f"corpus store at {base} has data files but no committed "
@@ -170,7 +183,7 @@ def migrate(base: str) -> int:
     existed (round <= 4 writers): commits every unlisted parquet file
     under corpus/ and bands/ into the next manifest version so the
     snapshot readers see it. Idempotent; returns files adopted."""
-    return Mf.adopt(base, {"docs": "corpus", "bands": "bands"})
+    return Mf.adopt(base, {"docs": "corpus", "bands": "bands", "whashes": "whashes"})
 
 
 def _bands_path(base: str) -> str:
@@ -198,6 +211,120 @@ def read_bands(
     )
 
 
+def read_whashes(
+    spark: SparkSession, base: str, snapshot: dict | None = None
+) -> DataFrame:
+    m = snapshot if snapshot is not None else Mf.read(base)
+    rels = m["families"].get("whashes", [])
+    if not rels:
+        return spark.createDataFrame([], WHASH_SCHEMA)
+    return spark.read.schema(WHASH_SCHEMA).parquet(
+        *sorted(os.path.join(base, r) for r in rels)
+    )
+
+
+def _doc_whashes(df: DataFrame, window: int) -> DataFrame:
+    from block_explorer_spark.operators import substrings as Sub
+
+    return Sub.token_windows(df, "doc_id", "text", window).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "whash"
+    )
+
+
+def _substr_filter(
+    spark: SparkSession,
+    base: str,
+    fresh: DataFrame,
+    window: int,
+    min_tokens: int,
+    snapshot: dict,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Incremental ExactSubstr tier (round-6 item 3): strip from the
+    batch every >=W-token run that verbatim-duplicates either an
+    ACCEPTED document (probe of the persisted whash sidecar — the
+    store always wins) or an earlier position in the batch itself
+    (q95's globally-first-survives rule, batch-local).
+
+    Returns (accepted, accepted_windows, n_stripped, n_gated):
+    `accepted` carries rebuilt text/fp/ntok/fp_bucket for stripped
+    docs; docs whose stripped text falls under the token floor are
+    gated out; a stripped doc whose cleaned text now fingerprints
+    identically to a stored or batch doc is dropped as a duplicate
+    (this is also what makes REPLAY converge: re-ingesting a batch
+    whose docs were stripped reproduces the same cleaned text, whose
+    fp is already stored). `accepted_windows` is the sidecar slice to
+    commit for the accepted docs — recomputed on the FINAL text, so
+    the sidecar always mirrors what is stored.
+
+    Scale shape: window hashing is map-only over the batch; the probe
+    is one shuffle join on whash (16 B keys) whose store side reads
+    ONE projected column of the sidecar (never the corpus text); span
+    merge is one doc_id shuffle over marked rows only. Honest caveat:
+    unlike the fp tier, the probe cannot bucket-prune — a batch's
+    windows hash everywhere — so the sidecar's whash column is scanned
+    per batch (measured flat per round at bench scale,
+    scripts/store_bench.py --substr-window). At 100 TB production
+    would bound that with parquet bloom filters per sidecar file or
+    by folding probes into a daily q95 batch pass.
+    """
+    from block_explorer_spark.operators import substrings as Sub
+
+    fresh = fresh.localCheckpoint()  # cut lineage: reused ~4x below
+    wins = _doc_whashes(fresh, window).localCheckpoint()
+    stored_hashes = read_whashes(spark, base, snapshot).select("whash").distinct()
+    vs_store = wins.join(stored_hashes, "whash", "left_semi").select("doc_id", "pos")
+    in_batch = Sub.marked_occurrences(wins, "doc_id")
+    marked = vs_store.unionByName(in_batch).distinct()
+    spans = Sub.merge_spans(marked, "doc_id", window)
+    stripped = Sub.strip_spans(fresh, spans, "doc_id", "text").localCheckpoint()
+    n_stripped = stripped.count()
+    if not n_stripped:
+        return fresh, wins, 0, 0
+
+    # rebuild the stripped docs: new text -> new fp/ntok/bucket
+    rebuilt_all = _prepared(
+        fresh.select("doc_id", "lang", "source")
+        .join(stripped.select("doc_id", F.col("cleaned_text").alias("text")), "doc_id")
+        .select("doc_id", "text", "lang", "source")
+    ).localCheckpoint()
+    survivors = rebuilt_all.filter(F.col("ntok") >= min_tokens)
+    n_gated = n_stripped - survivors.count()
+
+    untouched = fresh.join(stripped.select("doc_id"), "doc_id", "left_anti")
+    # post-strip fp re-check: cleaned text may now duplicate a stored
+    # doc (the replay case) or another batch doc
+    buckets = [r.fp_bucket for r in survivors.select("fp_bucket").distinct().collect()]
+    slice_rels = _bucket_files(snapshot["families"].get("docs", []), buckets)
+    stored_fps = (
+        _read_docs_files(spark, base, slice_rels).select("fp")
+        if slice_rels
+        else spark.createDataFrame([], "fp string")
+    )
+    batch_fps = untouched.select("fp")
+    survivors = (
+        survivors.join(stored_fps, "fp", "left_anti")
+        .join(batch_fps, "fp", "left_anti")
+    )
+    # in-rebuilt fp dedup (two stripped docs converging to one text)
+    w = survivors.groupBy(F.col("fp").alias("w_fp")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    survivors = survivors.join(
+        w,
+        (survivors.fp == w.w_fp) & (survivors.doc_id == w.keep_id),
+        "left_semi",
+    ).localCheckpoint()
+    n_kept_stripped = survivors.count()
+    n_dropped_dup = n_stripped - n_gated - n_kept_stripped
+    accepted = untouched.unionByName(survivors).localCheckpoint()
+    # sidecar windows for the FINAL text: reuse the batch windows for
+    # untouched docs, recompute only the stripped survivors'
+    final_wins = wins.join(
+        stripped.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(_doc_whashes(survivors, window))
+    return accepted, final_wins, n_kept_stripped, n_gated + n_dropped_dup
+
+
 def ingest(
     spark: SparkSession,
     base: str,
@@ -205,6 +332,7 @@ def ingest(
     min_tokens: int = 20,
     max_dup_word_frac: float = 0.3,
     near_dup_threshold: float | None = None,
+    substr_window: int | None = None,
 ) -> dict:
     """One curation ingest round. Returns the audit counts
     {n_in, n_gated, n_batch_dup, n_known, n_added}.
@@ -267,7 +395,19 @@ def ingest(
                 fresh, n_near_dup = _near_dup_filter(
                     spark, base, fresh, near_dup_threshold, snap
                 )
-            n_added = n_fresh - n_near_dup
+
+            n_substr_stripped = n_substr_dropped = 0
+            accepted_wins = None
+            if substr_window is not None and n_fresh - n_near_dup:
+                (
+                    fresh,
+                    accepted_wins,
+                    n_substr_stripped,
+                    n_substr_dropped,
+                ) = _substr_filter(
+                    spark, base, fresh, substr_window, min_tokens, snap
+                )
+            n_added = n_fresh - n_near_dup - n_substr_dropped
 
             if not n_added:
                 fresh.unpersist()
@@ -290,10 +430,22 @@ def ingest(
                 if near_dup_threshold is not None
                 else []
             )
+            # whash sidecar publishes in the SAME swap as the docs it
+            # mirrors — accepted text and its substring index can
+            # never desync (the band-sidecar guarantee, extended)
+            new_whashes = (
+                _stage_write(accepted_wins.coalesce(4), base, "whashes")
+                if accepted_wins is not None
+                else []
+            )
             families = dict(snap["families"])
             families["docs"] = doc_rels + new_docs
             if new_bands:
                 families["bands"] = snap["families"].get("bands", []) + new_bands
+            if new_whashes:
+                families["whashes"] = (
+                    snap["families"].get("whashes", []) + new_whashes
+                )
             try:
                 Mf.commit(base, families, expect_version=snap["version"])
                 fresh.unpersist()
@@ -302,12 +454,12 @@ def ingest(
                 # loser path: another writer landed first — our staged
                 # files are unreferenced; discard and re-validate the
                 # dedup against the new snapshot
-                Mf.discard(base, new_docs + new_bands)
+                Mf.discard(base, new_docs + new_bands + new_whashes)
                 fresh.unpersist()
 
     prepared.unpersist()
     canon.unpersist()
-    return {
+    stats = {
         "n_in": n_in,
         "n_gated": n_gated_out,
         "n_batch_dup": n_batch_dup,
@@ -315,6 +467,10 @@ def ingest(
         "n_near_dup": n_near_dup,
         "n_added": n_added,
     }
+    if substr_window is not None:
+        stats["n_substr_stripped"] = n_substr_stripped
+        stats["n_substr_dropped"] = n_substr_dropped
+    return stats
 
 
 def _near_dup_filter(
@@ -479,17 +635,30 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
             )
             new_bands = _stage_write(remaining, base, "bands")
 
+        # the ExactSubstr sidecar forgets deleted docs in the SAME
+        # swap — otherwise future batches sharing a long run with
+        # removed content would keep getting stripped against ghosts
+        # (pinned by test_delete_forgets_substr_index)
+        new_whashes: list[str] = []
+        if snap["families"].get("whashes"):
+            remaining_w = read_whashes(spark, base, snap).join(
+                doomed.select("doc_id"), "doc_id", "left_anti"
+            )
+            new_whashes = _stage_write(remaining_w, base, "whashes")
+
         families = dict(snap["families"])
         families["docs"] = [r for r in doc_rels if r not in set(touched_rels)] + new_docs
         if snap["families"].get("bands"):
             families["bands"] = new_bands
+        if snap["families"].get("whashes"):
+            families["whashes"] = new_whashes
         try:
             Mf.commit(base, families, expect_version=snap["version"])
             return n_deleted
         except Mf.CommitConflict:
             # a racing writer committed; our rewrite was computed from
             # a stale snapshot — discard and redo against the new one
-            Mf.discard(base, new_docs + new_bands)
+            Mf.discard(base, new_docs + new_bands + new_whashes)
 
 
 INGEST_LOG_SCHEMA = T.StructType(
@@ -549,6 +718,7 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
         snap = Mf.read(base)
         doc_rels = snap["families"].get("docs", [])
         band_rels = snap["families"].get("bands", [])
+        whash_rels = snap["families"].get("whashes", [])
         from collections import Counter
 
         per_bucket = Counter(
@@ -557,7 +727,7 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
             if "fp_bucket=" in r
         )
         fragmented = any(c > files_per_bucket for c in per_bucket.values())
-        if not fragmented and len(band_rels) <= 4:
+        if not fragmented and len(band_rels) <= 4 and len(whash_rels) <= 4:
             return 0
         docs = _read_docs_files(spark, base, doc_rels)
         new_docs = _stage_write(
@@ -569,15 +739,22 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
             if band_rels
             else []
         )
+        new_whashes = (
+            _stage_write(read_whashes(spark, base, snap).coalesce(4), base, "whashes")
+            if whash_rels
+            else []
+        )
         families = dict(snap["families"])
         families["docs"] = new_docs
         if band_rels:
             families["bands"] = new_bands
+        if whash_rels:
+            families["whashes"] = new_whashes
         try:
             Mf.commit(base, families, expect_version=snap["version"])
-            return len(doc_rels) + len(band_rels)
+            return len(doc_rels) + len(band_rels) + len(whash_rels)
         except Mf.CommitConflict:
-            Mf.discard(base, new_docs + new_bands)
+            Mf.discard(base, new_docs + new_bands + new_whashes)
 
 
 @Mf.with_write_intent

@@ -43,21 +43,32 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument(
+        "--substr-window", type=int, default=None,
+        help="enable the incremental ExactSubstr tier (round 6): each "
+        "round probes the persisted whash sidecar and appends the "
+        "batch's windows — measures the tier's per-round cost",
+    )
     args = ap.parse_args()
+    extra = (
+        {"substr_window": args.substr_window}
+        if args.substr_window is not None
+        else {}
+    )
 
     spark = get_spark("store-bench")
     base = tempfile.mkdtemp(prefix="store_bench_")
     try:
         # warmup round (codegen, Arrow worker spin-up) — not timed
         cs.ingest(spark, base + "_warm", _batch(spark, 0, 200),
-                  near_dup_threshold=0.8)
+                  near_dup_threshold=0.8, **extra)
         shutil.rmtree(base + "_warm", ignore_errors=True)
 
         per_round = []
         for r in range(args.rounds):
             b = _batch(spark, 1 + r * args.docs, args.docs)
             t0 = time.perf_counter()
-            stats = cs.ingest(spark, base, b, near_dup_threshold=0.8)
+            stats = cs.ingest(spark, base, b, near_dup_threshold=0.8, **extra)
             per_round.append(round(time.perf_counter() - t0, 2))
             assert stats["n_added"] == args.docs, stats
             print(f"# round {r}: {per_round[-1]}s", file=sys.stderr)
@@ -72,13 +83,14 @@ def main() -> None:
         again = cs.ingest(
             spark, base,
             _batch(spark, 1 + (args.rounds - 1) * args.docs, args.docs),
-            near_dup_threshold=0.8,
+            near_dup_threshold=0.8, **extra,
         )
         replay_s = round(time.perf_counter() - t0, 2)
         assert again["n_added"] == 0 and again["n_known"] == args.docs
 
         print(json.dumps({
             "metric": "corpus_store_ingest",
+            "substr_window": args.substr_window,
             "rounds": args.rounds,
             "docs_per_round": args.docs,
             "sec_per_round": per_round,

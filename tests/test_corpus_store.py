@@ -204,7 +204,11 @@ def test_band_sidecar_commits_atomically_with_docs(spark, base):
     from block_explorer_spark.sources import manifest as Mf
 
     b1 = [_doc(1, LONG)]
-    # simulated crash: stage docs AND bands, no commit -> neither visible
+    # simulated crash: a registered writer (ingest runs under
+    # write_intent) stages docs AND bands, dies before commit ->
+    # neither visible. The still-live intent marker is what tells the
+    # round-6 unmigrated-store guard this is a crash, not legacy data.
+    Mf.begin_write(base)  # crashed writer never reaches end_write
     prepared = cs._prepared(spark.createDataFrame(b1, COLS))
     cs._stage_write(prepared, base, "corpus", partition_by="fp_bucket")
     cs._stage_write(cs._doc_bands(prepared), base, "bands")
@@ -490,3 +494,113 @@ def test_pre_manifest_store_raises_until_migrated(spark, base):
         spark.createDataFrame([_doc(1, LONG), _doc(9, LONG + " y z")], COLS),
     )
     assert stats["n_known"] == 1 and stats["n_added"] == 1
+
+
+# ------------------------------------------------- round 6: ExactSubstr tier
+
+RUN = " ".join(f"run{i}" for i in range(10))  # the shared verbatim run
+
+
+def _filler(tag, n=30):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_ingest_strips_cross_batch_verbatim_runs(spark, base):
+    """Round-6 item 3: a crawl batch sharing a long verbatim token run
+    with an ACCEPTED doc gets the run stripped at ingest (store wins);
+    the stored text keeps everything else."""
+    b1 = [(1, _filler("alpha") + " " + RUN, "en", "web")]
+    s1 = cs.ingest(spark, base, spark.createDataFrame(b1, COLS), substr_window=8)
+    assert s1["n_added"] == 1 and s1["n_substr_stripped"] == 0
+
+    b2 = [(10, RUN + " " + _filler("beta"), "en", "web")]
+    s2 = cs.ingest(spark, base, spark.createDataFrame(b2, COLS), substr_window=8)
+    assert s2["n_added"] == 1
+    assert s2["n_substr_stripped"] == 1 and s2["n_substr_dropped"] == 0
+
+    texts = {r.doc_id: r.text for r in cs.read_corpus(spark, base).collect()}
+    assert "run0" in texts[1]                      # first occurrence intact
+    assert "run0" not in texts[10] and "run9" not in texts[10]
+    assert "beta0" in texts[10] and "beta29" in texts[10]
+
+
+def test_ingest_substr_replay_converges(spark, base):
+    """Replaying a batch whose docs were stripped must add nothing:
+    the replay strips to the SAME cleaned text, whose fingerprint is
+    already stored (the post-strip fp re-check)."""
+    b1 = [(1, _filler("alpha") + " " + RUN, "en", "web")]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS), substr_window=8)
+    b2 = [(10, RUN + " " + _filler("beta"), "en", "web")]
+    cs.ingest(spark, base, spark.createDataFrame(b2, COLS), substr_window=8)
+    n_before = cs.read_corpus(spark, base).count()
+
+    replay = cs.ingest(spark, base, spark.createDataFrame(b2, COLS), substr_window=8)
+    assert replay["n_added"] == 0
+    assert cs.read_corpus(spark, base).count() == n_before
+
+
+def test_ingest_substr_gates_mostly_duplicated_doc(spark, base):
+    """A doc that is ~all verbatim duplication falls under the token
+    floor after stripping and is dropped, not stored as a stub."""
+    b1 = [(1, _filler("alpha") + " " + RUN, "en", "web")]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS), substr_window=8)
+    # 10 run tokens + 15 fresh: passes the 20-token entry gate, but
+    # post-strip 15 < min_tokens
+    b2 = [(10, RUN + " " + _filler("tiny", 15), "en", "web")]
+    s = cs.ingest(spark, base, spark.createDataFrame(b2, COLS), substr_window=8)
+    assert s["n_substr_dropped"] == 1 and s["n_added"] == 0
+    assert cs.read_corpus(spark, base).count() == 1
+
+
+def test_ingest_substr_in_batch_first_occurrence_wins(spark, base):
+    """q95's batch-local rule: within one batch the globally-first
+    occurrence (min doc_id) keeps the run, later docs are stripped."""
+    b = [
+        (1, _filler("alpha") + " " + RUN, "en", "web"),
+        (2, RUN + " " + _filler("beta"), "en", "web"),
+    ]
+    s = cs.ingest(spark, base, spark.createDataFrame(b, COLS), substr_window=8)
+    assert s["n_added"] == 2 and s["n_substr_stripped"] == 1
+    texts = {r.doc_id: r.text for r in cs.read_corpus(spark, base).collect()}
+    assert "run0" in texts[1] and "run0" not in texts[2]
+
+
+def test_delete_forgets_substr_index(spark, base):
+    """RTBF: deleting a doc must forget its whash sidecar rows in the
+    SAME commit — a later batch sharing its run must NOT be stripped
+    against the ghost."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    b1 = [(1, _filler("alpha") + " " + RUN, "en", "web")]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS), substr_window=8)
+    assert cs.read_whashes(spark, base).count() > 0
+
+    v_before = Mf.current_version(base)
+    assert cs.delete_where(spark, base, F.col("doc_id") == 1) == 1
+    assert Mf.current_version(base) == v_before + 1  # one swap: docs+sidecars
+    assert cs.read_whashes(spark, base).count() == 0
+
+    b2 = [(10, RUN + " " + _filler("beta"), "en", "web")]
+    s = cs.ingest(spark, base, spark.createDataFrame(b2, COLS), substr_window=8)
+    assert s["n_substr_stripped"] == 0
+    texts = {r.doc_id: r.text for r in cs.read_corpus(spark, base).collect()}
+    assert "run0" in texts[10]  # run kept: the ghost is gone
+
+
+def test_substr_sidecar_mirrors_stored_text(spark, base):
+    """The sidecar is recomputed on the FINAL (stripped) text, so a
+    stored doc's own windows never include spans it no longer has."""
+    from block_explorer_spark.operators import substrings as Sub
+
+    b1 = [(1, _filler("alpha") + " " + RUN, "en", "web")]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS), substr_window=8)
+    b2 = [(10, RUN + " " + _filler("beta"), "en", "web")]
+    cs.ingest(spark, base, spark.createDataFrame(b2, COLS), substr_window=8)
+
+    want = Sub.token_windows(
+        cs.read_corpus(spark, base), "doc_id", "text", 8
+    )
+    got = cs.read_whashes(spark, base)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        (r["doc_id"], r["pos"], r["whash"]) for r in want.collect()
+    )
