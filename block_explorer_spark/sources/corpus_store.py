@@ -190,23 +190,75 @@ def _bands_path(base: str) -> str:
     return os.path.join(base, "bands")
 
 
+#: Sidecar partition fan-out (round-6 item 6): the band sidecar
+#: buckets by hash of (band, bhash) so batch probes prune to the
+#: buckets the batch's band hashes fall in, and the whash sidecar by
+#: hash of doc_id so a delete rewrites only the buckets holding the
+#: doomed docs' rows — the fp_buckets recipe applied to both indexes.
+N_SIDECAR_BUCKETS = 16
+
+
+def _band_bucket_col():
+    return F.pmod(F.xxhash64("band", "bhash"), F.lit(N_SIDECAR_BUCKETS))
+
+
+def _doc_bucket_col():
+    return F.pmod(F.xxhash64("doc_id"), F.lit(N_SIDECAR_BUCKETS))
+
+
+def _sidecar_bucket_files(
+    rels: list[str], buckets, tag: str
+) -> list[str]:
+    """Python-side partition pruning over sidecar relpaths. Files from
+    the pre-bucketed layout (no `tag=` component) can hold any row, so
+    they are always included — old stores keep working and compact()
+    migrates them into the bucketed layout."""
+    tags = {f"{tag}={b}{os.sep}" for b in buckets}
+    return [
+        r
+        for r in rels
+        if f"{tag}=" not in r or any(t in r for t in tags)
+    ]
+
+
 def _doc_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, band, bhash) LSH rows for a document frame — the same
-    fused Arrow MinHash+banding stage the q25 gate certifies."""
+    """(doc_id, band, bhash, bh_bucket) LSH rows for a document frame
+    — the same fused Arrow MinHash+banding stage the q25 gate
+    certifies, plus the sidecar partition bucket."""
     b = D._banded_signatures(
         df, id_col, Tx.word_ngrams("text", 3), LSH_HASHES, LSH_BANDS
     )
-    return b.select(F.col("__id").alias("doc_id"), "band", "bhash")
+    return b.select(
+        F.col("__id").alias("doc_id"), "band", "bhash"
+    ).withColumn("bh_bucket", _band_bucket_col())
+
+
+def _read_band_files(
+    spark: SparkSession, base: str, rels: list[str]
+) -> DataFrame:
+    """Direct file-list read, schema-pinned: partitioned and legacy
+    (unpartitioned) band files read identically because the bucket
+    lives only in the path, never in the rows."""
+    if not rels:
+        return spark.createDataFrame([], BANDS_SCHEMA)
+    return spark.read.schema(BANDS_SCHEMA).parquet(
+        *sorted(os.path.join(base, r) for r in rels)
+    )
 
 
 def read_bands(
     spark: SparkSession, base: str, snapshot: dict | None = None
 ) -> DataFrame:
     m = snapshot if snapshot is not None else Mf.read(base)
-    rels = m["families"].get("bands", [])
+    return _read_band_files(spark, base, m["families"].get("bands", []))
+
+
+def _read_whash_files(
+    spark: SparkSession, base: str, rels: list[str]
+) -> DataFrame:
     if not rels:
-        return spark.createDataFrame([], BANDS_SCHEMA)
-    return spark.read.schema(BANDS_SCHEMA).parquet(
+        return spark.createDataFrame([], WHASH_SCHEMA)
+    return spark.read.schema(WHASH_SCHEMA).parquet(
         *sorted(os.path.join(base, r) for r in rels)
     )
 
@@ -215,12 +267,7 @@ def read_whashes(
     spark: SparkSession, base: str, snapshot: dict | None = None
 ) -> DataFrame:
     m = snapshot if snapshot is not None else Mf.read(base)
-    rels = m["families"].get("whashes", [])
-    if not rels:
-        return spark.createDataFrame([], WHASH_SCHEMA)
-    return spark.read.schema(WHASH_SCHEMA).parquet(
-        *sorted(os.path.join(base, r) for r in rels)
-    )
+    return _read_whash_files(spark, base, m["families"].get("whashes", []))
 
 
 def _doc_whashes(df: DataFrame, window: int) -> DataFrame:
@@ -426,7 +473,10 @@ def ingest(
                 partition_by="fp_bucket",
             )
             new_bands = (
-                _stage_write(_doc_bands(fresh).coalesce(4), base, "bands")
+                _stage_write(
+                    _doc_bands(fresh).repartition("bh_bucket"),
+                    base, "bands", partition_by="bh_bucket",
+                )
                 if near_dup_threshold is not None
                 else []
             )
@@ -434,7 +484,11 @@ def ingest(
             # mirrors — accepted text and its substring index can
             # never desync (the band-sidecar guarantee, extended)
             new_whashes = (
-                _stage_write(accepted_wins.coalesce(4), base, "whashes")
+                _stage_write(
+                    accepted_wins.withColumn("doc_bucket", _doc_bucket_col())
+                    .repartition("doc_bucket"),
+                    base, "whashes", partition_by="doc_bucket",
+                )
                 if accepted_wins is not None
                 else []
             )
@@ -495,9 +549,20 @@ def _near_dup_filter(
     Doc ids are re-keyed uid = 2·id (store) / 2·id+1 (batch) so one
     verified-LSH pass handles both directions; requires non-negative
     doc ids (the driver schema's convention)."""
-    stored_bands = read_bands(spark, base, snapshot)
     fresh_docs = fresh.select("doc_id", "text")
-    fresh_bands = _doc_bands(fresh_docs)
+    fresh_bands = _doc_bands(fresh_docs).localCheckpoint()
+    # bucket-pruned sidecar probe (round-6 item 6): only the band
+    # buckets the batch's band hashes fall in are read; legacy
+    # unpartitioned files are always included
+    probe_buckets = [
+        r.bh_bucket
+        for r in fresh_bands.select("bh_bucket").distinct().collect()
+    ]
+    m = snapshot if snapshot is not None else Mf.read(base)
+    band_rels = _sidecar_bucket_files(
+        m["families"].get("bands", []), probe_buckets, "bh_bucket"
+    )
+    stored_bands = _read_band_files(spark, base, band_rels)
     cand_ids = (
         stored_bands.join(
             fresh_bands.select("band", "bhash").distinct(), ["band", "bhash"], "left_semi"
@@ -628,30 +693,76 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
             partition_by="fp_bucket",
         )
 
+        # sidecars rewrite ONLY their touched buckets (round-6 item
+        # 6): the doomed docs' band rows name their bh_buckets, the
+        # doomed doc_ids hash to their whash doc_buckets; untouched
+        # bucket files keep their exact manifest entries. Legacy
+        # (unpartitioned) files always count as touched, so a delete
+        # also migrates them into the bucketed layout.
         new_bands: list[str] = []
-        if snap["families"].get("bands"):
-            remaining = read_bands(spark, base, snap).join(
-                doomed.select("doc_id"), "doc_id", "left_anti"
-            )
-            new_bands = _stage_write(remaining, base, "bands")
+        band_rels = snap["families"].get("bands", [])
+        touched_band_rels: list[str] = []
+        if band_rels:
+            all_bands = _read_band_files(spark, base, band_rels)
+            doomed_buckets = [
+                r.b
+                for r in all_bands.join(
+                    doomed.select("doc_id"), "doc_id", "left_semi"
+                )
+                .select(_band_bucket_col().alias("b"))
+                .distinct()
+                .collect()
+            ]
+            touched_band_rels = _sidecar_bucket_files(
+                band_rels, doomed_buckets, "bh_bucket"
+            ) if doomed_buckets else [r for r in band_rels if "bh_bucket=" not in r]
+            if touched_band_rels:
+                remaining = _read_band_files(
+                    spark, base, touched_band_rels
+                ).join(doomed.select("doc_id"), "doc_id", "left_anti")
+                new_bands = _stage_write(
+                    remaining.withColumn("bh_bucket", _band_bucket_col())
+                    .repartition("bh_bucket"),
+                    base, "bands", partition_by="bh_bucket",
+                )
 
         # the ExactSubstr sidecar forgets deleted docs in the SAME
         # swap — otherwise future batches sharing a long run with
         # removed content would keep getting stripped against ghosts
         # (pinned by test_delete_forgets_substr_index)
         new_whashes: list[str] = []
-        if snap["families"].get("whashes"):
-            remaining_w = read_whashes(spark, base, snap).join(
-                doomed.select("doc_id"), "doc_id", "left_anti"
+        whash_rels = snap["families"].get("whashes", [])
+        touched_whash_rels: list[str] = []
+        if whash_rels:
+            doomed_wbuckets = [
+                r.b
+                for r in doomed.select(_doc_bucket_col().alias("b"))
+                .distinct()
+                .collect()
+            ]
+            touched_whash_rels = _sidecar_bucket_files(
+                whash_rels, doomed_wbuckets, "doc_bucket"
             )
-            new_whashes = _stage_write(remaining_w, base, "whashes")
+            if touched_whash_rels:
+                remaining_w = _read_whash_files(
+                    spark, base, touched_whash_rels
+                ).join(doomed.select("doc_id"), "doc_id", "left_anti")
+                new_whashes = _stage_write(
+                    remaining_w.withColumn("doc_bucket", _doc_bucket_col())
+                    .repartition("doc_bucket"),
+                    base, "whashes", partition_by="doc_bucket",
+                )
 
         families = dict(snap["families"])
         families["docs"] = [r for r in doc_rels if r not in set(touched_rels)] + new_docs
-        if snap["families"].get("bands"):
-            families["bands"] = new_bands
-        if snap["families"].get("whashes"):
-            families["whashes"] = new_whashes
+        if band_rels:
+            families["bands"] = [
+                r for r in band_rels if r not in set(touched_band_rels)
+            ] + new_bands
+        if whash_rels:
+            families["whashes"] = [
+                r for r in whash_rels if r not in set(touched_whash_rels)
+            ] + new_whashes
         try:
             Mf.commit(base, families, expect_version=snap["version"])
             return n_deleted
@@ -726,8 +837,25 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
             for r in doc_rels
             if "fp_bucket=" in r
         )
+        from collections import Counter as _C
+
+        def _sidecar_fragmented(rels, tag):
+            per = _C(
+                r.split(f"{tag}=")[1].split(os.sep)[0]
+                for r in rels
+                if f"{tag}=" in r
+            )
+            legacy = sum(1 for r in rels if f"{tag}=" not in r)
+            return legacy > 0 or any(
+                c > files_per_bucket for c in per.values()
+            )
+
         fragmented = any(c > files_per_bucket for c in per_bucket.values())
-        if not fragmented and len(band_rels) <= 4 and len(whash_rels) <= 4:
+        if (
+            not fragmented
+            and not _sidecar_fragmented(band_rels, "bh_bucket")
+            and not _sidecar_fragmented(whash_rels, "doc_bucket")
+        ):
             return 0
         docs = _read_docs_files(spark, base, doc_rels)
         new_docs = _stage_write(
@@ -735,12 +863,22 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
             partition_by="fp_bucket",
         )
         new_bands = (
-            _stage_write(read_bands(spark, base, snap).coalesce(4), base, "bands")
+            _stage_write(
+                read_bands(spark, base, snap)
+                .withColumn("bh_bucket", _band_bucket_col())
+                .repartition("bh_bucket"),
+                base, "bands", partition_by="bh_bucket",
+            )
             if band_rels
             else []
         )
         new_whashes = (
-            _stage_write(read_whashes(spark, base, snap).coalesce(4), base, "whashes")
+            _stage_write(
+                read_whashes(spark, base, snap)
+                .withColumn("doc_bucket", _doc_bucket_col())
+                .repartition("doc_bucket"),
+                base, "whashes", partition_by="doc_bucket",
+            )
             if whash_rels
             else []
         )

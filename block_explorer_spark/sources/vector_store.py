@@ -246,18 +246,131 @@ def add_batch(
     }
 
 
+def _curve_path(base: str) -> str:
+    return os.path.join(base, "recall_curve.json")
+
+
+def calibrate(
+    spark: SparkSession,
+    base: str,
+    n_queries: int = 16,
+    k: int = 10,
+    n_probes: list[int] | None = None,
+) -> dict:
+    """Measure THIS store's recall→n_probe curve (round-6 item 4) and
+    persist it beside the centroids as store metadata.
+
+    ANN_RECALL.json's finding is that recall tracks the probed cell
+    fraction, and the right n_probe for a target recall depends on the
+    store's own sizing (k_centroids vs N) — a constant default is
+    wrong at some scale. So the store measures itself: sample
+    `n_queries` stored vectors deterministically (xxhash64 order — no
+    RNG, replays identically), take brute-force top-k over the full
+    snapshot as ground truth (= a probe of every cell), then replay
+    each query at each candidate n_probe and record mean recall@k.
+    `probe(target_recall=...)` consults the persisted curve.
+
+    Cost: n_queries x (|n_probes|+1) bounded top-k jobs against one
+    pinned snapshot — an offline maintenance action, like compact().
+    Re-run after the store grows materially (the curve records the
+    store size it was measured at; probe warns via metadata, not
+    silently)."""
+    cents = load_centroids(base)
+    snap = Mf.read(base)
+    n_vecs = read_vectors(spark, base, snap).count()
+    if n_probes is None:
+        n_probes = [
+            p for p in (1, 2, 4, 8, 16, 32, 64) if p < len(cents)
+        ] or [1]
+    queries = [
+        (r.vec_id, r.embedding)
+        for r in read_vectors(spark, base, snap)
+        .orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(n_queries)
+        .collect()
+    ]
+    files = [
+        os.path.join(base, r) for r in snap["families"].get("vectors", [])
+    ]
+
+    def topk_ids(q, n_probe):
+        df = Sim.ivf_probe_topk(
+            spark, _data_path(base), q, cents, k=k, n_probe=n_probe,
+            files=files,
+        )
+        return {r[0] for r in df.collect()}
+
+    measured: dict[str, float] = {}
+    truths = [topk_ids(q, len(cents)) for _, q in queries]  # exact
+    for p in n_probes:
+        hits = sum(
+            len(topk_ids(q, p) & truth)
+            for (_, q), truth in zip(queries, truths)
+        )
+        measured[str(p)] = round(hits / (k * len(queries)), 4)
+    curve = {
+        "k": k,
+        "n_queries": len(queries),
+        "n_vecs": n_vecs,
+        "n_centroids": len(cents),
+        "measured": measured,
+    }
+    with open(_curve_path(base), "w") as f:
+        json.dump(curve, f)
+    return curve
+
+
+def load_recall_curve(base: str) -> dict | None:
+    try:
+        with open(_curve_path(base)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def select_n_probe(base: str, target_recall: float) -> int | None:
+    """The selection rule (pinned by test_vector_store): smallest
+    measured n_probe whose calibrated recall@k reaches the target;
+    None when no probed config reaches it — the caller must take the
+    exact tier (probe every cell; production: SQ8 + exact rerank,
+    measured 1.000 in ANN_RECALL.json). Raises if the store was never
+    calibrated: guessing an n_probe would silently miss the target."""
+    curve = load_recall_curve(base)
+    if curve is None:
+        raise FileNotFoundError(
+            f"no recall curve at {_curve_path(base)}: run "
+            "vector_store.calibrate(spark, base) once before "
+            "probe(target_recall=...)"
+        )
+    for p, r in sorted(curve["measured"].items(), key=lambda kv: int(kv[0])):
+        if r >= target_recall:
+            return int(p)
+    return None
+
+
 def probe(
     spark: SparkSession,
     base: str,
     query: list[float],
     k: int = 10,
     n_probe: int = 2,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Top-k over the probe cells only: the manifest snapshot IS the
     file listing, so the probe reads exactly the live files of the
     probe cells — no directory listing, and a concurrent add/delete
-    can't tear the read."""
+    can't tear the read.
+
+    `target_recall` (round 6): ignore `n_probe` and pick it from the
+    store's calibrated recall curve (see `calibrate`); if no measured
+    n_probe reaches the target, probe EVERY cell (exact, recall 1.0 —
+    the brute-force tier; production stores at that operating point
+    should be re-founded with per-use-case k, the ANN_RECALL.json
+    finding)."""
     cents = load_centroids(base)
+    if target_recall is not None:
+        chosen = select_n_probe(base, target_recall)
+        n_probe = chosen if chosen is not None else len(cents)
     files = [
         os.path.join(base, r)
         for r in Mf.read(base)["families"].get("vectors", [])

@@ -73,6 +73,45 @@ def _recall(got_ids: list[int], truth_ids: list[int]) -> float:
     return len(set(got_ids) & set(truth_ids)) / len(truth_ids)
 
 
+
+
+def operating_points(scales: dict, targets=(0.8, 0.9, 0.95)) -> dict:
+    """Mark, per scale cell, the chosen operating point for each
+    recall target: the smallest measured ivf_flat n_probe reaching
+    the target, else the sq8(+rerank) exact tier — the selection rule
+    vector_store.select_n_probe applies at probe time (round-6
+    item 4)."""
+    out: dict = {}
+    for key, cell in scales.items():
+        cfgs = cell["configs"]
+        flats = sorted(
+            (int(name.rsplit("nprobe", 1)[1]), name)
+            for name in cfgs
+            if name.startswith("ivf_flat_nprobe")
+        )
+        cell_ops = {}
+        for t in targets:
+            chosen = next(
+                (
+                    {"config": name, "n_probe": p,
+                     "recall": cfgs[name]["recall_at_10"]}
+                    for p, name in flats
+                    if cfgs[name]["recall_at_10"] >= t
+                ),
+                None,
+            )
+            if chosen is None:
+                name = (
+                    "sq8" if cfgs.get("sq8", {}).get("recall_at_10", 0) >= t
+                    else "sq8_rerank_top50"
+                )
+                chosen = {"config": name,
+                          "recall": cfgs[name]["recall_at_10"]}
+            cell_ops[f"target_{t}"] = chosen
+        out[key] = cell_ops
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="100,1000")
@@ -193,7 +232,8 @@ def main() -> None:
         results[key] = cell
         with open(args.out, "w") as f:
             json.dump({"metric": "ann_recall", "k": K,
-                       "n_queries": N_QUERIES, "scales": results}, f,
+                       "n_queries": N_QUERIES, "scales": results,
+                       "operating_points": operating_points(results)}, f,
                       indent=1, sort_keys=True)
 
     print(json.dumps({"metric": "ann_recall", "out": args.out}))

@@ -604,3 +604,80 @@ def test_substr_sidecar_mirrors_stored_text(spark, base):
     assert sorted(map(tuple, got.collect())) == sorted(
         (r["doc_id"], r["pos"], r["whash"]) for r in want.collect()
     )
+
+
+# --------------------------------------------- round 6: bucketed sidecars
+
+
+def test_delete_rewrites_only_touched_band_partitions(spark, base):
+    """Round-6 item 6: the band sidecar is partitioned by
+    bh_bucket=hash(band,bhash) and the whash sidecar by
+    doc_bucket=hash(doc_id); a delete keeps every untouched bucket's
+    exact manifest entries and rewrites only buckets holding the
+    doomed doc's rows."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    rows = [
+        _doc(i, LONG + " " + _filler(f"doc{i}", 25)) for i in range(1, 7)
+    ]
+    cs.ingest(
+        spark, base, spark.createDataFrame(rows, COLS),
+        near_dup_threshold=0.95, substr_window=8,
+    )
+    snap = Mf.read(base)
+    band_rels = snap["families"]["bands"]
+    whash_rels = snap["families"]["whashes"]
+    assert all("bh_bucket=" in r for r in band_rels)
+    assert all("doc_bucket=" in r for r in whash_rels)
+
+    # find the buckets doc 3 lives in
+    doomed_bb = {
+        r.b
+        for r in cs.read_bands(spark, base)
+        .filter(F.col("doc_id") == 3)
+        .select(cs._band_bucket_col().alias("b"))
+        .distinct()
+        .collect()
+    }
+    doomed_wb = {
+        r.b
+        for r in spark.range(3, 4)
+        .select(F.pmod(F.xxhash64(F.col("id")), F.lit(cs.N_SIDECAR_BUCKETS)).alias("b"))
+        .collect()
+    }
+    untouched_bands = {
+        r for r in band_rels
+        if not any(f"bh_bucket={b}{os.sep}" in r for b in doomed_bb)
+    }
+    untouched_whash = {
+        r for r in whash_rels
+        if not any(f"doc_bucket={b}{os.sep}" in r for b in doomed_wb)
+    }
+    assert untouched_bands and untouched_whash  # fixture spans buckets
+
+    assert cs.delete_where(spark, base, F.col("doc_id") == 3) == 1
+    after = Mf.read(base)["families"]
+    assert untouched_bands <= set(after["bands"])    # byte-identical entries
+    assert untouched_whash <= set(after["whashes"])
+    # and the rewritten buckets no longer mention doc 3
+    assert cs.read_bands(spark, base).filter(F.col("doc_id") == 3).count() == 0
+    assert cs.read_whashes(spark, base).filter(F.col("doc_id") == 3).count() == 0
+
+
+def test_near_dup_probe_reads_only_pruned_band_buckets(spark, base):
+    """The sidecar probe prunes to the batch's bh_buckets python-side
+    (the fp_buckets recipe): pin the pruning rule, including the
+    legacy-file fallback."""
+    rels = [
+        f"bands/bh_bucket=3{os.sep}part-a.parquet",
+        f"bands/bh_bucket=7{os.sep}part-b.parquet",
+        "bands/part-legacy.parquet",
+    ]
+    got = cs._sidecar_bucket_files(rels, [3], "bh_bucket")
+    assert got == [
+        f"bands/bh_bucket=3{os.sep}part-a.parquet",
+        "bands/part-legacy.parquet",  # pre-bucketed file: always read
+    ]
+    assert cs._sidecar_bucket_files(rels, [], "bh_bucket") == [
+        "bands/part-legacy.parquet"
+    ]

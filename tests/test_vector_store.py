@@ -269,3 +269,50 @@ def test_pre_manifest_vector_store_raises_until_migrated(spark, base):
     got = {r.vec_id for r in vs.read_vectors(spark, base).collect()}
     assert got == want
     assert vs.migrate(base) == 0
+
+
+def test_calibrate_and_recall_targeted_probe(spark, base):
+    """Round-6 item 4: calibrate() persists this store's measured
+    recall→n_probe curve; probe(target_recall=...) picks the smallest
+    measured n_probe reaching the target, or probes every cell (exact)
+    when none does."""
+    import json
+
+    rng = random.Random(3)
+    _founding(spark, base, rng)  # 3 tight clusters, 3 centroids
+
+    curve = vs.calibrate(spark, base, n_queries=6, k=5)
+    assert curve["n_centroids"] == 3 and curve["n_vecs"] == 60
+    # persisted beside centroids
+    with open(vs._curve_path(base)) as f:
+        assert json.load(f)["measured"] == curve["measured"]
+    # monotone non-decreasing in n_probe; probing ~all cells is exact
+    ps = sorted(curve["measured"], key=int)
+    vals = [curve["measured"][p] for p in ps]
+    assert vals == sorted(vals)
+    assert vals[-1] <= 1.0
+
+    # --- selection rule pinned on a fabricated curve
+    with open(vs._curve_path(base), "w") as f:
+        json.dump({"k": 10, "n_queries": 16, "n_vecs": 60,
+                   "n_centroids": 3,
+                   "measured": {"1": 0.35, "2": 0.8, "4": 0.95}}, f)
+    assert vs.select_n_probe(base, 0.5) == 2    # smallest reaching 0.5
+    assert vs.select_n_probe(base, 0.9) == 4
+    assert vs.select_n_probe(base, 0.99) is None  # exact tier
+
+    # probe honors the rule end-to-end: unreachable target = exact scan
+    q = CENTERS[1]
+    exact = {r[0] for r in vs.probe(spark, base, q, k=5, n_probe=3).collect()}
+    got = {
+        r[0]
+        for r in vs.probe(spark, base, q, k=5, target_recall=0.99).collect()
+    }
+    assert got == exact
+
+
+def test_probe_target_recall_requires_calibration(spark, base):
+    rng = random.Random(5)
+    _founding(spark, base, rng)
+    with pytest.raises(FileNotFoundError, match="calibrate"):
+        vs.probe(spark, base, CENTERS[0], target_recall=0.9)
