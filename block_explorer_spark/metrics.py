@@ -115,6 +115,18 @@ class MetricsRegistry:
             else:
                 st["samples"][st["count"] % self.MAX_SAMPLES] = seconds
 
+    def reset(self) -> None:
+        """Restart the observation window. Serves the measurement-
+        window problem short benchmark runs have: over N+1 requests
+        where the first carries one-time process warmup (HTTP/JSON
+        paths, row rendering), p95 degenerates to that first sample.
+        A long-lived server amortizes it to nothing; a bench resets
+        after its warmup round and reports the steady-state window —
+        recording the firsts separately, not hiding them
+        (scripts/loadtest.py: first_request_ms)."""
+        with self._lock:
+            self._ops = {}
+
     @contextmanager
     def timer(self, op: str):
         t0 = time.perf_counter()

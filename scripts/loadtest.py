@@ -109,9 +109,28 @@ def main() -> None:
         }
         mode = "in-process"
 
-    # warmup: one untimed round (codegen/JIT)
+    # warmup: one untimed round (codegen/JIT). serve() already
+    # pre-warmed every endpoint plan (round-6 item 5); this round pays
+    # whatever one-time HTTP/render cost remains. In http mode, record
+    # those firsts from the server's own timers, then RESET its window
+    # so the artifact reports the steady-state percentiles a long-
+    # lived server exhibits (p95 over 11 samples where one is process
+    # warmup degenerates to that sample) — the firsts are reported,
+    # not hidden.
     for fn in endpoints.values():
         fn()
+    first_request_ms = None
+    if args.http:
+        with urllib.request.urlopen(base + "/metrics.json", timeout=30) as resp:
+            warm_scrape = json.loads(resp.read())
+        first_request_ms = {
+            name: st["max_ms"]
+            for name, st in warm_scrape.get("endpoints", warm_scrape).items()
+            if isinstance(st, dict) and "max_ms" in st
+        }
+        req = urllib.request.Request(base + "/metrics/reset", method="POST", data=b"")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
 
     out = {}
     for name, fn in endpoints.items():
@@ -138,6 +157,7 @@ def main() -> None:
         # persisted as an artifact per run.
         with urllib.request.urlopen(base + "/metrics.json", timeout=30) as resp:
             server_metrics = json.loads(resp.read())
+        server_metrics["first_request_ms"] = first_request_ms
         with open(args.artifact, "w") as f:
             json.dump(server_metrics, f, indent=1, sort_keys=True)
         print(f"# server metrics -> {args.artifact}", file=sys.stderr)

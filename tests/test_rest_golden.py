@@ -56,7 +56,7 @@ def base_url(spark):
         spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
         spark.createDataFrame(records, schemas.RECORDS).cache(),
     )
-    server = serve(api_impl)
+    server = serve(api_impl, warm=False)
     yield f"http://127.0.0.1:{server.server_address[1]}"
     server.shutdown()
 
@@ -496,7 +496,7 @@ def jetid_base_url(spark):
         spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
         spark.createDataFrame([], schemas.RECORDS).cache(),
     )
-    server = serve(api_impl)
+    server = serve(api_impl, warm=False)
     yield f"http://127.0.0.1:{server.server_address[1]}"
     server.shutdown()
 
@@ -653,7 +653,7 @@ def test_jetid_star_returns_all(spark):
         spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
         spark.createDataFrame([], schemas.RECORDS).cache(),
     )
-    server = serve(api_impl)
+    server = serve(api_impl, warm=False)
     try:
         base = f"http://127.0.0.1:{server.server_address[1]}"
         status, body = get(base, "/api/v1/jets/*/jet-drops")
@@ -695,7 +695,7 @@ def test_jetid_prev_next_chain_over_split_tree(spark):
         spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
         spark.createDataFrame([], schemas.RECORDS).cache(),
     )
-    server = serve(api_impl)
+    server = serve(api_impl, warm=False)
     try:
         base = f"http://127.0.0.1:{server.server_address[1]}"
         # the reference queries the jets of the LOWEST pulse — here the
@@ -888,7 +888,7 @@ def test_jd_records_star_returns_genesis(spark):
         spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
         spark.createDataFrame(records, schemas.RECORDS).cache(),
     )
-    server = serve(api_impl)
+    server = serve(api_impl, warm=False)
     try:
         base = f"http://127.0.0.1:{server.server_address[1]}"
         status, body = get(base, f"/api/v1/jet-drops/*:{JETID_P0}/records")
@@ -1273,7 +1273,7 @@ def many_base_url(spark):
         spark.createDataFrame(drops, schemas.JET_DROPS).cache(),
         spark.createDataFrame([], schemas.RECORDS).cache(),
     )
-    server = serve(api_impl)
+    server = serve(api_impl, warm=False)
     yield f"http://127.0.0.1:{server.server_address[1]}"
     server.shutdown()
 
@@ -1368,3 +1368,35 @@ def test_search_bare_object_id(base_url):
 )
 def test_pulse_empty_pulse_reference_skip():
     pass
+
+
+def test_serve_warmup_runs_every_endpoint_and_skips_metrics(spark):
+    """Round-6 item 5: warmup() dry-runs all 8 endpoints (so serving
+    never pays first-request plan construction), and those calls never
+    reach the /metrics timers — they observe only real HTTP traffic."""
+    rng = random.Random(21)
+    pulses = gen.make_pulses(start=P0, count=3)
+    drops = [gen.make_jet_drop(rng, P0, "00", timestamp=1_600_000_000)]
+    records = [
+        gen.make_record(
+            rng, P0, "00", order=0, rec_type="state",
+            object_reference=OBJ_REF, timestamp=1_600_000_000,
+        )
+    ]
+    api_impl = BlockExplorerApi(
+        spark.createDataFrame(pulses, schemas.PULSES),
+        spark.createDataFrame(drops, schemas.JET_DROPS),
+        spark.createDataFrame(records, schemas.RECORDS),
+    )
+    assert api_impl.warmup() == 8
+    # warmup went straight to the API: no endpoint timer observed it
+    assert all(
+        st["count"] == 0 for st in api_impl.metrics.snapshot().values()
+    )
+    # an empty store must warm without raising either
+    empty_api = BlockExplorerApi(
+        spark.createDataFrame([], schemas.PULSES),
+        spark.createDataFrame([], schemas.JET_DROPS),
+        spark.createDataFrame([], schemas.RECORDS),
+    )
+    assert empty_api.warmup() == 8  # miss/4xx paths still execute plans
