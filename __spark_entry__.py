@@ -1888,6 +1888,109 @@ def q98_perceptual_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+AFP_MAX_HAMMING = 6
+
+#: q99 fixture samples, shared with the oracle: 128 bytes per doc,
+#: base signal keyed by the doc's group (doc_id DIV 10) so groups form
+#: perceptual near-dup families, one doc-specific sample perturbed.
+_Q99_SMP = """transform(sequence(0, 127), i -> CAST((
+    CAST(conv(substr(md5(concat(CAST(doc_id DIV 10 AS STRING), ':',
+                                CAST(i AS STRING))), 1, 2), 16, 10) AS INT)
+    + IF(i = CAST(doc_id % 128 AS INT), CAST(doc_id % 97 AS INT), 0)
+  ) % 256 AS INT))"""
+
+
+def q99_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual AUDIO dedup (round-6 item 8) — q98's twin through
+    the WAV codec: deterministic md5-derived sample bytes (near-dup
+    by construction within doc_id-groups) are quantized to float PCM,
+    ENCODED as real 16-bit WAV, decoded back through the stdlib
+    codec, fingerprinted (codecs.audio_fingerprint64 — windowed
+    band-energy delta signs, chromaprint-shaped, integer end-to-end),
+    and paired via exact pigeonhole hamming blocking
+    (dedup.hamming_pairs). The oracle replays the ENTIRE chain —
+    float32 PCM quantization (exact in integer form), difference-band
+    energies, delta-sign bits — and brute-forces pairs, certifying
+    encode->decode->fingerprint->block against an independent
+    formulation."""
+    import numpy as _np
+    import pandas as _pd
+
+    from block_explorer_spark.functions import codecs as C
+    from block_explorer_spark.operators import multimodal as M
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    media = D._spread(docs).select("doc_id", F.expr(_Q99_SMP).alias("smp"))
+
+    def _encode(batches):
+        for pdf in batches:
+            payloads = [
+                C.wav_encode(
+                    (_np.array(s, dtype=_np.float64) - 128.0) / 128.0
+                )
+                for s in pdf["smp"]
+            ]
+            yield _pd.DataFrame({"media_id": pdf["doc_id"].values, "payload": payloads})
+
+    fixtures = media.mapInPandas(_encode, schema="media_id long, payload binary")
+    return M.audio_dedup_pairs(
+        fixtures, "media_id", "payload", max_hamming=AFP_MAX_HAMMING
+    )
+
+
+VHASH_MAX_HAMMING = 6
+
+#: q100 fixture frames: 2 luma frames of 8x9 per doc, base keyed by
+#: (group, frame, pixel) md5, one doc-specific pixel perturbed per
+#: frame — groups are near-dup video families by construction.
+_Q100_PX = """transform(sequence(0, 1), k -> transform(sequence(0, 71), i -> CAST((
+    CAST(conv(substr(md5(concat(CAST(doc_id DIV 10 AS STRING), ':',
+                                CAST(k AS STRING), ':',
+                                CAST(i AS STRING))), 1, 2), 16, 10) AS INT)
+    + IF(i = CAST(doc_id % 72 AS INT), CAST((doc_id + k) % 97 AS INT), 0)
+  ) % 256 AS INT)))"""
+
+
+def q100_video_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyframe-dHash video dedup (round-6 item 8, video half):
+    deterministic 2-frame 8x9 luma fixtures are ENCODED as real Y4M
+    (Cmono) streams, parsed back through the stdlib codec, keyframe-
+    sampled, per-frame dHashed (codecs.dhash64), candidate-paired per
+    slot via exact pigeonhole hamming blocking, and joined under the
+    ALL-slots rule (a pair must match on every sampled keyframe;
+    hamming = the worst slot). The oracle recomputes every frame's
+    dHash bits from the shared pixel definition and brute-forces the
+    per-slot + all-slots logic independently."""
+    import numpy as _np
+    import pandas as _pd
+
+    from block_explorer_spark.functions import codecs as C
+    from block_explorer_spark.operators import multimodal as M
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    media = D._spread(docs).select("doc_id", F.expr(_Q100_PX).alias("fr"))
+
+    def _encode(batches):
+        for pdf in batches:
+            payloads = [
+                C.y4m_encode(
+                    [
+                        _np.array(f, dtype=_np.uint8).reshape(8, 9)
+                        for f in fr
+                    ],
+                    "Cmono",
+                )
+                for fr in pdf["fr"]
+            ]
+            yield _pd.DataFrame({"media_id": pdf["doc_id"].values, "payload": payloads})
+
+    fixtures = media.mapInPandas(_encode, schema="media_id long, payload binary")
+    return M.video_dedup_pairs(
+        fixtures, "media_id", "payload",
+        n_frames=2, max_hamming=VHASH_MAX_HAMMING,
+    )
+
+
 def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -2160,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_bpe_tokenize": q96_bpe_tokenize,
         "q97_bpe_budget_select": q97_bpe_budget_select,
         "q98_perceptual_dedup": q98_perceptual_dedup,
+        "q99_audio_dedup": q99_audio_dedup,
+        "q100_video_dedup": q100_video_dedup,
     }
 
 
@@ -3565,5 +3670,89 @@ def oracle_sql() -> dict[str, str]:
             FROM bits a JOIN bits c ON a.doc_id < c.doc_id
             WHERE len(list_filter(range(1, 65), k -> a.b[k] <> c.b[k]))
                   <= {PHASH_MAX_HAMMING}
+        """,
+        # q99: full replay of the audio chain. The PCM quantization is
+        # exact in integer form: v = (byte-128)/128 is exact in
+        # float32, and v*32767 has significand (byte-128)*32767 <
+        # 2^23, so the float32 product is exact and the int16 cast is
+        # trunc((byte-128)*32767/128); wav_decode's /32768 and the
+        # fingerprint's round(s*32768) round-trip it. Band energies
+        # and delta-sign bits are pure int64 — no float summation
+        # order to disagree about.
+        "q99_audio_dedup": f"""
+            WITH raw AS (
+              SELECT doc_id, list_transform(range(0, 128), i ->
+                (('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR) || ':' ||
+                                     CAST(i AS VARCHAR)), 1, 2))::INT
+                 + CASE WHEN i = doc_id % 128
+                        THEN CAST(doc_id % 97 AS INT) ELSE 0 END) % 256) AS b
+              FROM documents
+            ),
+            pcm AS (
+              SELECT doc_id, list_transform(b, v ->
+                CAST(trunc(((v - 128) * 32767.0) / 128.0) AS BIGINT)) AS p
+              FROM raw
+            ),
+            en AS (
+              SELECT doc_id, list_transform(range(0, 64), k ->
+                list_aggregate(list_transform(
+                  range((k // 4) * 8, (k // 4) * 8 + 8), i ->
+                    CASE k % 4
+                      WHEN 0 THEN p[i + 1] * p[i + 1]
+                      WHEN 1 THEN CASE WHEN i >= 1
+                        THEN (p[i + 1] - p[i]) * (p[i + 1] - p[i])
+                        ELSE 0 END
+                      WHEN 2 THEN CASE WHEN i >= 2
+                        THEN (p[i + 1] - 2 * p[i] + p[i - 1])
+                           * (p[i + 1] - 2 * p[i] + p[i - 1])
+                        ELSE 0 END
+                      ELSE CASE WHEN i >= 3
+                        THEN (p[i + 1] - 3 * p[i] + 3 * p[i - 1] - p[i - 2])
+                           * (p[i + 1] - 3 * p[i] + 3 * p[i - 1] - p[i - 2])
+                        ELSE 0 END
+                    END), 'sum')) AS e
+              FROM pcm
+            ),
+            bits AS (
+              SELECT doc_id, list_transform(range(0, 64), k ->
+                CASE WHEN e[k + 1] >
+                          e[(((k // 4) + 15) % 16) * 4 + (k % 4) + 1]
+                     THEN 1 ELSE 0 END) AS b
+              FROM en
+            )
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(len(list_filter(range(1, 65),
+                        k -> a.b[k] <> c.b[k])) AS INTEGER) AS hamming
+            FROM bits a JOIN bits c ON a.doc_id < c.doc_id
+            WHERE len(list_filter(range(1, 65), k -> a.b[k] <> c.b[k]))
+                  <= {AFP_MAX_HAMMING}
+        """,
+        # q100: per-frame replay of the q98 dHash bit recipe keyed by
+        # (group, frame, pixel), then the all-slots pairing rule.
+        "q100_video_dedup": f"""
+            WITH px AS (
+              SELECT doc_id, k, list_transform(range(0, 72), i ->
+                (('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR) || ':' ||
+                                     CAST(k AS VARCHAR) || ':' ||
+                                     CAST(i AS VARCHAR)), 1, 2))::INT
+                 + CASE WHEN i = doc_id % 72
+                        THEN CAST((doc_id + k) % 97 AS INT) ELSE 0 END) % 256) AS p
+              FROM documents CROSS JOIN (SELECT unnest(range(0, 2)) AS k)
+            ),
+            bits AS (
+              SELECT doc_id, k, list_transform(range(0, 64), j ->
+                CASE WHEN p[(j // 8) * 9 + (j % 8) + 1] >
+                          p[(j // 8) * 9 + (j % 8) + 2]
+                     THEN 1 ELSE 0 END) AS b
+              FROM px
+            ),
+            slot AS (
+              SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                     len(list_filter(range(1, 65), j -> a.b[j] <> c.b[j])) AS h
+              FROM bits a JOIN bits c ON a.doc_id < c.doc_id AND a.k = c.k
+            )
+            SELECT id_a, id_b, CAST(max(h) AS INTEGER) AS hamming
+            FROM slot GROUP BY id_a, id_b
+            HAVING max(h) <= {VHASH_MAX_HAMMING}
         """,
     }

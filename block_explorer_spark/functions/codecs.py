@@ -254,6 +254,60 @@ def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+#: audio_fingerprint64 frame layout: 16 frames x 4 bands = 64 bits
+#: over the first FP_SAMPLES mono PCM samples (zero-padded).
+FP_SAMPLES = 128
+_FP_FRAMES = 16
+_FP_BANDS = 4
+_FP_FRAME_LEN = FP_SAMPLES // _FP_FRAMES
+
+
+def audio_fingerprint64(samples: np.ndarray, rate: int | None = None) -> int:
+    """64-bit perceptual audio fingerprint — chromaprint-SHAPED
+    (windowed band energies, sign of the temporal energy delta;
+    Chromaprint/AcoustID's public recipe), reduced to an
+    oracle-replicable integer form the way dhash64 reduces pHash:
+
+      - mono-mix, requantize to the int16 PCM grid (round(s*32768) —
+        the exact inverse of wav_decode's /32768, so a WAV roundtrip
+        is bit-stable), take the first FP_SAMPLES samples zero-padded;
+      - 4 "bands" = finite-difference orders 0..3 of the PCM signal
+        (closed form, integer) — a DFT-free proxy for low->high
+        frequency content;
+      - 16 frames of 8 samples; E[f, b] = sum of d_b(i)^2 over the
+        frame (pure int64 arithmetic — no float summation order to
+        disagree with a SQL oracle about);
+      - bit (f*4 + b) = E[f, b] > E[(f-1) mod 16, b] (the sign-of-
+        delta rule; the wrap keeps all 64 bits defined).
+
+    Returns a SIGNED 64-bit value (bit 63 wraps negative), the
+    simhash/dhash hamming-blocking layout."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    pcm = np.round(x * 32768.0).astype(np.int64)
+    if pcm.shape[0] < FP_SAMPLES:
+        pcm = np.pad(pcm, (0, FP_SAMPLES - pcm.shape[0]))
+    pcm = pcm[:FP_SAMPLES]
+    # difference orders 0..3, zero where the window lacks history
+    coef = [[1], [1, -1], [1, -2, 1], [1, -3, 3, -1]]
+    energies = np.zeros((_FP_FRAMES, _FP_BANDS), dtype=np.int64)
+    for b in range(_FP_BANDS):
+        d = np.zeros(FP_SAMPLES, dtype=np.int64)
+        for j, c in enumerate(coef[b]):
+            d[b:] += c * pcm[b - j : FP_SAMPLES - j]
+        d[:b] = 0
+        sq = d * d
+        energies[:, b] = sq.reshape(_FP_FRAMES, _FP_FRAME_LEN).sum(axis=1)
+    val = 0
+    for f in range(_FP_FRAMES):
+        prev = (f - 1) % _FP_FRAMES
+        for b in range(_FP_BANDS):
+            if energies[f, b] > energies[prev, b]:
+                val |= 1 << (f * _FP_BANDS + b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 # ---------------------------------------------------------------------------
 # Y4M (YUV4MPEG2) video
 # ---------------------------------------------------------------------------

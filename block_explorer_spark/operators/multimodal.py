@@ -362,3 +362,150 @@ def perceptual_dedup_pairs(
     return D.hamming_pairs(
         hashes, id_col, "dhash", max_hamming=max_hamming, blocks=blocks
     ).select("id_a", "id_b", "hamming")
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    batch_size: int = 256,
+) -> DataFrame:
+    """(id, afp) per audio payload: WAV decode (stdlib PCM path) ->
+    64-bit perceptual fingerprint (codecs.audio_fingerprint64 —
+    windowed band-energy delta signs, integer end-to-end). Corrupt or
+    undecodable payloads yield NULL, not an error.
+
+    Doc-local and Arrow-batched like perceptual_hashes: decode never
+    shuffles, only the 8-byte fingerprint leaves the executor; pairing
+    goes through dedup.hamming_pairs (pigeonhole blocking)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                fps = []
+                for p in chunk[payload_col]:
+                    try:
+                        samples, rate = codecs.wav_decode(bytes(p))
+                        fps.append(codecs.audio_fingerprint64(samples, rate))
+                    except (codecs.CodecError, TypeError, ValueError):
+                        fps.append(None)
+                yield pd.DataFrame({id_col: chunk[id_col].values, "afp": fps})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("afp", T.LongType(), True),
+        ]
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def audio_dedup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-duplicate audio pairs (round-6 item 8): WAV decode ->
+    audio_fingerprint64 -> exact pigeonhole hamming blocking.
+    (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming —
+    perceptual_dedup_pairs' audio twin."""
+    from block_explorer_spark.operators import dedup as D
+
+    fps = audio_fingerprints(media, id_col, payload_col).filter(
+        F.col("afp").isNotNull()
+    )
+    return D.hamming_pairs(
+        fps, id_col, "afp", max_hamming=max_hamming, blocks=blocks
+    ).select("id_a", "id_b", "hamming")
+
+
+def video_keyframe_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    batch_size: int = 64,
+) -> DataFrame:
+    """(id, frame_idx, vhash) per Y4M payload: parse the stream,
+    sample `n_frames` evenly spaced keyframes (codecs.y4m_sample_frames'
+    index rule), dHash each frame's luma plane (codecs.dhash64 — the
+    q98 image recipe applied per keyframe). Corrupt payloads emit
+    nothing. Decode is doc-local/Arrow-batched; only (8-byte hash,
+    slot) rows leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                ids, slots, hashes = [], [], []
+                for mid, p in zip(chunk[id_col], chunk[payload_col]):
+                    try:
+                        w, h, _cs, frames = codecs.y4m_parse(bytes(p))
+                        if not frames:
+                            continue
+                        idx = [
+                            i * (len(frames) - 1) // max(1, n_frames - 1)
+                            for i in range(n_frames)
+                        ]
+                        for j, fi in enumerate(idx):
+                            luma = np.frombuffer(
+                                frames[fi][: w * h], dtype=np.uint8
+                            ).reshape(h, w)
+                            ids.append(mid)
+                            slots.append(j)
+                            hashes.append(codecs.dhash64(luma))
+                    except (codecs.CodecError, ValueError):
+                        continue
+                yield pd.DataFrame(
+                    {id_col: ids, "frame_idx": slots, "vhash": hashes}
+                )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("vhash", T.LongType(), False),
+        ]
+    )
+    return media.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def video_dedup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-duplicate video pairs (round-6 item 8, optional half):
+    keyframe-dHash — two videos pair when EVERY sampled slot's frame
+    hashes are within `max_hamming` (all-slots rule: a shared intro
+    frame alone never pairs two different videos). Per-slot candidate
+    generation goes through the exact pigeonhole blocking, so the
+    expensive step is never all-pairs. Output (id_a, id_b, hamming)
+    with hamming = the worst slot's distance, id_a < id_b."""
+    from block_explorer_spark.operators import dedup as D
+
+    hashes = video_keyframe_hashes(
+        media, id_col, payload_col, n_frames=n_frames
+    )
+    per_slot = None
+    for j in range(n_frames):
+        slot = hashes.filter(F.col("frame_idx") == j)
+        pairs_j = D.hamming_pairs(
+            slot, id_col, "vhash", max_hamming=max_hamming, blocks=blocks
+        ).select("id_a", "id_b", "hamming")
+        per_slot = pairs_j if per_slot is None else per_slot.unionByName(pairs_j)
+    return (
+        per_slot.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__slots"),
+            F.max("hamming").alias("hamming"),
+        )
+        .filter(F.col("__slots") == n_frames)
+        .select("id_a", "id_b", "hamming")
+    )

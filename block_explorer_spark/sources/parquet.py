@@ -309,19 +309,6 @@ def upsert_many(
     parallel threads (they are independent Spark jobs)."""
     _adopt_if_legacy(base)
     prepped: dict[str, tuple] = {}
-    for name, batch in batches.items():
-        keys = TABLE_KEYS[name]
-        prep = with_bucket(batch.dropDuplicates(keys)).cache()
-        buckets = [
-            r.pulse_bucket
-            for r in prep.select("pulse_bucket").distinct().collect()
-        ]
-        if not buckets:  # empty batch: nothing to merge
-            prep.unpersist()
-            continue
-        prepped[name] = (prep, prep.select(*keys).distinct(), buckets)
-    if not prepped:
-        return
 
     try:
         with Mf.write_intent(base):
@@ -331,20 +318,54 @@ def upsert_many(
                 staged: list[str] = []
 
                 def one(item):
-                    name, (prep, bkeys, buckets) = item
+                    # prep (dedup + cache + bucket collect) is fused
+                    # into the same worker thread as the staging job,
+                    # so a 3-table micro-batch pipelines per table
+                    # instead of paying a prep barrier; retries after
+                    # a CAS conflict reuse the cached prep.
+                    name, batch = item
+                    if name not in prepped:
+                        keys = TABLE_KEYS[name]
+                        prep = with_bucket(batch.dropDuplicates(keys)).cache()
+                        buckets = [
+                            r.pulse_bucket
+                            for r in prep.select("pulse_bucket")
+                            .distinct()
+                            .collect()
+                        ]
+                        if not buckets:  # empty batch: nothing to merge
+                            prep.unpersist()
+                            prepped[name] = None
+                        else:
+                            prepped[name] = (
+                                prep,
+                                prep.select(*keys).distinct(),
+                                buckets,
+                            )
+                    if prepped[name] is None:
+                        return name, None
+                    prep, bkeys, buckets = prepped[name]
                     return name, _plan_and_stage(
                         spark, base, snap, name, prep, bkeys, buckets,
                         key_bucket_affinity,
                     )
 
-                if len(prepped) > 1:
-                    with ThreadPoolExecutor(max_workers=len(prepped)) as ex:
-                        results = list(ex.map(one, prepped.items()))
+                items = list(batches.items())
+                if len(items) > 1:
+                    with ThreadPoolExecutor(max_workers=len(items)) as ex:
+                        results = list(ex.map(one, items))
                 else:
-                    results = [one(next(iter(prepped.items())))]
-                for name, (new_rels, family) in results:
+                    results = [one(items[0])]
+                changed = False
+                for name, r in results:
+                    if r is None:
+                        continue
+                    new_rels, family = r
                     staged.extend(new_rels)
                     families[name] = family
+                    changed = True
+                if not changed:
+                    return
                 try:
                     Mf.commit(base, families, expect_version=snap["version"])
                     return
@@ -352,8 +373,9 @@ def upsert_many(
                     # loser path: re-merge against the winner's commit
                     Mf.discard(base, staged)
     finally:
-        for prep, _, _ in prepped.values():
-            prep.unpersist()
+        for v in prepped.values():
+            if v is not None:
+                v[0].unpersist()
 
 
 def upsert(

@@ -98,3 +98,170 @@ def test_perceptual_hashes_null_for_corrupt(spark):
     )
     rows = M.perceptual_hashes(media).collect()
     assert len(rows) == 1 and rows[0].dhash is None
+
+
+# ---------------------------------------------------- round 6: audio (q99)
+
+
+def _wav(v):
+    import numpy as np
+
+    return C.wav_encode(np.asarray(v, dtype=np.float32))
+
+
+def _rand_signal(seed, n=128):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 256, n) - 128) / 128.0
+
+
+def test_audio_fingerprint_roundtrip_stable():
+    """encode -> decode -> fingerprint must be bit-stable across a
+    second WAV roundtrip (the integer PCM grid guarantees it)."""
+    import numpy as np
+
+    v = _rand_signal(1)
+    s, r = C.wav_decode(_wav(v))
+    f1 = C.audio_fingerprint64(s, r)
+    s2, _ = C.wav_decode(C.wav_encode(np.asarray(s, dtype=np.float32)))
+    assert C.audio_fingerprint64(s2) == f1
+
+
+def test_audio_fingerprint_locality_and_discrimination():
+    """A tiny perturbation moves few bits; unrelated signals are ~32
+    bits apart — the property hamming blocking needs."""
+    import numpy as np
+
+    def fp(v):
+        s, _ = C.wav_decode(_wav(v))
+        return C.audio_fingerprint64(s)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    v = _rand_signal(1)
+    v2 = v.copy()
+    v2[40] += 13 / 128.0
+    assert ham(fp(v), fp(v2)) <= 4
+    assert ham(fp(v), fp(_rand_signal(2))) >= 15
+
+
+def test_audio_fingerprint_short_and_stereo():
+    import numpy as np
+
+    short = _rand_signal(3, n=20)  # zero-padded to FP_SAMPLES
+    s, _ = C.wav_decode(_wav(short))
+    assert isinstance(C.audio_fingerprint64(s), int)
+    stereo = np.stack([_rand_signal(4), _rand_signal(5)], axis=1)
+    s2, _ = C.wav_decode(C.wav_encode(stereo.astype(np.float32)))
+    assert s2.shape[1] == 2
+    assert isinstance(C.audio_fingerprint64(s2), int)
+
+
+def test_audio_dedup_pairs_blocked_equals_bruteforce(spark):
+    """audio_dedup_pairs (pigeonhole blocking) must equal the
+    all-pairs hamming filter, and corrupt payloads drop to NULL."""
+    import itertools
+
+    import numpy as np
+
+    base = _rand_signal(7)
+    rows = []
+    fps = {}
+    for i in range(8):
+        v = base.copy()
+        v[i * 3] += (i % 5) / 128.0  # near-dup family
+        rows.append((i, bytearray(_wav(v))))
+    for i in range(8, 12):
+        rows.append((i, bytearray(_wav(_rand_signal(100 + i)))))
+    rows.append((99, bytearray(b"RIFFgarbage")))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.audio_dedup_pairs(media, max_hamming=6).collect()
+    }
+    hashes = {
+        r.media_id: r.afp
+        for r in M.audio_fingerprints(media).collect()
+        if r.afp is not None
+    }
+    assert 99 not in hashes  # corrupt -> NULL, dropped
+    want = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        h = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 6:
+            want[(a, b)] = h
+    assert got == want
+    assert got  # the family produced at least one pair
+
+
+# ---------------------------------------------------- round 6: video (q100)
+
+
+def _frames(seed, n=3, h=8, w=9):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(n)]
+
+
+def test_video_keyframe_hashes_and_all_slots_rule(spark):
+    """Two videos pair only when EVERY sampled keyframe matches: a
+    shared intro frame alone must not pair different videos."""
+    base = _frames(1)
+    near = [f.copy() for f in base]
+    near[1][3, 4] += 7  # one pixel in one frame: tiny hamming
+    intro_only = [base[0]] + _frames(2, n=2)  # same intro, different rest
+    unrelated = _frames(3)
+    rows = [
+        (1, bytearray(C.y4m_encode(base, "Cmono"))),
+        (2, bytearray(C.y4m_encode(near, "Cmono"))),
+        (3, bytearray(C.y4m_encode(intro_only, "Cmono"))),
+        (4, bytearray(C.y4m_encode(unrelated, "Cmono"))),
+        (9, bytearray(b"not y4m")),  # corrupt: skipped
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = M.video_keyframe_hashes(media, n_frames=3).collect()
+    assert {r.media_id for r in hashes} == {1, 2, 3, 4}
+    assert all(sum(1 for r in hashes if r.media_id == m) == 3 for m in (1, 2, 3, 4))
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.video_dedup_pairs(media, n_frames=3, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (1, 3) not in pairs  # intro matches, later slots don't
+    assert (1, 4) not in pairs
+
+
+def test_video_dedup_blocked_equals_bruteforce(spark):
+    """The per-slot blocking + all-slots join equals the brute-force
+    formulation over the same keyframe hashes."""
+    import itertools
+
+    rows = []
+    base = _frames(5, n=2)
+    for i in range(6):
+        fr = [f.copy() for f in base]
+        fr[i % 2][i % 8, i % 9] += i  # drifting family
+        rows.append((i, bytearray(C.y4m_encode(fr, "Cmono"))))
+    for i in range(6, 9):
+        rows.append((i, bytearray(C.y4m_encode(_frames(50 + i, n=2), "Cmono"))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    hashes = {}
+    for r in M.video_keyframe_hashes(media, n_frames=2).collect():
+        hashes.setdefault(r.media_id, {})[r.frame_idx] = r.vhash
+    want = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        hs = [
+            bin((hashes[a][j] ^ hashes[b][j]) & ((1 << 64) - 1)).count("1")
+            for j in (0, 1)
+        ]
+        if max(hs) <= 6:
+            want[(a, b)] = max(hs)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.video_dedup_pairs(media, n_frames=2, max_hamming=6).collect()
+    }
+    assert got == want and got
