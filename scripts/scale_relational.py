@@ -192,7 +192,13 @@ def measure(spark, base: str, scale: int, collector=None) -> dict:
         df = Fl.apply_filters(df, Fl.equality(jet_id=JETS[3]))
         return Pg.paginate(df, [("order", True)], limit=50).collect()
 
-    page()  # warm the file listing once; then measure steady-state
+    # round 6: adopt the direct-written fixture into a manifest first —
+    # the production read path. The manifest IS the file listing, so
+    # the page read prunes relpaths python-side instead of listing 20k
+    # bucket directories (the x100 page_ms cost in the r4 artifact).
+    P._adopt_if_legacy(base)
+
+    page()  # warm the scan plan once; then measure steady-state
     before = collector.totals() if collector else None
     t0 = time.perf_counter()
     n_iter = 5

@@ -522,3 +522,33 @@ def test_save_jet_drop_data_single_atomic_commit(spark, base):
     assert Mf.current_version(base) == v0 + 1  # one commit, two tables
     assert pq.read_table(spark, base, "jet_drops").count() == 2
     assert pq.read_table(spark, base, "records").count() == 6
+
+
+def test_legacy_directory_warehouse_adopts_on_first_write(spark, base):
+    """A warehouse populated by direct .parquet() writes (pre-round-6
+    layout, also the scale fixtures) reads via the legacy fallback and
+    is adopted into a manifest on its first transactional write —
+    after which snapshot reads see old and new rows together."""
+    import os
+
+    from block_explorer_spark.sources import manifest as Mf
+
+    rows = [_rec_row(500, "0", i) for i in range(4)]
+    for i, r in enumerate(rows):
+        r["reference"] = bytes([0x10 + i])
+    df = pq.with_bucket(spark.createDataFrame(rows, schemas.RECORDS))
+    df.write.partitionBy("pulse_bucket").mode("overwrite").parquet(
+        os.path.join(base, "records")
+    )
+    assert Mf.current_version(base) == 0
+    assert pq.read_table(spark, base, "records").count() == 4  # legacy read
+
+    more = [_rec_row(1500, "1", 0)]
+    more[0]["reference"] = bytes([0x99])
+    pq.upsert(spark, base, "records", spark.createDataFrame(more, schemas.RECORDS))
+    assert Mf.current_version(base) >= 1  # adopted + committed
+    out = pq.read_table(spark, base, "records")
+    assert out.count() == 5
+    # the adopted files are listed, so a delete touches them correctly
+    assert pq.delete_where(spark, base, "records", F.col("order") == 1) == 1
+    assert pq.read_table(spark, base, "records").count() == 4
