@@ -371,6 +371,23 @@ def probe(
     if target_recall is not None:
         chosen = select_n_probe(base, target_recall)
         n_probe = chosen if chosen is not None else len(cents)
+        # staleness guard: the curve was measured at a store size; the
+        # recall/n_probe trade-off drifts as cells fill. Warn (never
+        # fail a read path) once the store has grown well past the
+        # calibration point.
+        curve = load_recall_curve(base)
+        if curve and curve.get("n_vecs"):
+            import warnings
+
+            n_now = read_vectors(spark, base).count()
+            if n_now >= 4 * curve["n_vecs"]:
+                warnings.warn(
+                    f"vector store at {base} has {n_now} vectors but its "
+                    f"recall curve was calibrated at {curve['n_vecs']}; "
+                    "re-run vector_store.calibrate() — the chosen n_probe "
+                    "may no longer reach the target recall",
+                    stacklevel=2,
+                )
     files = [
         os.path.join(base, r)
         for r in Mf.read(base)["families"].get("vectors", [])

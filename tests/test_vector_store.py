@@ -316,3 +316,22 @@ def test_probe_target_recall_requires_calibration(spark, base):
     _founding(spark, base, rng)
     with pytest.raises(FileNotFoundError, match="calibrate"):
         vs.probe(spark, base, CENTERS[0], target_recall=0.9)
+
+
+def test_probe_warns_when_calibration_stale(spark, base):
+    """A calibrated curve measured at N vectors goes stale as the
+    store grows: probe(target_recall=...) must warn (not fail) once
+    the store is well past the calibration size."""
+    import json
+    import warnings
+
+    rng = random.Random(11)
+    _founding(spark, base, rng)
+    # fabricate a curve calibrated at a much smaller store
+    with open(vs._curve_path(base), "w") as f:
+        json.dump({"k": 10, "n_queries": 4, "n_vecs": 10,
+                   "n_centroids": 3, "measured": {"2": 0.95}}, f)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        vs.probe(spark, base, CENTERS[0], target_recall=0.9).collect()
+    assert any("re-run vector_store.calibrate" in str(x.message) for x in w)

@@ -552,3 +552,35 @@ def test_legacy_directory_warehouse_adopts_on_first_write(spark, base):
     # the adopted files are listed, so a delete touches them correctly
     assert pq.delete_where(spark, base, "records", F.col("order") == 1) == 1
     assert pq.read_table(spark, base, "records").count() == 4
+
+
+def test_warehouse_vacuum_removes_superseded_files(spark, base):
+    """After a merge-rewrite upsert, the superseded bucket files stay
+    on disk for snapshot readers and are physically removed by
+    manifest.vacuum; reads before and after vacuum are identical."""
+    import glob
+    import os
+
+    from block_explorer_spark.sources import manifest as Mf
+
+    rows = [_rec_row(500, "0", i) for i in range(3)]
+    for i, r in enumerate(rows):
+        r["reference"] = bytes([0x40 + i])
+    pq.upsert(spark, base, "records", spark.createDataFrame(rows, schemas.RECORDS))
+    files_v1 = set(glob.glob(os.path.join(base, "records", "**", "*.parquet"),
+                             recursive=True))
+
+    updated = [dict(rows[0], payload=b"v2")]
+    pq.upsert(spark, base, "records",
+              spark.createDataFrame(updated, schemas.RECORDS))
+    # superseded files still on disk (snapshot isolation)...
+    assert files_v1 <= set(glob.glob(os.path.join(base, "records", "**", "*.parquet"),
+                                     recursive=True))
+    before = sorted((bytes(r.reference), bytes(r.payload))
+                    for r in pq.read_table(spark, base, "records").collect())
+    removed = Mf.vacuum(base, min_age_s=0)
+    assert removed == len(files_v1)  # the whole superseded bucket set
+    after = sorted((bytes(r.reference), bytes(r.payload))
+                   for r in pq.read_table(spark, base, "records").collect())
+    assert after == before
+    assert (bytes([0x40]), b"v2") in after
