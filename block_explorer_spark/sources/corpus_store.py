@@ -608,6 +608,8 @@ def start_ingest_stream(
     max_files_per_trigger: int = 4,
     min_tokens: int = 20,
     max_dup_word_frac: float = 0.3,
+    near_dup_threshold: float | None = None,
+    substr_window: int | None = None,
 ):
     """Continuous crawl ingest: readStream over a documents parquet
     directory → foreachBatch(ingest). Source offsets checkpoint, so a
@@ -634,7 +636,9 @@ def start_ingest_stream(
         if batch.isEmpty():
             return
         ingest(spark, base, batch, min_tokens=min_tokens,
-               max_dup_word_frac=max_dup_word_frac)
+               max_dup_word_frac=max_dup_word_frac,
+               near_dup_threshold=near_dup_threshold,
+               substr_window=substr_window)
 
     return (
         stream.writeStream.foreachBatch(handle)

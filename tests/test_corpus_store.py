@@ -681,3 +681,26 @@ def test_near_dup_probe_reads_only_pruned_band_buckets(spark, base):
     assert cs._sidecar_bucket_files(rels, [], "bh_bucket") == [
         "bands/part-legacy.parquet"
     ]
+
+
+def test_streaming_ingest_with_substr_tier(spark, base, tmp_path):
+    """The streaming path exposes the full dedup stack: a second-wave
+    crawl file sharing a verbatim run with wave 1 is stripped at
+    ingest through the checkpointed stream."""
+    src = str(tmp_path / "crawl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    w1 = [(1, _filler("alpha") + " " + RUN, "en", "web")]
+    spark.createDataFrame(w1, COLS).coalesce(1).write.mode("append").parquet(src)
+    q = cs.start_ingest_stream(spark, src, base, ckpt, substr_window=8)
+    q.awaitTermination(120)
+
+    w2 = [(10, RUN + " " + _filler("beta"), "en", "web")]
+    spark.createDataFrame(w2, COLS).coalesce(1).write.mode("append").parquet(src)
+    q = cs.start_ingest_stream(spark, src, base, ckpt, substr_window=8)
+    q.awaitTermination(120)
+
+    texts = {r.doc_id: r.text for r in cs.read_corpus(spark, base).collect()}
+    assert "run0" in texts[1] and "run0" not in texts[10]
+    assert "beta0" in texts[10]
