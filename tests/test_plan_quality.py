@@ -189,3 +189,15 @@ def test_q98_no_cartesian_blocked_join(spark):
     text = plan(entry.queries()["q98_perceptual_dedup"](spark, SF))
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_q99_q100_no_cartesian_blocked_joins(spark):
+    """Audio and video perceptual dedup (round 6) pair via the
+    pigeonhole (chunk_idx, chunk) buckets — never an all-pairs nested
+    loop — and the decode stays map-side (exactly one Python stage
+    feeding the blocking shuffle per keyframe slot)."""
+    for name in ("q99_audio_dedup", "q100_video_dedup"):
+        text = plan(entry.queries()[name](spark, SF))
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
+        assert "SortMergeJoin" not in text, name
