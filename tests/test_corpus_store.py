@@ -704,3 +704,34 @@ def test_streaming_ingest_with_substr_tier(spark, base, tmp_path):
     texts = {r.doc_id: r.text for r in cs.read_corpus(spark, base).collect()}
     assert "run0" in texts[1] and "run0" not in texts[10]
     assert "beta0" in texts[10]
+
+
+def test_ingest_staged_files_survive_concurrent_aggressive_vacuum(
+    spark, base, monkeypatch
+):
+    """Round-6 item 7 at the STORE level: ingest registers a write
+    intent before staging, so a vacuum(min_age_s=0) firing inside the
+    stage->commit window (deterministically injected just before the
+    commit) cannot eat the staged files — the commit then lands them
+    intact."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    cs.ingest(spark, base, spark.createDataFrame([_doc(1, LONG)], COLS))
+
+    real_commit = Mf.commit
+    fired = {}
+
+    def vacuum_then_commit(b, families, expect_version, meta=None):
+        if not fired:
+            fired["removed"] = Mf.vacuum(b, min_age_s=0)  # worst-case timing
+        return real_commit(b, families, expect_version, meta)
+
+    monkeypatch.setattr(Mf, "commit", vacuum_then_commit)
+    stats = cs.ingest(
+        spark, base,
+        spark.createDataFrame([_doc(2, LONG + " fresh words here")], COLS),
+    )
+    monkeypatch.undo()
+    assert fired["removed"] == 0  # the lease protected the staged files
+    assert stats["n_added"] == 1
+    assert {r.doc_id for r in cs.read_corpus(spark, base).collect()} == {1, 2}
