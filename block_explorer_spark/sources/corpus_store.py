@@ -900,6 +900,121 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
 
 
 @Mf.with_write_intent
+def substr_sweep(
+    spark: SparkSession, base: str, window: int = 50, min_tokens: int = 20
+) -> dict:
+    """Batch-global ExactSubstr maintenance pass (the "daily q95 run"
+    the incremental tier's docstring names): run the full
+    operators/substrings pipeline over EVERY accepted document — the
+    globally-first occurrence of each >=`window`-token run survives,
+    later occurrences are stripped — then republish the affected
+    fp_buckets AND a freshly rebuilt whash sidecar in one manifest
+    swap. Complements `ingest(substr_window=...)`: the sweep catches
+    duplication that predates enabling the tier, runs accumulated
+    across already-accepted docs, and any drift after deletes.
+
+    Semantics per stripped doc mirror the ingest tier: below the
+    token floor after stripping -> deleted; cleaned text fingerprint
+    colliding with a surviving doc -> deleted (min doc_id keeps);
+    otherwise the doc is rewritten in place with new fp/ntok/bucket.
+    Idempotent: a second sweep at the same window strips nothing.
+    Returns {n_stripped, n_deleted}."""
+    from block_explorer_spark.operators import substrings as Sub
+
+    while True:
+        snap = Mf.read(base)
+        doc_rels = snap["families"].get("docs", [])
+        if not doc_rels:
+            return {"n_stripped": 0, "n_deleted": 0}
+        table = _read_docs_files(spark, base, doc_rels)
+        stripped = Sub.exact_substring_dedup(
+            table, "doc_id", "text", window
+        ).localCheckpoint()
+        n_stripped = stripped.count()
+        if not n_stripped:
+            return {"n_stripped": 0, "n_deleted": 0}
+
+        rebuilt = _prepared(
+            table.select("doc_id", "lang", "source")
+            .join(
+                stripped.select(
+                    "doc_id", F.col("cleaned_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .select("doc_id", "text", "lang", "source")
+        ).localCheckpoint()
+        survivors = rebuilt.filter(F.col("ntok") >= min_tokens)
+        untouched = table.join(stripped.select("doc_id"), "doc_id", "left_anti")
+        # post-strip fp dedup across the whole resulting corpus:
+        # untouched docs always win; among rebuilt, min doc_id wins
+        survivors = survivors.join(
+            untouched.select("fp"), "fp", "left_anti"
+        )
+        w = survivors.groupBy(F.col("fp").alias("w_fp")).agg(
+            F.min("doc_id").alias("keep_id")
+        )
+        survivors = survivors.join(
+            w,
+            (survivors.fp == w.w_fp) & (survivors.doc_id == w.keep_id),
+            "left_semi",
+        ).localCheckpoint()
+        n_deleted = n_stripped - survivors.count()
+        final = untouched.unionByName(survivors).localCheckpoint()
+
+        # republish: touched buckets = every bucket holding a stripped
+        # doc's OLD row or a survivor's NEW row; untouched bucket
+        # files keep their manifest entries
+        moved = [
+            r.fp_bucket
+            for r in table.join(stripped.select("doc_id"), "doc_id", "left_semi")
+            .select("fp_bucket")
+            .union(survivors.select("fp_bucket"))
+            .distinct()
+            .collect()
+        ]
+        touched_rels = _bucket_files(doc_rels, moved)
+        keep_docs = final.join(
+            _read_docs_files(spark, base, touched_rels).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).filter(F.col("fp_bucket").isin(moved))
+        new_docs = _stage_write(
+            keep_docs.repartition("fp_bucket"), base, "corpus",
+            partition_by="fp_bucket",
+        )
+        families = dict(snap["families"])
+        families["docs"] = [
+            r for r in doc_rels if r not in set(touched_rels)
+        ] + new_docs
+
+        staged_extra: list[str] = []
+        if snap["families"].get("whashes") is not None and (
+            snap["families"].get("whashes") or n_stripped
+        ):
+            new_whashes = _stage_write(
+                _doc_whashes(final, window)
+                .withColumn("doc_bucket", _doc_bucket_col())
+                .repartition("doc_bucket"),
+                base, "whashes", partition_by="doc_bucket",
+            )
+            families["whashes"] = new_whashes
+            staged_extra = new_whashes
+        if snap["families"].get("bands"):
+            new_bands = _stage_write(
+                _doc_bands(final).repartition("bh_bucket"),
+                base, "bands", partition_by="bh_bucket",
+            )
+            families["bands"] = new_bands
+            staged_extra += new_bands
+        try:
+            Mf.commit(base, families, expect_version=snap["version"])
+            return {"n_stripped": n_stripped - n_deleted, "n_deleted": n_deleted}
+        except Mf.CommitConflict:
+            Mf.discard(base, new_docs + staged_extra)
+
+
+@Mf.with_write_intent
 def canonicalize(spark: SparkSession, base: str) -> int:
     """Re-canonicalization sweep: enforce one-doc-per-fingerprint
     (min doc_id wins) across the whole store, returning the number of

@@ -735,3 +735,74 @@ def test_ingest_staged_files_survive_concurrent_aggressive_vacuum(
     assert fired["removed"] == 0  # the lease protected the staged files
     assert stats["n_added"] == 1
     assert {r.doc_id for r in cs.read_corpus(spark, base).collect()} == {1, 2}
+
+
+def test_substr_sweep_strips_pre_tier_duplication(spark, base):
+    """substr_sweep: a store built WITHOUT the incremental tier gets
+    the batch-global q95 treatment — first occurrence keeps the run,
+    later docs are stripped in place (new fp), near-empty docs are
+    deleted, the whash sidecar mirrors the result, and a second sweep
+    is a no-op."""
+    rows = [
+        _doc(1, _filler("alpha") + " " + RUN),
+        _doc(2, RUN + " " + _filler("beta")),          # -> stripped
+        _doc(3, RUN + " " + _filler("tiny", 15)),      # -> under floor: deleted
+        _doc(4, _filler("gamma")),                     # untouched
+    ]
+    cs.ingest(spark, base, spark.createDataFrame(rows, COLS))
+    assert cs.read_corpus(spark, base).count() == 4
+
+    stats = cs.substr_sweep(spark, base, window=8)
+    assert stats == {"n_stripped": 1, "n_deleted": 1}
+    texts = {r.doc_id: r.text for r in cs.read_corpus(spark, base).collect()}
+    assert set(texts) == {1, 2, 4}
+    assert "run0" in texts[1] and "run0" not in texts[2]
+    assert "beta0" in texts[2] and texts[4].startswith("gamma0")
+    # fp/ntok rewritten consistently for the stripped doc
+    row2 = [r for r in cs.read_corpus(spark, base).collect() if r.doc_id == 2][0]
+    from block_explorer_spark.functions import text as Tx
+
+    expect = cs._prepared(
+        spark.createDataFrame([(2, row2.text, "en", "web")], COLS)
+    ).collect()[0]
+    assert row2.fp == expect.fp and row2.ntok == expect.ntok
+
+    # idempotent
+    assert cs.substr_sweep(spark, base, window=8) == {
+        "n_stripped": 0, "n_deleted": 0,
+    }
+    # and future ingests dedup against the swept state
+    again = cs.ingest(
+        spark, base,
+        spark.createDataFrame([(20, texts[2], "en", "web")], COLS),
+    )
+    assert again["n_known"] == 1 and again["n_added"] == 0
+
+
+def test_substr_sweep_rebuilds_sidecar_for_tier_stores(spark, base):
+    """On a store running the incremental tier, the sweep republishes
+    a whash sidecar that mirrors the post-sweep text exactly."""
+    from block_explorer_spark.operators import substrings as Sub
+
+    cs.ingest(
+        spark, base,
+        spark.createDataFrame(
+            [_doc(1, _filler("alpha") + " " + RUN)], COLS
+        ),
+        substr_window=8,
+    )
+    # a second batch ingested WITHOUT the tier sneaks a duplicate run in
+    cs.ingest(
+        spark, base,
+        spark.createDataFrame([_doc(5, RUN + " " + _filler("delta"))], COLS),
+    )
+    stats = cs.substr_sweep(spark, base, window=8)
+    assert stats["n_stripped"] == 1
+    want = sorted(
+        (r["doc_id"], r["pos"], r["whash"])
+        for r in Sub.token_windows(
+            cs.read_corpus(spark, base), "doc_id", "text", 8
+        ).collect()
+    )
+    got = sorted(map(tuple, cs.read_whashes(spark, base).collect()))
+    assert got == want
