@@ -564,21 +564,58 @@ def hamming_pairs(
     max_hamming: int = 3,
     blocks: int = 8,
     bits: int = 64,
+    key_arity: int = 1,
 ) -> DataFrame:
     """EXACT pairs with hamming(hash) <= max_hamming over any
     precomputed `bits`-bit hash column (simhash, dHash/pHash, ...).
 
-    Pigeonhole blocking: split the hash into `blocks` chunks; a pair
-    within hamming distance < blocks shares at least one exact chunk
-    → one groupBy on (chunk_idx, chunk) + in-bucket pair expansion,
-    then verify true distance via bit_count(xor). Requires
-    blocks > max_hamming for completeness, so the result equals the
-    all-pairs hamming filter without ever forming all pairs.
+    Pigeonhole blocking, generalized to multi-block keys (Manku,
+    Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    WWW 2007 §3): a pair within hamming distance k differs in at most
+    k of the `blocks` chunks, so it agrees on >= blocks-k chunks —
+    hence on SOME `key_arity`-subset of chunks whenever
+    key_arity <= blocks - max_hamming. Keying buckets on every
+    C(blocks, key_arity) chunk-combination therefore finds every
+    qualifying pair (verified exactly via bit_count(xor)), while the
+    bucket key widens from chunk_bits to key_arity*chunk_bits bits.
+
+    WHY THE ARITY MATTERS AT SCALE: with arity 1 a 64-bit/8-block key
+    is 8 bits wide — buckets hold ~n/256 rows even for UNRELATED
+    hashes, so candidate generation degrades to O(n^2/256) per block
+    (measured: OOM at 500k uniform hashes). At Manku's production
+    setting (max_hamming=3, key_arity = blocks-3 = 5 → 40-bit keys,
+    C(8,5)=56 keys/row) buckets are ~n/2^40 — candidates stay linear
+    to millions of rows (SCALE_CURVE hamming_pairs_64). The trade-off
+    is key fan-out (C(blocks, arity) rows per doc), so pick the
+    largest arity the distance budget allows. arity=1 reproduces the
+    round-5 behavior and remains right for small/fixture inputs.
+
     Output: (id_a, id_b, sim_a, sim_b, hamming), id_a < id_b.
     """
-    assert blocks > max_hamming, "need blocks > max_hamming for exactness"
+    import itertools
+
+    assert key_arity >= 1
+    assert blocks - key_arity >= max_hamming, (
+        "need key_arity <= blocks - max_hamming for exactness"
+    )
     assert bits % blocks == 0, "bits must divide evenly into blocks"
     chunk_bits = bits // blocks
+    assert key_arity * chunk_bits <= 62, "combined key must fit a long"
+    combos = list(itertools.combinations(range(blocks), key_arity))
+
+    def chunk(b: int) -> Column:
+        return F.shiftright(F.col("__sim"), b * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+
+    def combo_key(c: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("long")
+        for pos, b in enumerate(c):
+            key = key.bitwiseOR(
+                F.shiftleft(chunk(b).cast("long"), pos * chunk_bits)
+            )
+        return key
+
     sh = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__sim"))
     chunks = sh.select(
         "__id",
@@ -587,12 +624,10 @@ def hamming_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("chunk_idx"),
-                        F.shiftright(F.col("__sim"), b * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("chunk"),
+                        F.lit(ci).alias("chunk_idx"),
+                        combo_key(c).alias("chunk"),
                     )
-                    for b in range(blocks)
+                    for ci, c in enumerate(combos)
                 ]
             )
         ).alias("cc"),

@@ -277,6 +277,43 @@ def main() -> None:
 
     qs["ann_probe_persisted"] = ann_probe_persisted_at(1)
 
+    def hamming_pairs_64(spark_, sf_dir_):
+        """The perceptual-dedup core (q26/q98/q99/q100's shared
+        distributed step) isolated from the per-doc hashing cost:
+        exact pigeonhole hamming blocking over one 64-bit hash per
+        document. Hashes are planted deterministically — family base
+        = xxhash64(doc_id DIV 10), each doc flips 0-2 bits keyed by
+        doc_id — family pairs land within hamming <= 4, so output is
+        linear by construction. Runs at Manku's production setting
+        (max_hamming=3, key_arity=5 -> 40-bit keys): buckets stay
+        ~n/2^40 so CANDIDATES are linear too. The arity-1 key (8-bit,
+        round-5 behavior) measured O(n^2/256) candidate blow-up — OOM
+        at 500k uniform hashes — which is what motivated the Manku
+        upgrade (dedup.hamming_pairs docstring)."""
+        from pyspark.sql import functions as F
+
+        from block_explorer_spark.operators import dedup as D
+
+        docs = spark_.read.parquet(
+            os.path.join(sf_dir_, "documents.parquet")
+        ).select("doc_id")
+        h = F.xxhash64((F.col("doc_id") / 10).cast("long"))
+        flip1 = F.expr("shiftleft(1L, cast(doc_id % 64 AS int))")
+        flip2 = F.expr("shiftleft(1L, cast((doc_id * 7) % 64 AS int))")
+        hashed = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, h)
+            .when(F.col("doc_id") % 3 == 1, h.bitwiseXOR(flip1))
+            .otherwise(h.bitwiseXOR(flip1).bitwiseXOR(flip2))
+            .alias("phash"),
+        )
+        return D.hamming_pairs(
+            hashed, "doc_id", "phash",
+            max_hamming=3, blocks=8, key_arity=5,
+        )
+
+    qs["hamming_pairs_64"] = hamming_pairs_64
+
     # Warm up the JVM/Python-worker/codegen paths before ANY
     # measurement: the first query of a fresh session pays worker
     # spin-up + codegen + parquet footer costs that inflated the first

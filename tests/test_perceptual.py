@@ -265,3 +265,46 @@ def test_video_dedup_blocked_equals_bruteforce(spark):
         for r in M.video_dedup_pairs(media, n_frames=2, max_hamming=6).collect()
     }
     assert got == want and got
+
+
+def test_hamming_pairs_multi_block_keys_match_bruteforce(spark):
+    """Round-6: Manku-style key_arity (agree on >= arity blocks ->
+    wider bucket keys) must return exactly the brute-force pair set at
+    every legal arity; illegal arities fail loudly."""
+    import itertools
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(5)
+    rows = []
+    base = rng.getrandbits(64)
+    for i in range(30):  # planted near-dup family
+        h = base
+        for _ in range(rng.randint(0, 4)):
+            h ^= 1 << rng.randrange(64)
+        rows.append((i, h - (1 << 64) if h >= (1 << 63) else h))
+    for i in range(30, 60):  # uniform noise
+        h = rng.getrandbits(64)
+        rows.append((i, h - (1 << 64) if h >= (1 << 63) else h))
+    df = spark.createDataFrame(rows, "id long, h long")
+
+    def brute(k):
+        return sorted(
+            (x, y, bin((hx ^ hy) & ((1 << 64) - 1)).count("1"))
+            for (x, hx), (y, hy) in itertools.combinations(rows, 2)
+            if bin((hx ^ hy) & ((1 << 64) - 1)).count("1") <= k
+        )
+
+    for k, arities in ((3, (1, 2, 5)), (6, (1, 2))):
+        want = brute(k)
+        for a in arities:
+            got = sorted(
+                (r.id_a, r.id_b, r.hamming)
+                for r in D.hamming_pairs(
+                    df, "id", "h", max_hamming=k, blocks=8, key_arity=a
+                ).collect()
+            )
+            assert got == want, (k, a)
+    with _pytest.raises(AssertionError, match="key_arity"):
+        D.hamming_pairs(df, "id", "h", max_hamming=6, blocks=8, key_arity=3)
