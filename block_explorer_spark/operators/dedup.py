@@ -538,6 +538,7 @@ def simhash_pairs(
     blocks: int = 8,
     bits: int = 64,
     hash_expr: Column | None = None,
+    key_arity: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -553,7 +554,8 @@ def simhash_pairs(
     """
     sh = simhash_table(df, id_col, shingles, bits=bits, hash_expr=hash_expr)
     return hamming_pairs(
-        sh, "__id", "__sim", max_hamming=max_hamming, blocks=blocks, bits=bits
+        sh, "__id", "__sim", max_hamming=max_hamming, blocks=blocks,
+        bits=bits, key_arity=key_arity,
     )
 
 

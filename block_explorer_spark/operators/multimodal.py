@@ -351,6 +351,7 @@ def perceptual_dedup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 6,
     blocks: int = 8,
+    key_arity: int = 1,
 ) -> DataFrame:
     """Near-duplicate image pairs: dHash + exact hamming blocking.
     (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming."""
@@ -360,7 +361,8 @@ def perceptual_dedup_pairs(
         F.col("dhash").isNotNull()
     )
     return D.hamming_pairs(
-        hashes, id_col, "dhash", max_hamming=max_hamming, blocks=blocks
+        hashes, id_col, "dhash", max_hamming=max_hamming, blocks=blocks,
+        key_arity=key_arity,
     ).select("id_a", "id_b", "hamming")
 
 
@@ -407,6 +409,7 @@ def audio_dedup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 6,
     blocks: int = 8,
+    key_arity: int = 1,
 ) -> DataFrame:
     """Near-duplicate audio pairs (round-6 item 8): WAV decode ->
     audio_fingerprint64 -> exact pigeonhole hamming blocking.
@@ -418,7 +421,8 @@ def audio_dedup_pairs(
         F.col("afp").isNotNull()
     )
     return D.hamming_pairs(
-        fps, id_col, "afp", max_hamming=max_hamming, blocks=blocks
+        fps, id_col, "afp", max_hamming=max_hamming, blocks=blocks,
+        key_arity=key_arity,
     ).select("id_a", "id_b", "hamming")
 
 
@@ -480,6 +484,7 @@ def video_dedup_pairs(
     n_frames: int = 4,
     max_hamming: int = 6,
     blocks: int = 8,
+    key_arity: int = 1,
 ) -> DataFrame:
     """Near-duplicate video pairs (round-6 item 8, optional half):
     keyframe-dHash — two videos pair when EVERY sampled slot's frame
@@ -497,7 +502,8 @@ def video_dedup_pairs(
     for j in range(n_frames):
         slot = hashes.filter(F.col("frame_idx") == j)
         pairs_j = D.hamming_pairs(
-            slot, id_col, "vhash", max_hamming=max_hamming, blocks=blocks
+            slot, id_col, "vhash", max_hamming=max_hamming, blocks=blocks,
+            key_arity=key_arity,
         ).select("id_a", "id_b", "hamming")
         per_slot = pairs_j if per_slot is None else per_slot.unionByName(pairs_j)
     return (
