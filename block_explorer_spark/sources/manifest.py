@@ -24,6 +24,23 @@ reduced to its minimum):
     consistent snapshot; `vacuum` physically removes unreferenced
     files later.
 
+Round 6 adds the two read-side services the commit log makes cheap:
+
+  - FILE STATISTICS (zone maps): `commit` accepts per-file column
+    min/max (`file_stats` lifts them straight out of the parquet
+    footers — no data read) and carries them forward version to
+    version, so `prune_by_stats` can drop files a range predicate
+    cannot match BEFORE Spark ever lists them. At 100 TB this is the
+    Iceberg/Delta data-skipping story: a point lookup in a bucket
+    holding 8k micro-batch files opens the one file whose [min,max]
+    covers the key.
+  - TIME TRAVEL + CHANGES (CDC): every version is an immutable JSON
+    file, so `read_at(version)` is a snapshot read of history and
+    `added_files(since, until)` diffs consecutive manifests into the
+    exact per-commit file additions — the primitive an incremental
+    consumer (tokenize only the new docs) builds on. Retention is
+    explicit: `vacuum(keep_last=K)` bounds how far back both go.
+
 On a shared filesystem (HDFS/NFS/local) link/rename are atomic; on
 object stores the same protocol runs against a conditional-PUT
 (if-none-match) — the commit primitive is the only thing to swap.
@@ -66,7 +83,8 @@ def current_version(base: str) -> int:
 
 def read(base: str) -> dict:
     """The latest committed manifest:
-    {"version": N, "families": {name: [relpath, ...]}, "meta": {...}}.
+    {"version": N, "families": {name: [relpath, ...]}, "meta": {...},
+    "stats": {relpath: {col: [min, max]}}}.
     Version 0 (nothing committed) has empty families.
 
     Retries on FileNotFoundError: between listing versions and opening
@@ -76,18 +94,56 @@ def read(base: str) -> dict:
     for _ in range(8):
         v = current_version(base)
         if v == 0:
-            return {"version": 0, "families": {}, "meta": {}}
+            return {"version": 0, "families": {}, "meta": {}, "stats": {}}
         try:
             with open(_vpath(base, v)) as f:
                 m = json.load(f)
         except FileNotFoundError:
             continue  # vacuumed under us; newest version moved on
         m["version"] = v
+        m.setdefault("stats", {})
         return m
     raise FileNotFoundError(
         f"manifest versions under {base} kept disappearing mid-read; "
         "vacuum keep_last is racing readers too aggressively"
     )
+
+
+def versions(base: str) -> list[int]:
+    """Committed manifest versions still on disk (ascending). The
+    window `vacuum(keep_last=K)` has not yet retired — the range
+    `read_at` and `added_files` can serve."""
+    try:
+        names = os.listdir(_mdir(base))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def read_at(base: str, version: int) -> dict:
+    """Snapshot read of a SPECIFIC committed version (time travel).
+    Version 0 is the empty store. Raises FileNotFoundError with the
+    retention explanation when the version has been vacuumed — callers
+    that walk history (CDC) must fail loudly rather than silently skip
+    a gap."""
+    if version == 0:
+        return {"version": 0, "families": {}, "meta": {}, "stats": {}}
+    try:
+        with open(_vpath(base, version)) as f:
+            m = json.load(f)
+    except FileNotFoundError:
+        avail = versions(base)
+        raise FileNotFoundError(
+            f"manifest version {version} at {base} is gone "
+            f"(available: {avail[:1]}..{avail[-1:]}); vacuum(keep_last) "
+            "bounds time-travel/CDC retention — raise keep_last or "
+            "checkpoint consumers more often"
+        ) from None
+    m["version"] = version
+    m.setdefault("stats", {})
+    return m
 
 
 def live_files(base: str, family: str, manifest: dict | None = None) -> list[str]:
@@ -102,14 +158,32 @@ def commit(
     families: dict[str, list[str]],
     expect_version: int,
     meta: dict | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Atomically publish `families` (relpaths, the COMPLETE live set)
     as version expect_version + 1. Raises CommitConflict if any other
-    writer committed first."""
+    writer committed first.
+
+    `stats` maps NEWLY staged relpaths to per-column [min, max] (see
+    `file_stats`); stats for files the previous version already listed
+    carry forward automatically, and stats for files no longer listed
+    anywhere are dropped — the zone map can never outlive or lag its
+    file."""
     os.makedirs(_mdir(base), exist_ok=True)
     new_version = expect_version + 1
+    listed = {rel for rels in families.values() for rel in rels}
+    carried: dict = {}
+    if expect_version > 0:
+        try:
+            with open(_vpath(base, expect_version)) as f:
+                carried = json.load(f).get("stats", {})
+        except FileNotFoundError:
+            carried = {}  # pre-stats store or vacuumed: no carry
+    merged_stats = {
+        rel: s for rel, s in {**carried, **(stats or {})}.items() if rel in listed
+    }
     body = {"families": {k: sorted(v) for k, v in families.items()},
-            "meta": meta or {}}
+            "meta": meta or {}, "stats": merged_stats}
     tmp = os.path.join(_mdir(base), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -185,6 +259,116 @@ def stage_df(df, base: str, data_name: str, partition_by: str | None = None) -> 
         return stage_move(staging, os.path.join(base, data_name))
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def file_stats(
+    base: str, rels: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for the named TOP-LEVEL columns, lifted from
+    the parquet footers (row-group statistics — zero data pages read;
+    the same bytes a FileSourceScan's footer fetch already pays for).
+    Only JSON-portable leaf types are recorded (int / float / string);
+    a column with any row group missing min/max (all-null page, stats
+    disabled) is skipped for that file — pruning then keeps the file,
+    which is the conservative direction."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rels:
+        try:
+            md = pq.ParquetFile(os.path.join(base, rel)).metadata
+        except Exception:
+            continue  # unreadable footer: no stats, file stays unprunable
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        per: dict[str, list] = {}
+        for col in cols:
+            ci = idx.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            usable = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        usable = False
+                        break
+                if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                    usable = False
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if usable and lo is not None:
+                per[col] = [lo, hi]
+        if per:
+            out[rel] = per
+    return out
+
+
+def prune_by_stats(
+    manifest: dict, family: str, col: str, lo=None, hi=None,
+    rels: list[str] | None = None,
+) -> list[str]:
+    """The family's relpaths whose [min, max] zone for `col` intersects
+    [lo, hi] — files with no recorded stats are KEPT (legacy writers,
+    all-null pages: skipping them could drop matching rows). This is
+    the manifest-side half of data skipping; the surviving list feeds
+    the same file-list read every store already uses, so Spark never
+    opens — or even LISTs — a pruned file."""
+    stats = manifest.get("stats", {})
+    out = []
+    for rel in (rels if rels is not None else manifest["families"].get(family, [])):
+        zone = stats.get(rel, {}).get(col)
+        if zone is not None:
+            if lo is not None and zone[1] < lo:
+                continue
+            if hi is not None and zone[0] > hi:
+                continue
+        out.append(rel)
+    return out
+
+
+def added_files(
+    base: str,
+    family: str | None = None,
+    since_version: int = 0,
+    until_version: int | None = None,
+) -> list[dict]:
+    """Per-commit file additions between two versions — the CDC
+    primitive. Returns one entry per version in (since, until]:
+    {"version": v, "meta": {...}, "added": {family: [relpath, ...]}}
+    (families with no additions are omitted; `family` filters to one).
+    Walks consecutive manifests, so every version in the range must
+    still exist — `read_at` raises the retention error when vacuum
+    already retired one, and consumers must treat that as "resync from
+    a full snapshot", never as "no changes"."""
+    until = until_version if until_version is not None else current_version(base)
+    if since_version >= until:
+        return []
+    prev = read_at(base, since_version)
+    out = []
+    for v in range(since_version + 1, until + 1):
+        cur = read_at(base, v)
+        fams = (
+            [family]
+            if family is not None
+            else sorted(set(cur["families"]) | set(prev["families"]))
+        )
+        added: dict[str, list[str]] = {}
+        for fam in fams:
+            before = set(prev["families"].get(fam, []))
+            new = [r for r in cur["families"].get(fam, []) if r not in before]
+            if new:
+                added[fam] = new
+        out.append({"version": v, "meta": cur.get("meta", {}), "added": added})
+        prev = cur
+    return out
 
 
 def unmanifested_files(base: str, data_dir_names: list[str]) -> dict[str, list[str]]:

@@ -192,6 +192,15 @@ def read_table(
                 if (b := _rel_bucket(r)) is None
                 or ((lo_b is None or b >= lo_b) and (hi_b is None or b <= hi_b))
             ]
+            # zone maps (round 6): inside a surviving bucket, drop the
+            # files whose footer [min,max] for pulse_number cannot hold
+            # the range — the steady-state fast path leaves one file
+            # per micro-batch per bucket, and a point read should open
+            # ONE of them, not the day's 8k (pinned by
+            # test_write_path::test_zone_maps_prune_files_within_bucket)
+            rels = Mf.prune_by_stats(
+                m, name, "pulse_number", lo=pulse_gte, hi=pulse_lte, rels=rels
+            )
         if not rels:
             return spark.createDataFrame([], TABLE_SCHEMAS[name])
         df = _read_rels(spark, base, name, rels, ignore_corrupt)
@@ -367,7 +376,11 @@ def upsert_many(
                 if not changed:
                     return
                 try:
-                    Mf.commit(base, families, expect_version=snap["version"])
+                    Mf.commit(
+                        base, families, expect_version=snap["version"],
+                        meta={"kind": "upsert"},
+                        stats=Mf.file_stats(base, staged, ["pulse_number"]),
+                    )
                     return
                 except Mf.CommitConflict:
                     # loser path: re-merge against the winner's commit
@@ -492,7 +505,11 @@ def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
                 r for r in rels if r not in set(touched)
             ] + new_rels
             try:
-                Mf.commit(base, families, expect_version=snap["version"])
+                Mf.commit(
+                    base, families, expect_version=snap["version"],
+                    meta={"kind": "delete"},
+                    stats=Mf.file_stats(base, new_rels, ["pulse_number"]),
+                )
                 return n_deleted
             except Mf.CommitConflict:
                 Mf.discard(base, new_rels)
@@ -551,7 +568,11 @@ def compact_table(
                 r for r in rels if r not in set(touched)
             ] + new_rels
             try:
-                Mf.commit(base, families, expect_version=snap["version"])
+                Mf.commit(
+                    base, families, expect_version=snap["version"],
+                    meta={"kind": "compact", "data_change": False},
+                    stats=Mf.file_stats(base, new_rels, ["pulse_number"]),
+                )
                 return {
                     "buckets_compacted": len(needy),
                     "files_before": files_before,

@@ -240,3 +240,103 @@ def test_adopt_migrates_pre_manifest_files(base):
     d = _touch(base, "corpus/fp_bucket=3/d.parquet")
     assert Mf.adopt(base, {"docs": "corpus"}) == 1
     assert d in Mf.read(base)["families"]["docs"]
+
+
+def _parquet(base, rel, ids):
+    """Write a tiny real parquet file (footer stats included)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = os.path.join(base, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), p)
+    return rel
+
+
+def test_file_stats_from_footers_and_carry_forward(base):
+    """Zone maps (round 6): commit records per-file [min,max] lifted
+    from the parquet footer, carries them across versions, and drops
+    them the moment the file stops being listed."""
+    a = _parquet(base, "data/a.parquet", [10, 11, 42])
+    b = _parquet(base, "data/b.parquet", [100, 200])
+    stats = Mf.file_stats(base, [a, b], ["doc_id", "missing_col"])
+    assert stats[a]["doc_id"] == [10, 42]
+    assert stats[b]["doc_id"] == [100, 200]
+    assert "missing_col" not in stats[a]
+
+    Mf.commit(base, {"docs": [a]}, expect_version=0, stats={a: stats[a]})
+    # second commit adds b without restating a's stats: carried forward
+    Mf.commit(base, {"docs": [a, b]}, expect_version=1, stats={b: stats[b]})
+    m = Mf.read(base)
+    assert m["stats"][a]["doc_id"] == [10, 42]
+    assert m["stats"][b]["doc_id"] == [100, 200]
+    # delisting a drops its stats — the zone map can't outlive the file
+    Mf.commit(base, {"docs": [b]}, expect_version=2)
+    m = Mf.read(base)
+    assert a not in m["stats"] and b in m["stats"]
+
+
+def test_prune_by_stats_skips_nonmatching_keeps_statless(base):
+    a = _parquet(base, "data/a.parquet", [0, 9])
+    b = _parquet(base, "data/b.parquet", [10, 19])
+    c = _parquet(base, "data/c.parquet", [20, 29])
+    legacy = _touch(base, "data/legacy.parquet")  # no stats recorded
+    stats = Mf.file_stats(base, [a, b, c], ["doc_id"])
+    Mf.commit(base, {"docs": [a, b, c, legacy]}, expect_version=0, stats=stats)
+    m = Mf.read(base)
+    # point lookup: only the covering file + the conservative legacy one
+    assert set(Mf.prune_by_stats(m, "docs", "doc_id", lo=12, hi=12)) == {b, legacy}
+    # range spanning two zones
+    assert set(Mf.prune_by_stats(m, "docs", "doc_id", lo=5, hi=15)) == {a, b, legacy}
+    # open-ended bounds
+    assert set(Mf.prune_by_stats(m, "docs", "doc_id", lo=20)) == {c, legacy}
+    assert set(Mf.prune_by_stats(m, "docs", "doc_id", hi=9)) == {a, legacy}
+    # composes with a pre-filtered rels list (bucket pruning upstream)
+    assert Mf.prune_by_stats(m, "docs", "doc_id", lo=12, hi=12, rels=[a, b]) == [b]
+
+
+def test_read_at_time_travel_and_added_files(base):
+    a = _touch(base, "data/a.parquet")
+    b = _touch(base, "data/b.parquet")
+    c = _touch(base, "data/c.parquet")
+    Mf.commit(base, {"docs": [a]}, expect_version=0, meta={"kind": "ingest"})
+    Mf.commit(base, {"docs": [a, b]}, expect_version=1, meta={"kind": "ingest"})
+    # a rewrite commit: c replaces a+b (compaction shape)
+    Mf.commit(base, {"docs": [c]}, expect_version=2,
+              meta={"kind": "compact", "data_change": False})
+    assert Mf.versions(base) == [1, 2, 3]
+    assert Mf.read_at(base, 1)["families"]["docs"] == [a]
+    assert Mf.read_at(base, 0)["families"] == {}
+
+    diffs = Mf.added_files(base, "docs", since_version=0)
+    assert [d["version"] for d in diffs] == [1, 2, 3]
+    assert diffs[0]["added"] == {"docs": [a]}
+    assert diffs[1]["added"] == {"docs": [b]}
+    assert diffs[2]["added"] == {"docs": [c]}
+    assert diffs[2]["meta"]["data_change"] is False
+    # bounded range
+    part = Mf.added_files(base, "docs", since_version=1, until_version=2)
+    assert len(part) == 1 and part[0]["added"] == {"docs": [b]}
+    assert Mf.added_files(base, "docs", since_version=3) == []
+
+
+def test_added_files_raises_loudly_after_vacuum_retires_range(base):
+    """CDC retention: a consumer checkpointed BEFORE the oldest
+    retained manifest must get the loud retention error (resync from a
+    snapshot), never a silently truncated change list — the diff
+    baseline itself (`since_version`'s manifest) must still exist."""
+    a = _touch(base, "data/a.parquet")
+    b = _touch(base, "data/b.parquet")
+    c = _touch(base, "data/c.parquet")
+    Mf.commit(base, {"docs": [a]}, expect_version=0)
+    Mf.commit(base, {"docs": [a, b]}, expect_version=1)
+    Mf.commit(base, {"docs": [a, b, c]}, expect_version=2)
+    Mf.vacuum(base, keep_last=2, min_age_s=0)  # retires v1
+    with pytest.raises(FileNotFoundError, match="keep_last"):
+        Mf.added_files(base, "docs", since_version=0)
+    with pytest.raises(FileNotFoundError, match="keep_last"):
+        Mf.added_files(base, "docs", since_version=1)  # baseline gone too
+    # the still-retained tail works
+    assert Mf.added_files(base, "docs", since_version=2)[0]["added"] == {
+        "docs": [c]
+    }

@@ -584,3 +584,46 @@ def test_warehouse_vacuum_removes_superseded_files(spark, base):
                    for r in pq.read_table(spark, base, "records").collect())
     assert after == before
     assert (bytes([0x40]), b"v2") in after
+
+
+def test_zone_maps_prune_files_within_bucket(spark, base):
+    """Round-6 data skipping: steady-state micro-batches leave one
+    file per batch in a hot bucket; a pulse-range read must open only
+    the file(s) whose footer [min,max] covers the range — not the
+    whole bucket's history. The manifest records the zones at commit
+    time (manifest.file_stats) and read_table prunes on them."""
+    import os
+
+    from block_explorer_spark.sources import manifest as Mf
+
+    # five disjoint micro-batches, all in pulse_bucket 4000
+    for i in range(5):
+        batch = gen.make_pulses(start=4_000_000 + 10 * i, count=1)
+        pq.save_pulse(spark, base, spark.createDataFrame(batch, schemas.PULSES))
+
+    m = Mf.read(base)
+    all_rels = m["families"]["pulses"]
+    assert len(all_rels) >= 5  # fast-path appends: one+ file per batch
+    # every committed file has a pulse_number zone recorded
+    assert all("pulse_number" in m["stats"][r] for r in all_rels)
+
+    # the files commit 3 added (batch pulse 4_000_020) via the CDC diff
+    diffs = Mf.added_files(base, "pulses")
+    batch3_files = {
+        os.path.join(base, r) for r in diffs[2]["added"]["pulses"]
+    }
+
+    target = pq.read_table(
+        spark, base, "pulses", pulse_gte=4_000_020, pulse_lte=4_000_020
+    )
+    scanned = {f.removeprefix("file://") for f in target.inputFiles()}
+    assert scanned  # non-empty read
+    assert scanned <= batch3_files  # zone maps pruned the other batches
+    assert target.count() == 1
+
+    # correctness under pruning: a range spanning batches 2-4 sees all
+    span = pq.read_table(
+        spark, base, "pulses", pulse_gte=4_000_010, pulse_lte=4_000_030
+    )
+    assert span.count() == 3
+    assert len(set(span.inputFiles())) < len(all_rels)
