@@ -90,6 +90,16 @@ CORPUS_SCHEMA = T.StructType(
     ]
 )
 
+#: Change-feed row (round 6): op 'insert' | 'update' | 'delete' plus
+#: the document columns (NULL except doc_id/fp for deletes). Inserts
+#: are implied by ingest commits' added doc files — only mutations
+#: that REWRITE history (delete, sweep) stage explicit rows into the
+#: `cdc` family, committed in the same manifest swap as the mutation
+#: itself, so the feed can never desync from the data.
+CDC_SCHEMA = T.StructType(
+    [T.StructField("op", T.StringType())] + list(CORPUS_SCHEMA.fields)
+)
+
 
 def _rekey(id_col: str, offset: int):
     """uid = 2*id + offset, with a row-level guard: ids outside
@@ -268,6 +278,148 @@ def read_whashes(
 ) -> DataFrame:
     m = snapshot if snapshot is not None else Mf.read(base)
     return _read_whash_files(spark, base, m["families"].get("whashes", []))
+
+
+def _read_cdc_files(
+    spark: SparkSession, base: str, rels: list[str]
+) -> DataFrame:
+    if not rels:
+        return spark.createDataFrame([], CDC_SCHEMA)
+    return spark.read.schema(CDC_SCHEMA).parquet(
+        *sorted(os.path.join(base, r) for r in rels)
+    )
+
+
+def _docs_stats(base: str, rels: list[str]) -> dict:
+    """doc_id zone maps for freshly staged doc files (manifest round 6):
+    recorded at commit time, they make point lookups
+    (read_docs_by_ids) open only the files whose [min,max] can hold a
+    requested id — crawl batches are roughly id-monotone, so the zones
+    are tight."""
+    return Mf.file_stats(base, rels, ["doc_id"])
+
+
+_CHANGES_OUT = ["version", "op"] + [f.name for f in CORPUS_SCHEMA.fields]
+
+
+def changes_since(
+    spark: SparkSession,
+    base: str,
+    since_version: int,
+    until_version: int | None = None,
+) -> DataFrame:
+    """The corpus change feed in (since_version, until_version] — what
+    an incremental downstream pipeline (tokenize only the new docs,
+    refresh an index, mirror to another region) consumes instead of
+    re-scanning the corpus. One row per changed document:
+    (version, op, <document columns>), where op is
+
+      - 'insert' — read straight from the files an ingest commit added
+        (zero write amplification for the overwhelmingly-common case);
+      - 'update' / 'delete' — read from the `cdc` rows a rewriting
+        mutation (delete_where, substr_sweep) staged in ITS OWN commit
+        swap, so the feed is exactly as atomic as the data.
+
+    Commits flagged data_change=false (compact, canonicalize) move
+    bytes but not rows and are invisible here — a consumer never
+    re-processes a document because maintenance rewrote its file.
+
+    Retention: the walk needs every manifest in the range;
+    `manifest.vacuum(keep_last=K)` bounds it and `added_files` raises
+    the loud retention error past the bound — consumers resync from a
+    snapshot read, never from a silently truncated feed. Consumers
+    checkpoint `Mf.current_version(base)` alongside their output (the
+    same offsets-in-commit-log recipe as Structured Streaming's file
+    source)."""
+    entries = Mf.added_files(
+        base, since_version=since_version, until_version=until_version
+    )
+    frames = []
+    for e in entries:
+        meta = e.get("meta", {})
+        if meta.get("data_change", True) is False:
+            continue
+        if meta.get("cdc") == "log":
+            df = _read_cdc_files(spark, base, e["added"].get("cdc", []))
+        else:
+            df = _read_docs_files(
+                spark, base, e["added"].get("docs", [])
+            ).select(
+                F.lit("insert").alias("op"),
+                *[f.name for f in CORPUS_SCHEMA.fields],
+            )
+        frames.append(df.withColumn("version", F.lit(e["version"]).cast("long")))
+    if not frames:
+        return spark.createDataFrame(
+            [], T.StructType(
+                [T.StructField("version", T.LongType())] + list(CDC_SCHEMA.fields)
+            )
+        ).select(*_CHANGES_OUT)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(*_CHANGES_OUT)
+
+
+def truncate_change_log(spark: SparkSession, base: str) -> int:
+    """Retire every staged `cdc` file in one data_change=false commit
+    (their bytes wait for vacuum). Run it once all consumers'
+    checkpoints have passed the current version: the inserts half of
+    the feed costs nothing to keep (it IS the data), but delete/update
+    rows accumulate with mutation history. Returns files retired."""
+    with Mf.write_intent(base):
+        while True:
+            snap = Mf.read(base)
+            rels = snap["families"].get("cdc", [])
+            if not rels:
+                return 0
+            families = dict(snap["families"])
+            families.pop("cdc")
+            try:
+                Mf.commit(
+                    base, families, expect_version=snap["version"],
+                    meta={"kind": "truncate_change_log", "data_change": False},
+                )
+                return len(rels)
+            except Mf.CommitConflict:
+                continue
+
+
+def read_docs_by_ids(
+    spark: SparkSession,
+    base: str,
+    doc_ids: list[int],
+    snapshot: dict | None = None,
+) -> DataFrame:
+    """Point lookups by doc_id, zone-map pruned: only files whose
+    recorded [min,max] doc_id zone contains one of the requested ids
+    are opened (files without zones — legacy writers — are read
+    conservatively). The fp_bucket layout serves the every-batch dedup
+    path; this serves the doc_id-keyed access the near-dup candidate
+    fetch and RTBF tooling want, without a second copy of the corpus
+    (pinned by test_corpus_store::test_point_lookup_prunes_files)."""
+    m = snapshot if snapshot is not None else Mf.read(base)
+    rels = m["families"].get("docs", [])
+    if not rels or not doc_ids:
+        return spark.createDataFrame([], CORPUS_SCHEMA)
+    import bisect
+
+    ids = sorted(set(doc_ids))
+    stats = m.get("stats", {})
+
+    def _may_hold(rel: str) -> bool:
+        zone = stats.get(rel, {}).get("doc_id")
+        if zone is None:
+            return True
+        i = bisect.bisect_left(ids, zone[0])
+        return i < len(ids) and ids[i] <= zone[1]
+
+    keep = [r for r in rels if _may_hold(r)]
+    return (
+        _read_docs_files(spark, base, keep)
+        .filter(F.col("doc_id").isin([int(i) for i in ids]))
+        .select(*[f.name for f in CORPUS_SCHEMA.fields])
+    )
 
 
 def _doc_whashes(df: DataFrame, window: int) -> DataFrame:
@@ -501,7 +653,11 @@ def ingest(
                     snap["families"].get("whashes", []) + new_whashes
                 )
             try:
-                Mf.commit(base, families, expect_version=snap["version"])
+                Mf.commit(
+                    base, families, expect_version=snap["version"],
+                    meta={"kind": "ingest"},
+                    stats=_docs_stats(base, new_docs),
+                )
                 fresh.unpersist()
                 break
             except Mf.CommitConflict:
@@ -683,7 +839,7 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
         # localCheckpoint: the doomed set is re-used after the commit;
         # snapshot files are immutable until vacuum, but cutting the
         # lineage keeps the band rewrite from re-running the filter.
-        doomed = table.filter(hit).select("doc_id", "fp_bucket").localCheckpoint()
+        doomed = table.filter(hit).select("doc_id", "fp", "fp_bucket").localCheckpoint()
         n_deleted = doomed.count()
         if not n_deleted:
             return 0
@@ -757,6 +913,23 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
                     base, "whashes", partition_by="doc_bucket",
                 )
 
+        # change-feed rows for the removed docs, staged into the SAME
+        # swap (round 6): a downstream consumer (index mirror, RTBF
+        # audit) learns exactly which doc_ids vanished without diffing
+        # snapshots — and exactly atomically with the vanishing
+        new_cdc = _stage_write(
+            doomed.select(
+                F.lit("delete").alias("op"),
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("source"),
+                "fp",
+                F.lit(None).cast("long").alias("ntok"),
+            ).coalesce(1),
+            base, "cdc",
+        )
+
         families = dict(snap["families"])
         families["docs"] = [r for r in doc_rels if r not in set(touched_rels)] + new_docs
         if band_rels:
@@ -767,13 +940,18 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
             families["whashes"] = [
                 r for r in whash_rels if r not in set(touched_whash_rels)
             ] + new_whashes
+        families["cdc"] = snap["families"].get("cdc", []) + new_cdc
         try:
-            Mf.commit(base, families, expect_version=snap["version"])
+            Mf.commit(
+                base, families, expect_version=snap["version"],
+                meta={"kind": "delete", "cdc": "log"},
+                stats=_docs_stats(base, new_docs),
+            )
             return n_deleted
         except Mf.CommitConflict:
             # a racing writer committed; our rewrite was computed from
             # a stale snapshot — discard and redo against the new one
-            Mf.discard(base, new_docs + new_bands + new_whashes)
+            Mf.discard(base, new_docs + new_bands + new_whashes + new_cdc)
 
 
 INGEST_LOG_SCHEMA = T.StructType(
@@ -893,7 +1071,11 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
         if whash_rels:
             families["whashes"] = new_whashes
         try:
-            Mf.commit(base, families, expect_version=snap["version"])
+            Mf.commit(
+                base, families, expect_version=snap["version"],
+                meta={"kind": "compact", "data_change": False},
+                stats=_docs_stats(base, new_docs),
+            )
             return len(doc_rels) + len(band_rels) + len(whash_rels)
         except Mf.CommitConflict:
             Mf.discard(base, new_docs + new_bands + new_whashes)
@@ -999,7 +1181,8 @@ def substr_sweep(
                 base, "whashes", partition_by="doc_bucket",
             )
             families["whashes"] = new_whashes
-            staged_extra = new_whashes
+            # copy, not alias: += below must never mutate the family list
+            staged_extra = list(new_whashes)
         if snap["families"].get("bands"):
             new_bands = _stage_write(
                 _doc_bands(final).repartition("bh_bucket"),
@@ -1007,8 +1190,39 @@ def substr_sweep(
             )
             families["bands"] = new_bands
             staged_extra += new_bands
+
+        # change feed (round 6): survivors whose text was rewritten are
+        # 'update' rows (full new document), stripped docs that fell
+        # under the floor or collapsed into an existing fp are
+        # 'delete' rows — staged in the sweep's own swap
+        doc_cols = [f.name for f in CORPUS_SCHEMA.fields]
+        updates = survivors.select(
+            F.lit("update").alias("op"), *doc_cols
+        )
+        deleted_rows = (
+            table.join(stripped.select("doc_id"), "doc_id", "left_semi")
+            .join(survivors.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                F.lit("delete").alias("op"),
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("source"),
+                "fp",
+                F.lit(None).cast("long").alias("ntok"),
+            )
+        )
+        new_cdc = _stage_write(
+            updates.unionByName(deleted_rows).coalesce(1), base, "cdc"
+        )
+        families["cdc"] = snap["families"].get("cdc", []) + new_cdc
+        staged_extra += new_cdc
         try:
-            Mf.commit(base, families, expect_version=snap["version"])
+            Mf.commit(
+                base, families, expect_version=snap["version"],
+                meta={"kind": "sweep", "cdc": "log"},
+                stats=_docs_stats(base, new_docs),
+            )
             return {"n_stripped": n_stripped - n_deleted, "n_deleted": n_deleted}
         except Mf.CommitConflict:
             Mf.discard(base, new_docs + staged_extra)

@@ -229,7 +229,9 @@ def add_batch(
         )
         try:
             Mf.commit(
-                base, {"vectors": vec_rels + new_rels}, expect_version=snap["version"]
+                base, {"vectors": vec_rels + new_rels}, expect_version=snap["version"],
+                meta={"kind": "add"},
+                stats=Mf.file_stats(base, new_rels, ["vec_id"]),
             )
             fresh.unpersist()
             break
@@ -244,6 +246,47 @@ def add_batch(
         "n_near_dup": n_near_dup,
         "n_added": n_added,
     }
+
+
+def changes_since(
+    spark: SparkSession,
+    base: str,
+    since_version: int,
+    until_version: int | None = None,
+) -> DataFrame:
+    """Incremental feed of vectors added in (since, until] — what a
+    downstream ANN index mirror or re-embedding audit consumes instead
+    of rescanning the store. The store is append-only (adds stage only
+    proven-new vec_ids; canonicalize is data_change=false repair), so
+    the feed is exactly the per-commit added files with the commit
+    version stamped on (corpus_store.changes_since's op column is
+    unnecessary — every row is an insert). Same retention rule:
+    vacuum(keep_last) bounds the walk, and past it the manifest layer
+    raises the loud resync error."""
+    entries = Mf.added_files(
+        base, family="vectors", since_version=since_version,
+        until_version=until_version,
+    )
+    frames = [
+        _read_files(spark, base, e["added"]["vectors"]).withColumn(
+            "version", F.lit(e["version"]).cast("long")
+        )
+        for e in entries
+        if e.get("meta", {}).get("data_change", True) is not False
+        and e["added"].get("vectors")
+    ]
+    if not frames:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(_FULL_SCHEMA.fields)
+                + [T.StructField("version", T.LongType())]
+            ),
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _curve_path(base: str) -> str:
@@ -488,7 +531,11 @@ def canonicalize(spark: SparkSession, base: str) -> int:
             r for r in vec_rels if r not in set(touched_rels)
         ] + new_rels
         try:
-            Mf.commit(base, families, expect_version=snap["version"])
+            Mf.commit(
+                base, families, expect_version=snap["version"],
+                meta={"kind": "canonicalize", "data_change": False},
+                stats=Mf.file_stats(base, new_rels, ["vec_id"]),
+            )
             return n_removed
         except Mf.CommitConflict:
             Mf.discard(base, new_rels)

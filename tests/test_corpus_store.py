@@ -398,7 +398,7 @@ def test_ingest_conflict_forces_revalidation(spark, base, monkeypatch):
     original_commit = Mf.commit
     fired = {"done": False}
 
-    def sabotaged_commit(b, families, expect_version, meta=None):
+    def sabotaged_commit(b, families, expect_version, meta=None, **kw):
         if not fired["done"]:
             fired["done"] = True
             # competing writer wins the version B expected (same
@@ -408,7 +408,7 @@ def test_ingest_conflict_forces_revalidation(spark, base, monkeypatch):
                 [_doc(900 + i, t) for i, (_d, t, _l, _s) in enumerate(shared)],
                 COLS))
             monkeypatch.setattr(cs.Mf, "commit", sabotaged_commit)
-        return original_commit(b, families, expect_version, meta)
+        return original_commit(b, families, expect_version, meta, **kw)
 
     monkeypatch.setattr(cs.Mf, "commit", sabotaged_commit)
     stats = cs.ingest(spark, base, spark.createDataFrame(shared, COLS))
@@ -721,10 +721,10 @@ def test_ingest_staged_files_survive_concurrent_aggressive_vacuum(
     real_commit = Mf.commit
     fired = {}
 
-    def vacuum_then_commit(b, families, expect_version, meta=None):
+    def vacuum_then_commit(b, families, expect_version, meta=None, **kw):
         if not fired:
             fired["removed"] = Mf.vacuum(b, min_age_s=0)  # worst-case timing
-        return real_commit(b, families, expect_version, meta)
+        return real_commit(b, families, expect_version, meta, **kw)
 
     monkeypatch.setattr(Mf, "commit", vacuum_then_commit)
     stats = cs.ingest(
@@ -806,3 +806,165 @@ def test_substr_sweep_rebuilds_sidecar_for_tier_stores(spark, base):
     )
     got = sorted(map(tuple, cs.read_whashes(spark, base).collect()))
     assert got == want
+
+
+def test_changes_feed_inserts_deletes_maintenance_invisible(spark, base):
+    """Round-6 CDC: an incremental consumer sees exactly the inserted
+    docs per ingest commit and the deleted doc_ids per delete commit —
+    and nothing at all from compaction, which moves bytes not rows."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    b1 = [_doc(1, LONG), _doc(2, LONG + " extra")]
+    b2 = [_doc(11, LONG + " brand new words here")]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS))       # v1
+    v1 = Mf.current_version(base)
+    cs.ingest(spark, base, spark.createDataFrame(b2, COLS))       # v2
+    cs.compact(spark, base)                                        # v3 (maybe no-op)
+    cs.delete_where(spark, base, F.col("doc_id") == 2)             # delete commit
+
+    feed = cs.changes_since(spark, base, since_version=0).collect()
+    by_op = {}
+    for r in feed:
+        by_op.setdefault(r["op"], []).append(r)
+    assert {r["doc_id"] for r in by_op["insert"]} == {1, 2, 11}
+    assert [r["doc_id"] for r in by_op["delete"]] == [2]
+    assert "update" not in by_op
+    # the delete row carries the fingerprint for audit joins
+    assert by_op["delete"][0]["fp"] is not None
+    # versions are the commit versions, monotone along the feed
+    ins_versions = {r["doc_id"]: r["version"] for r in by_op["insert"]}
+    assert ins_versions[1] == v1 and ins_versions[11] == v1 + 1
+
+    # a consumer checkpointed at v1 sees only batch 2 + the delete
+    tail = cs.changes_since(spark, base, since_version=v1).collect()
+    assert {(r["op"], r["doc_id"]) for r in tail} == {
+        ("insert", 11), ("delete", 2),
+    }
+    # fully caught up: empty feed, correct schema
+    done = cs.changes_since(spark, base, Mf.current_version(base))
+    assert done.count() == 0
+    assert done.columns[:2] == ["version", "op"]
+
+
+def test_changes_feed_replays_to_current_state(spark, base):
+    """Applying the feed from an empty checkpoint reproduces the
+    store: inserts minus deletes == read_corpus, including across a
+    compact() in the middle."""
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(1, LONG), _doc(2, LONG + " two")], COLS))
+    cs.compact(spark, base)
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(3, LONG + " three")], COLS))
+    cs.delete_where(spark, base, F.col("doc_id") == 1)
+
+    feed = cs.changes_since(spark, base, 0).collect()
+    state: dict[int, str] = {}
+    for r in sorted(feed, key=lambda r: r["version"]):
+        if r["op"] == "insert" or r["op"] == "update":
+            state[r["doc_id"]] = r["text"]
+        else:
+            state.pop(r["doc_id"])
+    stored = {r["doc_id"]: r["text"] for r in cs.read_corpus(spark, base).collect()}
+    assert state == stored
+
+
+def test_sweep_emits_update_and_delete_change_rows(spark, base):
+    """substr_sweep rewrites history, so its commit must carry the
+    change rows: stripped-but-surviving docs as 'update' (full new
+    text), collapsed docs as 'delete'."""
+    run = " ".join(f"shared{i}" for i in range(60))
+    uniq_a = " ".join(f"alpha{i}" for i in range(30))
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(1, run + " " + uniq_a)], COLS))
+    # doc 20 repeats the run + its own tail (update case after strip);
+    # doc 30 is ONLY the run (strips to nothing -> delete case)
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(20, run + " " + " ".join(f"beta{i}" for i in range(30))),
+         _doc(30, run)], COLS))
+    from block_explorer_spark.sources import manifest as Mf
+
+    v_before = Mf.current_version(base)
+    res = cs.substr_sweep(spark, base, window=50)
+    assert res["n_stripped"] >= 1 and res["n_deleted"] >= 1
+
+    feed = cs.changes_since(spark, base, since_version=v_before).collect()
+    ops = {(r["op"], r["doc_id"]) for r in feed}
+    assert ("update", 20) in ops
+    assert ("delete", 30) in ops
+    # the update row carries the post-strip text exactly as stored
+    stored = {r["doc_id"]: r["text"] for r in cs.read_corpus(spark, base).collect()}
+    upd = next(r for r in feed if r["op"] == "update" and r["doc_id"] == 20)
+    assert upd["text"] == stored[20]
+    assert "shared0" not in upd["text"]
+
+
+def test_point_lookup_prunes_files(spark, base):
+    """Zone maps on doc_id: three id-disjoint ingests leave three file
+    generations; a point lookup opens only the generation whose
+    [min,max] zone covers the id."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    for lo in (100, 200, 300):
+        rows = [_doc(lo + i, LONG + f" gen{lo} word{i}") for i in range(3)]
+        cs.ingest(spark, base, spark.createDataFrame(rows, COLS))
+
+    m = Mf.read(base)
+    all_files = {os.path.join(base, r) for r in m["families"]["docs"]}
+    diffs = Mf.added_files(base, "docs")
+    gen2_files = {os.path.join(base, r) for r in diffs[1]["added"]["docs"]}
+
+    df = cs.read_docs_by_ids(spark, base, [201])
+    scanned = {f.removeprefix("file://") for f in df.inputFiles()}
+    assert scanned and scanned <= gen2_files and len(scanned) < len(all_files)
+    assert [r["doc_id"] for r in df.collect()] == [201]
+
+    # multiple ids across generations still correct
+    got = {r["doc_id"] for r in cs.read_docs_by_ids(spark, base, [100, 301]).collect()}
+    assert got == {100, 301}
+    # absent id: empty, no error
+    assert cs.read_docs_by_ids(spark, base, [999]).count() == 0
+
+
+def test_truncate_change_log_retires_mutation_rows(spark, base):
+    from block_explorer_spark.sources import manifest as Mf
+
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(1, LONG), _doc(2, LONG + " two")], COLS))
+    cs.delete_where(spark, base, F.col("doc_id") == 1)
+    assert Mf.read(base)["families"].get("cdc")
+    v = Mf.current_version(base)
+    assert cs.truncate_change_log(spark, base) == 1
+    assert not Mf.read(base)["families"].get("cdc")
+    # the truncate commit itself is maintenance: invisible to the feed
+    assert cs.changes_since(spark, base, since_version=v).count() == 0
+    assert cs.truncate_change_log(spark, base) == 0  # idempotent
+
+
+def test_sweep_families_never_cross_contaminate(spark, base):
+    """Regression (round 6): substr_sweep aliased the whashes family
+    list into its staged-files accumulator, so a store running BOTH
+    sidecar tiers leaked band/cdc relpaths into families['whashes'] —
+    read_whashes then decoded foreign parquet as null rows. Every
+    family must list only its own directory's files."""
+    run = " ".join(f"shared{i}" for i in range(60))
+    mk = lambda p: " ".join(f"{p}{i}" for i in range(30))
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(1, run + " " + mk("alpha"))], COLS),
+        near_dup_threshold=0.9, substr_window=50)
+    cs.ingest(spark, base, spark.createDataFrame(
+        [_doc(2, run + " " + mk("beta"))], COLS))  # duplicate run, no tier
+    cs.substr_sweep(spark, base, window=50)
+
+    from block_explorer_spark.sources import manifest as Mf
+
+    fams = Mf.read(base)["families"]
+    prefix = {"docs": "corpus/", "bands": "bands/", "whashes": "whashes/",
+              "cdc": "cdc/"}
+    for fam, rels in fams.items():
+        for r in rels:
+            assert r.startswith(prefix[fam]), (fam, r)
+    # and the sidecar decodes cleanly: no null rows
+    rows = cs.read_whashes(spark, base).collect()
+    assert rows and all(
+        r["doc_id"] is not None and r["whash"] is not None for r in rows
+    )

@@ -335,3 +335,27 @@ def test_probe_warns_when_calibration_stale(spark, base):
         warnings.simplefilter("always")
         vs.probe(spark, base, CENTERS[0], target_recall=0.9).collect()
     assert any("re-run vector_store.calibrate" in str(x.message) for x in w)
+
+
+def test_changes_feed_append_only_with_versions(spark, base):
+    """Round-6 CDC on the vector store: per-commit added vectors with
+    the commit version stamped on; a consumer checkpointed at v1 sees
+    only the second batch."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    rng = random.Random(7)
+    b1 = _vecs(rng, 6, CENTERS[0], start_id=0)
+    b2 = _vecs(rng, 3, CENTERS[1], start_id=6, label=1)
+    vs.create(spark, base, spark.createDataFrame(b1, vs.VECTORS_SCHEMA),
+              n_centroids=2)
+    v1 = Mf.current_version(base)
+    vs.add_batch(spark, base, spark.createDataFrame(b2, vs.VECTORS_SCHEMA))
+
+    feed = vs.changes_since(spark, base, 0).collect()
+    assert {r["vec_id"] for r in feed} == set(range(9))
+    vers = {r["vec_id"]: r["version"] for r in feed}
+    assert all(vers[i] == v1 for i in range(6))
+    assert all(vers[i] == v1 + 1 for i in range(6, 9))
+    tail = vs.changes_since(spark, base, v1).collect()
+    assert {r["vec_id"] for r in tail} == {6, 7, 8}
+    assert vs.changes_since(spark, base, Mf.current_version(base)).count() == 0
