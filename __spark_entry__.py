@@ -2153,6 +2153,35 @@ def q93_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q101 PQ parameters — the oracle unrolls the deterministic Lloyd
+#: iteration at exactly these sizes, so query and oracle must agree.
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 3
+PQ_SAMPLE_MAX_ID = 256
+PQ_TOPK = 10
+
+
+def q101_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN (IVF-PQ's memory half): train M=4
+    codebooks of K=16 codewords on an integer lattice (one global
+    scale 127/max|x|, deterministic Lloyd: int L2, first-min argmin,
+    floor-division centroid updates, empty cells keep their codeword),
+    encode every vector to 4 codes, and answer the query by ADC — an
+    int M x K lookup table summed per candidate. Integer-exact end to
+    end, so the DuckDB oracle replays training + encode + ADC bit for
+    bit (operators/pq.py; Jégou/Douze/Schmid TPAMI 2011)."""
+    from block_explorer_spark.operators import pq as PQ
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    model = PQ.pq_train(
+        emb, "embedding", id_col="vec_id", m=PQ_M, k=PQ_K,
+        iters=PQ_ITERS, sample_max_id=PQ_SAMPLE_MAX_ID,
+    )
+    return PQ.pq_topk_adc(emb, "embedding", qvec, model, k=PQ_TOPK, id_col="vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2265,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_perceptual_dedup": q98_perceptual_dedup,
         "q99_audio_dedup": q99_audio_dedup,
         "q100_video_dedup": q100_video_dedup,
+        "q101_pq_adc": q101_pq_adc,
     }
 
 
@@ -2274,6 +2304,102 @@ _TOK = """SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1)),
         i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))) AS sh
     FROM documents"""
+
+def _pq_oracle_sql(
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    sample_max_id: int = PQ_SAMPLE_MAX_ID,
+    topk: int = PQ_TOPK,
+    dim: int = EMB_DIM,
+) -> str:
+    """Unrolled q101 oracle: replays operators/pq.py's deterministic
+    integer pipeline exactly — shared lattice floor(x*s+0.5) with ONE
+    global scale, then `iters` Lloyd steps per subspace (assign =
+    row_number over (int L2, codeword idx); update = elementwise
+    floor(sum/count); empty cluster keeps its codeword via the LEFT
+    JOIN coalesce), then encode-all + per-query LUT + ADC sum. Every
+    quantity is an int or an exactly-representable double, so the
+    hash-match has zero float-order slack."""
+    sub_d = dim // m
+    d2 = "list_sum(list_transform(list_zip(t.sv, w.cwv), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    parts = [
+        f"""
+        WITH s AS (
+          SELECT 127.0 / max(list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max')) AS scale
+          FROM embeddings
+        ),
+        js AS (SELECT unnest(range({m})) AS j),
+        dims AS (SELECT unnest(range(1, {sub_d + 1})) AS d),
+        allq AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(floor(
+                   CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
+          FROM embeddings, s
+        ),
+        allsub AS (
+          SELECT vec_id, j, list_slice(q, j*{sub_d} + 1, j*{sub_d} + {sub_d}) AS sv
+          FROM allq, js
+        ),
+        samp AS (SELECT * FROM allsub WHERE vec_id < {sample_max_id}),
+        cw0 AS (
+          SELECT j, c, sv AS cwv FROM (
+            SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c
+            FROM samp
+          ) WHERE c < {k}
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        d{i} AS (
+          SELECT t.vec_id, t.j, t.sv, w.c, {d2} AS d2
+          FROM samp t JOIN cw{i - 1} w USING (j)
+        ),
+        asg{i} AS (
+          SELECT vec_id, j, sv, c FROM (
+            SELECT vec_id, j, sv, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM d{i}
+          ) WHERE rn = 1
+        ),
+        up{i} AS (
+          SELECT j, c, list(v ORDER BY d) AS newv FROM (
+            SELECT j, c, d,
+                   CAST(floor(CAST(sum(sv[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+            FROM asg{i}, dims
+            GROUP BY j, c, d
+          ) GROUP BY j, c
+        ),
+        cw{i} AS (
+          SELECT w.j, w.c, coalesce(u.newv, w.cwv) AS cwv
+          FROM cw{i - 1} w LEFT JOIN up{i} u ON w.j = u.j AND w.c = u.c
+        )""")
+    parts.append(f""",
+        de AS (
+          SELECT t.vec_id, t.j, w.c, {d2} AS d2
+          FROM allsub t JOIN cw{iters} w USING (j)
+        ),
+        enc AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM de
+          ) WHERE rn = 1
+        ),
+        lut AS (
+          SELECT t.j, w.c, {d2} AS ld
+          FROM (SELECT j, sv FROM allsub WHERE vec_id = 0) t
+          JOIN cw{iters} w USING (j)
+        ),
+        scored AS (
+          SELECT e.vec_id, sum(l.ld) AS adc_dist
+          FROM enc e JOIN lut l ON e.j = l.j AND e.c = l.c
+          GROUP BY e.vec_id
+        )
+        SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
+        FROM scored ORDER BY adc_dist ASC, vec_id ASC LIMIT {topk}""")
+    return "".join(parts)
+
 
 #: Cosine between a row's `embedding` and the query vector `qe` —
 #: identical shape to q27's oracle so ordering/rounding parity carries.
@@ -3755,4 +3881,5 @@ def oracle_sql() -> dict[str, str]:
             FROM slot GROUP BY id_a, id_b
             HAVING max(h) <= {VHASH_MAX_HAMMING}
         """,
+        "q101_pq_adc": _pq_oracle_sql(),
     }

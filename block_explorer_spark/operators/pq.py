@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "adc_lut",
+    "adc_topk_codes",
     "global_scale",
     "pq_train",
     "pq_encode",
@@ -73,6 +75,20 @@ def _quantize_rows(mat: np.ndarray, scale: float) -> np.ndarray:
     return np.floor(mat.astype(np.float64) * scale + 0.5).astype(np.int64)
 
 
+def _prep_rows(mat: np.ndarray, model: dict) -> np.ndarray:
+    """Rows → lattice ints under the model's contract: optionally
+    L2-normalize first (the cosine-ANN practice — on unit vectors L2
+    order IS cosine order, L2² = 2·(1-cos)), then quantize. Normalized
+    models pin scale = 127.0 (|x| ≤ 1 on the unit sphere), so no data
+    pass is needed for the scale and the lattice never clips."""
+    mat = mat.astype(np.float64)
+    if model.get("normalized"):
+        n = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        n[n == 0.0] = 1.0
+        mat = mat / n
+    return _quantize_rows(mat, model["scale"])
+
+
 def quantize_query(query: list[float], scale: float) -> list[int]:
     return [int(math.floor(float(x) * scale + 0.5)) for x in query]
 
@@ -86,17 +102,27 @@ def pq_train(
     iters: int = 3,
     sample_max_id: int = 256,
     scale: float | None = None,
+    normalize: bool = False,
 ) -> dict:
     """Train M codebooks of K codewords on the integer lattice.
 
     The training sample is the rows with `id_col < sample_max_id` — a
     value-based bound, not a LIMIT, so the sample is deterministic
     under any partitioning and the oracle selects the identical rows.
-    Returns {"scale", "dim", "m", "k", "iters", "codebooks"} where
-    codebooks[j] is a K x (dim/m) int list — small enough to broadcast
-    (4 x 16 x 16 ints here; 32k floats even at FAISS-size M=64,K=256).
-    """
-    if scale is None:
+    Returns {"scale", "dim", "m", "k", "iters", "normalized",
+    "codebooks"} where codebooks[j] is a K x (dim/m) int list — small
+    enough to broadcast (4 x 16 x 16 ints here; 32k floats even at
+    FAISS-size M=64,K=256).
+
+    `normalize=True` is the cosine-metric mode (vector_store's
+    default): rows are L2-normalized before quantization so ADC's int
+    L2 ranks candidates in exact cosine order, and the lattice scale
+    is the constant 127.0 (unit sphere ⇒ |x| ≤ 1). The default raw
+    mode is L2-metric on the original vectors and keeps the one-float-
+    aggregate property the q101 oracle replays."""
+    if normalize:
+        scale = 127.0
+    elif scale is None:
         scale = global_scale(df, vec_col)
     sample = (
         df.filter(F.col(id_col) < sample_max_id)
@@ -104,7 +130,10 @@ def pq_train(
         .collect()
     )
     sample.sort(key=lambda r: r[0])
-    mat = _quantize_rows(np.array([r[1] for r in sample], dtype=np.float64), scale)
+    mat = _prep_rows(
+        np.array([r[1] for r in sample], dtype=np.float64),
+        {"normalized": normalize, "scale": scale},
+    )
     n, dim = mat.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -135,6 +164,7 @@ def pq_train(
         "m": m,
         "k": k_eff,
         "iters": iters,
+        "normalized": normalize,
         "codebooks": codebooks,
     }
 
@@ -161,11 +191,9 @@ def pq_encode(
     persist `out_col` beside (or instead of) the raw floats."""
     from pyspark.sql.functions import pandas_udf
 
-    scale = model["scale"]
-
     @pandas_udf("array<int>")
     def _enc(col: pd.Series) -> pd.Series:
-        mat = _quantize_rows(np.stack(col.to_numpy()), scale)
+        mat = _prep_rows(np.stack(col.to_numpy()), model)
         codes = _encode_mat(mat, model)
         return pd.Series(list(codes.astype(np.int32)))
 
@@ -175,7 +203,7 @@ def pq_encode(
 def adc_lut(query: list[float], model: dict) -> np.ndarray:
     """(m, k) int64 table: exact L2 between the quantized query's j-th
     subvector and codeword c — the per-query half of ADC."""
-    q = np.asarray(quantize_query(query, model["scale"]), dtype=np.int64)
+    q = _prep_rows(np.asarray([query], dtype=np.float64), model)[0]
     m, sub_d = model["m"], model["dim"] // model["m"]
     lut = np.empty((m, model["k"]), dtype=np.int64)
     for j in range(m):
@@ -183,6 +211,36 @@ def adc_lut(query: list[float], model: dict) -> np.ndarray:
         cw = np.asarray(model["codebooks"][j], dtype=np.int64)
         lut[j] = ((cw - qs[None, :]) ** 2).sum(axis=1)
     return lut
+
+
+def adc_topk_codes(
+    df: DataFrame,
+    codes_col: str,
+    lut: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k ADC over PERSISTED codes (the vector_store read path):
+    no re-encoding — each candidate costs M int lookups against the
+    broadcast (m, k) LUT. Map-only + TakeOrdered; at a billion codes
+    this is the 4-bytes-per-row sequential scan PQ exists for."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = lut.shape[0]
+
+    @pandas_udf("long")
+    def _adc(col: pd.Series) -> pd.Series:
+        codes = np.stack(col.to_numpy()).astype(np.int64)
+        dist = np.zeros(len(codes), dtype=np.int64)
+        for j in range(m):
+            dist += lut[j][codes[:, j]]
+        return pd.Series(dist)
+
+    return (
+        df.select(F.col(id_col), _adc(F.col(codes_col)).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def pq_topk_adc(
@@ -201,11 +259,10 @@ def pq_topk_adc(
     from pyspark.sql.functions import pandas_udf
 
     lut = adc_lut(query, model)
-    scale = model["scale"]
 
     @pandas_udf("long")
     def _adc(col: pd.Series) -> pd.Series:
-        mat = _quantize_rows(np.stack(col.to_numpy()), scale)
+        mat = _prep_rows(np.stack(col.to_numpy()), model)
         codes = _encode_mat(mat, model)
         dist = np.zeros(len(codes), dtype=np.int64)
         for j in range(model["m"]):

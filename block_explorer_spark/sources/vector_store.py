@@ -289,6 +289,198 @@ def changes_since(
     return out
 
 
+_CODES_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
+        T.StructField("centroid_id", T.IntegerType()),
+    ]
+)
+
+
+def _pq_model_path(base: str) -> str:
+    return os.path.join(base, "pq_model.json")
+
+
+def load_pq(base: str) -> dict:
+    """The store's PQ record: {"model": pq.pq_train dict,
+    "encoded_version": manifest version the codes family covers}.
+    Raises FileNotFoundError when the store has no PQ tier — callers
+    must build_pq first (silently falling back to exact would hide a
+    256x memory regression at scale)."""
+    try:
+        with open(_pq_model_path(base)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no PQ model at {_pq_model_path(base)}: run "
+            "vector_store.build_pq(spark, base) once before "
+            'probe(..., tier="pq")'
+        ) from None
+
+
+def _read_codes(spark: SparkSession, base: str, rels: list[str]) -> DataFrame:
+    if not rels:
+        return spark.createDataFrame([], _CODES_SCHEMA)
+    return (
+        spark.read.schema(_CODES_SCHEMA)
+        .option("basePath", os.path.join(base, "pq_codes"))
+        .parquet(*sorted(os.path.join(base, r) for r in rels))
+    )
+
+
+@Mf.with_write_intent
+def build_pq(
+    spark: SparkSession,
+    base: str,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    sample_size: int = 256,
+    normalize: bool = True,
+) -> dict:
+    """Build the store's PQ tier (operators/pq.py): train codebooks on
+    the `sample_size` smallest vec_ids (a value bound, deterministic
+    under any partitioning), encode the whole snapshot, and commit the
+    codes as the `pq_codes` family — partitioned by centroid_id so the
+    probe's cell pruning carries over to the code files. The commit is
+    `data_change: False` (derived data: CDC consumers don't see it).
+    Re-running rebuilds the family wholesale (the correct move after
+    canonicalize/compact rewrites). At 64-d float32 the codes are 64x
+    smaller than the vectors — the tier that keeps a billion-vector
+    cell scan in page cache.
+
+    `normalize=True` (default): rows are L2-normalized before
+    quantization so ADC ranks in exact cosine order — consistent with
+    the exact tier's cosine. Raw-L2 PQ (normalize=False) is the q101
+    lattice mode."""
+    from block_explorer_spark.operators import pq as PQ
+
+    while True:
+        snap = Mf.read(base)
+        vecs = read_vectors(spark, base, snap)
+        ids = [
+            r[0]
+            for r in vecs.select("vec_id").orderBy("vec_id").limit(sample_size).collect()
+        ]
+        if not ids:
+            raise ValueError(f"vector store at {base} is empty; cannot train PQ")
+        model = PQ.pq_train(
+            vecs, "embedding", id_col="vec_id", m=m, k=k, iters=iters,
+            sample_max_id=ids[-1] + 1, normalize=normalize,
+        )
+        codes = PQ.pq_encode(vecs, "embedding", model).select(
+            "vec_id", "pq_codes", "centroid_id"
+        )
+        new_rels = Mf.stage_df(
+            codes.repartition("centroid_id"), base, "pq_codes",
+            partition_by="centroid_id",
+        )
+        families = dict(snap["families"])
+        families["pq_codes"] = new_rels
+        try:
+            v_new = Mf.commit(
+                base, families, expect_version=snap["version"],
+                meta={"kind": "build_pq", "data_change": False},
+            )
+            break
+        except Mf.CommitConflict:
+            Mf.discard(base, new_rels)
+    rec = {"model": model, "encoded_version": v_new}
+    with open(_pq_model_path(base), "w") as f:
+        json.dump(rec, f)
+    return rec
+
+
+@Mf.with_write_intent
+def refresh_pq(spark: SparkSession, base: str) -> int:
+    """Encode only the vectors added since the codes family was last
+    built/refreshed (the CDC feed bounds the work to the delta, never
+    the corpus) and append them to `pq_codes`. Returns rows encoded.
+    Codebooks are NOT retrained — like the coarse centroids they are a
+    tier-lifetime constant, so codes stay comparable across refreshes
+    (the FAISS practice)."""
+    from block_explorer_spark.operators import pq as PQ
+
+    rec = load_pq(base)
+    while True:
+        snap = Mf.read(base)
+        if snap["version"] == rec["encoded_version"]:
+            return 0
+        delta = changes_since(
+            spark, base, since_version=rec["encoded_version"],
+            until_version=snap["version"],
+        )
+        codes = PQ.pq_encode(delta, "embedding", rec["model"]).select(
+            "vec_id", "pq_codes", "centroid_id"
+        )
+        new_rels = Mf.stage_df(
+            codes.repartition("centroid_id"), base, "pq_codes",
+            partition_by="centroid_id",
+        )
+        n_delta = _read_codes(spark, base, new_rels).count()
+        if not n_delta:
+            # version moved but no vector rows changed (build/repair
+            # commits): advance the local watermark, commit nothing.
+            Mf.discard(base, new_rels)
+            rec["encoded_version"] = snap["version"]
+            with open(_pq_model_path(base), "w") as f:
+                json.dump(rec, f)
+            return 0
+        families = dict(snap["families"])
+        families["pq_codes"] = families.get("pq_codes", []) + new_rels
+        try:
+            v_new = Mf.commit(
+                base, families, expect_version=snap["version"],
+                meta={"kind": "refresh_pq", "data_change": False},
+            )
+            rec["encoded_version"] = v_new
+            with open(_pq_model_path(base), "w") as f:
+                json.dump(rec, f)
+            return n_delta
+        except Mf.CommitConflict:
+            Mf.discard(base, new_rels)
+
+
+def _probe_pq(
+    spark: SparkSession, base: str, query: list[float], k: int, n_probe: int
+) -> DataFrame:
+    """PQ-tier probe: select cells with the coarse centroids (same
+    rule as the exact tier), read ONLY those cells' code files from
+    the manifest snapshot, and ADC top-k against the broadcast LUT.
+    Vectors committed after the codes snapshot are encoded on the fly
+    from the CDC feed (cost ∝ delta, and only its probe-cell rows),
+    so the probe stays correct under continuous adds without waiting
+    for refresh_pq. Returns (vec_id, adc_dist) — ascending int L2 on
+    the PQ lattice."""
+    from block_explorer_spark.operators import pq as PQ
+
+    rec = load_pq(base)
+    model = rec["model"]
+    cents = load_centroids(base)
+    snap = Mf.read(base)
+    probes = Sim._probe_cells(query, cents, n_probe)
+    tags = {f"centroid_id={c}{os.sep}" for c in probes}
+    code_rels = [
+        r for r in snap["families"].get("pq_codes", [])
+        if any(t in r for t in tags)
+    ]
+    scored = _read_codes(spark, base, code_rels)
+    if snap["version"] > rec["encoded_version"]:
+        delta = changes_since(
+            spark, base, since_version=rec["encoded_version"],
+            until_version=snap["version"],
+        ).filter(F.col("centroid_id").isin([int(c) for c in probes]))
+        scored = scored.unionByName(
+            PQ.pq_encode(delta, "embedding", model).select(
+                "vec_id", "pq_codes", "centroid_id"
+            )
+        )
+    return PQ.adc_topk_codes(
+        scored, "pq_codes", PQ.adc_lut(query, model), k=k, id_col="vec_id"
+    )
+
+
 def _curve_path(base: str) -> str:
     return os.path.join(base, "recall_curve.json")
 
@@ -398,11 +590,19 @@ def probe(
     k: int = 10,
     n_probe: int = 2,
     target_recall: float | None = None,
+    tier: str = "exact",
 ) -> DataFrame:
     """Top-k over the probe cells only: the manifest snapshot IS the
     file listing, so the probe reads exactly the live files of the
     probe cells — no directory listing, and a concurrent add/delete
     can't tear the read.
+
+    `tier="pq"` (round 7): answer from the persisted PQ codes family
+    instead of the raw vectors — same cell selection, but the scan is
+    M bytes/row + a broadcast LUT (see _probe_pq / build_pq). Returns
+    (vec_id, adc_dist) rather than (vec_id, cosine); production
+    re-ranks the PQ candidates with exact vectors when it needs
+    cosine-faithful order.
 
     `target_recall` (round 6): ignore `n_probe` and pick it from the
     store's calibrated recall curve (see `calibrate`); if no measured
@@ -431,6 +631,10 @@ def probe(
                     "may no longer reach the target recall",
                     stacklevel=2,
                 )
+    if tier == "pq":
+        return _probe_pq(spark, base, query, k, n_probe)
+    if tier != "exact":
+        raise ValueError(f"unknown probe tier {tier!r}: use 'exact' or 'pq'")
     files = [
         os.path.join(base, r)
         for r in Mf.read(base)["families"].get("vectors", [])

@@ -15,6 +15,11 @@ scale_curve corpora):
                   stage): recall of the quantized order itself
   sq8_rerank      the production two-stage form: SQ8 top-50
                   candidates, exact float re-rank, top-10
+  pq_m{4,8}_adc   product-quantized ADC ranking (operators/pq.py,
+                  round 7): 4- or 8-byte codes, int LUT scan — the
+                  64x/32x memory tier — plus its top-50 exact-rerank
+                  form. `--only pq` measures just these and merges
+                  into an existing artifact.
 
 Ground truth: exact brute-force cosine top-10 per query on the float
 column. Queries are stored vectors perturbed with seeded gaussian
@@ -112,11 +117,75 @@ def operating_points(scales: dict, targets=(0.8, 0.9, 0.95)) -> dict:
     return out
 
 
+def _measure_pq(emb, queries, truth, cell: dict) -> None:
+    """PQ ADC recall (operators/pq.py): cosine-metric mode (L2-
+    normalized rows — ADC order is exact cosine order on the lattice),
+    FAISS-sized codebooks (k=256 codewords per subspace, trained on
+    the 4096 smallest vec_ids), encode once (cached — the at-ingest
+    pass), then per-query LUT + int ADC scan. Timed like the other
+    configs: probe only, encode prebuilt."""
+    from block_explorer_spark.operators import pq as PQb
+
+    for stale in [n for n in cell["configs"] if n.startswith("pq_")]:
+        del cell["configs"][stale]
+    for m in (8, 16):
+        t0 = time.perf_counter()
+        model = PQb.pq_train(emb, "embedding", m=m, k=256, iters=3,
+                             sample_max_id=4096, normalize=True)
+        pq_train_sec = time.perf_counter() - t0
+        codes = PQb.pq_encode(emb, "embedding", model).select(
+            "vec_id", "pq_codes").cache()
+        t0 = time.perf_counter()
+        codes.count()
+        encode_sec = time.perf_counter() - t0
+        recalls, rrecalls, r1s, secs = [], [], [], []
+        for q, t in zip(queries, truth):
+            lut = PQb.adc_lut(q, model)
+            t0 = time.perf_counter()
+            cand = [r.vec_id for r in
+                    PQb.adc_topk_codes(codes, "pq_codes", lut, k=CAND).collect()]
+            secs.append(time.perf_counter() - t0)
+            recalls.append(_recall(cand[:K], t))
+            rerank = [
+                r.vec_id
+                for r in Sim.brute_force_topk(
+                    emb.filter(F.col("vec_id").isin(cand)), "embedding", q, K
+                ).collect()
+            ]
+            rrecalls.append(_recall(rerank, t))
+            r1s.append(1.0 if rerank and rerank[0] == t[0] else 0.0)
+        codes.unpersist()
+        cell["configs"][f"pq_m{m}_adc"] = {
+            "recall_at_10": round(float(np.mean(recalls)), 4),
+            "sec_per_query": round(float(np.mean(secs)), 2),
+            "train_sec": round(pq_train_sec, 1),
+            "encode_sec": round(encode_sec, 1),
+            "bytes_per_vector": m,
+        }
+        cell["configs"][f"pq_m{m}_rerank_top{CAND}"] = {
+            "recall_at_10": round(float(np.mean(rrecalls)), 4),
+            # recall@1 separates "finds the true match" (PQ's
+            # candidate-generation job — 1.0 here) from "orders the
+            # statistical near-ties at ranks 2-10", which this
+            # corpus's random tail cannot support at few-byte codes
+            # (float-kmeans ceiling measured the same: 0.375 @ m=8).
+            "recall_at_1": round(float(np.mean(r1s)), 4),
+        }
+        print(f"# pq m={m}: adc={np.mean(recalls):.3f} "
+              f"rerank={np.mean(rrecalls):.3f} r@1={np.mean(r1s):.3f}",
+              file=sys.stderr)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="100,1000")
     ap.add_argument("--out", default="ANN_RECALL.json")
     ap.add_argument("--root", default="/root/repo/.scale")
+    ap.add_argument(
+        "--only", default="all", choices=("all", "pq"),
+        help="pq: skip ivf/sq8 (reuse an existing cell) and add only "
+        "the PQ configs — ground truth is recomputed (deterministic)",
+    )
     ap.add_argument(
         "--k", type=int, default=None,
         help="override n_centroids (default 8*scale, the k-proportional-"
@@ -137,14 +206,9 @@ def main() -> None:
         n_vecs = emb.count()
         queries = _queries_for(emb, n_vecs)
         k_cents = args.k if args.k is not None else 8 * scale
+        key = f"x{scale}" if args.k is None else f"x{scale}_k{args.k}"
 
-        print(f"# x{scale}: training k={k_cents} centroids", file=sys.stderr)
-        t0 = time.perf_counter()
-        cents = Sim.train_centroids(emb, "embedding", k_cents, seed=7,
-                                    max_train_rows=50_000)
-        train_sec = time.perf_counter() - t0
-
-        # ground truth
+        # ground truth (always recomputed: deterministic, never stored)
         truth = []
         t0 = time.perf_counter()
         for q in queries:
@@ -152,7 +216,27 @@ def main() -> None:
                           Sim.brute_force_topk(emb, "embedding", q, K).collect()])
         brute_sec = (time.perf_counter() - t0) / len(queries)
 
-        cell: dict = {
+        if args.only == "pq":
+            if key not in results:
+                raise SystemExit(f"--only pq: no existing cell {key} in {args.out}")
+            cell = results[key]
+            _measure_pq(emb, queries, truth, cell)
+            results[key] = cell
+            with open(args.out, "w") as f:
+                json.dump({"metric": "ann_recall", "k": K,
+                           "n_queries": N_QUERIES, "scales": results,
+                           "operating_points": operating_points(results)}, f,
+                          indent=1, sort_keys=True)
+            emb.unpersist()
+            continue
+
+        print(f"# x{scale}: training k={k_cents} centroids", file=sys.stderr)
+        t0 = time.perf_counter()
+        cents = Sim.train_centroids(emb, "embedding", k_cents, seed=7,
+                                    max_train_rows=50_000)
+        train_sec = time.perf_counter() - t0
+
+        cell = {
             "n_vecs": n_vecs,
             "k_centroids": k_cents,
             "train_sec": round(train_sec, 1),
@@ -225,10 +309,11 @@ def main() -> None:
         print(f"# x{scale} sq8: {np.mean(recalls):.3f} "
               f"rerank: {np.mean(rrecalls):.3f}", file=sys.stderr)
 
+        _measure_pq(emb, queries, truth, cell)
+
         flat.unpersist()
         two.unpersist()
         emb.unpersist()
-        key = f"x{scale}" if args.k is None else f"x{scale}_k{args.k}"
         results[key] = cell
         with open(args.out, "w") as f:
             json.dump({"metric": "ann_recall", "k": K,
