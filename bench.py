@@ -94,6 +94,50 @@ def bench_ingest(spark) -> dict[str, float]:
         shutil.rmtree(base)
     return timings
 
+def bench_ingest_group(spark) -> dict[str, float]:
+    """Round-7 item 4: the SAME 4x500-record load, two commit
+    disciplines — 4 per-batch manifest swaps (the reference's
+    per-jet-drop-batch shape) vs the streaming group-commit spool
+    (4 plain parquet appends + ONE MERGE + ONE swap, including its
+    control pass). The delta is the amortizable CAS cost."""
+    import shutil
+    import tempfile
+
+    from block_explorer_spark import schemas
+    from block_explorer_spark.sources import parquet as pqs
+    from block_explorer_spark.streaming import pipeline as P
+
+    timings: dict[str, float] = {}
+
+    base = tempfile.mkdtemp(prefix="bes_ingest_solo_")
+    t0 = time.perf_counter()
+    for i in range(4):
+        raw = spark.createDataFrame(
+            _ingest_raw_rows(4_000_010 + 10 * i, 500, 1), schemas.RAW_RECORDS
+        )
+        P.ingest_batch(spark, base, raw)
+    landed = pqs.read_table(spark, base, "records").count()
+    timings["ingest_4x500_per_commit"] = round(time.perf_counter() - t0, 3)
+    assert landed == 2000, landed
+    shutil.rmtree(base)
+
+    base = tempfile.mkdtemp(prefix="bes_ingest_grp_")
+    ckpt = tempfile.mkdtemp(prefix="bes_ingest_grpck_")
+    t0 = time.perf_counter()
+    for i in range(4):
+        raw = spark.createDataFrame(
+            _ingest_raw_rows(4_000_010 + 10 * i, 500, 1), schemas.RAW_RECORDS
+        )
+        raw.write.mode("append").parquet(P._spool_dir(ckpt))
+    P.flush_pending(spark, base, ckpt)
+    landed = pqs.read_table(spark, base, "records").count()
+    timings["ingest_4x500_group_commit"] = round(time.perf_counter() - t0, 3)
+    assert landed == 2000, landed
+    shutil.rmtree(base)
+    shutil.rmtree(ckpt)
+    return timings
+
+
 #: Headline set: one per operator family, weighted toward the shapes
 #: that matter at scale (agg, join, window, dedup, similarity).
 HEADLINE = [
@@ -192,7 +236,10 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
 
-    ingest_runs = [bench_ingest(spark) for _ in range(N_PASSES)]
+    ingest_runs = [
+        {**bench_ingest(spark), **bench_ingest_group(spark)}
+        for _ in range(N_PASSES)
+    ]
     for k in ingest_runs[0]:
         vals = sorted(run[k] for run in ingest_runs)
         timings[k] = vals[len(vals) // 2]

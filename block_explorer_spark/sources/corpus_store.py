@@ -216,6 +216,89 @@ def _doc_bucket_col():
     return F.pmod(F.xxhash64("doc_id"), F.lit(N_SIDECAR_BUCKETS))
 
 
+#: Round-7 whash-sidecar layout: partitioned by wr = the whash's first
+#: hex nibble (16 STATIC ranges — a value-derived key, so the range a
+#: hash lives in never depends on store state), rows sorted by whash
+#: within each file. What each axis buys:
+#:   - probe pruning: a SMALL probe (few distinct hashes — the
+#:     incremental steady state of point re-checks / tiny batches)
+#:     opens only the wr dirs its hashes fall in. A whole-batch probe
+#:     with B >> 16 uniform hashes hits every range — no file layout
+#:     can prune that (P(range untouched) = (15/16)^B ≈ 0), which is
+#:     WHY the probe's execution shape, not its file list, is the
+#:     scale lever: the store side is scanned ONCE, map-only, against
+#:     a broadcast of the batch's hash set — no store-side distinct,
+#:     no store-side shuffle (the r6 shape shuffled the whole sidecar
+#:     per batch and drifted +20%/10 rounds).
+#:   - delete pruning: wr files record doc_id [min,max] zone maps in
+#:     the manifest (crawl batches are id-monotone, so zones are
+#:     tight); an RTBF delete opens only files whose zone can hold a
+#:     doomed id — replacing the old doc_bucket dir pruning.
+W_RANGES = 16
+
+#: Collect-and-prune probes only below this many distinct batch
+#: hashes (beyond ~16·ln16 ≈ 44 every wr range is hit anyway).
+SUBSTR_POINT_PROBE_MAX = 64
+
+#: Broadcast the batch hash set up to this size (16-char strings:
+#: ~50 MB worst case in one local JVM); past it, fall back to the
+#: shuffle semi-join.
+SUBSTR_BROADCAST_MAX = 1_000_000
+
+#: Collect doomed doc_ids for per-file zone checks up to this count;
+#: past it, prune with the [min,max] doomed-id interval only.
+DELETE_ID_COLLECT_MAX = 100_000
+
+
+def _wr_col():
+    return F.conv(F.substring("whash", 1, 1), 16, 10).cast("int")
+
+
+def _whash_stats(base: str, rels: list[str]) -> dict:
+    """doc_id zone maps for freshly staged whash files — the delete
+    path's pruning index (see W_RANGES note)."""
+    return Mf.file_stats(base, rels, ["doc_id"])
+
+
+def _stage_whashes(df: DataFrame, base: str) -> list[str]:
+    """Stage windows in the wr layout: one file per touched range,
+    rows sorted by whash (tight row-group stats for free)."""
+    return _stage_write(
+        df.select("doc_id", "pos", "whash")
+        .withColumn("wr", _wr_col())
+        .repartition("wr")
+        .sortWithinPartitions("whash"),
+        base, "whashes", partition_by="wr",
+    )
+
+
+def _whash_files_for_ids(
+    manifest: dict, rels: list[str], doomed_ids: list[int] | None,
+    lo: int, hi: int,
+) -> list[str]:
+    """Whash files that can hold a doomed doc's rows: wr-layout files
+    prune by their manifest doc_id zone (against the sorted doomed-id
+    list when collected, else the [lo, hi] envelope); files without a
+    recorded zone — legacy layouts — are always kept (and migrate to
+    the wr layout when rewritten)."""
+    import bisect
+
+    stats = manifest.get("stats", {})
+    out = []
+    for rel in rels:
+        zone = stats.get(rel, {}).get("doc_id")
+        if zone is None:
+            out.append(rel)
+            continue
+        if doomed_ids is not None:
+            i = bisect.bisect_left(doomed_ids, zone[0])
+            if i < len(doomed_ids) and doomed_ids[i] <= zone[1]:
+                out.append(rel)
+        elif not (zone[1] < lo or zone[0] > hi):
+            out.append(rel)
+    return out
+
+
 def _sidecar_bucket_files(
     rels: list[str], buckets, tag: str
 ) -> list[str]:
@@ -455,23 +538,39 @@ def _substr_filter(
     commit for the accepted docs — recomputed on the FINAL text, so
     the sidecar always mirrors what is stored.
 
-    Scale shape: window hashing is map-only over the batch; the probe
-    is one shuffle join on whash (16 B keys) whose store side reads
-    ONE projected column of the sidecar (never the corpus text); span
-    merge is one doc_id shuffle over marked rows only. Honest caveat:
-    unlike the fp tier, the probe cannot bucket-prune — a batch's
-    windows hash everywhere — so the sidecar's whash column is scanned
-    per batch (measured flat per round at bench scale,
-    scripts/store_bench.py --substr-window). At 100 TB production
-    would bound that with parquet bloom filters per sidecar file or
-    by folding probes into a daily q95 batch pass.
+    Scale shape (round 7): window hashing is map-only over the batch.
+    The store probe reads ONE projected column of the sidecar (never
+    the corpus text) in a SINGLE map-only pass — the batch's distinct
+    hash set is broadcast and the store side is semi-joined against it
+    with zero store-side shuffle and zero store-side distinct (the r6
+    shape shuffled + deduped the whole sidecar per batch; that was the
+    +20%/10-round drift store_bench measured). Small probes (≤
+    SUBSTR_POINT_PROBE_MAX distinct hashes) additionally prune the
+    file list to the wr ranges their hashes fall in — see the
+    W_RANGES note for why whole-batch probes can't file-prune. Span
+    merge is one doc_id shuffle over marked rows only. The remaining
+    growth term is the sequential column scan itself (∝ corpus);
+    production amortizes it by folding probes into the daily
+    `substr_sweep` batch pass.
     """
     from block_explorer_spark.operators import substrings as Sub
 
     fresh = fresh.localCheckpoint()  # cut lineage: reused ~4x below
     wins = _doc_whashes(fresh, window).localCheckpoint()
-    stored_hashes = read_whashes(spark, base, snapshot).select("whash").distinct()
-    vs_store = wins.join(stored_hashes, "whash", "left_semi").select("doc_id", "pos")
+    bw = wins.select("whash").distinct().localCheckpoint()
+    n_bw = bw.count()
+    whash_rels = snapshot["families"].get("whashes", [])
+    if n_bw <= SUBSTR_POINT_PROBE_MAX:
+        wrs = [r.wr for r in bw.select(_wr_col().alias("wr")).distinct().collect()]
+        whash_rels = _sidecar_bucket_files(whash_rels, wrs, "wr")
+    stored_hashes = _read_whash_files(spark, base, whash_rels).select("whash")
+    if n_bw <= SUBSTR_BROADCAST_MAX:
+        hits = stored_hashes.join(F.broadcast(bw), "whash", "left_semi").distinct()
+        vs_store = wins.join(F.broadcast(hits), "whash", "left_semi").select("doc_id", "pos")
+    else:
+        vs_store = wins.join(
+            stored_hashes.distinct(), "whash", "left_semi"
+        ).select("doc_id", "pos")
     in_batch = Sub.marked_occurrences(wins, "doc_id")
     marked = vs_store.unionByName(in_batch).distinct()
     spans = Sub.merge_spans(marked, "doc_id", window)
@@ -636,11 +735,7 @@ def ingest(
             # mirrors — accepted text and its substring index can
             # never desync (the band-sidecar guarantee, extended)
             new_whashes = (
-                _stage_write(
-                    accepted_wins.withColumn("doc_bucket", _doc_bucket_col())
-                    .repartition("doc_bucket"),
-                    base, "whashes", partition_by="doc_bucket",
-                )
+                _stage_whashes(accepted_wins, base)
                 if accepted_wins is not None
                 else []
             )
@@ -656,7 +751,10 @@ def ingest(
                 Mf.commit(
                     base, families, expect_version=snap["version"],
                     meta={"kind": "ingest"},
-                    stats=_docs_stats(base, new_docs),
+                    stats={
+                        **_docs_stats(base, new_docs),
+                        **_whash_stats(base, new_whashes),
+                    },
                 )
                 fresh.unpersist()
                 break
@@ -894,6 +992,22 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
         whash_rels = snap["families"].get("whashes", [])
         touched_whash_rels: list[str] = []
         if whash_rels:
+            # wr-layout files prune by their manifest doc_id zone
+            # maps; legacy doc_bucket files prune by the doomed ids'
+            # buckets (and migrate to wr when rewritten)
+            doomed_ids = None
+            if n_deleted <= DELETE_ID_COLLECT_MAX:
+                doomed_ids = sorted(
+                    r.doc_id for r in doomed.select("doc_id").distinct().collect()
+                )
+                lo, hi = doomed_ids[0], doomed_ids[-1]
+            else:
+                row = doomed.agg(
+                    F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+                ).collect()[0]
+                lo, hi = row.lo, row.hi
+            legacy = [r for r in whash_rels if "doc_bucket=" in r]
+            zoned = [r for r in whash_rels if "doc_bucket=" not in r]
             doomed_wbuckets = [
                 r.b
                 for r in doomed.select(_doc_bucket_col().alias("b"))
@@ -901,17 +1015,13 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
                 .collect()
             ]
             touched_whash_rels = _sidecar_bucket_files(
-                whash_rels, doomed_wbuckets, "doc_bucket"
-            )
+                legacy, doomed_wbuckets, "doc_bucket"
+            ) + _whash_files_for_ids(snap, zoned, doomed_ids, lo, hi)
             if touched_whash_rels:
                 remaining_w = _read_whash_files(
                     spark, base, touched_whash_rels
                 ).join(doomed.select("doc_id"), "doc_id", "left_anti")
-                new_whashes = _stage_write(
-                    remaining_w.withColumn("doc_bucket", _doc_bucket_col())
-                    .repartition("doc_bucket"),
-                    base, "whashes", partition_by="doc_bucket",
-                )
+                new_whashes = _stage_whashes(remaining_w, base)
 
         # change-feed rows for the removed docs, staged into the SAME
         # swap (round 6): a downstream consumer (index mirror, RTBF
@@ -945,7 +1055,10 @@ def delete_where(spark: SparkSession, base: str, predicate) -> int:
             Mf.commit(
                 base, families, expect_version=snap["version"],
                 meta={"kind": "delete", "cdc": "log"},
-                stats=_docs_stats(base, new_docs),
+                stats={
+                    **_docs_stats(base, new_docs),
+                    **_whash_stats(base, new_whashes),
+                },
             )
             return n_deleted
         except Mf.CommitConflict:
@@ -1036,7 +1149,7 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
         if (
             not fragmented
             and not _sidecar_fragmented(band_rels, "bh_bucket")
-            and not _sidecar_fragmented(whash_rels, "doc_bucket")
+            and not _sidecar_fragmented(whash_rels, "wr")
         ):
             return 0
         docs = _read_docs_files(spark, base, doc_rels)
@@ -1055,12 +1168,7 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
             else []
         )
         new_whashes = (
-            _stage_write(
-                read_whashes(spark, base, snap)
-                .withColumn("doc_bucket", _doc_bucket_col())
-                .repartition("doc_bucket"),
-                base, "whashes", partition_by="doc_bucket",
-            )
+            _stage_whashes(read_whashes(spark, base, snap), base)
             if whash_rels
             else []
         )
@@ -1074,7 +1182,10 @@ def compact(spark: SparkSession, base: str, files_per_bucket: int = 1) -> int:
             Mf.commit(
                 base, families, expect_version=snap["version"],
                 meta={"kind": "compact", "data_change": False},
-                stats=_docs_stats(base, new_docs),
+                stats={
+                    **_docs_stats(base, new_docs),
+                    **_whash_stats(base, new_whashes),
+                },
             )
             return len(doc_rels) + len(band_rels) + len(whash_rels)
         except Mf.CommitConflict:
@@ -1171,15 +1282,11 @@ def substr_sweep(
         ] + new_docs
 
         staged_extra: list[str] = []
+        new_whashes: list[str] = []
         if snap["families"].get("whashes") is not None and (
             snap["families"].get("whashes") or n_stripped
         ):
-            new_whashes = _stage_write(
-                _doc_whashes(final, window)
-                .withColumn("doc_bucket", _doc_bucket_col())
-                .repartition("doc_bucket"),
-                base, "whashes", partition_by="doc_bucket",
-            )
+            new_whashes = _stage_whashes(_doc_whashes(final, window), base)
             families["whashes"] = new_whashes
             # copy, not alias: += below must never mutate the family list
             staged_extra = list(new_whashes)
@@ -1221,7 +1328,10 @@ def substr_sweep(
             Mf.commit(
                 base, families, expect_version=snap["version"],
                 meta={"kind": "sweep", "cdc": "log"},
-                stats=_docs_stats(base, new_docs),
+                stats={
+                    **_docs_stats(base, new_docs),
+                    **_whash_stats(base, new_whashes),
+                },
             )
             return {"n_stripped": n_stripped - n_deleted, "n_deleted": n_deleted}
         except Mf.CommitConflict:

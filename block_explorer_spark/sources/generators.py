@@ -213,3 +213,59 @@ def make_flat_seed(
             if r["pulse_number"] == d["pulse_number"] and r["jet_id"] == d["jet_id"]
         )
     return pulses, drops, records
+
+
+# ------------------------------------------- round 7: natural-text fixture
+
+#: Morphology tables for `natural_text_corpus`: content words are
+#: prefix+stem+suffix over syllable-built stems, so the corpus has
+#: REAL subword statistics (shared stems, productive affixes) instead
+#: of the tokNNNNN fixture's flat vocabulary — BPE training on it
+#: sustains thousands of merges, like natural language (Sennrich et
+#: al. 2016's observation that merges track morphology).
+_ONSETS = ["b", "br", "c", "ch", "cl", "d", "dr", "f", "fl", "g", "gr",
+           "h", "j", "k", "l", "m", "n", "p", "pl", "pr", "r", "s",
+           "sh", "sl", "sp", "st", "str", "t", "th", "tr", "v", "w"]
+_NUCLEI = ["a", "e", "i", "o", "u", "ai", "ea", "ee", "oa", "ou"]
+_CODAS = ["", "b", "ck", "d", "g", "l", "m", "n", "nd", "ng", "nt",
+          "p", "r", "rd", "rm", "s", "sh", "st", "t", "th"]
+_PREFIXES = ["", "", "", "re", "un", "over", "pre", "out", "inter"]
+_SUFFIXES = ["", "", "s", "ed", "ing", "er", "ers", "ly", "ment",
+             "tion", "able", "ness", "ful", "ish"]
+_FUNCTION_WORDS = ("the a of to and in that it is was for on as with "
+                   "his they at be this from or had by not but what "
+                   "all were when we there can an your which their").split()
+
+
+def natural_text_corpus(
+    spark, n_docs: int = 200, seed: int = 11, words_per_doc: int = 80
+):
+    """Deterministic natural-shaped English corpus (doc_id, text,
+    lang, source): ~45% function words, content words sampled Zipf
+    over syllable-morphology forms. Driver-generated (fixture-sized),
+    byte-stable for a given (n_docs, seed, words_per_doc)."""
+    rng = _rng(seed)
+    stems = []
+    for o in _ONSETS:
+        for nu in _NUCLEI:
+            for c in _CODAS:
+                stems.append(o + nu + c)
+    rng.shuffle(stems)
+    stems = stems[:600]
+    # Zipf-ish cumulative weights over stem ranks
+    weights = [1.0 / (r + 1) for r in range(len(stems))]
+
+    def content_word():
+        s = rng.choices(stems, weights=weights)[0]
+        return rng.choice(_PREFIXES) + s + rng.choice(_SUFFIXES)
+
+    rows = []
+    for doc_id in range(n_docs):
+        words = []
+        for _ in range(words_per_doc):
+            if rng.random() < 0.45:
+                words.append(rng.choice(_FUNCTION_WORDS))
+            else:
+                words.append(content_word())
+        rows.append((doc_id, " ".join(words), "en", "synthetic"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])

@@ -174,6 +174,33 @@ def run_control_pass(spark: SparkSession, base: str) -> dict:
     return {"completed": completed, "sequential": sequential, "gaps": gaps}
 
 
+def _spool_dir(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "group_spool")
+
+
+def flush_pending(spark: SparkSession, base: str, checkpoint_dir: str) -> int:
+    """Ingest whatever the group-commit spool holds (one MERGE + ONE
+    manifest swap for the whole group) and clear it. Returns raw rows
+    flushed. Idempotent and crash-safe at every point: a crash before
+    the clear leaves the spool intact and the next flush re-runs the
+    idempotent MERGE; a crash mid-ingest self-heals the same way."""
+    import shutil
+
+    spool = _spool_dir(checkpoint_dir)
+    if not os.path.isdir(spool):
+        return 0
+    try:
+        raw = spark.read.schema(schemas.RAW_RECORDS).parquet(spool)
+        n = raw.count()
+    except Exception:
+        n = 0  # spool dir exists but holds no readable parquet
+    if n:
+        ingest_batch(spark, base, raw)
+        run_control_pass(spark, base)
+    shutil.rmtree(spool, ignore_errors=True)
+    return n
+
+
 def start_ingest_stream(
     spark: SparkSession,
     source_dir: str,
@@ -181,12 +208,32 @@ def start_ingest_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
     control_every_n_batches: int = 1,
+    group_commit: int = 1,
 ) -> StreamingQuery:
     """readStream over a raw-records parquet directory → foreachBatch.
 
     Source offsets are checkpointed; a replayed micro-batch re-MERGEs
     the same keys (no duplicates). The control pass runs inline every
     N batches — cheap because it reads only incomplete pulses.
+
+    `group_commit=K` (round 7): amortize the manifest CAS cost (~0.3 s
+    per commit, flat in batch size) across K micro-batches. Each batch
+    appends its raw rows to a spool beside the checkpoint (one plain
+    parquet append — no CAS); every K-th batch the spool is ingested
+    as ONE MERGE + ONE manifest swap. Durability story, window by
+    window:
+      - crash after spool append, before the offset commit → Spark
+        replays the batch, the spool holds its rows twice, and
+        ingest_batch's exact-duplicate dropDuplicates collapses them;
+      - crash after the offset commit, before the group flush → the
+        rows are no longer Spark's to replay but the spool still
+        holds them; the next start_ingest_stream (or an explicit
+        flush_pending) ingests them — nothing is lost;
+      - crash mid-flush → spool intact (cleared only after the
+        idempotent MERGE commits), replay converges.
+    The trade is VISIBILITY latency (up to K micro-batches), never
+    durability — the reference makes the same trade batching records
+    into its load txn (etl/processor/processor.go worker pool).
     """
     raw_stream = (
         spark.readStream.schema(schemas.RAW_RECORDS)
@@ -194,8 +241,20 @@ def start_ingest_stream(
         .parquet(source_dir)
     )
 
+    if group_commit > 1:
+        # self-heal: a previous run's unflushed group lands first
+        flush_pending(spark, base, checkpoint_dir)
+    pending = {"n": 0}
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
+            return
+        if group_commit > 1:
+            batch.write.mode("append").parquet(_spool_dir(checkpoint_dir))
+            pending["n"] += 1
+            if pending["n"] >= group_commit:
+                flush_pending(spark, base, checkpoint_dir)
+                pending["n"] = 0
             return
         ingest_batch(spark, base, batch)
         if control_every_n_batches and batch_id % control_every_n_batches == 0:

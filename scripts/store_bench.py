@@ -44,6 +44,12 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--docs", type=int, default=2000)
     ap.add_argument(
+        "--cdc-mirror", action="store_true",
+        help="run the canonical CDC consumer (cdc_consumer.sync) after "
+        "every round and record its per-round cost — flat when the "
+        "feed's cost tracks the delta, not the corpus (round 7)",
+    )
+    ap.add_argument(
         "--substr-window", type=int, default=None,
         help="enable the incremental ExactSubstr tier (round 6): each "
         "round probes the persisted whash sidecar and appends the "
@@ -65,6 +71,8 @@ def main() -> None:
         shutil.rmtree(base + "_warm", ignore_errors=True)
 
         per_round = []
+        mirror_round = []
+        mirror_state = base + "_mirror"
         for r in range(args.rounds):
             b = _batch(spark, 1 + r * args.docs, args.docs)
             t0 = time.perf_counter()
@@ -72,6 +80,14 @@ def main() -> None:
             per_round.append(round(time.perf_counter() - t0, 2))
             assert stats["n_added"] == args.docs, stats
             print(f"# round {r}: {per_round[-1]}s", file=sys.stderr)
+            if args.cdc_mirror:
+                from block_explorer_spark.sources import cdc_consumer as cdc
+
+                t0 = time.perf_counter()
+                s = cdc.sync(spark, base, mirror_state)
+                mirror_round.append(round(time.perf_counter() - t0, 2))
+                assert s["n_changes"] == args.docs, s
+                print(f"# mirror sync {r}: {mirror_round[-1]}s", file=sys.stderr)
 
         t0 = time.perf_counter()
         n = cs.read_corpus(spark, base).count()
@@ -88,9 +104,15 @@ def main() -> None:
         replay_s = round(time.perf_counter() - t0, 2)
         assert again["n_added"] == 0 and again["n_known"] == args.docs
 
+        out_extra = (
+            {"mirror_sync_sec_per_round": mirror_round}
+            if args.cdc_mirror
+            else {}
+        )
         print(json.dumps({
             "metric": "corpus_store_ingest",
             "substr_window": args.substr_window,
+            **out_extra,
             "rounds": args.rounds,
             "docs_per_round": args.docs,
             "sec_per_round": per_round,
@@ -103,6 +125,7 @@ def main() -> None:
         }))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(base + "_mirror", ignore_errors=True)
 
 
 if __name__ == "__main__":

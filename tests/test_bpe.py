@@ -3,6 +3,8 @@ left-to-right application, and the per-type Spark counting path."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from block_explorer_spark.functions import bpe as B
 
 
@@ -120,3 +122,44 @@ def test_fast_trainer_production_vocab_speed():
     dt = time.time() - t0
     assert len(merges) == 32_000
     assert dt < 60, f"32k-merge training took {dt:.1f}s"
+
+
+def test_learn_bpe_natural_text_2k_merges(spark):
+    """Round-7 item 5: on a natural-morphology corpus (shared stems +
+    productive affixes — generators.natural_text_corpus) the FULL
+    Spark path (token aggregate → frequency-pruned type table →
+    incremental trainer) certifies at >= 2000 merges, and the merge
+    table equals the local trainer on locally-computed counts exactly
+    (the synthetic tokNNNNN vocabulary exhausted at 89 merges, so
+    production-shaped merge depths were never end-to-end-pinned)."""
+    from collections import Counter
+
+    from block_explorer_spark.sources.generators import natural_text_corpus
+
+    df = natural_text_corpus(spark, n_docs=300, seed=11, words_per_doc=80)
+    got = B.learn_bpe(df, "doc_id", "text", n_merges=2000, max_types=10_000)
+    assert len(got) == 2000  # the corpus sustains production-depth merges
+
+    c = Counter()
+    for r in df.select("text").collect():
+        c.update(r.text.strip().lower().split())
+    types = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10_000]
+    want = B.train_merges(types, 2000)
+    assert got == want
+
+    # and the applied token counts agree with a pure-python replay on
+    # a document sample (the apply half of the path, at real depth)
+    sample = df.filter(F.col("doc_id") < 10)
+    ranks = B.merge_ranks(got)
+    got_counts = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in B.bpe_token_counts(sample, "doc_id", "text", got).collect()
+    }
+    want_counts = {}
+    for r in sample.collect():
+        words = r.text.strip().lower().split()
+        want_counts[r.doc_id] = (
+            len(words),
+            sum(len(B.apply_merges(w, ranks)) for w in words),
+        )
+    assert got_counts == want_counts

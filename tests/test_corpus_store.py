@@ -610,58 +610,92 @@ def test_substr_sidecar_mirrors_stored_text(spark, base):
 
 
 def test_delete_rewrites_only_touched_band_partitions(spark, base):
-    """Round-6 item 6: the band sidecar is partitioned by
-    bh_bucket=hash(band,bhash) and the whash sidecar by
-    doc_bucket=hash(doc_id); a delete keeps every untouched bucket's
-    exact manifest entries and rewrites only buckets holding the
-    doomed doc's rows."""
+    """The band sidecar is partitioned by bh_bucket=hash(band,bhash)
+    (round 6); the whash sidecar by wr=whash-range with per-file
+    doc_id zone maps (round 7). A delete keeps every untouched band
+    bucket's exact manifest entries, and rewrites only the whash
+    files whose doc_id zone can hold a doomed id — a commit from a
+    different id range keeps ALL its whash entries byte-identical."""
     from block_explorer_spark.sources import manifest as Mf
 
-    rows = [
+    rows1 = [
         _doc(i, LONG + " " + _filler(f"doc{i}", 25)) for i in range(1, 7)
     ]
     cs.ingest(
-        spark, base, spark.createDataFrame(rows, COLS),
+        spark, base, spark.createDataFrame(rows1, COLS),
+        near_dup_threshold=0.95, substr_window=8,
+    )
+    whash_rels_1 = set(Mf.read(base)["families"]["whashes"])
+    rows2 = [
+        _doc(i, LONG + " " + _filler(f"doc{i}", 25)) for i in range(100, 106)
+    ]
+    cs.ingest(
+        spark, base, spark.createDataFrame(rows2, COLS),
         near_dup_threshold=0.95, substr_window=8,
     )
     snap = Mf.read(base)
     band_rels = snap["families"]["bands"]
     whash_rels = snap["families"]["whashes"]
     assert all("bh_bucket=" in r for r in band_rels)
-    assert all("doc_bucket=" in r for r in whash_rels)
+    assert all("wr=" in r for r in whash_rels)
+    assert whash_rels_1 < set(whash_rels)  # commit 2 appended files
 
-    # find the buckets doc 3 lives in
+    # find the band buckets doc 103 lives in
     doomed_bb = {
         r.b
         for r in cs.read_bands(spark, base)
-        .filter(F.col("doc_id") == 3)
+        .filter(F.col("doc_id") == 103)
         .select(cs._band_bucket_col().alias("b"))
         .distinct()
-        .collect()
-    }
-    doomed_wb = {
-        r.b
-        for r in spark.range(3, 4)
-        .select(F.pmod(F.xxhash64(F.col("id")), F.lit(cs.N_SIDECAR_BUCKETS)).alias("b"))
         .collect()
     }
     untouched_bands = {
         r for r in band_rels
         if not any(f"bh_bucket={b}{os.sep}" in r for b in doomed_bb)
     }
-    untouched_whash = {
-        r for r in whash_rels
-        if not any(f"doc_bucket={b}{os.sep}" in r for b in doomed_wb)
-    }
-    assert untouched_bands and untouched_whash  # fixture spans buckets
+    assert untouched_bands  # fixture spans buckets
 
-    assert cs.delete_where(spark, base, F.col("doc_id") == 3) == 1
+    assert cs.delete_where(spark, base, F.col("doc_id") == 103) == 1
     after = Mf.read(base)["families"]
     assert untouched_bands <= set(after["bands"])    # byte-identical entries
-    assert untouched_whash <= set(after["whashes"])
-    # and the rewritten buckets no longer mention doc 3
-    assert cs.read_bands(spark, base).filter(F.col("doc_id") == 3).count() == 0
-    assert cs.read_whashes(spark, base).filter(F.col("doc_id") == 3).count() == 0
+    # zone pruning: commit 1 (ids 1-6) can't hold id 103 — every one
+    # of its whash files keeps its exact manifest entry
+    assert whash_rels_1 <= set(after["whashes"])
+    # and the rewritten files no longer mention doc 103
+    assert cs.read_bands(spark, base).filter(F.col("doc_id") == 103).count() == 0
+    assert cs.read_whashes(spark, base).filter(F.col("doc_id") == 103).count() == 0
+
+
+def test_substr_point_probe_opens_fewer_files(spark, base, monkeypatch):
+    """Round-7 item 2: a small probe (few distinct window hashes)
+    prunes the sidecar read to the wr ranges its hashes fall in —
+    files-opened < files-total. (Whole-batch probes hit every range
+    by the pigeonhole math documented at W_RANGES; their lever is the
+    broadcast no-store-shuffle execution shape.)"""
+    from block_explorer_spark.sources import manifest as Mf
+
+    for b in range(3):
+        rows = [
+            _doc(100 * b + i, _filler(f"b{b}d{i}", 28)) for i in range(1, 5)
+        ]
+        cs.ingest(spark, base, spark.createDataFrame(rows, COLS), substr_window=8)
+    total = len(Mf.read(base)["families"]["whashes"])
+    assert total >= 16  # three commits spread across the wr ranges
+
+    seen: list[int] = []
+    orig = cs._read_whash_files
+
+    def spy(spark_, base_, rels):
+        seen.append(len(rels))
+        return orig(spark_, base_, rels)
+
+    monkeypatch.setattr(cs, "_read_whash_files", spy)
+    # a 20-token doc probes with 13 distinct window hashes -> at most
+    # 13 of the 16 wr ranges can be hit, so the pruned read is a
+    # strict subset of the sidecar whatever the hash values
+    probe = [_doc(999, " ".join(f"probe{i}" for i in range(20)))]
+    cs.ingest(spark, base, spark.createDataFrame(probe, COLS), substr_window=8)
+    assert seen and min(seen) < total
 
 
 def test_near_dup_probe_reads_only_pruned_band_buckets(spark, base):

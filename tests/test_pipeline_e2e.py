@@ -120,3 +120,83 @@ def test_full_pipeline_two_rounds(spark, tmp_path):
     for doc_id, s in got.items():
         b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10
         assert s == ("train" if b < 8 else "val" if b == 8 else "test")
+
+
+# ------------------------------------------------ round 7: CDC consumer
+
+
+def test_cdc_consumer_mirror_converges_and_fails_loud(spark, tmp_path):
+    """The canonical change-feed consumer (sources/cdc_consumer.py):
+    an incremental token-stats mirror that checkpoints since_version,
+    consumes changes across ingest + delete + sweep + maintenance
+    rounds, always equals the batch recompute over the snapshot, and
+    fails LOUDLY (then resyncs) when vacuum retires its checkpoint."""
+    from block_explorer_spark.sources import cdc_consumer as cdc
+    from block_explorer_spark.sources import manifest as Mf
+
+    base = str(tmp_path / "corpus")
+    state = str(tmp_path / "mirror")
+    COLS = ["doc_id", "text", "lang", "source"]
+    filler = lambda tag, n=30: " ".join(f"{tag}{i}" for i in range(n))
+    run = " ".join(f"shared{i}" for i in range(10))
+
+    def assert_converged():
+        want = {
+            tuple(r)
+            for r in cdc._doc_stats(cs.read_corpus(spark, base)).collect()
+        }
+        got = {tuple(r) for r in cdc.read_mirror(spark, state).collect()}
+        assert got == want
+
+    # round 1: plain inserts
+    b1 = [(i, filler(f"a{i}"), "en", "web") for i in range(1, 6)]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS))
+    s = cdc.sync(spark, base, state)
+    assert s["n_changes"] == 5
+    assert_converged()
+
+    # round 2+3 consumed in ONE sync: more inserts, then a delete
+    b2 = [(i, filler(f"b{i}"), "en", "web") for i in range(10, 15)]
+    b2.append((20, filler("tail") + " " + run, "en", "web"))   # sweep prey
+    b2.append((21, run + " " + filler("head"), "en", "web"))   # sweep prey
+    cs.ingest(spark, base, spark.createDataFrame(b2, COLS))
+    cs.delete_where(spark, base, F.col("doc_id") == 3)
+    s = cdc.sync(spark, base, state)
+    assert s["n_changes"] == 8  # 7 inserts + 1 delete
+    assert_converged()
+
+    # round 4: sweep strips doc 21's shared run -> an 'update' row
+    sw = cs.substr_sweep(spark, base, window=8)
+    assert sw["n_stripped"] >= 1
+    cdc.sync(spark, base, state)
+    assert_converged()
+
+    # maintenance-only commits are invisible to the feed
+    cs.compact(spark, base)
+    s = cdc.sync(spark, base, state)
+    assert s["n_changes"] == 0
+    assert_converged()
+
+    # retention: vacuum past the checkpoint -> loud error -> resync
+    ck_before = cdc._read_ckpt(state)["since_version"]
+    b3 = [(i, filler(f"c{i}"), "en", "web") for i in range(30, 33)]
+    cs.ingest(spark, base, spark.createDataFrame(b3, COLS))
+    cs.ingest(
+        spark, base,
+        spark.createDataFrame([(40, filler("d40"), "en", "web")], COLS),
+    )
+    Mf.vacuum(base, keep_last=1, min_age_s=0.0)
+    with pytest.raises(RuntimeError):
+        cdc.sync(spark, base, state)
+    # untouched mirror still serves the last synced state
+    assert cdc._read_ckpt(state)["since_version"] == ck_before
+    cdc.resync(spark, base, state)
+    assert_converged()
+    # and the incremental path resumes after the rebuild
+    cs.ingest(
+        spark, base,
+        spark.createDataFrame([(50, filler("e50"), "en", "web")], COLS),
+    )
+    s = cdc.sync(spark, base, state)
+    assert s["n_changes"] == 1
+    assert_converged()

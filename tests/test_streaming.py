@@ -211,3 +211,91 @@ def test_ingest_irregular_cadence_real_links(spark, tmp_path):
     assert by_pn[4_000_010].next_pulse_number == 4_000_017
     assert by_pn[4_000_017].prev_pulse_number == 4_000_007  # nominal fallback
     assert by_pn[4_000_017].next_pulse_number == 4_000_027
+
+
+# ------------------------------------------------ round 7: group commit
+
+
+def _write_src_batches(spark, src, pns):
+    for i, pn in enumerate(pns):
+        b = spark.createDataFrame(
+            _raw_pulse_batch(20 + i, pn, ("0", "1")), schemas.RAW_RECORDS
+        )
+        # one FILE per logical batch: maxFilesPerTrigger=1 then maps
+        # micro-batches 1:1 onto these, making group arithmetic exact
+        b.coalesce(1).write.mode("append").parquet(src)
+
+
+def test_group_commit_fewer_swaps_same_state(spark, tmp_path):
+    """group_commit=2 over 4 micro-batches lands the same final table
+    state as per-batch commits while writing strictly fewer manifest
+    versions (the amortized-CAS point of round-7 item 4)."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    pns = [4_000_010, 4_000_020, 4_000_030, 4_000_040]
+    for tag, k in (("solo", 1), ("grouped", 2)):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        _write_src_batches(spark, src, pns)
+        q = P.start_ingest_stream(
+            spark, src, str(tmp_path / f"wh_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            max_files_per_trigger=1, group_commit=k,
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+    for tag in ("solo", "grouped"):
+        base = str(tmp_path / f"wh_{tag}")
+        assert pq.read_table(spark, base, "records").count() == 24
+        pulses = pq.read_table(spark, base, "pulses")
+        assert pulses.count() == 4
+        assert pulses.filter(F.col("is_complete")).count() == 4
+    v_solo = Mf.read(str(tmp_path / "wh_solo"))["version"]
+    v_grp = Mf.read(str(tmp_path / "wh_grouped"))["version"]
+    assert v_grp < v_solo
+
+
+def test_group_commit_leftover_survives_restart(spark, tmp_path):
+    """The crash-after-offset-commit window: with group_commit=2 and
+    THREE micro-batches, the stream ends holding one unflushed batch
+    whose offsets Spark already committed (it will never replay). The
+    spool still has it: the next stream start (or flush_pending)
+    ingests it — nothing lost, flush idempotent."""
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_src_batches(spark, src, [4_000_010, 4_000_020, 4_000_030])
+    q = P.start_ingest_stream(
+        spark, src, base, ckpt, max_files_per_trigger=1, group_commit=2
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    # two batches flushed as one group; the third sits in the spool
+    assert pq.read_table(spark, base, "records").count() == 12
+    assert os.path.isdir(os.path.join(ckpt, "group_spool"))
+
+    assert P.flush_pending(spark, base, ckpt) > 0
+    assert pq.read_table(spark, base, "records").count() == 18
+    pulses = pq.read_table(spark, base, "pulses")
+    assert pulses.count() == 3
+    assert pulses.filter(F.col("is_complete")).count() == 3
+    assert P.flush_pending(spark, base, ckpt) == 0  # spool cleared
+
+
+def test_group_spool_replayed_batch_dedups(spark, tmp_path):
+    """The crash-before-offset-commit window: the batch lands in the
+    spool twice (append, crash, Spark replays, append again). The
+    flush's exact-duplicate dedup collapses the copies — same rows as
+    a single delivery."""
+    base = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    b = spark.createDataFrame(
+        _raw_pulse_batch(9, 4_000_050, ("0", "1")), schemas.RAW_RECORDS
+    )
+    spool = os.path.join(ckpt, "group_spool")
+    b.write.mode("append").parquet(spool)
+    b.write.mode("append").parquet(spool)  # the replayed delivery
+    assert P.flush_pending(spark, base, ckpt) == 12  # raw rows, pre-dedup
+    assert pq.read_table(spark, base, "records").count() == 6
+    assert pq.read_table(spark, base, "pulses").count() == 1
