@@ -44,6 +44,12 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--docs", type=int, default=2000)
     ap.add_argument(
+        "--compact-every", type=int, default=None,
+        help="run corpus_store.compact() every N rounds (the standing "
+        "mitigation for file-count growth) and record its cost — "
+        "measures whether periodic compaction holds round time flat",
+    )
+    ap.add_argument(
         "--cdc-mirror", action="store_true",
         help="run the canonical CDC consumer (cdc_consumer.sync) after "
         "every round and record its per-round cost — flat when the "
@@ -72,6 +78,7 @@ def main() -> None:
 
         per_round = []
         mirror_round = []
+        compact_sec = []
         mirror_state = base + "_mirror"
         for r in range(args.rounds):
             b = _batch(spark, 1 + r * args.docs, args.docs)
@@ -88,6 +95,12 @@ def main() -> None:
                 mirror_round.append(round(time.perf_counter() - t0, 2))
                 assert s["n_changes"] == args.docs, s
                 print(f"# mirror sync {r}: {mirror_round[-1]}s", file=sys.stderr)
+            if args.compact_every and (r + 1) % args.compact_every == 0:
+                t0 = time.perf_counter()
+                n_files = cs.compact(spark, base)
+                compact_sec.append(round(time.perf_counter() - t0, 2))
+                print(f"# compact after round {r}: {n_files} files retired "
+                      f"in {compact_sec[-1]}s", file=sys.stderr)
 
         t0 = time.perf_counter()
         n = cs.read_corpus(spark, base).count()
@@ -109,6 +122,9 @@ def main() -> None:
             if args.cdc_mirror
             else {}
         )
+        if args.compact_every:
+            out_extra["compact_every"] = args.compact_every
+            out_extra["compact_sec"] = compact_sec
         print(json.dumps({
             "metric": "corpus_store_ingest",
             "substr_window": args.substr_window,

@@ -163,3 +163,18 @@ def test_probe_pq_sees_unrefreshed_adds(spark, base):
     vs.add_batch(spark, base, new)
     got = {r["vec_id"] for r in vs.probe(spark, base, CENTERS[0], k=23, n_probe=3, tier="pq").collect()}
     assert {700, 701, 702} <= got
+
+
+def test_probe_pq_rerank_recovers_exact_order(spark, base):
+    """Two-stage PQ (ADC candidates + exact rerank over only the
+    candidate rows): with the candidate depth covering the store, the
+    result equals the exact tier exactly — the production operating
+    point ANN_RECALL measures at recall@1 = 1.0."""
+    rng = random.Random(7)
+    _founding(spark, base, rng)
+    vs.build_pq(spark, base, m=4, k=8, iters=2)
+    got = vs.probe(
+        spark, base, CENTERS[1], k=5, n_probe=3, tier="pq", rerank=60
+    ).collect()
+    want = vs.probe(spark, base, CENTERS[1], k=5, n_probe=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
