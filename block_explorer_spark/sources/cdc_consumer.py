@@ -6,8 +6,12 @@ the missing half — a real downstream job that PROVES the feed's
 contract end to end (round-7 item 6):
 
   - cost ∝ delta: each `sync` reads only the commits in
-    (checkpoint, head], never the corpus (scripts/store_bench.py
-    --cdc-mirror measures it flat as the corpus grows);
+    (checkpoint, head] and WRITES only the delta — the mirror state
+    is a run log (LSM shape): every sync appends one run of upsert/
+    tombstone rows, `read_mirror` resolves last-run-wins, and a
+    bounded `fold` collapses runs once `MAX_RUNS` accumulate. A sync
+    never rewrites state proportional to the corpus
+    (scripts/store_bench.py --cdc-mirror measures it flat);
   - convergence: after any mix of ingest / delete_where /
     substr_sweep rounds, the mirror equals the batch recompute over
     the current snapshot (pinned by test_pipeline_e2e);
@@ -16,16 +20,16 @@ contract end to end (round-7 item 6):
     surfaces the manifest layer's retention error instead of silently
     skipping rows — the consumer must `resync` from a snapshot read.
 
-The mirror state is versioned: each sync writes a NEW state directory
-and then atomically renames the checkpoint json (since_version +
-state pointer in one file). A crash between the two leaves the old
-checkpoint pointing at the old state, and the replayed sync rebuilds
-the same new state — exactly-once at the mirror without coordination,
-the Structured-Streaming offsets-in-commit-log recipe in miniature.
+Exactly-once at the mirror: a sync writes its run directory FIRST,
+then swaps the checkpoint json (since_version + run list, one
+os.replace). A crash between the two leaves the old checkpoint — the
+orphan run directory is ignored by readers and overwritten by the
+replayed sync. The Structured-Streaming offsets-in-commit-log recipe
+in miniature, no coordination service.
 
-Spark-first shape: applying a delta is one anti-join (retire changed
-doc_ids) + one union (insert/update rows) — no row-at-a-time state,
-no driver loop over documents.
+Spark-first shape: applying a delta is a map-only run append; the
+read-side merge is ONE doc_id-partitioned window over the run stack —
+no row-at-a-time state, no driver loop over documents.
 """
 
 from __future__ import annotations
@@ -49,6 +53,15 @@ STATS_SCHEMA = T.StructType(
     ]
 )
 
+_RUN_SCHEMA = T.StructType(
+    list(STATS_SCHEMA.fields) + [T.StructField("op", T.StringType())]
+)
+
+#: Fold the run stack once it reaches this depth: read-side merge cost
+#: is O(total run rows), so unbounded appends would shift the growth
+#: from the write side to the read side instead of removing it.
+MAX_RUNS = 8
+
 
 def _ckpt_path(state_dir: str) -> str:
     return os.path.join(state_dir, "checkpoint.json")
@@ -59,7 +72,14 @@ def _read_ckpt(state_dir: str) -> dict:
         with open(_ckpt_path(state_dir)) as f:
             return json.load(f)
     except FileNotFoundError:
-        return {"since_version": 0, "state": None}
+        return {"since_version": 0, "runs": []}
+
+
+def _swap_ckpt(state_dir: str, ck: dict) -> None:
+    tmp = _ckpt_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+    os.replace(tmp, _ckpt_path(state_dir))
 
 
 def _doc_stats(docs: DataFrame) -> DataFrame:
@@ -70,55 +90,105 @@ def _doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _read_runs(spark: SparkSession, state_dir: str, runs: list[str]) -> DataFrame:
+    """Run stack with per-row run ordinal (later run wins)."""
+    frames = [
+        spark.read.schema(_RUN_SCHEMA)
+        .parquet(os.path.join(state_dir, name))
+        .withColumn("__run", F.lit(i))
+        for i, name in enumerate(runs)
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
 def read_mirror(spark: SparkSession, state_dir: str) -> DataFrame:
     ck = _read_ckpt(state_dir)
-    if not ck["state"]:
+    if not ck["runs"]:
         return spark.createDataFrame([], STATS_SCHEMA)
-    return spark.read.schema(STATS_SCHEMA).parquet(
-        os.path.join(state_dir, ck["state"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("__run").desc())
+    return (
+        _read_runs(spark, state_dir, ck["runs"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "delete"))
+        .select(*[f.name for f in STATS_SCHEMA.fields])
     )
 
 
-def _publish(
-    spark: SparkSession, state_dir: str, stats: DataFrame, version: int,
-    prev: dict,
+def _write_run(
+    spark: SparkSession, state_dir: str, name: str, rows: DataFrame
 ) -> None:
-    """Write the new state dir, then swap the checkpoint atomically
-    (os.replace). Old state dirs are removed AFTER the swap — a crash
-    anywhere leaves a checkpoint whose state dir exists."""
-    new_state = f"state_v{version}"
-    out = os.path.join(state_dir, new_state)
+    out = os.path.join(state_dir, name)
     shutil.rmtree(out, ignore_errors=True)  # crashed prior attempt
-    stats.write.parquet(out)
-    tmp = _ckpt_path(state_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"since_version": version, "state": new_state}, f)
-    os.replace(tmp, _ckpt_path(state_dir))
-    if prev["state"] and prev["state"] != new_state:
-        shutil.rmtree(os.path.join(state_dir, prev["state"]), ignore_errors=True)
+    rows.write.parquet(out)
+
+
+def _gc_orphans(state_dir: str, ck: dict) -> None:
+    """Remove run dirs no checkpoint references (folded-away runs,
+    crashed attempts). Safe AFTER the swap: readers resolve runs via
+    the checkpoint only."""
+    live = set(ck["runs"])
+    for name in os.listdir(state_dir):
+        p = os.path.join(state_dir, name)
+        if os.path.isdir(p) and name not in live:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def fold(spark: SparkSession, state_dir: str) -> int:
+    """Collapse the run stack into one base run (the LSM compaction).
+    Returns runs retired. Bounded maintenance, same shape as
+    corpus_store.compact: write new base, swap checkpoint, gc."""
+    ck = _read_ckpt(state_dir)
+    if len(ck["runs"]) <= 1:
+        return 0
+    base = read_mirror(spark, state_dir).withColumn("op", F.lit("upsert"))
+    name = f"run_v{ck['since_version']}_base"
+    _write_run(spark, state_dir, name, base)
+    retired = len(ck["runs"])
+    ck["runs"] = [name]
+    _swap_ckpt(state_dir, ck)
+    _gc_orphans(state_dir, ck)
+    return retired
 
 
 def sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
     """One incremental catch-up. Returns {"n_changes", "version"}.
 
     Raises the manifest layer's retention RuntimeError when the feed
-    no longer reaches back to the checkpoint (vacuumed /truncated) —
+    no longer reaches back to the checkpoint (vacuumed / truncated) —
     call `resync` to rebuild from the current snapshot."""
     os.makedirs(state_dir, exist_ok=True)
     ck = _read_ckpt(state_dir)
     head = Mf.current_version(corpus_base)
     if head == ck["since_version"]:
         return {"n_changes": 0, "version": head}
-    feed = cs.changes_since(
-        spark, corpus_base, ck["since_version"], until_version=head
-    ).localCheckpoint()  # the retention check fires here, loudly
+    try:
+        feed = cs.changes_since(
+            spark, corpus_base, ck["since_version"], until_version=head
+        ).localCheckpoint()  # the retention check fires here, loudly
+    except FileNotFoundError as e:
+        # normalize the manifest layer's vacuumed-version error into
+        # the consumer-level contract: one exception type, with the
+        # recovery move in the message
+        raise RuntimeError(
+            f"change feed no longer reaches checkpoint version "
+            f"{ck['since_version']} (retention/vacuum): {e}. Run "
+            "cdc_consumer.resync(spark, corpus_base, state_dir) to "
+            "rebuild from the current snapshot."
+        ) from e
     n_changes = feed.count()
     if not n_changes:
-        # versions moved but no row-level change (maintenance commits)
-        _publish(spark, state_dir, read_mirror(spark, state_dir), head, ck)
+        # versions moved but no row-level change (maintenance commits):
+        # advance the watermark, write nothing
+        ck["since_version"] = head
+        _swap_ckpt(state_dir, ck)
         return {"n_changes": 0, "version": head}
     # last op per doc wins across the window (insert then delete in
-    # range -> gone; delete then re-insert -> present)
+    # range -> tombstone; delete then re-insert -> present)
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
@@ -127,14 +197,23 @@ def sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    upserts = _doc_stats(last.filter(F.col("op") != "delete"))
-    changed_ids = last.select("doc_id")
-    merged = (
-        read_mirror(spark, state_dir)
-        .join(changed_ids, "doc_id", "left_anti")
-        .unionByName(upserts)
+    run_rows = _doc_stats(last.filter(F.col("op") != "delete")).withColumn(
+        "op", F.lit("upsert")
+    ).unionByName(
+        last.filter(F.col("op") == "delete").select(
+            "doc_id",
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit("delete").alias("op"),
+        )
     )
-    _publish(spark, state_dir, merged, head, ck)
+    name = f"run_v{head}"
+    _write_run(spark, state_dir, name, run_rows)
+    ck = {"since_version": head, "runs": ck["runs"] + [name]}
+    _swap_ckpt(state_dir, ck)
+    _gc_orphans(state_dir, ck)
+    if len(ck["runs"]) > MAX_RUNS:
+        fold(spark, state_dir)
     return {"n_changes": n_changes, "version": head}
 
 
@@ -143,8 +222,13 @@ def resync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
     `sync` raises the retention error. One corpus scan, then the
     checkpoint resumes incrementally from the rebuilt version."""
     os.makedirs(state_dir, exist_ok=True)
-    ck = _read_ckpt(state_dir)
     head = Mf.current_version(corpus_base)
-    stats = _doc_stats(cs.read_corpus(spark, corpus_base))
-    _publish(spark, state_dir, stats, head, ck)
+    stats = _doc_stats(cs.read_corpus(spark, corpus_base)).withColumn(
+        "op", F.lit("upsert")
+    )
+    name = f"run_v{head}_base"
+    _write_run(spark, state_dir, name, stats)
+    ck = {"since_version": head, "runs": [name]}
+    _swap_ckpt(state_dir, ck)
+    _gc_orphans(state_dir, ck)
     return {"n_docs": read_mirror(spark, state_dir).count(), "version": head}

@@ -9,6 +9,7 @@ rounds, budget arithmetic, and split determinism."""
 from __future__ import annotations
 
 import hashlib
+import os
 import math
 import random
 
@@ -200,3 +201,34 @@ def test_cdc_consumer_mirror_converges_and_fails_loud(spark, tmp_path):
     s = cdc.sync(spark, base, state)
     assert s["n_changes"] == 1
     assert_converged()
+
+
+def test_cdc_mirror_folds_run_stack(spark, tmp_path):
+    """The mirror's LSM contract: each sync appends ONE delta run
+    (write cost ∝ delta), and the stack folds once it exceeds
+    MAX_RUNS — read-side merge stays bounded while the mirror still
+    equals the batch recompute."""
+    from block_explorer_spark.sources import cdc_consumer as cdc
+
+    base = str(tmp_path / "corpus")
+    state = str(tmp_path / "mirror")
+    COLS = ["doc_id", "text", "lang", "source"]
+    filler = lambda tag: " ".join(f"{tag}{i}" for i in range(25))
+    for r in range(cdc.MAX_RUNS + 2):
+        b = [(100 * r + i, filler(f"r{r}d{i}"), "en", "web") for i in range(2)]
+        cs.ingest(spark, base, spark.createDataFrame(b, COLS))
+        cdc.sync(spark, base, state)
+    ck = cdc._read_ckpt(state)
+    assert len(ck["runs"]) <= cdc.MAX_RUNS  # folded at least once
+    want = {
+        tuple(x)
+        for x in cdc._doc_stats(cs.read_corpus(spark, base)).collect()
+    }
+    got = {tuple(x) for x in cdc.read_mirror(spark, state).collect()}
+    assert got == want
+    # orphan gc: every dir on disk is a live run
+    on_disk = {
+        n for n in os.listdir(state)
+        if os.path.isdir(os.path.join(state, n))
+    }
+    assert on_disk == set(ck["runs"])
