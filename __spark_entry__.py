@@ -33,6 +33,7 @@ from block_explorer_spark.operators import dedup as D
 from block_explorer_spark.operators import filters as Fl
 from block_explorer_spark.operators import pagination as Pg
 from block_explorer_spark.operators import sessions as Sx
+from block_explorer_spark.operators import sketches as SK
 from block_explorer_spark.operators import similarity as Sim
 from block_explorer_spark.operators import windows as W
 
@@ -2182,6 +2183,94 @@ def q101_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     return PQ.pq_topk_adc(emb, "embedding", qvec, model, k=PQ_TOPK, id_col="vec_id")
 
 
+#: Sketch gate parameters — each oracle replays the identical sketch
+#: construction (portable md5 hash, integer accumulators), so query
+#: and oracle must agree on these.
+HLL_P = 12
+CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 4, 8192, 15
+BLOOM_K, BLOOM_M = 3, 1 << 20
+KMV_K, KMV_QS = 256, [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def q102_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct 3-gram shingles per language, WITH the
+    exact count and relative error beside it. The estimate itself
+    hash-matches the oracle because the register harmonic mean is an
+    integer sum of powers of two (operators/sketches.py) — the
+    certification covers the approximation, not just the exact
+    column. Extended surface: the reference has no approximate
+    aggregates (SURVEY §2.4)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("lang", F.explode(Tx.word_ngrams("text", 3)).alias("sh"))
+    est = SK.hll_distinct(toks, "sh", ["lang"], p=HLL_P)
+    exact = toks.groupBy("lang").agg(F.count_distinct("sh").alias("exact_distinct"))
+    return est.join(exact, "lang").select(
+        "lang",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def q103_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min heavy hitters: top-15 3-gram shingles by CMS
+    estimate (d=4, w=8192), exact count beside the estimate. The
+    est >= exact guarantee is test-pinned; deterministic tiebreak
+    (estimate desc, shingle asc) makes the cut stable."""
+    docs = _t(spark, sf, "documents").filter(F.size(Tx.tokens("text")) >= 3)
+    occ = docs.select(F.explode(Tx._all_ngrams("text", 3)).alias("sh"))
+    counters = SK.cms_counters(occ, "sh", depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = SK.cms_estimate(counters, occ, "sh", depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = occ.groupBy("sh").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(exact, "sh")
+        .select("sh", F.col("cms_estimate").cast("long").alias("cms_estimate"),
+                "exact_count")
+        .orderBy(F.col("cms_estimate").desc(), F.col("sh"))
+        .limit(CMS_TOPK)
+    )
+
+
+def q104_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: build a k=3 / 2^20-bit
+    filter over the held-out bucket's 8-token fingerprints (q66's
+    md5 split), probe every train-bucket fingerprint map-side against
+    the broadcast position set, flag train docs with any full-k hit.
+    False negatives impossible (test-pinned vs the exact q66 overlap
+    reversed); false positives are part of bloom semantics and the
+    oracle replays them exactly."""
+    docs = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    fps = docs.select(
+        "doc_id",
+        bucket.alias("b"),
+        F.explode(Tx.rolling_fingerprint("text", window=8, hashf="md5")).alias("fp"),
+    )
+    bench = fps.filter(F.col("b") == 9)
+    train = fps.filter(F.col("b") < 8).select(F.col("doc_id").alias("train_doc"), "fp")
+    positions = SK.bloom_positions(bench, "fp", k=BLOOM_K, m_bits=BLOOM_M)
+    return SK.bloom_probe(train, "train_doc", "fp", positions, k=BLOOM_K, m_bits=BLOOM_M)
+
+
+def q105_kmv_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-length quantiles from a deterministic bottom-k
+    (KMV) sample: the 256 docs with smallest hashed doc_id — a
+    TakeOrderedAndProject, no RNG, no global sort — then exact order
+    statistics of the bounded sample. Sample-vs-exact error is
+    test-pinned; at 100 TB this replaces a full-column sort with a
+    per-partition top-k."""
+    docs = _t(spark, sf, "documents")
+    sample = SK.bottomk_sample(docs.select("doc_id", "n_chars"), "doc_id", k=KMV_K)
+    return SK.sample_quantiles(sample, "n_chars", KMV_QS)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2295,6 +2384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_audio_dedup": q99_audio_dedup,
         "q100_video_dedup": q100_video_dedup,
         "q101_pq_adc": q101_pq_adc,
+        "q102_hll_distinct": q102_hll_distinct,
+        "q103_cms_heavy_hitters": q103_cms_heavy_hitters,
+        "q104_bloom_decontam": q104_bloom_decontam,
+        "q105_kmv_quantiles": q105_kmv_quantiles,
     }
 
 
@@ -2304,6 +2397,109 @@ _TOK = """SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1)),
         i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))) AS sh
     FROM documents"""
+
+#: Shingle CTE with lang, word-3gram, distinct per doc (the _TOK
+#: construction carrying lang for the sketch gates).
+_SKETCH_TOK = """SELECT lang, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 1)),
+        i -> array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))[i:i+2], ' ')))) AS sh
+    FROM documents"""
+
+
+def _hll_oracle(p: int = HLL_P) -> str:
+    """q102 oracle: replays sketches.hll_registers/hll_estimate — the
+    portable md5 60-bit hash, bit-length rho via bin(), the INTEGER
+    harmonic-mean accumulator, and the linear-counting branch — so the
+    ESTIMATE hash-matches, not just the exact column."""
+    m = 1 << p
+    maxrho = 60 - p + 1
+    num = SK.hll_alpha(m) * m * m * float(1 << maxrho)
+    return f"""
+        WITH tok AS ({_SKETCH_TOK}),
+        h AS (SELECT lang, CAST(('0x' || substr(md5('0:' || sh), 1, 15)) AS BIGINT) AS h FROM tok),
+        regs AS (SELECT lang, h % {m} AS register,
+                 CASE WHEN h // {m} = 0 THEN {maxrho}
+                      ELSE {maxrho} - length(bin(h // {m})) END AS rho FROM h),
+        mx AS (SELECT lang, register, MAX(rho) AS max_rho FROM regs GROUP BY 1, 2),
+        agg AS (SELECT lang, SUM(CAST(pow(2.0, {maxrho} - max_rho) AS BIGINT)) AS s,
+                       COUNT(*) AS present FROM mx GROUP BY 1),
+        fin AS (SELECT lang, ({m} - present) AS z,
+                       {num!r} / CAST(s + ({m} - present) * {1 << maxrho} AS DOUBLE) AS e_raw
+                FROM agg),
+        est AS (SELECT lang,
+                       ROUND(CASE WHEN z > 0 AND e_raw <= {2.5 * m!r}
+                                  THEN {float(m)!r} * ln({float(m)!r} / z)
+                                  ELSE e_raw END, 3) AS hll_estimate FROM fin),
+        ex AS (SELECT lang, COUNT(DISTINCT sh) AS exact_distinct FROM tok GROUP BY 1)
+        SELECT est.lang, hll_estimate, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+               ROUND(abs(hll_estimate - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+        FROM est JOIN ex USING (lang)
+    """
+
+
+def _cms_oracle(d: int = CMS_DEPTH, w: int = CMS_WIDTH, topk: int = CMS_TOPK) -> str:
+    """q103 oracle: full CMS replay — seeded portable hash per depth,
+    integer counter matrix, min-over-depth probe, deterministic
+    top-k cut (estimate desc, shingle asc)."""
+    h = f"CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT) % {w}"
+    return f"""
+        WITH t AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+        occ AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                FROM t WHERE len(toks) >= 3),
+        seeds AS (SELECT unnest(generate_series(0, {d - 1})) AS d),
+        counters AS (SELECT d, {h} AS bucket, COUNT(*) AS cnt
+                     FROM occ, seeds GROUP BY 1, 2),
+        probes AS (SELECT sh, d, {h} AS bucket
+                   FROM (SELECT DISTINCT sh FROM occ), seeds),
+        est AS (SELECT sh, MIN(cnt) AS cms_estimate
+                FROM probes JOIN counters USING (d, bucket) GROUP BY sh),
+        ex AS (SELECT sh, COUNT(*) AS exact_count FROM occ GROUP BY sh)
+        SELECT est.sh, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+               CAST(exact_count AS BIGINT) AS exact_count
+        FROM est JOIN ex USING (sh)
+        ORDER BY cms_estimate DESC, sh LIMIT {topk}
+    """
+
+
+def _bloom_oracle(k: int = BLOOM_K, mb: int = BLOOM_M) -> str:
+    """q104 oracle: bloom build over the held-out bucket's
+    fingerprints + full-k membership probe of the train bucket —
+    false positives replayed exactly."""
+    h = f"CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT) % {mb}"
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 AS b,
+                          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                   FROM documents),
+        fps AS (SELECT doc_id, b, unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 7, 1)),
+                    i -> md5(array_to_string(toks[i:i+7], ' '))))) AS fp FROM t),
+        seeds AS (SELECT unnest(generate_series(0, {k - 1})) AS d),
+        pos AS (SELECT DISTINCT {h} AS pos FROM fps, seeds WHERE b = 9),
+        probe AS (SELECT doc_id, fp, d, {h} AS pos FROM fps, seeds WHERE b < 8),
+        hits AS (SELECT doc_id, fp FROM probe JOIN pos USING (pos)
+                 GROUP BY doc_id, fp HAVING COUNT(*) = {k})
+        SELECT doc_id AS train_doc, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM hits GROUP BY 1
+    """
+
+
+def _kmv_oracle(k: int = KMV_K, qs: list[float] = KMV_QS) -> str:
+    """q105 oracle: deterministic bottom-k by hashed doc_id, then the
+    value at 1-based rank floor(q*(n-1))+1 of the value-sorted
+    sample."""
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    return f"""
+        WITH s AS (SELECT n_chars, doc_id,
+                          CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM documents ORDER BY h, doc_id LIMIT {k}),
+        r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+                     (SELECT COUNT(*) FROM s) AS n FROM s),
+        qv AS (SELECT CAST(unnest([{qlist}]) AS DOUBLE) AS q)
+        SELECT q, n_chars FROM r JOIN qv ON rn = CAST(floor(q * (n - 1)) AS INT) + 1
+    """
+
 
 def _pq_oracle_sql(
     m: int = PQ_M,
@@ -3882,4 +4078,8 @@ def oracle_sql() -> dict[str, str]:
             HAVING max(h) <= {VHASH_MAX_HAMMING}
         """,
         "q101_pq_adc": _pq_oracle_sql(),
+        "q102_hll_distinct": _hll_oracle(),
+        "q103_cms_heavy_hitters": _cms_oracle(),
+        "q104_bloom_decontam": _bloom_oracle(),
+        "q105_kmv_quantiles": _kmv_oracle(),
     }

@@ -1,0 +1,352 @@
+"""Mergeable sketch operators: HyperLogLog distinct counting,
+count-min heavy hitters, Bloom-filter membership, KMV bottom-k
+sampling with sample quantiles.
+
+Why sketches, and why here: at 100 TB an exact COUNT(DISTINCT key)
+shuffles every distinct key, an exact percentile sorts the whole
+column, and an exact heavy-hitter pass keeps the full vocabulary in
+the aggregation hash map. A sketch replaces each with a tiny
+MERGEABLE state — map-side partial sketches combine associatively,
+so the shuffle moves kilobytes per partition regardless of input
+size, and the same state can be merged across days/splits/tables
+without touching the raw data again. This is the standard lakehouse
+answer (Spark's own approx_count_distinct is an HLL++); the reference
+has no approximate aggregates (SURVEY §2.4 — plain counts/min/max,
+`etl/storage/storage.go:229-255`), so this module is part of the
+extended LLM-data-pipeline surface, not reference parity.
+
+Why not Spark's built-ins: `approx_count_distinct` / `percentile_approx`
+are black-box (their hash and merge order are not replayable outside
+Spark), so their outputs can't be certified against an external
+oracle. Every sketch here is built on the portable md5-derived
+60-bit hash (same construction as dedup.md5_hash60) and keeps its
+accumulator arithmetic in INTEGERS until one final division, so the
+estimate — not just the exact answer — is bit-reproducible in
+ANSI SQL (DuckDB oracle) and across engines. Error bounds are then
+pinned by tests against the exact answers, and mergeability is
+pinned by register-level union tests.
+
+Design notes per sketch:
+
+- HLL (Flajolet et al. 2007, HyperLogLog: the analysis of a
+  near-optimal cardinality estimation algorithm): registers are rows
+  (group, register, max_rho) — the relational encoding of the 2^p
+  byte array. sum(2^-rho) is computed as an integer sum of
+  2^(maxrho - rho) (all terms are exact powers of two ≤ 2^(maxrho)),
+  so the harmonic mean is order-independent — a float sum over a
+  shuffle would not be. One shuffle of ≤ m rows per group.
+- CMS (Cormode & Muthukrishnan 2005, An improved data stream
+  summary: the count-min sketch): the d×w counter matrix is rows
+  (d, bucket, cnt) — integer counts, one shuffle of ≤ d·w rows.
+  Estimates are min over d broadcast-joined counters; the classic
+  guarantee est ≥ true is test-pinned.
+- Bloom (Bloom 1970): the bit array is the distinct set of k·|S|
+  positions — broadcast-joinable (a 2^20-bit filter is ≤ 128 KiB
+  dense; relationally it is the position set). Membership = all k
+  probe positions present. No false negatives is test-pinned.
+- KMV / bottom-k (Bar-Yossef et al. 2002): a deterministic
+  hash-ordered top-k (TakeOrderedAndProject — no global sort), giving
+  a uniform-without-replacement sample any executor count reproduces
+  exactly; quantiles over the sample are exact order statistics of a
+  bounded (≤ k rows) set.
+
+No reference analog (extended surface); cited against SURVEY §2.4's
+"no approximate aggregates" note.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Bits of the portable md5-derived hash (15 hex chars < 2^60 keeps
+#: signed-long parity with the SQL oracle — no two's-complement games).
+HASH_BITS = 60
+
+
+def hash60(col: Column | str, seed: int | Column = 0) -> Column:
+    """Portable seeded 60-bit hash: top 15 hex chars of
+    md5('<seed>:' || value). Exactly replayable in DuckDB as
+    ('0x' || substr(md5(seed || ':' || v), 1, 15))::BIGINT.
+
+    Seeding by prefixing (not re-hashing) keeps every seed one md5
+    of the raw value — the oracle never chains hashes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    return F.conv(
+        F.substring(F.md5(F.concat(s, F.lit(":"), c.cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 12,
+    seed: int = 0,
+) -> DataFrame:
+    """The HLL sketch as rows: (group_cols..., register, max_rho).
+
+    register = h mod 2^p; rho = leading-zero count of the remaining
+    (60 - p) bits + 1, computed EXACTLY via the bit-length of the
+    quotient (length of its base-2 string — no float log2, whose
+    rounding at exact powers of two differs across engines).
+
+    This IS the mergeable state: union two register tables and
+    re-take max(rho) per register to merge sketches (hll_merge);
+    partial aggregation makes the map side emit ≤ m rows per task.
+    """
+    m = 1 << p
+    rest_bits = HASH_BITS - p
+    h = hash60(key, seed)
+    # Integer division (`div`), NOT float `/` + cast: doubles lose
+    # integer precision past 2^53, and h ranges up to 2^60.
+    base = df.select(
+        *[F.col(g) for g in group_cols],
+        h.alias("__hll_h"),
+    ).select(
+        *[F.col(g) for g in group_cols],
+        (F.col("__hll_h") % m).alias("register"),
+        F.expr(f"__hll_h div {m}").alias("__rest"),
+    )
+    rho = (
+        F.when(F.col("__rest") == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits + 1) - F.length(F.conv(F.col("__rest"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        base.select(*[F.col(g) for g in group_cols], "register", rho.alias("__rho"))
+        .groupBy(*[F.col(g) for g in group_cols], F.col("register"))
+        .agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketches: union register tables, max(rho) per register.
+
+    This one-liner is the whole point of mergeable sketches — daily
+    partial sketches combine without rescanning the raw data.
+    """
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "max_rho"]
+    return out.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Cardinality estimate from a register table, with the standard
+    small-range (linear counting) correction.
+
+    Integer-exact core: S = sum over PRESENT registers of
+    2^(maxrho - max_rho) plus 2^maxrho per absent register — every
+    term a power of two ≤ 2^49 (p=12), total < 2^62, summed as
+    longs so the result is order-independent. The only float ops are
+    one constant multiply and one divide at the end (plus ln in the
+    linear-counting branch) — bit-identical in any IEEE-754 engine,
+    which is what lets the DuckDB oracle hash-match the ESTIMATE.
+    """
+    m = 1 << p
+    maxrho = HASH_BITS - p + 1
+    # NUM = alpha * m^2 * 2^maxrho, embedded as one repr'd double so
+    # Spark and the oracle parse the identical constant.
+    num = hll_alpha(m) * m * m * float(1 << maxrho)
+    s_present = F.sum(F.expr(f"cast(pow(2.0, {maxrho} - max_rho) as long)")).alias("__s")
+    agg = registers.groupBy(*[F.col(g) for g in group_cols]).agg(
+        s_present, F.count("*").alias("__present")
+    )
+    z = F.lit(m) - F.col("__present")
+    s_total = F.col("__s") + z * F.lit(1 << maxrho).cast("long")
+    e_raw = F.lit(num) / s_total.cast("double")
+    est = F.when(
+        (z > 0) & (e_raw <= F.lit(2.5 * m)), F.lit(float(m)) * F.log(F.lit(float(m)) / z)
+    ).otherwise(e_raw)
+    return agg.select(
+        *[F.col(g) for g in group_cols], F.round(est, 3).alias("hll_estimate")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 12,
+    seed: int = 0,
+) -> DataFrame:
+    """groupBy(group_cols).approx_count_distinct(key), oracle-replayable."""
+    return hll_estimate(hll_registers(df, key, group_cols, p, seed), group_cols, p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame,
+    key: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """The d×w counter matrix as rows (d, bucket, cnt).
+
+    One explode (×depth) then one shuffle whose output is ≤ d·w rows
+    — map-side partial counts collapse the stream no matter how many
+    input rows. Mergeable: union + re-sum.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    rows = df.select(c.alias("__k")).select(
+        "__k", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    )
+    bucket = (hash60("__k", F.col("d")) % width).alias("bucket")
+    return rows.select("d", bucket).groupBy("d", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Merge CMS states: union + sum per (d, bucket)."""
+    out = counter_tables[0]
+    for t in counter_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates for candidate keys: min over the d counters.
+
+    `counters` is ≤ d·w rows → broadcast; the probe never shuffles
+    the candidate side. Guarantee (test-pinned): est >= true count.
+    """
+    probes = keys.select(F.col(key).alias("__k")).distinct().select(
+        "__k", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    )
+    probes = probes.select("__k", "d", (hash60("__k", F.col("d")) % width).alias("bucket"))
+    joined = probes.join(F.broadcast(counters), ["d", "bucket"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    return joined.groupBy("__k").agg(F.min("cnt").alias("cms_estimate")).select(
+        F.col("__k").alias(key), "cms_estimate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(
+    df: DataFrame, fp_col: Column | str, k: int = 3, m_bits: int = 1 << 18
+) -> DataFrame:
+    """Build the filter from a fingerprint column: the distinct set of
+    k·|S| bit positions (column `pos`). Dense this is m_bits/8 bytes
+    — broadcastable; the relational encoding keeps the build one
+    distinct-shuffle of ≤ k·|S| ints.
+    """
+    c = F.col(fp_col) if isinstance(fp_col, str) else fp_col
+    rows = df.select(c.alias("__fp")).select(
+        "__fp", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("d")
+    )
+    return rows.select((hash60("__fp", F.col("d")) % m_bits).alias("pos")).distinct()
+
+
+def bloom_probe(
+    probe: DataFrame,
+    id_col: str,
+    fp_col: str,
+    positions: DataFrame,
+    k: int = 3,
+    m_bits: int = 1 << 18,
+) -> DataFrame:
+    """Membership probe: a fingerprint hits iff ALL k of its positions
+    are set. Returns (id_col, n_hits) — per-id count of DISTINCT
+    member fingerprints (false positives possible, false negatives
+    impossible — test-pinned).
+
+    The positions side is broadcast: the probe side (the 100 TB
+    corpus) is scanned once, map-side, no shuffle until the per-id
+    count.
+    """
+    rows = probe.select(F.col(id_col), F.col(fp_col).alias("__fp")).select(
+        id_col, "__fp", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("d")
+    )
+    rows = rows.select(id_col, "__fp", "d", (hash60("__fp", F.col("d")) % m_bits).alias("pos"))
+    hit = rows.join(F.broadcast(positions), "pos")
+    full = hit.groupBy(id_col, "__fp").agg(F.count("*").alias("__nd")).filter(
+        F.col("__nd") == k
+    )
+    return full.groupBy(id_col).agg(F.count_distinct("__fp").alias("n_hits"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sampling
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key: Column | str,
+    k: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic uniform sample: the k rows whose hashed key is
+    smallest. Plans as TakeOrderedAndProject (per-partition top-k,
+    merge at the driver) — no global sort, no RNG, reproducible on
+    any cluster size. Rows carry all input columns plus `__hkey`.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return df.withColumn("__hkey", hash60(c, seed)).orderBy("__hkey", c).limit(k)
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact order statistics of a bounded sample: for each q, the
+    value at 1-based rank floor(q·(n-1)) + 1 of the value-sorted
+    sample. The single-partition window is over ≤ k rows by
+    construction (same bounded-window argument as selection.py's
+    budget cumsum) — not a scale risk.
+
+    Returns (q double, <value_col> at that rank). The rank uses the
+    actual sample size n, so short inputs (n < k) stay well-defined
+    and the SQL oracle computes the identical index.
+    """
+    w = Window.orderBy(F.col(value_col))
+    ranked = sample.select(
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+    )
+    qrows = ranked.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    idx = (F.floor(F.col("q") * (F.col("__n") - 1)) + 1).cast("int")
+    # Non-equi condition (rank == f(q, n)) over a ≤ k·|qs| space →
+    # broadcast nested-loop, bounded by construction.
+    out = ranked.join(F.broadcast(qrows), F.col("__rn") == idx)
+    return out.select("q", F.col(value_col))

@@ -1,0 +1,187 @@
+"""Sketch operator guarantees: mergeability (the 100 TB property),
+HLL error bound, CMS overestimate-only, Bloom no-false-negatives,
+KMV sample determinism + bounded quantile error, and plan shape
+(broadcast probes, bounded exchanges).
+
+Cross-engine exactness of the estimates themselves is certified by
+the q102-q105 oracle gates; these tests pin the algorithmic
+contracts the oracle can't express.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_explorer_spark.operators import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    # 20k distinct string keys, each appearing 1-3 times, deterministic
+    return spark.range(0, 41000).select(
+        F.concat(F.lit("k"), (F.col("id") % 20000).cast("string")).alias("k"),
+        (F.col("id") % 4).alias("grp"),
+    )
+
+
+class TestHLL:
+    def test_estimate_within_error_bound(self, spark, keys):
+        p = 12
+        est = SK.hll_distinct(keys, "k", p=p).collect()[0]["hll_estimate"]
+        exact = keys.select("k").distinct().count()
+        # standard error 1.04/sqrt(m) ~= 1.6% at p=12; 3 sigma bound.
+        assert abs(est - exact) / exact < 3 * 1.04 / math.sqrt(1 << p)
+
+    def test_merge_equals_whole(self, spark, keys):
+        """Sketch(A ∪ B) == merge(Sketch(A), Sketch(B)) at the
+        register level — the property that makes daily partials
+        combinable without rescanning raw data."""
+        a = keys.filter(F.col("grp") < 2)
+        b = keys.filter(F.col("grp") >= 2)
+        whole = {
+            (r["register"],): r["max_rho"]
+            for r in SK.hll_registers(keys, "k").collect()
+        }
+        merged = {
+            (r["register"],): r["max_rho"]
+            for r in SK.hll_merge(
+                SK.hll_registers(a, "k"), SK.hll_registers(b, "k")
+            ).collect()
+        }
+        assert whole == merged
+
+    def test_grouped_matches_per_group(self, spark, keys):
+        grouped = {
+            r["grp"]: r["hll_estimate"]
+            for r in SK.hll_distinct(keys, "k", ["grp"]).collect()
+        }
+        for g in range(4):
+            solo = SK.hll_distinct(keys.filter(F.col("grp") == g), "k").collect()[0][
+                "hll_estimate"
+            ]
+            assert grouped[g] == solo
+
+    def test_plan_two_exchanges_with_partial_agg(self, spark, keys):
+        plan = SK.hll_distinct(keys, "k")._jdf.queryExecution().executedPlan().toString()
+        # one shuffle to (group, register), one to (group) — nothing
+        # proportional to input rows crosses either.
+        assert plan.count("Exchange") <= 2
+        # map-side partial max per register before the shuffle
+        assert "partial_max" in plan or "HashAggregate" in plan
+
+
+class TestCMS:
+    def test_never_underestimates(self, spark, keys):
+        counters = SK.cms_counters(keys, "k", depth=4, width=512)
+        est = SK.cms_estimate(counters, keys, "k", depth=4, width=512)
+        exact = keys.groupBy("k").agg(F.count("*").alias("c"))
+        bad = est.join(exact, "k").filter(F.col("cms_estimate") < F.col("c")).count()
+        assert bad == 0
+
+    def test_width_512_actually_collides(self, spark, keys):
+        """20k keys into 512 buckets must overestimate somewhere —
+        guards against the test accidentally running in a regime
+        where CMS degenerates to exact and the property is vacuous."""
+        counters = SK.cms_counters(keys, "k", depth=4, width=512)
+        est = SK.cms_estimate(counters, keys, "k", depth=4, width=512)
+        exact = keys.groupBy("k").agg(F.count("*").alias("c"))
+        over = est.join(exact, "k").filter(F.col("cms_estimate") > F.col("c")).count()
+        assert over > 0
+
+    def test_merge_equals_whole(self, spark, keys):
+        a = keys.filter(F.col("grp") < 2)
+        b = keys.filter(F.col("grp") >= 2)
+        whole = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in SK.cms_counters(keys, "k", depth=2, width=256).collect()
+        }
+        merged = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in SK.cms_merge(
+                SK.cms_counters(a, "k", depth=2, width=256),
+                SK.cms_counters(b, "k", depth=2, width=256),
+            ).collect()
+        }
+        assert whole == merged
+
+    def test_probe_broadcasts_counters(self, spark, keys):
+        counters = SK.cms_counters(keys, "k", depth=4, width=512)
+        plan = (
+            SK.cms_estimate(counters, keys, "k", depth=4, width=512)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        members = spark.range(0, 500).select(
+            F.concat(F.lit("fp"), F.col("id")).alias("fp")
+        )
+        probe = spark.range(250, 1000).select(
+            F.col("id").alias("pid"), F.concat(F.lit("fp"), F.col("id")).alias("fp")
+        )
+        pos = SK.bloom_positions(members, "fp", k=3, m_bits=1 << 16)
+        hits = {r["pid"] for r in SK.bloom_probe(probe, "pid", "fp", pos, k=3, m_bits=1 << 16).collect()}
+        # every true member (250..499) must be flagged
+        assert set(range(250, 500)) <= hits
+
+    def test_false_positive_rate_sane(self, spark):
+        members = spark.range(0, 500).select(
+            F.concat(F.lit("fp"), F.col("id")).alias("fp")
+        )
+        probe = spark.range(500, 10500).select(
+            F.col("id").alias("pid"), F.concat(F.lit("fp"), F.col("id")).alias("fp")
+        )
+        pos = SK.bloom_positions(members, "fp", k=3, m_bits=1 << 16)
+        fp = SK.bloom_probe(probe, "pid", "fp", pos, k=3, m_bits=1 << 16).count()
+        # n=500, m=2^16, k=3 -> theoretical fp ~ (1-e^(-kn/m))^k ~ 1e-5;
+        # 10k non-member probes should yield at most a handful.
+        assert fp <= 5
+
+    def test_probe_broadcasts_positions(self, spark):
+        members = spark.range(0, 100).select(F.col("id").cast("string").alias("fp"))
+        probe = spark.range(0, 100).select(
+            F.col("id").alias("pid"), F.col("id").cast("string").alias("fp")
+        )
+        pos = SK.bloom_positions(members, "fp", k=3, m_bits=1 << 16)
+        plan = (
+            SK.bloom_probe(probe, "pid", "fp", pos, k=3, m_bits=1 << 16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestKMV:
+    def test_sample_deterministic_across_partitioning(self, spark):
+        df = spark.range(0, 10000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+        s1 = sorted(r["id"] for r in SK.bottomk_sample(df, "id", k=128).collect())
+        s2 = sorted(
+            r["id"] for r in SK.bottomk_sample(df.repartition(13), "id", k=128).collect()
+        )
+        assert s1 == s2
+
+    def test_plan_is_takeordered(self, spark):
+        df = spark.range(0, 10000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+        plan = SK.bottomk_sample(df, "id", k=128)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_quantiles_bounded_error(self, spark):
+        # uniform 0..9999: true q-quantile ~= q*9999; sampling error
+        # ~ sqrt(q(1-q)/k)*N; assert 5-sigma.
+        df = spark.range(0, 10000).select(F.col("id"), F.col("id").alias("v"))
+        sample = SK.bottomk_sample(df, "id", k=256)
+        out = {r["q"]: r["v"] for r in SK.sample_quantiles(sample, "v", [0.25, 0.5, 0.75]).collect()}
+        for q, v in out.items():
+            tol = 5 * math.sqrt(q * (1 - q) / 256) * 10000
+            assert abs(v - q * 9999) < tol, (q, v, tol)
+
+    def test_short_input_well_defined(self, spark):
+        df = spark.range(0, 5).select(F.col("id"), F.col("id").alias("v"))
+        sample = SK.bottomk_sample(df, "id", k=256)
+        out = SK.sample_quantiles(sample, "v", [0.0, 0.5, 1.0]).collect()
+        vals = {r["q"]: r["v"] for r in out}
+        assert vals[0.0] == 0 and vals[1.0] == 4
