@@ -58,6 +58,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -301,6 +304,60 @@ def bloom_probe(
         F.col("__nd") == k
     )
     return full.groupBy(id_col).agg(F.count_distinct("__fp").alias("n_hits"))
+
+
+def bloom_bitmap(positions: DataFrame, m_bits: int = 1 << 18) -> bytes:
+    """Pack a position set into a dense little-endian bitmap
+    (m_bits/8 bytes). The collect is bounded by m_bits/64 longs —
+    2^27 bits is a 16 MiB blob serving hundreds of millions of
+    members, where the relational position set would be a 100M-row
+    join side.
+    """
+    arr = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = np.fromiter(
+        (r["pos"] for r in positions.select("pos").collect()), dtype=np.int64
+    )
+    np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return arr.tobytes()
+
+
+def bloom_probe_bitmap(
+    probe: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bitmap: bytes,
+    k: int = 3,
+    m_bits: int = 1 << 18,
+) -> DataFrame:
+    """The bitmap scale tier of bloom_probe: IDENTICAL semantics to
+    the certified position-join tier (same portable hash, same k/m —
+    outputs pinned equal by test), different physical strategy. The
+    k probe positions are computed JVM-side (md5 built-ins, codegen);
+    the only Python is a vectorized Arrow batch doing numpy bit
+    lookups against the closure-shipped bitmap — no join, no shuffle
+    until the per-id count. Use when the filter outgrows a
+    broadcastable position set (large m_bits): the bitmap is
+    m_bits/8 bytes regardless of member count.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    arr = np.frombuffer(bitmap, dtype=np.uint8)
+
+    @pandas_udf("boolean")
+    def _member(pos_arr: pd.Series) -> pd.Series:
+        mat = np.vstack(pos_arr.to_numpy())  # (batch, k) int64
+        bits = (arr[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    rows = probe.select(
+        F.col(id_col),
+        F.col(fp_col).alias("__fp"),
+        F.array(
+            *[hash60(F.col(fp_col), i) % m_bits for i in range(k)]
+        ).alias("__pos"),
+    )
+    hit = rows.filter(_member(F.col("__pos")))
+    return hit.groupBy(id_col).agg(F.count_distinct("__fp").alias("n_hits"))
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,31 @@ class TestBloom:
         # 10k non-member probes should yield at most a handful.
         assert fp <= 5
 
+    def test_bitmap_tier_equals_position_join_tier(self, spark):
+        """The dense-bitmap scale tier (JVM-hashed positions + numpy
+        bit lookups in one Arrow batch, no join) computes the SAME
+        function as the certified position-join tier — identical
+        hash, identical k/m, identical output."""
+        members = spark.range(0, 500).select(
+            F.concat(F.lit("fp"), F.col("id")).alias("fp")
+        )
+        probe = spark.range(250, 1000).select(
+            (F.col("id") % 50).alias("pid"), F.concat(F.lit("fp"), F.col("id")).alias("fp")
+        )
+        pos = SK.bloom_positions(members, "fp", k=3, m_bits=1 << 16)
+        joined = {
+            (r["pid"], r["n_hits"])
+            for r in SK.bloom_probe(probe, "pid", "fp", pos, k=3, m_bits=1 << 16).collect()
+        }
+        bm = SK.bloom_bitmap(pos, m_bits=1 << 16)
+        bitmap = {
+            (r["pid"], r["n_hits"])
+            for r in SK.bloom_probe_bitmap(
+                probe, "pid", "fp", bm, k=3, m_bits=1 << 16
+            ).collect()
+        }
+        assert joined == bitmap and len(bitmap) > 0
+
     def test_probe_broadcasts_positions(self, spark):
         members = spark.range(0, 100).select(F.col("id").cast("string").alias("fp"))
         probe = spark.range(0, 100).select(
