@@ -2259,6 +2259,42 @@ def q104_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
     return SK.bloom_probe(train, "train_doc", "fp", positions, k=BLOOM_K, m_bits=BLOOM_M)
 
 
+def q106_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefilter join (explicit runtime filtering): lineitem ⋈
+    urgent orders with a bloom of the order keys dropping non-matching
+    lineitem rows BEFORE the join shuffle. Result-identical to the
+    plain join (no false negatives; false positives die in the join),
+    so the oracle is simply the plain join — what's certified is that
+    the optimization preserves semantics. sum_qty is a sum of
+    integral doubles (exact at any addition order) cast to long, so
+    the aggregate is engine-stable without rounding games."""
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    keys = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+    li = _t(spark, sf, "lineitem")
+    joined = SK.bloom_prefilter_join(li, keys, "l_orderkey", k=BLOOM_K, m_bits=BLOOM_M)
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+def q107_window_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed approximate distinct: HLL distinct users per UTC day
+    over the events table — the streaming-analytics shape (distinct
+    per time bucket) where the register table IS the checkpointable
+    state and closed windows merge by max. Exact count beside the
+    estimate; both hash-matched."""
+    ev = _t(spark, sf, "events")  # ts normalized to long epoch-nanos
+    keyed = ev.select(
+        F.expr(f"ts div {86_400 * 1_000_000_000}").alias("day"), F.col("user_id")
+    )
+    est = SK.hll_distinct(keyed, "user_id", ["day"], p=HLL_P)
+    exact = keyed.groupBy("day").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "day")
+
+
 def q105_kmv_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Document-length quantiles from a deterministic bottom-k
     (KMV) sample: the 256 docs with smallest hashed doc_id — a
@@ -2388,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_cms_heavy_hitters": q103_cms_heavy_hitters,
         "q104_bloom_decontam": q104_bloom_decontam,
         "q105_kmv_quantiles": q105_kmv_quantiles,
+        "q106_bloom_join": q106_bloom_join,
+        "q107_window_distinct": q107_window_distinct,
     }
 
 
@@ -2406,34 +2444,59 @@ _SKETCH_TOK = """SELECT lang, unnest(list_distinct(list_transform(
     FROM documents"""
 
 
-def _hll_oracle(p: int = HLL_P) -> str:
-    """q102 oracle: replays sketches.hll_registers/hll_estimate — the
-    portable md5 60-bit hash, bit-length rho via bin(), the INTEGER
-    harmonic-mean accumulator, and the linear-counting branch — so the
-    ESTIMATE hash-matches, not just the exact column."""
+def _hll_cte(src_cte: str, group: str, key: str, p: int = HLL_P) -> str:
+    """Shared HLL replay (sketches.hll_registers/hll_estimate in SQL):
+    portable md5 60-bit hash, bit-length rho via bin(), INTEGER
+    harmonic-mean accumulator, linear-counting branch — so the
+    ESTIMATE hash-matches, not just the exact column. Produces CTEs
+    `est(g, hll_estimate)` and `ex(g, exact_distinct)` over
+    `src_cte`'s ({group}, {key}) rows."""
     m = 1 << p
     maxrho = 60 - p + 1
     num = SK.hll_alpha(m) * m * m * float(1 << maxrho)
     return f"""
-        WITH tok AS ({_SKETCH_TOK}),
-        h AS (SELECT lang, CAST(('0x' || substr(md5('0:' || sh), 1, 15)) AS BIGINT) AS h FROM tok),
-        regs AS (SELECT lang, h % {m} AS register,
+        WITH src AS ({src_cte}),
+        h AS (SELECT {group} AS g,
+                     CAST(('0x' || substr(md5('0:' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM src),
+        regs AS (SELECT g, h % {m} AS register,
                  CASE WHEN h // {m} = 0 THEN {maxrho}
                       ELSE {maxrho} - length(bin(h // {m})) END AS rho FROM h),
-        mx AS (SELECT lang, register, MAX(rho) AS max_rho FROM regs GROUP BY 1, 2),
-        agg AS (SELECT lang, SUM(CAST(pow(2.0, {maxrho} - max_rho) AS BIGINT)) AS s,
+        mx AS (SELECT g, register, MAX(rho) AS max_rho FROM regs GROUP BY 1, 2),
+        agg AS (SELECT g, SUM(CAST(pow(2.0, {maxrho} - max_rho) AS BIGINT)) AS s,
                        COUNT(*) AS present FROM mx GROUP BY 1),
-        fin AS (SELECT lang, ({m} - present) AS z,
+        fin AS (SELECT g, ({m} - present) AS z,
                        {num!r} / CAST(s + ({m} - present) * {1 << maxrho} AS DOUBLE) AS e_raw
                 FROM agg),
-        est AS (SELECT lang,
+        est AS (SELECT g,
                        ROUND(CASE WHEN z > 0 AND e_raw <= {2.5 * m!r}
                                   THEN {float(m)!r} * ln({float(m)!r} / z)
                                   ELSE e_raw END, 3) AS hll_estimate FROM fin),
-        ex AS (SELECT lang, COUNT(DISTINCT sh) AS exact_distinct FROM tok GROUP BY 1)
-        SELECT est.lang, hll_estimate, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        ex AS (SELECT {group} AS g, COUNT(DISTINCT {key}) AS exact_distinct
+               FROM src GROUP BY 1)
+    """
+
+
+def _hll_oracle(p: int = HLL_P) -> str:
+    """q102: per-lang distinct shingles with exact + rel_err."""
+    return f"""
+        {_hll_cte(_SKETCH_TOK, "lang", "sh", p)}
+        SELECT est.g AS lang, hll_estimate,
+               CAST(exact_distinct AS BIGINT) AS exact_distinct,
                ROUND(abs(hll_estimate - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
-        FROM est JOIN ex USING (lang)
+        FROM est JOIN ex USING (g)
+    """
+
+
+def _window_distinct_oracle(p: int = HLL_P) -> str:
+    """q107: per-UTC-day distinct users (epoch_us // µs-per-day ==
+    Spark's epoch-nanos div ns-per-day)."""
+    src = f"SELECT epoch_us(ts) // {86_400 * 1_000_000} AS day, user_id FROM events"
+    return f"""
+        {_hll_cte(src, "day", "user_id", p)}
+        SELECT est.g AS day, hll_estimate,
+               CAST(exact_distinct AS BIGINT) AS exact_distinct
+        FROM est JOIN ex USING (g)
     """
 
 
@@ -4082,4 +4145,16 @@ def oracle_sql() -> dict[str, str]:
         "q103_cms_heavy_hitters": _cms_oracle(),
         "q104_bloom_decontam": _bloom_oracle(),
         "q105_kmv_quantiles": _kmv_oracle(),
+        # q106's oracle is the PLAIN join: the bloom prefilter is
+        # certified result-preserving, not re-implemented in SQL.
+        "q106_bloom_join": """
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem
+            JOIN (SELECT o_orderkey FROM orders
+                  WHERE o_orderpriority = '1-URGENT') o
+              ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+        """,
+        "q107_window_distinct": _window_distinct_oracle(),
     }

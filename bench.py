@@ -45,9 +45,12 @@ def _ingest_raw_rows(pn: int, n_records: int, n_jets: int) -> list[dict]:
     rows: list[dict] = []
     for j_idx, jet in enumerate(jets):
         prev = None
-        obj = j_idx.to_bytes(8, "big")
+        # references/objects are namespaced by pulse: the group-commit
+        # bench MERGEs four pulses into one table, and pulse-agnostic
+        # PKs would collapse them to one batch's rows
+        obj = (pn * 1_000 + j_idx).to_bytes(8, "big")
         for i in range(per_jet):
-            ref = (j_idx * per_jet + i).to_bytes(8, "big")
+            ref = (pn * 100_000 + j_idx * per_jet + i).to_bytes(8, "big")
             rows.append(
                 {
                     "reference": ref,
@@ -171,6 +174,38 @@ HEADLINE = [
 ]
 
 
+def calibration(spark) -> dict:
+    """Fixed-work instance-speed probe, reported beside the timings.
+
+    Each bench round runs on a freshly provisioned VM; r6→r7 showed a
+    UNIFORM ~10-15% drift on queries whose code did not change, which
+    is inter-instance hardware variance, not regression. These three
+    fixed workloads (pure-Python spin, BLAS GEMM, Spark codegen
+    aggregate) fingerprint the instance so cross-round comparisons
+    can be normalized: divide query seconds by the calibration ratio
+    before calling a delta a regression.
+    """
+    import numpy as _np
+
+    def _med(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return round(sorted(ts)[1], 4)
+
+    a = _np.random.default_rng(7).standard_normal((1024, 1024))
+    spin = _med(lambda: sum(range(5_000_000)))
+    gemm = _med(lambda: a @ a)
+    spark_agg = _med(
+        lambda: spark.range(0, 50_000_000, numPartitions=32)
+        .selectExpr("sum(xxhash64(id) % 1000000) s")  # bounded: no ANSI overflow
+        .collect()
+    )
+    return {"python_spin_s": spin, "gemm_1024_s": gemm, "spark_codegen_agg_s": spark_agg}
+
+
 def main() -> None:
     # UI on: the public monitoring REST API is how per-query
     # task/shuffle/spill profiles are captured (metrics.StageMetrics).
@@ -257,6 +292,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "aggregation": f"median_of_{N_PASSES}",
+        "calibration": calibration(spark),
         "sf": sf_val,
     }
     if profiles:

@@ -339,25 +339,67 @@ def bloom_probe_bitmap(
     broadcastable position set (large m_bits): the bitmap is
     m_bits/8 bytes regardless of member count.
     """
+    hit = probe.select(F.col(id_col), F.col(fp_col).alias("__fp")).filter(
+        bitmap_member(F.col("__fp"), bitmap, k, m_bits)
+    )
+    return hit.groupBy(id_col).agg(F.count_distinct("__fp").alias("n_hits"))
+
+
+def bitmap_member(
+    col: Column | str, bitmap: bytes, k: int = 3, m_bits: int = 1 << 18
+) -> Column:
+    """Boolean bloom-membership column against a closure-shipped
+    bitmap: the k positions are computed JVM-side with the portable
+    hash; the lookup is one vectorized Arrow batch of numpy bit
+    tests. Composable as a plain filter predicate.
+    """
     from pyspark.sql.functions import pandas_udf
 
     arr = np.frombuffer(bitmap, dtype=np.uint8)
 
     @pandas_udf("boolean")
     def _member(pos_arr: pd.Series) -> pd.Series:
-        mat = np.vstack(pos_arr.to_numpy())  # (batch, k) int64
+        mat = np.vstack(pos_arr.to_numpy())
         bits = (arr[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
         return pd.Series(bits.all(axis=1))
 
-    rows = probe.select(
-        F.col(id_col),
-        F.col(fp_col).alias("__fp"),
-        F.array(
-            *[hash60(F.col(fp_col), i) % m_bits for i in range(k)]
-        ).alias("__pos"),
-    )
-    hit = rows.filter(_member(F.col("__pos")))
-    return hit.groupBy(id_col).agg(F.count_distinct("__fp").alias("n_hits"))
+    c = F.col(col) if isinstance(col, str) else col
+    return _member(F.array(*[hash60(c, i) % m_bits for i in range(k)]))
+
+
+def bloom_prefilter_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    k: int = 3,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Shuffle-volume optimization for big⋈big low-selectivity joins:
+    build a bloom filter over `right`'s join keys, drop `left` rows
+    that cannot match BEFORE the join shuffle, then run the ordinary
+    equi-join. Results are IDENTICAL to `left.join(right, on, how)`
+    for inner/semi joins (bloom has no false negatives — only
+    cannot-match rows are dropped; false positives just survive to
+    the join, which discards them).
+
+    This is Spark's own runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter) made explicit and
+    deterministic: when `right` is small Catalyst would broadcast
+    anyway — use this when BOTH sides exceed broadcast size but the
+    join keeps few left rows; the m_bits/8-byte bitmap ships in the
+    task closure while the full right side never touches the left
+    scan. The filter build is one pass over right's keys
+    (distinct positions ≤ m_bits), eager at plan-construction time.
+    """
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom prefilter preserves results only for inner/semi joins, got {how!r}"
+        )
+    pos = bloom_positions(right.select(F.col(on).alias("__fp")), "__fp", k, m_bits)
+    bm = bloom_bitmap(pos, m_bits)
+    filtered = left.filter(bitmap_member(F.col(on), bm, k, m_bits))
+    return filtered.join(right, on, how)
 
 
 # ---------------------------------------------------------------------------

@@ -217,6 +217,129 @@ def sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
     return {"n_changes": n_changes, "version": head}
 
 
+#: HLL precision for the incremental distinct-token sketch state.
+HLL_P = 12
+
+
+def _hll_ckpt_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "hll_checkpoint.json")
+
+
+def _read_hll_ckpt(state_dir: str) -> dict:
+    try:
+        with open(_hll_ckpt_path(state_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"since_version": 0, "dir": None}
+
+
+def read_hll_registers(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The persisted sketch state: (register, max_rho), ≤ 2^HLL_P rows."""
+    ck = _read_hll_ckpt(state_dir)
+    if ck["dir"] is None:
+        return spark.createDataFrame(
+            [], "register long, max_rho int"
+        )
+    return spark.read.parquet(os.path.join(state_dir, ck["dir"]))
+
+
+def hll_estimate_tokens(spark: SparkSession, state_dir: str) -> float:
+    """Scalar distinct-token estimate from the persisted registers."""
+    from block_explorer_spark.operators import sketches as SK
+
+    regs = read_hll_registers(spark, state_dir)
+    rows = SK.hll_estimate(regs, (), p=HLL_P).collect()
+    return float(rows[0]["hll_estimate"]) if rows else 0.0
+
+
+def hll_sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
+    """Incremental distinct-token HLL over the change feed: merge the
+    DELTA's token registers into the persisted register table —
+    cost ∝ delta tokens + 2^p, never corpus size. This is the whole
+    argument for mergeable sketch state: the batch recompute reads
+    every document ever; the incremental path reads the new ones and
+    ≤ 4096 register rows.
+
+    Semantics (HLL is not invertible): the estimate covers distinct
+    tokens EVER INGESTED — `delete`/sweep rows do not retract
+    registers. A retention gap raises the same consumer-level
+    RuntimeError as `sync`; `hll_resync` rebuilds from the current
+    snapshot (after which the estimate covers live docs only, until
+    new inserts widen it again).
+
+    State swap is crash-safe in the same way as the mirror: the new
+    register dir is written first, then the checkpoint json swaps
+    atomically; orphan dirs are gc'd after the swap.
+    """
+    from block_explorer_spark.operators import sketches as SK
+
+    os.makedirs(state_dir, exist_ok=True)
+    ck = _read_hll_ckpt(state_dir)
+    head = Mf.current_version(corpus_base)
+    if head == ck["since_version"]:
+        return {"n_changes": 0, "version": head}
+    try:
+        feed = cs.changes_since(
+            spark, corpus_base, ck["since_version"], until_version=head
+        ).localCheckpoint()
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"change feed no longer reaches HLL checkpoint version "
+            f"{ck['since_version']} (retention/vacuum): {e}. Run "
+            "cdc_consumer.hll_resync(spark, corpus_base, state_dir) to "
+            "rebuild from the current snapshot."
+        ) from e
+    inserted = feed.filter(F.col("op") != "delete")
+    n_changes = inserted.count()
+    if not n_changes:
+        ck = {"since_version": head, "dir": ck["dir"]}
+        _swap_ckpt_hll(state_dir, ck)
+        return {"n_changes": 0, "version": head}
+    toks = inserted.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    delta = SK.hll_registers(toks, "tok", p=HLL_P)
+    old = read_hll_registers(spark, state_dir)
+    merged = SK.hll_merge(old, delta) if ck["dir"] is not None else delta
+    name = f"hll_v{head}"
+    _write_run(spark, state_dir, name, merged)
+    _swap_ckpt_hll(state_dir, {"since_version": head, "dir": name})
+    _gc_hll_orphans(state_dir, name)
+    return {"n_changes": n_changes, "version": head}
+
+
+def hll_resync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
+    """Rebuild the register state from the current snapshot (the
+    recovery move after a retention error)."""
+    from block_explorer_spark.operators import sketches as SK
+
+    os.makedirs(state_dir, exist_ok=True)
+    head = Mf.current_version(corpus_base)
+    toks = cs.read_corpus(spark, corpus_base).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    regs = SK.hll_registers(toks, "tok", p=HLL_P)
+    name = f"hll_v{head}_base"
+    _write_run(spark, state_dir, name, regs)
+    _swap_ckpt_hll(state_dir, {"since_version": head, "dir": name})
+    _gc_hll_orphans(state_dir, name)
+    return {"version": head}
+
+
+def _swap_ckpt_hll(state_dir: str, ck: dict) -> None:
+    tmp = _hll_ckpt_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+    os.replace(tmp, _hll_ckpt_path(state_dir))
+
+
+def _gc_hll_orphans(state_dir: str, live: str) -> None:
+    for name in os.listdir(state_dir):
+        p = os.path.join(state_dir, name)
+        if os.path.isdir(p) and name.startswith("hll_") and name != live:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def resync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
     """Full rebuild from the current snapshot — the recovery move when
     `sync` raises the retention error. One corpus scan, then the

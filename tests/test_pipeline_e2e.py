@@ -203,6 +203,82 @@ def test_cdc_consumer_mirror_converges_and_fails_loud(spark, tmp_path):
     assert_converged()
 
 
+def test_cdc_hll_sketch_state_tracks_delta(spark, tmp_path):
+    """Incremental mergeable-sketch state over the change feed: the
+    persisted HLL registers after N syncs equal the batch registers
+    over every doc ever inserted (register-level, exact), deletes do
+    not retract (documented HLL semantics), the estimate lands near
+    the true distinct-token count, and a vacuumed checkpoint fails
+    loud then hll_resync recovers."""
+    from block_explorer_spark.operators import sketches as SK
+    from block_explorer_spark.sources import cdc_consumer as cdc
+    from block_explorer_spark.sources import manifest as Mf
+
+    base = str(tmp_path / "corpus")
+    state = str(tmp_path / "sketch")
+    COLS = ["doc_id", "text", "lang", "source"]
+    filler = lambda tag, n=30: " ".join(f"{tag}w{i}" for i in range(n))
+
+    def expected_regs(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        toks = df.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        )
+        return {
+            (r["register"], r["max_rho"])
+            for r in SK.hll_registers(toks, "tok", p=cdc.HLL_P).collect()
+        }
+
+    def got_regs():
+        return {
+            (r["register"], r["max_rho"])
+            for r in cdc.read_hll_registers(spark, state).collect()
+        }
+
+    b1 = [(i, filler(f"a{i}"), "en", "web") for i in range(1, 6)]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS))
+    s = cdc.hll_sync(spark, base, state)
+    assert s["n_changes"] == 5
+    ever = [t for _, t, _, _ in b1]
+    assert got_regs() == expected_regs(ever)
+
+    # second batch + a delete consumed in one sync: registers equal
+    # the union of ALL ever-inserted texts (delete doesn't retract)
+    b2 = [(i, filler(f"b{i}"), "en", "web") for i in range(10, 15)]
+    cs.ingest(spark, base, spark.createDataFrame(b2, COLS))
+    cs.delete_where(spark, base, F.col("doc_id") == 3)
+    s = cdc.hll_sync(spark, base, state)
+    assert s["n_changes"] == 5  # delete rows filtered out
+    ever += [t for _, t, _, _ in b2]
+    assert got_regs() == expected_regs(ever)
+
+    # estimate within 10% of the true ever-inserted distinct count
+    true = len({w for t in ever for w in t.lower().split()})
+    est = cdc.hll_estimate_tokens(spark, state)
+    assert abs(est - true) / true < 0.10
+
+    # caught-up sync is a no-op
+    assert cdc.hll_sync(spark, base, state)["n_changes"] == 0
+
+    # retention: vacuum past the checkpoint -> loud -> resync recovers
+    cs.ingest(
+        spark, base,
+        spark.createDataFrame([(30, filler("c30"), "en", "web")], COLS),
+    )
+    cs.ingest(
+        spark, base,
+        spark.createDataFrame([(31, filler("c31"), "en", "web")], COLS),
+    )
+    Mf.vacuum(base, keep_last=1, min_age_s=0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="hll_resync"):
+        cdc.hll_sync(spark, base, state)
+    cdc.hll_resync(spark, base, state)
+    live_texts = [r["text"] for r in cs.read_corpus(spark, base).collect()]
+    assert got_regs() == expected_regs(live_texts)
+
+
 def test_cdc_mirror_folds_run_stack(spark, tmp_path):
     """The mirror's LSM contract: each sync appends ONE delta run
     (write cost ∝ delta), and the stack folds once it exceeds

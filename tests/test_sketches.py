@@ -180,6 +180,42 @@ class TestBloom:
         assert "BroadcastHashJoin" in plan
 
 
+class TestBloomJoin:
+    def test_result_identical_to_plain_join(self, spark):
+        left = spark.range(0, 20000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        right = spark.range(0, 20000, 13).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag")
+        )
+        plain = sorted(
+            tuple(r) for r in left.join(right, "k").collect()
+        )
+        bloomed = sorted(
+            tuple(r)
+            for r in SK.bloom_prefilter_join(
+                left, right, "k", m_bits=1 << 18
+            ).collect()
+        )
+        assert plain == bloomed and len(plain) > 0
+
+    def test_prefilter_runs_before_join(self, spark):
+        left = spark.range(0, 1000).select(F.col("id").alias("k"))
+        right = spark.range(0, 1000, 7).select(F.col("id").alias("k"))
+        plan = (
+            SK.bloom_prefilter_join(left, right, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the Arrow membership filter must sit below the join
+        assert "ArrowEvalPython" in plan or "EvalPython" in plan
+        assert "Join" in plan
+
+    def test_outer_join_rejected(self, spark):
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="inner/semi"):
+            SK.bloom_prefilter_join(df, df, "k", how="left_outer")
+
+
 class TestKMV:
     def test_sample_deterministic_across_partitioning(self, spark):
         df = spark.range(0, 10000).select(F.col("id"), (F.col("id") * 3).alias("v"))
