@@ -2307,6 +2307,87 @@ def q105_kmv_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return SK.sample_quantiles(sample, "n_chars", KMV_QS)
 
 
+def q108_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup (GROUPING SETS) over orders: subtotals per
+    (status, priority), per status, and grand total in ONE pass —
+    Catalyst's Expand operator emits the three grouping sets map-side,
+    so the plan is one scan + one shuffle regardless of how many
+    levels roll up (the money aggregate is integer cents, so every
+    level is addition-order exact). The reference's API has no
+    multi-level aggregates (SURVEY §2.4 is flat groupBy); this is the
+    OLAP-cube surface a warehouse user expects."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority", "n_orders", "cents")
+    )
+
+
+def q109_moving_peak(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame window per user over the events
+    stream: peak hourly event count and peak hourly value sum. The
+    window partitions by user_id (parallelism scales with users, the
+    per-user sort is the semantic), the frame is time-based
+    [ts-1h, ts] — RANGE, not ROWS, so tied timestamps are frame
+    peers on both engines — and value is integer-ized (×1000) so the
+    running sum is addition-order exact."""
+    ev = _t(spark, sf, "events")  # ts normalized to long epoch-nanos
+    base = ev.select(
+        "user_id", "ts", F.round(F.col("value") * 1000).cast("long").alias("mv")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-3_600_000_000_000, 0)
+    )
+    roll = base.select(
+        "user_id",
+        F.count("*").over(w).alias("c1h"),
+        F.sum("mv").over(w).alias("s1h"),
+    )
+    return roll.groupBy("user_id").agg(
+        F.max("c1h").cast("long").alias("peak_1h_events"),
+        F.max("s1h").cast("long").alias("peak_1h_mvalue"),
+    )
+
+
+def q110_cms_watchlist(spark: SparkSession, sf: str) -> DataFrame:
+    """The at-scale count-min pattern q103's certification shape can't
+    show: sketch the FACT stream (lineitem part keys), probe only a
+    bounded dimension-driven watchlist (small parts, p_size <= 5).
+    Nothing in the plan is proportional to the key space — the
+    counter matrix is ≤ d·w rows, the probe is ≤ |watchlist| rows,
+    and the exact side (kept for the est ≥ exact certification) is
+    semi-joined against the broadcast watchlist BEFORE its shuffle,
+    so shuffle volume ∝ watchlist hits, never the full stream."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    watch = part.filter(F.col("p_size") <= 5).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    occ = li.select("l_partkey")
+    counters = SK.cms_counters(occ, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = SK.cms_estimate(counters, watch, "l_partkey", depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = (
+        occ.join(F.broadcast(watch), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(F.broadcast(exact), "l_partkey", "left")
+        .select(
+            "l_partkey",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2426,6 +2507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_kmv_quantiles": q105_kmv_quantiles,
         "q106_bloom_join": q106_bloom_join,
         "q107_window_distinct": q107_window_distinct,
+        "q108_rollup_agg": q108_rollup_agg,
+        "q109_moving_peak": q109_moving_peak,
+        "q110_cms_watchlist": q110_cms_watchlist,
     }
 
 
@@ -2522,6 +2606,33 @@ def _cms_oracle(d: int = CMS_DEPTH, w: int = CMS_WIDTH, topk: int = CMS_TOPK) ->
                CAST(exact_count AS BIGINT) AS exact_count
         FROM est JOIN ex USING (sh)
         ORDER BY cms_estimate DESC, sh LIMIT {topk}
+    """
+
+
+def _cms_watchlist_oracle(d: int = CMS_DEPTH, w: int = CMS_WIDTH) -> str:
+    """q110 oracle: CMS replay over lineitem part keys, probed only at
+    the p_size <= 5 watchlist; exact counts joined per watched key."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || "
+        f"CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % {w}"
+    )
+    return f"""
+        WITH occ AS (SELECT l_partkey FROM lineitem),
+        watch AS (SELECT p_partkey AS l_partkey FROM part WHERE p_size <= 5),
+        seeds AS (SELECT unnest(generate_series(0, {d - 1})) AS d),
+        counters AS (SELECT d, {h} AS bucket, COUNT(*) AS cnt
+                     FROM occ, seeds GROUP BY 1, 2),
+        probes AS (SELECT l_partkey, d, {h} AS bucket
+                   FROM (SELECT DISTINCT l_partkey FROM watch), seeds),
+        est AS (SELECT l_partkey,
+                       MIN(COALESCE(cnt, 0)) AS cms_estimate
+                FROM probes LEFT JOIN counters USING (d, bucket) GROUP BY l_partkey),
+        ex AS (SELECT occ.l_partkey, COUNT(*) AS exact_count
+               FROM occ JOIN watch USING (l_partkey) GROUP BY 1)
+        SELECT est.l_partkey,
+               CAST(cms_estimate AS BIGINT) AS cms_estimate,
+               CAST(COALESCE(exact_count, 0) AS BIGINT) AS exact_count
+        FROM est LEFT JOIN ex USING (l_partkey)
     """
 
 
@@ -4157,4 +4268,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "q107_window_distinct": _window_distinct_oracle(),
+        "q108_rollup_agg": """
+            SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q109_moving_peak": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) * 1000 AS tsn,
+                     CAST(ROUND(value * 1000) AS BIGINT) AS mv
+              FROM events
+            ),
+            r AS (
+              SELECT user_id,
+                     COUNT(*) OVER (PARTITION BY user_id ORDER BY tsn
+                       RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS c1h,
+                     SUM(mv) OVER (PARTITION BY user_id ORDER BY tsn
+                       RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS s1h
+              FROM e
+            )
+            SELECT user_id, CAST(MAX(c1h) AS BIGINT) AS peak_1h_events,
+                   CAST(MAX(s1h) AS BIGINT) AS peak_1h_mvalue
+            FROM r GROUP BY user_id
+        """,
+        "q110_cms_watchlist": _cms_watchlist_oracle(),
     }

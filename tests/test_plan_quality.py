@@ -85,6 +85,10 @@ def test_no_cartesian_products(spark):
         # q89: the 1-row global min(n_s) broadcast onto the per-stratum
         # counts — the same deliberate scalar-subquery shape as q50.
         "q89_temperature_mixture",
+        # q105: the rank == f(q, n) non-equi join of |qs| quantile
+        # probes against the ≤ k-row KMV sample — bounded by
+        # construction (sketches.py:448), never data-sized.
+        "q105_kmv_quantiles",
     }
     for name, fn in entry.queries().items():
         text = plan(fn(spark, SF))
@@ -201,3 +205,55 @@ def test_q99_q100_no_cartesian_blocked_joins(spark):
         assert "CartesianProduct" not in text, name
         assert "BroadcastNestedLoopJoin" not in text, name
         assert "SortMergeJoin" not in text, name
+
+
+def test_q108_rollup_is_one_pass_expand(spark):
+    """The rollup computes all three grouping sets in ONE scan + ONE
+    shuffle: Catalyst's Expand emits the set-tagged rows map-side and
+    the aggregate partials collapse before the exchange — no
+    per-level re-scan, no union of separate aggregates."""
+    import re
+
+    text = plan(entry.queries()["q108_rollup_agg"](spark, SF))
+    assert "Expand" in text
+    assert len(re.findall(r"\(\d+\) Exchange", text)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", text)) == 1
+    assert "partial_count" in text or "HashAggregate" in text
+
+
+def test_q109_moving_window_partitions_by_user(spark):
+    """The RANGE-frame window shuffles ONCE on user_id (parallelism
+    scales with users) and the peak groupBy reuses that partitioning
+    — no second exchange on the same key."""
+    text = plan(entry.queries()["q109_moving_peak"](spark, SF))
+    user_exchanges = [
+        ln
+        for ln in text.splitlines()
+        if "hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, text
+    assert "RunningWindowFunction" in text or "Window" in text
+
+
+def test_q110_cms_watchlist_nothing_scales_with_keyspace(spark):
+    """The at-scale CMS plan: counters collapse map-side (partial
+    aggregate before their exchange), the counter table reaches the
+    probe as a BROADCAST (it is <= d*w rows), and the exact side is
+    semi-joined to the broadcast watchlist BEFORE its groupBy — no
+    exchange carries the full distinct key space."""
+    text = plan(entry.queries()["q110_cms_watchlist"](spark, SF))
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+    assert "SortMergeJoin" not in text
+    # the only hash exchanges allowed: (d, bucket) counter collapse
+    # and the bounded watchlist-keyed aggregates — never raw l_partkey
+    # of the full lineitem stream without a preceding broadcast join
+    assert "partial_count" in text
+
+
+def test_q110_estimate_never_underestimates(spark):
+    """CMS guarantee on the watchlist gate: est >= exact per key."""
+    rows = entry.queries()["q110_cms_watchlist"](spark, SF).collect()
+    assert rows, "watchlist empty"
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count, r
