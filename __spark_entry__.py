@@ -2388,6 +2388,39 @@ def q110_cms_watchlist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q111_zorder_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustered store + multi-column data skipping
+    (operators/zorder.py): rewrite the events table Morton-ordered by
+    (user_id, mv), publish per-file zone maps through the manifest,
+    then answer a 2-D box predicate by opening only the files whose
+    (user_id, mv) hyper-rectangle intersects the box — the public
+    Delta/Iceberg OPTIMIZE ZORDER BY recipe. Correctness is
+    layout-independent (the row-level filter is always re-applied),
+    which is exactly what the oracle certifies; the skipping power is
+    pinned in test_zorder (a 1/8-wide predicate on EITHER clustered
+    column keeps ≤ half the files, where a linear sort skips nothing
+    on its second column). No reference analog: the reference reads
+    through Postgres indexes (etl/storage/storage.go); at parquet
+    scale the index IS the layout."""
+    import tempfile
+
+    from block_explorer_spark.operators import zorder as Z
+
+    ev = _t(spark, sf, "events")
+    tbl = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("mv"),
+    )
+    base = tempfile.mkdtemp(prefix="bes-zorder-gate-")
+    Z.cluster_write(tbl, base, "events_z", ["user_id", "mv"], bits=10,
+                    num_files=16)
+    out = Z.read_clustered(
+        spark, base, "events_z", {"user_id": (10, 80), "mv": (5000, 200000)}
+    )
+    return out.select("event_id", "user_id", "mv")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2510,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_rollup_agg": q108_rollup_agg,
         "q109_moving_peak": q109_moving_peak,
         "q110_cms_watchlist": q110_cms_watchlist,
+        "q111_zorder_box": q111_zorder_box,
     }
 
 
@@ -4295,4 +4329,11 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY user_id
         """,
         "q110_cms_watchlist": _cms_watchlist_oracle(),
+        "q111_zorder_box": """
+            SELECT event_id, user_id,
+                   CAST(ROUND(value * 1000) AS BIGINT) AS mv
+            FROM events
+            WHERE user_id BETWEEN 10 AND 80
+              AND CAST(ROUND(value * 1000) AS BIGINT) BETWEEN 5000 AND 200000
+        """,
     }
