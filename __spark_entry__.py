@@ -2421,6 +2421,59 @@ def q111_zorder_box(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "mv")
 
 
+def q112_kmv_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-cardinality algebra WITHOUT a join: KMV signatures (bottom-k
+    distinct hashes, Beyer et al. SIGMOD 2007) of two customer key
+    sets — URGENT-order customers vs HIGH-order customers — combined
+    into union / intersection / Jaccard estimates in pure integer
+    arithmetic (operators/sketches.py::kmv_signature/kmv_set_stats).
+    At 100 TB the exact |A ∩ B| is a shuffle of both key sets; the
+    KMV answer moves ≤ 2k signature rows. The exact counts ride along
+    for certification (the estimates themselves hash-match because
+    the estimator is integer-exact end to end)."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    st = SK.kmv_set_stats(
+        SK.kmv_signature(a, "o_custkey", k=KMV_K),
+        SK.kmv_signature(b, "o_custkey", k=KMV_K),
+        k=KMV_K,
+    )
+    ua, ub = a.distinct(), b.distinct()
+    exact_union = ua.union(ub).distinct().count()
+    exact_inter = ua.intersect(ub).count()
+    return spark.createDataFrame(
+        [(st["union_est"], st["inter_est"], st["jacc_bp"],
+          exact_union, exact_inter)],
+        "union_est long, inter_est long, jacc_bp long, "
+        "exact_union long, exact_inter long",
+    )
+
+
+#: BM25 gate parameters. The oracle injects the SAME Python-computed
+#: idf/avgdl literals, so both engines run only IEEE + * / in a fixed
+#: order — bit-exact without rounding.
+BM25_TERMS = ["dup", "spark", "merge"]
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 25
+
+
+def q113_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword retrieval over the corpus: BM25 top-k (Robertson/Okapi,
+    TREC-3) through an inverted index whose postings are filtered to
+    the query terms BEFORE their shuffle — cost ∝ matching postings,
+    not corpus size (operators/retrieval.py). idf and avgdl are
+    |terms|+2 bounded driver scalars; per-term scores pivot to columns
+    and sum in fixed order; top-k is a TakeOrderedAndProject. The
+    decontamination/audit query shape a training pipeline runs against
+    100 TB ("which docs mention this benchmark phrase")."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    return R.bm25_topk(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2544,6 +2597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_moving_peak": q109_moving_peak,
         "q110_cms_watchlist": q110_cms_watchlist,
         "q111_zorder_box": q111_zorder_box,
+        "q112_kmv_set_algebra": q112_kmv_set_algebra,
+        "q113_bm25_search": q113_bm25_search,
     }
 
 
@@ -2667,6 +2722,102 @@ def _cms_watchlist_oracle(d: int = CMS_DEPTH, w: int = CMS_WIDTH) -> str:
                CAST(cms_estimate AS BIGINT) AS cms_estimate,
                CAST(COALESCE(exact_count, 0) AS BIGINT) AS exact_count
         FROM est LEFT JOIN ex USING (l_partkey)
+    """
+
+
+def _bm25_oracle(
+    terms: list[str] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> str:
+    """q113 oracle: recompute N / avgdl / per-term df from the
+    certification parquet with DuckDB, derive idf in the SAME Python
+    math.log the engine used, inject all floats as repr() literals,
+    and replay the scoring with the identical operation order — every
+    remaining op is IEEE + * /, so scores match bit for bit."""
+    import duckdb
+
+    from block_explorer_spark.operators.retrieval import idf_weights
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    tok = (
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "t -> t <> '')"
+    )
+    df_cols = ", ".join(
+        f"count_if(list_contains({tok}, '{t}')) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    row = con.sql(
+        f"SELECT count(*) AS n, sum(len({tok})) AS sum_dl, {df_cols} "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    n, sum_dl = int(row[0]), int(row[1])
+    dfs = {t: int(row[2 + i]) for i, t in enumerate(terms)}
+    idf = idf_weights(n, dfs)
+    avgdl = sum_dl / n if n else 0.0
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    tfs = ", ".join(
+        f"CAST(len(list_filter(tk, t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    norm = f"({k1!r} * ({omb!r} + {b!r} * dl / {avgdl!r}))"
+    score = "0.0"
+    for i, t in enumerate(terms):
+        score = f"{score} + {idf[t]!r} * (tf_{i} * {k1p1!r} / (tf_{i} + {norm}))"
+    any_match = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+        WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
+        per AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, {tfs} FROM toks)
+        SELECT doc_id, {score} AS score
+        FROM per
+        WHERE {any_match} > 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {topk}
+    """
+
+
+def _kmv_set_oracle(k: int = KMV_K) -> str:
+    """q112 oracle: replay the bottom-k signatures (same md5-derived
+    60-bit hash as sketches.hash60, seed 0), the combined bottom-k,
+    and the integer estimators with HUGEINT division — bit-exact."""
+    h = "CAST(('0x' || substr(md5('0:' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+        WITH sa AS (SELECT DISTINCT {h} AS h FROM orders
+                    WHERE o_orderpriority = '1-URGENT' ORDER BY h LIMIT {k}),
+        sb AS (SELECT DISTINCT {h} AS h FROM orders
+               WHERE o_orderpriority = '2-HIGH' ORDER BY h LIMIT {k}),
+        u AS (SELECT DISTINCT h
+              FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+              ORDER BY h LIMIT {k}),
+        st AS (SELECT COUNT(*) AS n_u, MAX(h) AS u_k,
+                      COUNT(*) FILTER (WHERE h IN (SELECT h FROM sa)
+                                       AND h IN (SELECT h FROM sb)) AS x
+               FROM u),
+        est AS (SELECT n_u, x,
+                       CASE WHEN n_u < {k} THEN CAST(n_u AS HUGEINT)
+                            ELSE (CAST({k - 1} AS HUGEINT)
+                                  * CAST(1152921504606846976 AS HUGEINT)) // u_k
+                       END AS union_est
+                FROM st),
+        ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_union FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        ei AS (SELECT COUNT(*) AS exact_inter FROM (
+                 SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT'
+                 INTERSECT
+                 SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderpriority = '2-HIGH'))
+        SELECT CAST(union_est AS BIGINT) AS union_est,
+               CAST((CAST(x AS HUGEINT) * union_est) // n_u AS BIGINT)
+                   AS inter_est,
+               CAST((x * 10000) // n_u AS BIGINT) AS jacc_bp,
+               CAST(exact_union AS BIGINT) AS exact_union,
+               CAST(exact_inter AS BIGINT) AS exact_inter
+        FROM est, ex, ei
     """
 
 
@@ -4336,4 +4487,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id BETWEEN 10 AND 80
               AND CAST(ROUND(value * 1000) AS BIGINT) BETWEEN 5000 AND 200000
         """,
+        "q112_kmv_set_algebra": _kmv_set_oracle(),
+        "q113_bm25_search": _bm25_oracle(),
     }

@@ -1,0 +1,136 @@
+"""Keyword retrieval: inverted index + BM25 top-k ranking.
+
+The curation stack needs keyword search the same way it needs ANN —
+decontamination audits ("which training docs mention this benchmark
+phrase"), targeted sampling, and eyeball queries over a 100 TB corpus
+all start from an inverted index, not a full-text scan. This is the
+standard Robertson/Spärck Jones BM25 (Okapi, TREC-3 1994), organized
+Spark-first:
+
+  * the index is a (token, doc_id, tf) table — built with one
+    explode + groupBy whose shuffle carries one row per (doc, term)
+    occurrence class, and for a QUERY-scoped build the token filter
+    is applied BEFORE the shuffle, so cost ∝ matching postings, not
+    corpus size;
+  * document lengths are a map-side projection (no shuffle);
+  * idf and avgdl are |terms|+1 bounded scalars, computed ONCE in
+    Python and injected as literals — BM25's only transcendental
+    (ln) never runs inside either engine, so a SQL oracle fed the
+    same literals is bit-exact: everything left is IEEE + * /,
+    summed in a FIXED term order (float addition is not
+    associative; the per-term pivot keeps both engines adding in
+    the same order).
+
+Determinism: ties in score break by doc_id; tokenization is the
+repo-wide lowercased whitespace split (functions/text.py::tokens —
+the construction every certified text gate already replays in SQL).
+The tokenizer is pluggable at index-build time if a deployment wants
+punctuation-stripping or BPE units instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from block_explorer_spark.functions import text as Tx
+
+
+def tokenize(text_col: str) -> "F.Column":
+    """Lower-case whitespace split of trimmed text, empties removed."""
+    return F.filter(Tx.tokens(F.col(text_col)), lambda t: t != "")
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(token, doc_id, tf) postings. With `terms`, the filter runs
+    BEFORE the groupBy shuffle (only matching postings move); without,
+    it is the full index build you would persist (z-order or
+    range-partition by token for point-lookup file pruning)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("token"),
+    )
+    if terms is not None:
+        toks = toks.filter(F.col("token").isin(list(terms)))
+    return toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def corpus_stats(
+    docs: DataFrame, id_col: str, text_col: str, terms: list[str]
+) -> tuple[int, float, dict[str, int]]:
+    """(N, avgdl, {term: df}) in ONE aggregate pass over a map-side
+    projection — |terms| + 2 scalars to the driver. avgdl is an exact
+    integer sum divided once (no float accumulation order issues)."""
+    base = docs.select(
+        F.size(tokenize(text_col)).alias("dl"),
+        tokenize(text_col).alias("toks"),
+    )
+    row = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.array_contains("toks", t)).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n = row["n"]
+    avgdl = (row["sum_dl"] or 0) / n if n else 0.0
+    dfs = {t: row[f"df_{i}"] for i, t in enumerate(terms)}
+    return n, avgdl, dfs
+
+
+def idf_weights(n: int, dfs: dict[str, int]) -> dict[str, float]:
+    """BM25 idf with the +1 floor variant (Lucene's): always
+    positive, so a term in most docs still contributes. Computed in
+    Python so the oracle can be handed the identical double."""
+    return {
+        t: math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for t, df in dfs.items()
+    }
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    stats: tuple[int, float, dict[str, int]] | None = None,
+) -> DataFrame:
+    """Top-k docs by BM25(terms). Plan shape: postings filtered before
+    their shuffle, per-term scores pivoted to columns and summed in
+    FIXED term order, TakeOrderedAndProject for the top-k (per-
+    partition heads, no global sort). Returns (doc_id, score)."""
+    if not terms:
+        raise ValueError("bm25_topk needs at least one term")
+    n, avgdl, dfs = stats if stats is not None else corpus_stats(
+        docs, id_col, text_col, terms
+    )
+    idf = idf_weights(n, dfs)
+    post = inverted_index(docs, id_col, text_col, terms=terms)
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokenize(text_col)).alias("dl")
+    )
+    # pivot tf per term so the score sum has one fixed evaluation order
+    pivoted = post.groupBy("doc_id").pivot("token", list(terms)).sum("tf")
+    scored = pivoted.join(dl, "doc_id")
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    score = F.lit(0.0)
+    for t in terms:  # fixed left-to-right order, same as the oracle
+        tf = F.coalesce(F.col(f"`{t}`").cast("double"), F.lit(0.0))
+        score = score + F.lit(idf[t]) * (
+            tf * F.lit(k1 + 1.0) / (tf + norm)
+        )
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )

@@ -1,0 +1,91 @@
+"""BM25 retrieval: hand-computed scores on a tiny corpus, ranking
+sanity, query-scoped index pruning, and plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_explorer_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark joins data with spark"),
+        (2, "data data data"),
+        (3, "spark only"),
+        (4, "nothing relevant here"),
+        (5, "spark data spark data spark data"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_by_hand(corpus_rows, terms, k1=1.2, b=0.75):
+    docs = {i: t.lower().split() for i, t in corpus_rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfs = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    idf = {t: math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for t, df in dfs.items()}
+    out = {}
+    for i, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = float(toks.count(t))
+            norm = k1 * ((1 - b) + b * len(toks) / avgdl)
+            s = s + idf[t] * (tf * (k1 + 1.0) / (tf + norm))
+        if any(t in toks for t in terms):
+            out[i] = s
+    return out
+
+
+def test_scores_match_hand_computation(spark, corpus):
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    want = _bm25_by_hand(rows, ["spark", "data"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in R.bm25_topk(corpus, ["spark", "data"], topk=10).collect()
+    }
+    assert set(got) == set(want)  # doc 4 (no match) excluded
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-12), i
+
+
+def test_ranking_prefers_tf_and_rarity(spark, corpus):
+    top = R.bm25_topk(corpus, ["spark", "data"], topk=3).collect()
+    assert top[0]["doc_id"] == 5  # most occurrences of both terms
+    # a rare term outranks a common one at equal tf
+    rare = R.bm25_topk(corpus, ["only"], topk=1).collect()
+    assert rare[0]["doc_id"] == 3
+
+
+def test_query_scoped_index_only_keeps_matching_postings(spark, corpus):
+    idx = R.inverted_index(corpus, terms=["spark"])
+    rows = idx.collect()
+    assert {r["token"] for r in rows} == {"spark"}
+    assert {r["doc_id"]: r["tf"] for r in rows} == {1: 2, 3: 1, 5: 3}
+
+
+def test_full_index_round_trips_tf(spark, corpus):
+    idx = R.inverted_index(corpus)
+    got = {
+        (r["token"], r["doc_id"]): r["tf"]
+        for r in idx.filter(F.col("doc_id") == 2).collect()
+    }
+    assert got == {("data", 2): 3}
+
+
+def test_plan_topk_no_global_sort(spark, corpus):
+    df = R.bm25_topk(corpus, ["spark", "data"], topk=3)
+    text = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in text
+    assert "CartesianProduct" not in text
+
+
+def test_empty_terms_rejected(spark, corpus):
+    with pytest.raises(ValueError):
+        R.bm25_topk(corpus, [])

@@ -246,3 +246,64 @@ class TestKMV:
         out = SK.sample_quantiles(sample, "v", [0.0, 0.5, 1.0]).collect()
         vals = {r["q"]: r["v"] for r in out}
         assert vals[0.0] == 0 and vals[1.0] == 4
+
+
+class TestKMVSetAlgebra:
+    def _sets(self, spark, na=4000, nb=3000, overlap=1000):
+        # A = [0, na), B = [na-overlap, na-overlap+nb): |A∩B| = overlap
+        a = spark.range(0, na).select(F.col("id").alias("k"))
+        b = spark.range(na - overlap, na - overlap + nb).select(
+            F.col("id").alias("k")
+        )
+        return a, b
+
+    def test_signature_is_mergeable(self, spark):
+        """sig(A ∪ B) == bottom-k of (sig(A) ∪ sig(B)) — the property
+        that lets segments sketch independently."""
+        a, b = self._sets(spark)
+        k = 128
+        whole = sorted(
+            r["hkey"] for r in SK.kmv_signature(a.union(b), "k", k=k).collect()
+        )
+        sa = {r["hkey"] for r in SK.kmv_signature(a, "k", k=k).collect()}
+        sb = {r["hkey"] for r in SK.kmv_signature(b, "k", k=k).collect()}
+        merged = sorted(sa | sb)[:k]
+        assert whole == merged
+
+    def test_estimates_within_kmv_error(self, spark):
+        """Union / intersection / Jaccard within 5/sqrt(k) of exact
+        (KMV's standard error is ~1/sqrt(k-2))."""
+        a, b = self._sets(spark)
+        k = 256
+        st = SK.kmv_set_stats(
+            SK.kmv_signature(a, "k", k=k), SK.kmv_signature(b, "k", k=k), k=k
+        )
+        tol = 5.0 / (k**0.5)
+        assert abs(st["union_est"] - 6000) <= 6000 * tol, st
+        assert abs(st["inter_est"] - 1000) <= 6000 * tol, st
+        assert abs(st["jacc_bp"] / 10000 - 1000 / 6000) <= tol, st
+
+    def test_small_sets_are_exact_and_deterministic(self, spark):
+        a, b = self._sets(spark, na=60, nb=50, overlap=20)
+        k = 256
+        st = SK.kmv_set_stats(
+            SK.kmv_signature(a.repartition(7), "k", k=k),
+            SK.kmv_signature(b, "k", k=k),
+            k=k,
+        )
+        # union (90) fits the synopsis: everything exact
+        assert st["union_est"] == 90
+        assert st["inter_est"] == 20
+        assert st["jacc_bp"] == (20 * 10000) // 90
+
+    def test_disjoint_and_empty(self, spark):
+        a, b = self._sets(spark, na=500, nb=400, overlap=0)
+        st = SK.kmv_set_stats(
+            SK.kmv_signature(a, "k", k=256), SK.kmv_signature(b, "k", k=256)
+        )
+        assert st["inter_est"] == 0 and st["jacc_bp"] == 0
+        empty = a.filter(F.col("k") < 0)
+        st0 = SK.kmv_set_stats(
+            SK.kmv_signature(empty, "k"), SK.kmv_signature(empty, "k")
+        )
+        assert st0 == {"union_est": 0, "inter_est": 0, "jacc_bp": 0}
