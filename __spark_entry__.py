@@ -2474,6 +2474,105 @@ def q113_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q114_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel over the event stream: users who viewed, then
+    clicked strictly after their FIRST view, then purchased strictly
+    after that first qualifying click. Each stage is a min-aggregate
+    on user_id joined to the next stage's filtered events — after the
+    first shuffle every stage reuses the user_id partitioning, and
+    each stage's input shrinks to the surviving cohort. The standard
+    product-analytics query shape (match_recognize-lite) the
+    reference's API has no analog for."""
+    ev = _t(spark, sf, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.lit(1).cast("long").alias("step"),
+               F.count("*").alias("users"))
+        .union(s2.agg(F.lit(2).cast("long").alias("step"),
+                      F.count("*").alias("users")))
+        .union(s3.agg(F.lit(3).cast("long").alias("step"),
+                      F.count("*").alias("users")))
+    )
+
+
+def q115_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by the DAY of their
+    first event, distinct-active counts per whole-week offset. Two
+    user_id shuffles (first-seen aggregate, then the distinct) and one
+    (cohort, offset) rollup — integer day arithmetic only, no
+    timezone/week-start semantics to disagree on."""
+    ev = _t(spark, sf, "events")
+    # ts is epoch-nanos long (see _t); `div` keeps the conversion in
+    # exact integer arithmetic (a double division would lose precision
+    # above 2^53), and the session tz is pinned UTC so the date is the
+    # same naive date DuckDB's CAST(ts AS DATE) produces.
+    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    act = (
+        ev.select("user_id", day.alias("day"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.datediff("day", "cohort_day") / 7).cast("long").alias("week_offset"),
+        )
+    )
+    return (
+        act.groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+
+#: Integer PageRank gate parameters — the oracle unrolls the same
+#: fixed iteration count with the same floor divisions.
+PR_ITERS, PR_SCALE, PR_TOPK = 5, 1_000_000, 20
+PR_SUPP_OFFSET = 10_000_000  # namespace suppliers away from customers
+
+
+def q116_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank on the integer lattice (operators/graph.py::
+    pagerank_int) over the bipartite customer→supplier graph induced
+    by orders⋈lineitem: who supplies the customers who buy the most
+    broadly. Every rank is a long and every update a floor division,
+    so the fixed 5-iteration result is partitioning- and
+    addition-order-independent — which is what lets a SQL oracle
+    replay an ITERATIVE graph algorithm bit for bit (float PageRank
+    could never hash-match). Each iteration is one shuffle; lineage is
+    localCheckpoint-cut."""
+    from block_explorer_spark.operators.graph import pagerank_int
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("dst"),
+    )
+    ranks = pagerank_int(edges, iters=PR_ITERS, scale=PR_SCALE)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(PR_TOPK)
+        .select(F.col("id").cast("long").alias("id"), F.col("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2599,6 +2698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_zorder_box": q111_zorder_box,
         "q112_kmv_set_algebra": q112_kmv_set_algebra,
         "q113_bm25_search": q113_bm25_search,
+        "q114_funnel": q114_funnel,
+        "q115_cohort_retention": q115_cohort_retention,
+        "q116_pagerank": q116_pagerank,
     }
 
 
@@ -2778,6 +2880,46 @@ def _bm25_oracle(
         ORDER BY score DESC, doc_id ASC
         LIMIT {topk}
     """
+
+
+def _pagerank_oracle(
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    topk: int = PR_TOPK,
+    off: int = PR_SUPP_OFFSET,
+    num: int = 85,
+    den: int = 100,
+) -> str:
+    """q116 oracle: unroll the fixed iteration count as chained CTEs,
+    same integer floor divisions (`//` == `div` for the non-negative
+    values here)."""
+    base = ((den - num) * scale) // den
+    parts = [
+        f"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+                              l_suppkey + {off} AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+              SELECT n.id,
+                     CAST({base} + ({num} * COALESCE(s.in_sum, 0)) // {den}
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.rank // d.deg) AS in_sum
+                FROM e JOIN r{i} r ON e.src = r.id
+                       JOIN deg d ON e.src = d.src
+                GROUP BY e.dst) s USING (id))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, rank FROM r{iters}
+        ORDER BY rank DESC, id ASC LIMIT {topk}"""
+    )
 
 
 def _kmv_set_oracle(k: int = KMV_K) -> str:
@@ -4489,4 +4631,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q112_kmv_set_algebra": _kmv_set_oracle(),
         "q113_bm25_search": _bm25_oracle(),
+        "q114_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step, COUNT(*) AS users FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3
+        """,
+        "q115_cohort_retention": """
+            WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                           FROM events GROUP BY user_id)
+            SELECT cohort_day,
+                   CAST(datediff('day', cohort_day, CAST(ts AS DATE)) // 7
+                        AS BIGINT) AS week_offset,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+            FROM events e JOIN first USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "q116_pagerank": _pagerank_oracle(),
     }

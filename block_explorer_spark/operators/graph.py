@@ -106,3 +106,71 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 1_000_000,
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank on an INTEGER lattice — every rank is a long, every
+    update is floor division, so the result is independent of
+    partitioning and addition order (integer sums commute; float
+    PageRank would differ run to run under Spark's nondeterministic
+    reduce order) and a SQL engine can replay the fixed iteration
+    count bit for bit.
+
+    Per node, rank in units of 1/scale:
+
+      rank_0(v)   = scale
+      contrib(v)  = rank_i(v) // out_degree(v)         (per out-edge)
+      rank_i+1(v) = ((den-num)*scale) // den
+                    + (num * Σ incoming contrib) // den
+
+    with damping = (num, den) = 0.85 as an exact rational. Dangling
+    nodes keep contributing nothing (their mass leaks — the simple
+    variant; the teleport term keeps ranks bounded). Each iteration is
+    ONE shuffle (contrib groupBy dst) plus the static broadcast-sized
+    degree join when the graph's vertex set fits a broadcast, or a
+    co-partitioned join otherwise — Spark picks via AQE. Lineage is
+    cut per iteration (the iterative-plan trap, same as
+    connected_components).
+
+    Returns (id, rank) — rank is the scaled long. Standard reference:
+    Page/Brin/Motwani/Winograd 1999.
+    """
+    num, den = damping
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    base = ((den - num) * scale) // den
+    ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(out_deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"(CAST({num} AS BIGINT) * coalesce(in_sum, 0)) div {den}")
+                ).cast("long").alias("rank"),
+            )
+        )
+        if use_checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -1,0 +1,116 @@
+"""Funnel / cohort / integer-PageRank: hand-computed fixtures,
+strictness edges, and the partitioning-invariance that justifies the
+integer lattice."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from block_explorer_spark.operators.graph import pagerank_int
+
+
+class TestPageRankInt:
+    def _ranks(self, spark, edges, **kw):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["id"]: r["rank"] for r in pagerank_int(df, **kw).collect()
+        }
+
+    def test_matches_hand_iteration(self, spark):
+        # 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1 (the classic 3-node example)
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1)]
+        got = self._ranks(spark, edges, iters=3, scale=1000)
+        # hand-run the same integer recurrence
+        ranks = {1: 1000, 2: 1000, 3: 1000}
+        deg = {1: 2, 2: 1, 3: 1}
+        base = (15 * 1000) // 100
+        for _ in range(3):
+            inc = {1: 0, 2: 0, 3: 0}
+            for s, d in edges:
+                inc[d] += ranks[s] // deg[s]
+            ranks = {v: base + (85 * inc[v]) // 100 for v in ranks}
+        assert got == ranks
+
+    def test_partitioning_invariance(self, spark):
+        edges = [(i, (i * 7) % 50) for i in range(200) if i != (i * 7) % 50]
+        df1 = spark.createDataFrame(edges, "src long, dst long")
+        df2 = df1.repartition(13)
+        r1 = {r["id"]: r["rank"] for r in pagerank_int(df1, iters=4).collect()}
+        r2 = {r["id"]: r["rank"] for r in pagerank_int(df2, iters=4).collect()}
+        assert r1 == r2
+
+    def test_star_center_dominates(self, spark):
+        edges = [(i, 0) for i in range(1, 20)]
+        got = self._ranks(spark, edges, iters=5)
+        assert got[0] > max(v for k, v in got.items() if k != 0) * 5
+
+    def test_dangling_nodes_keep_teleport_floor(self, spark):
+        got = self._ranks(spark, [(1, 2)], iters=5, scale=1_000_000)
+        # node 1 has no in-edges: exactly the teleport base after iter 1
+        assert got[1] == (15 * 1_000_000) // 100
+        assert got[2] > got[1]
+
+
+class TestFunnelCohortGates:
+    def _events(self, spark, rows):
+        # (user_id, ts_nanos, event_type) shaped like _t's events
+        return spark.createDataFrame(
+            [(u, t, et) for u, t, et in rows],
+            "user_id long, ts long, event_type string",
+        )
+
+    def test_funnel_strictness_on_equal_timestamps(self, spark):
+        import __spark_entry__ as entry
+
+        # user 1 completes; user 2's click ties the view ts (strict >
+        # rejects); user 3 clicks before viewing
+        rows = [
+            (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+            (2, 100, "view"), (2, 100, "click"),
+            (3, 200, "view"), (3, 100, "click"),
+        ]
+        df = self._events(spark, rows)
+
+        s1 = df.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("ts").alias("t1"))
+        s2 = (df.filter(F.col("event_type") == "click")
+              .join(s1, "user_id").filter(F.col("ts") > F.col("t1"))
+              .groupBy("user_id").agg(F.min("ts").alias("t2")))
+        s3 = (df.filter(F.col("event_type") == "purchase")
+              .join(s2, "user_id").filter(F.col("ts") > F.col("t2"))
+              .groupBy("user_id").agg(F.min("ts").alias("t3")))
+        assert s1.count() == 3 and s2.count() == 1 and s3.count() == 1
+        assert [r["user_id"] for r in s3.collect()] == [1]
+        assert entry  # gate wiring imported ok
+
+    def test_cohort_week_offsets_floor(self, spark):
+        day_ns = 86_400_000_000_000
+        rows = [
+            (1, 0 * day_ns, "view"),          # cohort day 0
+            (1, 6 * day_ns, "view"),          # offset 0 (day 6 // 7)
+            (1, 7 * day_ns, "view"),          # offset 1
+            (2, 3 * day_ns, "view"),          # cohort day 3
+            (2, 9 * day_ns, "view"),          # offset 0 (6 days later)
+            (2, 10 * day_ns, "view"),         # offset 1
+        ]
+        df = self._events(spark, rows)
+        day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+        first = df.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+        act = (
+            df.select("user_id", day.alias("day"))
+            .join(first, "user_id")
+            .select(
+                "user_id", "cohort_day",
+                (F.datediff("day", "cohort_day") / 7).cast("long")
+                .alias("week_offset"),
+            )
+        )
+        got = {
+            (str(r["cohort_day"]), r["week_offset"]): r["users"]
+            for r in act.groupBy("cohort_day", "week_offset")
+            .agg(F.count_distinct("user_id").alias("users")).collect()
+        }
+        assert got == {
+            ("1970-01-01", 0): 1, ("1970-01-01", 1): 1,
+            ("1970-01-04", 0): 1, ("1970-01-04", 1): 1,
+        }
