@@ -2573,6 +2573,19 @@ def q116_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q117_segment_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution drift between two corpus segments (en vs de
+    documents): integer chi-squared per token, summed/ranked with zero
+    float arithmetic (operators/profile.py::segment_drift) — the
+    post-ingest "what changed between these slices" monitor a training
+    pipeline runs to catch contamination or drift. One explode + one
+    token shuffle; segment totals are two broadcast scalars."""
+    from block_explorer_spark.operators.profile import segment_drift
+
+    docs = _t(spark, sf, "documents")
+    return segment_drift(docs, "lang", "en", "de", topk=15)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2701,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_funnel": q114_funnel,
         "q115_cohort_retention": q115_cohort_retention,
         "q116_pagerank": q116_pagerank,
+        "q117_segment_drift": q117_segment_drift,
     }
 
 
@@ -4659,4 +4673,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q116_pagerank": _pagerank_oracle(),
+        "q117_segment_drift": """
+            WITH toks AS (
+              SELECT lang AS seg,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS token
+              FROM documents WHERE lang IN ('en', 'de')
+            ),
+            counts AS (
+              SELECT token,
+                     SUM(CASE WHEN seg = 'en' THEN 1 ELSE 0 END) AS a,
+                     SUM(CASE WHEN seg = 'de' THEN 1 ELSE 0 END) AS b
+              FROM toks GROUP BY token
+            ),
+            tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM counts)
+            SELECT token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(((a * nb - b * na) * (a * nb - b * na))
+                        // ((a + b) * na * nb) AS BIGINT) AS drift
+            FROM counts, tot
+            ORDER BY drift DESC, token ASC
+            LIMIT 15
+        """,
     }

@@ -48,3 +48,63 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True)
         ]
     )
     return row.select(F.explode(stacked).alias("s")).select("s.*")
+
+
+def segment_drift(
+    docs: DataFrame,
+    seg_col: str,
+    seg_a: str,
+    seg_b: str,
+    text_col: str = "text",
+    topk: int = 15,
+) -> DataFrame:
+    """Distribution drift between two corpus segments: a chi-squared-
+    style per-token statistic computed ENTIRELY in integer arithmetic,
+    so the monitoring answer is identical on any partitioning and
+    replayable bit-for-bit by a SQL engine (a float chi-squared sums
+    in nondeterministic order).
+
+    Per token t with counts a, b and segment totals Na, Nb:
+
+        drift(t) = (a·Nb − b·Na)² // ((a + b) · Na · Nb)
+
+    — the classic two-sample chi-squared numerator/denominator shape,
+    floor-divided once per token (integer terms then sum: order-free).
+    Zero when the token's rate matches across segments; grows with
+    both the rate gap and the evidence. Intermediates fit a signed
+    long while a·Nb < ~3e9 (token count × other segment's total);
+    beyond that, run per-shard and sum, or accept the float variant.
+
+    Returns the topk (token, a, b, drift) rows, drift descending then
+    token ascending — the "what changed between these two corpus
+    slices" report a training pipeline runs after every ingest.
+    One explode + one token-level shuffle; totals are two broadcast
+    scalars.
+    """
+    from block_explorer_spark.functions import text as Tx
+
+    toks = (
+        docs.filter(F.col(seg_col).isin([seg_a, seg_b]))
+        .select(
+            F.col(seg_col).alias("seg"),
+            F.explode(
+                F.filter(Tx.tokens(F.col(text_col)), lambda t: t != "")
+            ).alias("token"),
+        )
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("seg") == seg_a, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("seg") == seg_b, 1).otherwise(0)).alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "a",
+        "b",
+        F.expr(
+            "((a * nb - b * na) * (a * nb - b * na)) div ((a + b) * na * nb)"
+        ).cast("long").alias("drift"),
+    )
+    return scored.orderBy(F.desc("drift"), F.asc("token")).limit(topk)

@@ -314,6 +314,47 @@ def main() -> None:
 
     qs["hamming_pairs_64"] = hamming_pairs_64
 
+    def bm25_topk_scaled(spark_, sf_dir_):
+        """q113's operator at scale, terms drawn from the synthetic
+        Zipf vocabulary (one hot head token, one mid, one tail). The
+        claim: cost tracks MATCHING postings (the pre-shuffle term
+        filter), so the hot term dominates and growth stays linear in
+        corpus size with a constant factor ∝ query selectivity."""
+        from block_explorer_spark.operators import retrieval as R
+
+        docs = spark_.read.parquet(os.path.join(sf_dir_, "documents.parquet"))
+        return R.bm25_topk(
+            docs, ["tok00001", "tok00400", "tok20000"], topk=25
+        )
+
+    qs["bm25_topk"] = bm25_topk_scaled
+
+    def pagerank_5it(spark_, sf_dir_):
+        """q116's operator at scale over a deterministic power-law-ish
+        graph derived from doc_id (each doc points at 3 hubs: id div
+        10, id div 100 * 7, id mod sqrt-space) — hub in-degree grows
+        with N exactly like real link graphs. 5 iterations, one
+        shuffle each; the claim is linear growth per iteration and no
+        lineage blow-up across rounds."""
+        from block_explorer_spark.operators.graph import pagerank_int
+
+        ids = spark_.read.parquet(
+            os.path.join(sf_dir_, "documents.parquet")
+        ).select("doc_id")
+        e = ids.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    F.expr("doc_id div 10"),
+                    F.expr("(doc_id div 100) * 7"),
+                    F.expr("doc_id % 2048"),
+                )
+            ).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        return pagerank_int(e, iters=5)
+
+    qs["pagerank_5it"] = pagerank_5it
+
     # Warm up the JVM/Python-worker/codegen paths before ANY
     # measurement: the first query of a fresh session pays worker
     # spin-up + codegen + parquet footer costs that inflated the first

@@ -114,3 +114,36 @@ class TestFunnelCohortGates:
             ("1970-01-01", 0): 1, ("1970-01-01", 1): 1,
             ("1970-01-04", 0): 1, ("1970-01-04", 1): 1,
         }
+
+
+class TestSegmentDrift:
+    def test_drift_zero_for_identical_rates_and_flags_gap(self, spark):
+        from block_explorer_spark.operators.profile import segment_drift
+
+        rows = [
+            # 'common' appears at the same rate in both segments;
+            # 'only_a' is exclusive to A — maximal drift signal
+            ("A", "common common only_a only_a only_a"),
+            ("B", "common common filler filler filler"),
+        ]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        got = {
+            r["token"]: (r["a"], r["b"], r["drift"])
+            for r in segment_drift(df, "lang", "A", "B", topk=10).collect()
+        }
+        na = nb = 5
+        for tok, (a, b, drift) in got.items():
+            want = ((a * nb - b * na) ** 2) // ((a + b) * na * nb)
+            assert drift == want, tok
+        assert got["common"][2] == 0
+        assert got["only_a"][2] > 0 and got["filler"][2] > 0
+
+    def test_partitioning_invariance(self, spark):
+        from block_explorer_spark.operators.profile import segment_drift
+
+        rows = [("A" if i % 3 else "B", f"tok{i % 17} tok{i % 5} x")
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "lang string, text string")
+        r1 = segment_drift(df, "lang", "A", "B", topk=25).collect()
+        r2 = segment_drift(df.repartition(11), "lang", "A", "B", topk=25).collect()
+        assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
