@@ -2586,6 +2586,21 @@ def q117_segment_drift(spark: SparkSession, sf: str) -> DataFrame:
     return segment_drift(docs, "lang", "en", "de", topk=15)
 
 
+def q118_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-phrase search through positional postings
+    (operators/retrieval.py::phrase_match): each phrase word's
+    postings are filtered BEFORE their shuffle, then chained on
+    (doc_id, pos == p0 + offset) — all joins share the doc_id key, so
+    they co-locate after the first shuffle and cost tracks the
+    rarest word's posting volume. Occurrences count OVERLAPPING
+    matches ("batch batch batch" contains "batch batch" twice) — the
+    semantics a decontamination audit needs."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    return R.phrase_match(docs, ["batch", "batch"])
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2715,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_cohort_retention": q115_cohort_retention,
         "q116_pagerank": q116_pagerank,
         "q117_segment_drift": q117_segment_drift,
+        "q118_phrase_search": q118_phrase_search,
     }
 
 
@@ -4694,5 +4710,24 @@ def oracle_sql() -> dict[str, str]:
             FROM counts, tot
             ORDER BY drift DESC, token ASC
             LIMIT 15
+        """,
+        "q118_phrase_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                 '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ),
+            idx AS (SELECT doc_id,
+                           unnest(generate_series(1, len(tk))) AS i, tk
+                    FROM toks),
+            p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         tk[i] AS token
+                  FROM idx)
+            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM p a JOIN p b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.token = 'batch' AND b.token = 'batch'
+            GROUP BY a.doc_id
         """,
     }

@@ -134,3 +134,51 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(topk)
     )
+
+
+def positional_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(token, doc_id, pos) positional postings — the structure phrase
+    and proximity queries need. Same query-scoped pre-shuffle filter
+    as inverted_index; positions are 0-based token offsets."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "token"),
+    )
+    if terms is not None:
+        toks = toks.filter(F.col("token").isin(list(terms)))
+    return toks.select("token", "doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs containing the exact token phrase, with occurrence counts:
+    chain the positional postings of each phrase word on
+    (doc_id, pos == first_pos + offset). Every join is keyed on
+    doc_id — after the first shuffle the rest co-locate — and each
+    side was filtered to ONE term's postings before shuffling, so
+    cost ∝ the rarest-term posting volume, not the corpus. Returns
+    (doc_id, n_occurrences)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_match needs >= 2 tokens")
+    post = positional_index(docs, id_col, text_col, terms=list(set(phrase)))
+    cur = (
+        post.filter(F.col("token") == phrase[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("token") == w).select(
+            "doc_id", F.col("pos").alias(f"p{i}")
+        )
+        cur = cur.join(nxt, "doc_id").filter(
+            F.col(f"p{i}") == F.col("p0") + i
+        )
+    return cur.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))

@@ -89,3 +89,47 @@ def test_plan_topk_no_global_sort(spark, corpus):
 def test_empty_terms_rejected(spark, corpus):
     with pytest.raises(ValueError):
         R.bm25_topk(corpus, [])
+
+
+class TestPhraseMatch:
+    def test_overlapping_occurrences_counted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "a a a"), (3, "b b"), (4, "a")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in R.phrase_match(df, ["a", "b"]).collect()
+        }
+        assert got == {1: 2}
+        got2 = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in R.phrase_match(df, ["a", "a"]).collect()
+        }
+        assert got2 == {2: 2}  # overlapping: positions 0-1 and 1-2
+
+    def test_three_word_phrase(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y z x y z"), (2, "x y x z")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in R.phrase_match(df, ["x", "y", "z"]).collect()
+        }
+        assert got == {1: 2}
+
+    def test_short_phrase_rejected(self, spark):
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            R.phrase_match(df, ["a"])
+
+    def test_postings_filtered_before_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string"
+        )
+        idx = R.positional_index(df, terms=["a", "b"])
+        assert sorted((r["token"], r["pos"]) for r in idx.collect()) == [
+            ("a", 0), ("b", 1)
+        ]
