@@ -177,3 +177,101 @@ def read_clustered(
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+def cluster_append(
+    df: DataFrame, base: str, family: str, num_files: int | None = None
+) -> int:
+    """Append a micro-batch WITHOUT re-laying-out the family (the
+    ingest path: full re-clustering per batch would be quadratic over
+    a table's life). Appended files still get per-file zone maps for
+    the family's clustered columns, so pruning stays CORRECT — just
+    looser on the unclustered tail, whose zones span whatever the
+    batch happened to contain. `cluster_maintain` periodically folds
+    the tail back into z-order. Returns the committed version."""
+    with M.write_intent(base):
+        cur = M.read(base)
+        zmeta = cur.get("meta", {}).get("zorder")
+        if not zmeta or zmeta.get("family") != family:
+            raise ValueError(
+                f"family {family!r} has no zorder layout to append to; "
+                "run cluster_write first"
+            )
+        cols = zmeta["cols"]
+        towrite = df.repartition(num_files) if num_files else df
+        rels = M.stage_df(towrite, base, family)
+        stats = M.file_stats(base, rels, cols)
+        tail = list(zmeta.get("tail", [])) + rels
+        for _ in range(2):
+            cur = M.read(base)
+            fams = dict(cur.get("families", {}))
+            fams[family] = list(fams.get(family, [])) + rels
+            meta = dict(cur.get("meta", {}))
+            meta["zorder"] = {**meta.get("zorder", zmeta), "tail": tail}
+            try:
+                return M.commit(
+                    base, fams, cur.get("version", 0), meta=meta, stats=stats
+                )
+            except M.CommitConflict:
+                tail = list(
+                    M.read(base).get("meta", {}).get("zorder", {}).get("tail", [])
+                ) + rels
+        raise M.CommitConflict(f"cluster_append({family}) lost the CAS twice")
+
+
+def cluster_maintain(
+    spark: SparkSession,
+    base: str,
+    family: str,
+    min_tail_files: int = 8,
+    num_files: int | None = None,
+) -> int | None:
+    """Fold the unclustered append tail back into z-order — the
+    OPTIMIZE cadence: reads ONLY the tail files (cost ∝ appended data,
+    never the already-clustered bulk), z-orders them with the layout's
+    recorded bounds (values outside clamp to edge buckets — correct,
+    just wider zones), and swaps tail → clustered files in one commit.
+    No-op (returns None) while the tail is below `min_tail_files`.
+    Readers are snapshot-isolated throughout; a racing append simply
+    lands in the next tail."""
+    import os as _os
+
+    cur = M.read(base)
+    zmeta = cur.get("meta", {}).get("zorder")
+    if not zmeta or zmeta.get("family") != family:
+        raise ValueError(f"family {family!r} has no zorder layout")
+    tail = list(zmeta.get("tail", []))
+    if len(tail) < min_tail_files:
+        return None
+    cols, bits = zmeta["cols"], zmeta["bits"]
+    bounds = {c: tuple(v) for c, v in zmeta["bounds"].items()}
+    with M.write_intent(base):
+        df = spark.read.parquet(*[_os.path.join(base, r) for r in tail])
+        z = zvalue(cols, bounds, bits)
+        nf = num_files or max(1, len(tail) // 2)
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(nf, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        rels = M.stage_df(clustered, base, family)
+        stats = M.file_stats(base, rels, cols)
+        for _ in range(2):
+            cur = M.read(base)
+            fams = dict(cur.get("families", {}))
+            kept = [r for r in fams.get(family, []) if r not in set(tail)]
+            fams[family] = kept + rels
+            meta = dict(cur.get("meta", {}))
+            new_tail = [
+                r for r in meta.get("zorder", {}).get("tail", [])
+                if r not in set(tail)
+            ]
+            meta["zorder"] = {**meta.get("zorder", zmeta), "tail": new_tail}
+            try:
+                return M.commit(
+                    base, fams, cur.get("version", 0), meta=meta, stats=stats
+                )
+            except M.CommitConflict:
+                continue
+        raise M.CommitConflict(f"cluster_maintain({family}) lost the CAS twice")

@@ -170,3 +170,82 @@ class TestSkippingPower:
         lr = sorted(r["id"] for r in
                     Z.read_clustered(spark, lb, "g", box).collect())
         assert zr == lr and zr
+
+
+class TestIncrementalMaintenance:
+    def _store(self, spark, tmp_path):
+        base = str(tmp_path / "zinc")
+        Z.cluster_write(_grid(spark), base, "g", ["a", "b"], bits=6,
+                        num_files=16)
+        return base
+
+    def test_append_keeps_answers_correct_and_tracks_tail(
+        self, spark, tmp_path
+    ):
+        base = self._store(spark, tmp_path)
+        extra = _grid(spark, n=512, seed=77).withColumn(
+            "id", F.col("id") + 1_000_000
+        )
+        Z.cluster_append(extra, base, "g", num_files=2)
+        m = M.read(base)
+        assert len(m["meta"]["zorder"]["tail"]) == 2
+        box = {"a": (8, 15), "b": (48, 55)}
+        got = sorted(
+            r["id"] for r in Z.read_clustered(spark, base, "g", box).collect()
+        )
+        want = sorted(
+            r["id"]
+            for r in _grid(spark).union(extra)
+            .filter((F.col("a") >= 8) & (F.col("a") <= 15)
+                    & (F.col("b") >= 48) & (F.col("b") <= 55))
+            .collect()
+        )
+        assert got == want and want
+
+    def test_append_requires_layout(self, spark, tmp_path):
+        base = str(tmp_path / "zempty2")
+        try:
+            Z.cluster_append(_grid(spark, 64), base, "g")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    def test_maintain_noop_below_threshold_then_folds_tail(
+        self, spark, tmp_path
+    ):
+        base = self._store(spark, tmp_path)
+        for s in range(4):
+            Z.cluster_append(
+                _grid(spark, n=256, seed=100 + s).withColumn(
+                    "id", F.col("id") + (s + 1) * 1_000_000
+                ),
+                base, "g", num_files=2,
+            )
+        assert Z.cluster_maintain(spark, base, "g", min_tail_files=9) is None
+        m0 = M.read(base)
+        assert len(m0["meta"]["zorder"]["tail"]) == 8
+
+        box = {"a": (8, 15), "b": (48, 55)}
+        keep_before, total_before = Z.pruned_files(base, "g", box)
+        want = sorted(
+            r["id"] for r in Z.read_clustered(spark, base, "g", box).collect()
+        )
+
+        v = Z.cluster_maintain(spark, base, "g", min_tail_files=8)
+        assert v is not None
+        m1 = M.read(base)
+        assert m1["meta"]["zorder"]["tail"] == []
+        # tail folded: fewer live files, all with zone stats
+        assert len(m1["families"]["g"]) < len(m0["families"]["g"])
+        for rel in m1["families"]["g"]:
+            assert "a" in m1["stats"][rel], rel
+        # answers unchanged, pruning at least as tight
+        got = sorted(
+            r["id"] for r in Z.read_clustered(spark, base, "g", box).collect()
+        )
+        assert got == want
+        keep_after, total_after = Z.pruned_files(base, "g", box)
+        assert len(keep_after) <= len(keep_before)
+        # old tail files are no longer listed (snapshot isolation:
+        # still on disk until vacuum)
+        assert not set(m0["meta"]["zorder"]["tail"]) & set(m1["families"]["g"])
