@@ -171,6 +171,14 @@ HEADLINE = [
     # q90's shape and q98 is fixture-sized — already represented
     "q95_exact_substring_dedup",
     "q96_bpe_tokenize",
+    # round 7: the two heaviest new extended-surface shapes join —
+    # BM25 retrieval (explode + query-scoped postings + pivot) and
+    # integer PageRank (5 iterative shuffles). The sketch gates
+    # (q102-q105, q110, q112) are sub-second counter collapses and
+    # the analytics gates (q108/q109/q114/q115/q117) are single
+    # agg/window shapes already represented.
+    "q113_bm25_search",
+    "q116_pagerank",
 ]
 
 
