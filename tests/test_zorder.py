@@ -249,3 +249,53 @@ class TestIncrementalMaintenance:
         # old tail files are no longer listed (snapshot isolation:
         # still on disk until vacuum)
         assert not set(m0["meta"]["zorder"]["tail"]) & set(m1["families"]["g"])
+
+
+class TestStreamingIngest:
+    def test_readstream_foreachbatch_append_then_maintain(
+        self, spark, tmp_path
+    ):
+        """The ingest story end-to-end: micro-batches arrive through
+        Structured Streaming, foreachBatch lands each with
+        cluster_append (zones recorded, no re-layout), and one
+        OPTIMIZE pass folds the tail — the final clustered read
+        equals the union of everything streamed."""
+        src = str(tmp_path / "src")
+        base = str(tmp_path / "zstream")
+        Z.cluster_write(_grid(spark, n=512), base, "g", ["a", "b"],
+                        bits=6, num_files=4)
+
+        batches = [
+            _grid(spark, n=128, seed=200 + i).withColumn(
+                "id", F.col("id") + (i + 1) * 10_000
+            )
+            for i in range(3)
+        ]
+        for i, bdf in enumerate(batches):
+            bdf.coalesce(1).write.parquet(f"{src}/b{i}")
+
+        stream = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _id: Z.cluster_append(bdf, base, "g", num_files=1)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        m = M.read(base)
+        assert len(m["meta"]["zorder"]["tail"]) == 3
+        assert Z.cluster_maintain(spark, base, "g", min_tail_files=3) is not None
+        assert M.read(base)["meta"]["zorder"]["tail"] == []
+
+        want = _grid(spark, n=512)
+        for bdf in batches:
+            want = want.union(bdf)
+        got = sorted(r["id"] for r in Z.read_clustered(spark, base, "g", {}).collect())
+        assert got == sorted(r["id"] for r in want.collect())
