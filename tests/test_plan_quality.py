@@ -89,6 +89,9 @@ def test_no_cartesian_products(spark):
         # probes against the ≤ k-row KMV sample — bounded by
         # construction (sketches.py:448), never data-sized.
         "q105_kmv_quantiles",
+        # q117: the 1-row (Na, Nb) totals broadcast onto the token
+        # counts — the same deliberate scalar-broadcast shape as q50.
+        "q117_segment_drift",
     }
     for name, fn in entry.queries().items():
         text = plan(fn(spark, SF))
