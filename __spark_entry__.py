@@ -2601,6 +2601,19 @@ def q118_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     return R.phrase_match(docs, ["batch", "batch"])
 
 
+def q119_proximity_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Proximity retrieval: docs where two terms co-occur within 5
+    token positions, with the qualifying pair count
+    (operators/retrieval.py::proximity_match) — the relaxed decontam
+    sweep ("benchmark name near answer string") between exact-phrase
+    (q118) and bag-of-words (q113). Postings filtered per term before
+    the one doc_id-keyed shuffle."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    return R.proximity_match(docs, "spark", "join", window=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2731,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_pagerank": q116_pagerank,
         "q117_segment_drift": q117_segment_drift,
         "q118_phrase_search": q118_phrase_search,
+        "q119_proximity_search": q119_proximity_search,
     }
 
 
@@ -4728,6 +4742,26 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b
               ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             WHERE a.token = 'batch' AND b.token = 'batch'
+            GROUP BY a.doc_id
+        """,
+        "q119_proximity_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                 '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ),
+            idx AS (SELECT doc_id,
+                           unnest(generate_series(1, len(tk))) AS i, tk
+                    FROM toks),
+            p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         tk[i] AS token
+                  FROM idx)
+            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p a JOIN p b
+              ON a.doc_id = b.doc_id
+             AND abs(a.pos - b.pos) <= 5 AND a.pos <> b.pos
+            WHERE a.token = 'spark' AND b.token = 'join'
             GROUP BY a.doc_id
         """,
     }

@@ -182,3 +182,33 @@ def phrase_match(
             F.col(f"p{i}") == F.col("p0") + i
         )
     return cur.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
+
+
+def proximity_match(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs where the two terms co-occur within `window` token
+    positions (unordered), with the pair count — the relaxed cousin of
+    phrase_match for "benchmark name near answer string" decontam
+    sweeps. Same plan shape: each term's postings filtered before the
+    shuffle, one doc_id-keyed join, |pos_a − pos_b| ≤ window as the
+    residual condition. Returns (doc_id, n_pairs)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    post = positional_index(docs, id_col, text_col, terms=[term_a, term_b])
+    pa = post.filter(F.col("token") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    pb = post.filter(F.col("token") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    pairs = pa.join(pb, "doc_id").filter(
+        (F.abs(F.col("pa") - F.col("pb")) <= window)
+        & (F.col("pa") != F.col("pb"))
+    )
+    return pairs.groupBy("doc_id").agg(F.count("*").alias("n_pairs"))

@@ -329,6 +329,80 @@ def main() -> None:
 
     qs["bm25_topk"] = bm25_topk_scaled
 
+    def bm25_indexed(spark_, sf_dir_):
+        """The INTERACTIVE path batch bm25_topk motivates: postings +
+        doc lengths + corpus stats persisted ONCE (cached beside the
+        scale dir, like ann_probe_persisted), probe time measured
+        alone. The index is hash-bucketed by token (partitionBy) and
+        token-sorted within files, so a 3-term query reads 3 bucket
+        directories with row-group pruning — probe cost ∝ the query's
+        posting volume, not the corpus."""
+        import json as _json
+
+        from block_explorer_spark.operators import retrieval as R
+
+        terms = ["tok00001", "tok00400", "tok20000"]
+        # the x1 cell runs against the read-only driver testdata — cache
+        # its index under --root (same pattern as ann_probe_persisted)
+        idx = (
+            os.path.join(args.root, "x1_bm25_idx")
+            if sf_dir_.startswith("/root/testdata")
+            else os.path.join(sf_dir_, "bm25_idx")
+        )
+        if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+            docs = spark_.read.parquet(os.path.join(sf_dir_, "documents.parquet"))
+            post = R.inverted_index(docs).withColumn(
+                "tb", F.pmod(F.xxhash64("token"), F.lit(64))
+            )
+            (
+                post.repartition("tb")
+                .sortWithinPartitions("token")
+                .write.partitionBy("tb")
+                .mode("overwrite")
+                .parquet(idx)
+            )
+            docs.select(
+                F.col("doc_id"), F.size(R.tokenize("text")).alias("dl")
+            ).write.mode("overwrite").parquet(idx + "_dl")
+            n, avgdl, dfs = R.corpus_stats(docs, "doc_id", "text", terms)
+            with open(idx + "_stats.json", "w") as fh:
+                _json.dump({"n": n, "avgdl": avgdl, "dfs": dfs}, fh)
+        st = _json.load(open(idx + "_stats.json"))
+        idf = R.idf_weights(st["n"], st["dfs"])
+        buckets = sorted(
+            {spark_.range(1).select(
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(64)).alias("b")
+            ).collect()[0]["b"] for t in terms}
+        )
+        paths = [
+            p
+            for p in (os.path.join(idx, f"tb={b}") for b in buckets)
+            if os.path.exists(p)  # a term absent from the corpus has no bucket
+        ]
+        if not paths:
+            return spark_.range(0).select(
+                F.col("id").alias("doc_id"), F.lit(0.0).alias("score")
+            )
+        post = spark_.read.parquet(*paths).filter(F.col("token").isin(terms))
+        dl = spark_.read.parquet(idx + "_dl")
+        pivoted = post.groupBy("doc_id").pivot("token", terms).sum("tf")
+        scored = pivoted.join(dl, "doc_id")
+        k1, b = 1.2, 0.75
+        norm = F.lit(k1) * (
+            F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(st["avgdl"])
+        )
+        score = F.lit(0.0)
+        for t in terms:
+            tf = F.coalesce(F.col(f"`{t}`").cast("double"), F.lit(0.0))
+            score = score + F.lit(idf[t]) * (tf * F.lit(k1 + 1.0) / (tf + norm))
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(25)
+        )
+
+    qs["bm25_indexed"] = bm25_indexed
+
     def pagerank_5it(spark_, sf_dir_):
         """q116's operator at scale over a deterministic power-law-ish
         graph derived from doc_id (each doc points at 3 hubs: id div

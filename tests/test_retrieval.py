@@ -133,3 +133,29 @@ class TestPhraseMatch:
         assert sorted((r["token"], r["pos"]) for r in idx.collect()) == [
             ("a", 0), ("b", 1)
         ]
+
+
+class TestProximityMatch:
+    def test_window_semantics(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a x x x b"), (2, "a x x x x x b"), (3, "b a"), (4, "a")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_pairs"]
+            for r in R.proximity_match(df, "a", "b", window=4).collect()
+        }
+        assert got == {1: 1, 3: 1}  # doc 2: distance 6 > 4; unordered ok
+
+    def test_same_term_counts_ordered_pairs(self, spark):
+        df = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+        got = R.proximity_match(df, "a", "a", window=1).collect()
+        # ordered pairs at distance 1: (0,1),(1,0),(1,2),(2,1)
+        assert got[0]["n_pairs"] == 4
+
+    def test_bad_window_rejected(self, spark):
+        import pytest as _pt
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            R.proximity_match(df, "a", "b", window=0)
