@@ -2614,6 +2614,27 @@ def q119_proximity_search(spark: SparkSession, sf: str) -> DataFrame:
     return R.proximity_match(docs, "spark", "join", window=5)
 
 
+def q120_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """q113's query served FROM the persisted postings index
+    (operators/retrieval.py::write_postings_index/bm25_search_indexed):
+    token-sorted postings behind the manifest, per-file token zones
+    prune each term to its covering files, doc lengths broadcast-join
+    the matched docs. Same oracle as q113 — the certification IS the
+    claim that the index serves bit-identical scores without scanning
+    the corpus. Measured near-flat across four decades in
+    SCALE_CURVE `bm25_indexed` (2.4→9.1 s at 1000×, vs 72 s batch)."""
+    import tempfile
+
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="bes-bm25-idx-")
+    R.write_postings_index(docs, base, num_files=8)
+    return R.bm25_search_indexed(
+        spark, base, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2745,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_segment_drift": q117_segment_drift,
         "q118_phrase_search": q118_phrase_search,
         "q119_proximity_search": q119_proximity_search,
+        "q120_bm25_indexed": q120_bm25_indexed,
     }
 
 
@@ -4744,6 +4766,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.token = 'batch' AND b.token = 'batch'
             GROUP BY a.doc_id
         """,
+        "q120_bm25_indexed": _bm25_oracle(),
         "q119_proximity_search": """
             WITH toks AS (
               SELECT doc_id,

@@ -212,3 +212,115 @@ def proximity_match(
         & (F.col("pa") != F.col("pb"))
     )
     return pairs.groupBy("doc_id").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted postings index — the serving path at corpus scale
+# ---------------------------------------------------------------------------
+
+
+def write_postings_index(
+    docs: DataFrame,
+    base: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_files: int = 32,
+) -> int:
+    """Persist the full inverted index + doc lengths behind the
+    manifest commit log (sources/manifest.py): postings range-
+    partitioned and sorted BY TOKEN, so every file's token [min, max]
+    zone is tight and a query term prunes to the one-or-two files
+    whose range covers it — the text analog of the vector store's
+    IVF cells. Corpus totals (N, Σdl) ride in the manifest meta as
+    exact integers. Postings + lengths + stats publish in ONE CAS
+    swap, so a reader can never see them desynced. Returns the
+    committed version.
+
+    Measured (SCALE_CURVE `bm25_indexed`): the probe answers a 3-term
+    query near-flat across four decades of corpus growth while the
+    batch path grows linearly — this is why the index exists."""
+    from block_explorer_spark.sources import manifest as M
+
+    post = inverted_index(docs, id_col, text_col)
+    clustered = post.repartitionByRange(num_files, "token").sortWithinPartitions(
+        "token"
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokenize(text_col)).alias("dl")
+    )
+    row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl")).collect()[0]
+    with M.write_intent(base):
+        prels = M.stage_df(clustered, base, "postings")
+        drels = M.stage_df(dl, base, "doclen")
+        stats = M.file_stats(base, prels, ["token"])
+        meta = {"bm25": {"n": int(row["n"]), "sum_dl": int(row["sum_dl"] or 0)}}
+        for _ in range(2):
+            cur = M.read(base)
+            fams = dict(cur.get("families", {}))
+            fams["postings"], fams["doclen"] = prels, drels
+            try:
+                return M.commit(
+                    base, fams, cur.get("version", 0), meta=meta, stats=stats
+                )
+            except M.CommitConflict:
+                continue
+        raise M.CommitConflict("write_postings_index lost the CAS twice")
+
+
+def bm25_search_indexed(
+    spark: SparkSession,
+    base: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 top-k served FROM the persisted index: each term's
+    postings come from the files whose token zone covers it (manifest
+    pruning — never a corpus scan), df per term is a count over those
+    bounded postings, and the doc-length join BROADCASTS the matched
+    docs onto the lengths table (one scan, no dl shuffle). Scores are
+    bit-identical to the batch `bm25_topk` — same Python-computed idf
+    and avgdl, same fixed-order IEEE arithmetic (pinned in
+    test_retrieval)."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    if not terms:
+        raise ValueError("bm25_search_indexed needs at least one term")
+    m = M.read(base)
+    meta = m.get("meta", {}).get("bm25")
+    if not meta:
+        raise FileNotFoundError(f"no bm25 index committed under {base}")
+    n, avgdl = meta["n"], (meta["sum_dl"] / meta["n"] if meta["n"] else 0.0)
+    keep: list[str] = []
+    for t in terms:
+        keep += M.prune_by_stats(m, "postings", "token", lo=t, hi=t)
+    keep = sorted(set(keep))
+    if keep:
+        post = spark.read.parquet(
+            *[_os.path.join(base, r) for r in keep]
+        ).filter(F.col("token").isin(list(terms)))
+    else:
+        post = spark.createDataFrame([], "token string, doc_id long, tf long")
+    dfs = {
+        r["token"]: r["df"]
+        for r in post.groupBy("token").agg(F.count("*").alias("df")).collect()
+    }
+    idf = idf_weights(n, {t: int(dfs.get(t, 0)) for t in terms})
+    pivoted = post.groupBy("doc_id").pivot("token", list(terms)).sum("tf")
+    dl = spark.read.parquet(
+        *[_os.path.join(base, r) for r in m["families"]["doclen"]]
+    )
+    scored = dl.join(F.broadcast(pivoted), "doc_id")
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    score = F.lit(0.0)
+    for t in terms:
+        tf = F.coalesce(F.col(f"`{t}`").cast("double"), F.lit(0.0))
+        score = score + F.lit(idf[t]) * (tf * F.lit(k1 + 1.0) / (tf + norm))
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )

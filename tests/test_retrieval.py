@@ -159,3 +159,47 @@ class TestProximityMatch:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with _pt.raises(ValueError):
             R.proximity_match(df, "a", "b", window=0)
+
+
+class TestPostingsIndex:
+    def test_indexed_scores_equal_batch_bit_for_bit(self, spark, tmp_path, corpus):
+        base = str(tmp_path / "bmidx")
+        R.write_postings_index(corpus, base, num_files=4)
+        terms = ["spark", "data"]
+        batch = {(r["doc_id"], r["score"])
+                 for r in R.bm25_topk(corpus, terms, topk=10).collect()}
+        idx = {(r["doc_id"], r["score"])
+               for r in R.bm25_search_indexed(spark, base, terms, topk=10).collect()}
+        assert idx == batch and idx
+
+    def test_term_pruning_opens_fewer_files(self, spark, tmp_path):
+        from block_explorer_spark.sources import manifest as M
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("w"), (F.col("id") % 500).cast("string"), F.lit(" filler")
+            ).alias("text"),
+        )
+        base = str(tmp_path / "bmprune")
+        R.write_postings_index(docs, base, num_files=16)
+        m = M.read(base)
+        total = len(m["families"]["postings"])
+        kept = M.prune_by_stats(m, "postings", "token", lo="w123", hi="w123")
+        assert total == 16
+        assert len(kept) <= 2, kept  # token-sorted layout: 1-2 files
+        got = R.bm25_search_indexed(spark, base, ["w123"], topk=5).collect()
+        # w123 lives in docs 123+500k; equal scores tie-break by doc_id
+        assert [r["doc_id"] for r in got] == [123, 623, 1123, 1623]
+
+    def test_missing_term_and_missing_index(self, spark, tmp_path, corpus):
+        import pytest as _pt
+
+        base = str(tmp_path / "bmidx2")
+        R.write_postings_index(corpus, base, num_files=2)
+        out = R.bm25_search_indexed(spark, base, ["absentterm"], topk=5)
+        assert out.count() == 0
+        with _pt.raises(FileNotFoundError):
+            R.bm25_search_indexed(spark, str(tmp_path / "nope"), ["x"])
+        with _pt.raises(ValueError):
+            R.bm25_search_indexed(spark, base, [])
