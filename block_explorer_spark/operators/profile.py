@@ -71,9 +71,11 @@ def segment_drift(
     — the classic two-sample chi-squared numerator/denominator shape,
     floor-divided once per token (integer terms then sum: order-free).
     Zero when the token's rate matches across segments; grows with
-    both the rate gap and the evidence. Intermediates fit a signed
-    long while a·Nb < ~3e9 (token count × other segment's total);
-    beyond that, run per-shard and sum, or accept the float variant.
+    both the rate gap and the evidence. Intermediates are computed in
+    decimal(38,0) — the same int128 lattice DuckDB's SUM promotes to —
+    so the statistic is exact while (a·Nb − b·Na)² < 10³⁸, i.e. up to
+    ~10¹⁹-token segment products; past that Spark's decimal overflow
+    raises (ANSI) instead of silently wrapping a signed long.
 
     Returns the topk (token, a, b, drift) rows, drift descending then
     token ascending — the "what changed between these two corpus
@@ -104,7 +106,14 @@ def segment_drift(
         "a",
         "b",
         F.expr(
-            "((a * nb - b * na) * (a * nb - b * na)) div ((a + b) * na * nb)"
+            # decimal(38,0) intermediates: a long-lattice (a·nb − b·na)²
+            # overflows int64 at ~3e9·3e9 and non-ANSI Spark would wrap
+            # silently while the DuckDB oracle (HUGEINT) kept going —
+            # the engines would diverge with no error. decimal matches
+            # DuckDB's int128 up to 38 digits and overflows LOUDLY.
+            "((cast(a as decimal(38,0)) * nb - cast(b as decimal(38,0)) * na)"
+            " * (cast(a as decimal(38,0)) * nb - cast(b as decimal(38,0)) * na))"
+            " div (cast(a + b as decimal(38,0)) * na * nb)"
         ).cast("long").alias("drift"),
     )
     return scored.orderBy(F.desc("drift"), F.asc("token")).limit(topk)

@@ -219,12 +219,38 @@ def proximity_match(
 # ---------------------------------------------------------------------------
 
 
+#: Matched-posting count above which the serving path refuses to
+#: broadcast the pivoted doc set onto the lengths table (legacy
+#: layouts only — the denormalized layout never joins at all). A
+#: common term (a stopword in a decontamination sweep) has df ≈
+#: corpus size; broadcasting that is O(corpus) on every executor.
+BM25_BROADCAST_LIMIT = 1_000_000
+
+
+def _postings_with_dl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(token, doc_id, tf, dl) postings in ONE shuffle: dl is carried
+    through the explode and grouped alongside doc_id (it is
+    functionally dependent on it, so the key cardinality is identical
+    to the plain postings groupBy) — no join in the build path."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(text_col)).alias("dl"),
+        F.explode(tokenize(text_col)).alias("token"),
+    )
+    return (
+        toks.groupBy("token", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("token", "doc_id", "tf", "dl")
+    )
+
+
 def write_postings_index(
     docs: DataFrame,
     base: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_files: int = 32,
+    denormalize_dl: bool = True,
 ) -> int:
     """Persist the full inverted index + doc lengths behind the
     manifest commit log (sources/manifest.py): postings range-
@@ -236,28 +262,51 @@ def write_postings_index(
     swap, so a reader can never see them desynced. Returns the
     committed version.
 
+    With `denormalize_dl` (the default) each posting row carries its
+    document's length, so the serving path needs NO doc-length join
+    at all — the join was the residual growth term in the indexed
+    curve (SCALE.md) and, for common terms, an unbounded broadcast.
+    dl is one long repeated ~unique-terms-per-doc times: cheap next
+    to the postings themselves. The doclen family is still committed
+    (other consumers + legacy readers).
+
+    The meta commit MERGES the current manifest meta per CAS attempt
+    — committing an index into a base that also carries a z-order
+    layout must not clobber `meta["zorder"]` (and vice versa).
+
     Measured (SCALE_CURVE `bm25_indexed`): the probe answers a 3-term
     query near-flat across four decades of corpus growth while the
     batch path grows linearly — this is why the index exists."""
     from block_explorer_spark.sources import manifest as M
 
-    post = inverted_index(docs, id_col, text_col)
-    clustered = post.repartitionByRange(num_files, "token").sortWithinPartitions(
-        "token"
-    )
     dl = docs.select(
         F.col(id_col).alias("doc_id"), F.size(tokenize(text_col)).alias("dl")
     )
+    post = (
+        _postings_with_dl(docs, id_col, text_col)
+        if denormalize_dl
+        else inverted_index(docs, id_col, text_col)
+    )
+    clustered = post.repartitionByRange(num_files, "token").sortWithinPartitions(
+        "token"
+    )
     row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl")).collect()[0]
+    bm25 = {
+        "n": int(row["n"]),
+        "sum_dl": int(row["sum_dl"] or 0),
+        "dl_in_postings": bool(denormalize_dl),
+        "tail": [],
+    }
     with M.write_intent(base):
         prels = M.stage_df(clustered, base, "postings")
         drels = M.stage_df(dl, base, "doclen")
         stats = M.file_stats(base, prels, ["token"])
-        meta = {"bm25": {"n": int(row["n"]), "sum_dl": int(row["sum_dl"] or 0)}}
         for _ in range(2):
             cur = M.read(base)
             fams = dict(cur.get("families", {}))
             fams["postings"], fams["doclen"] = prels, drels
+            meta = dict(cur.get("meta", {}))
+            meta["bm25"] = bm25
             try:
                 return M.commit(
                     base, fams, cur.get("version", 0), meta=meta, stats=stats
@@ -267,6 +316,121 @@ def write_postings_index(
         raise M.CommitConflict("write_postings_index lost the CAS twice")
 
 
+def index_append(
+    docs: DataFrame,
+    base: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_files: int = 4,
+) -> int:
+    """Fold a delta of NEW documents into the committed index without
+    rebuilding it — the daily-crawl path. Cost ∝ delta: the delta's
+    postings are tokenized, token-sorted, and staged as an LSM-style
+    TAIL alongside the bulk run; no bulk file is read or rewritten.
+    Corpus totals fold exactly (n += Δn, Σdl += Δdl). The tail files
+    carry token zone maps like any other postings file, so serving
+    prunes them per term identically; `index_maintain` periodically
+    merges the tail into larger sorted runs.
+
+    Contract: doc_ids in the delta must be NEW (append-only corpus —
+    the same contract the corpus store's ingest holds). A re-ingested
+    doc_id would duplicate (token, doc_id) rows and double-count tf.
+    Returns the committed version."""
+    from block_explorer_spark.sources import manifest as M
+
+    cur0 = M.read(base)
+    bmeta = cur0.get("meta", {}).get("bm25")
+    if not bmeta:
+        raise FileNotFoundError(
+            f"no bm25 index committed under {base}; run write_postings_index"
+        )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokenize(text_col)).alias("dl")
+    )
+    post = (
+        _postings_with_dl(docs, id_col, text_col)
+        if bmeta.get("dl_in_postings")
+        else inverted_index(docs, id_col, text_col)
+    )
+    clustered = post.repartitionByRange(num_files, "token").sortWithinPartitions(
+        "token"
+    )
+    row = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl")).collect()[0]
+    dn, dsum = int(row["n"]), int(row["sum_dl"] or 0)
+    with M.write_intent(base):
+        prels = M.stage_df(clustered, base, "postings")
+        drels = M.stage_df(dl, base, "doclen")
+        stats = M.file_stats(base, prels, ["token"])
+        for _ in range(2):
+            cur = M.read(base)
+            bm25 = dict(cur.get("meta", {}).get("bm25") or bmeta)
+            bm25["n"] = int(bm25["n"]) + dn
+            bm25["sum_dl"] = int(bm25["sum_dl"]) + dsum
+            bm25["tail"] = list(bm25.get("tail", [])) + prels
+            fams = dict(cur.get("families", {}))
+            fams["postings"] = list(fams.get("postings", [])) + prels
+            fams["doclen"] = list(fams.get("doclen", [])) + drels
+            meta = dict(cur.get("meta", {}))
+            meta["bm25"] = bm25
+            try:
+                return M.commit(
+                    base, fams, cur.get("version", 0), meta=meta, stats=stats
+                )
+            except M.CommitConflict:
+                continue
+        raise M.CommitConflict("index_append lost the CAS twice")
+
+
+def index_maintain(
+    spark: SparkSession,
+    base: str,
+    min_tail_files: int = 8,
+    num_files: int | None = None,
+) -> int | None:
+    """Merge the accumulated append tail into one token-sorted run —
+    the OPTIMIZE cadence for the postings index. Reads ONLY the tail
+    files (cost ∝ appended data, never the bulk run), re-range-
+    partitions them by token, and swaps tail → merged files in one
+    CAS commit. No-op (returns None) below `min_tail_files`. Scores
+    are layout-independent, so serving results are bit-identical
+    before and after (pinned in test_retrieval)."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    cur = M.read(base)
+    bmeta = cur.get("meta", {}).get("bm25")
+    if not bmeta:
+        raise FileNotFoundError(f"no bm25 index committed under {base}")
+    tail = list(bmeta.get("tail", []))
+    if len(tail) < min_tail_files:
+        return None
+    with M.write_intent(base):
+        df = spark.read.parquet(*[_os.path.join(base, r) for r in tail])
+        nf = num_files or max(1, len(tail) // 4)
+        merged = df.repartitionByRange(nf, "token").sortWithinPartitions("token")
+        rels = M.stage_df(merged, base, "postings")
+        stats = M.file_stats(base, rels, ["token"])
+        for _ in range(2):
+            cur = M.read(base)
+            fams = dict(cur.get("families", {}))
+            kept = [r for r in fams.get("postings", []) if r not in set(tail)]
+            fams["postings"] = kept + rels
+            bm25 = dict(cur.get("meta", {}).get("bm25") or bmeta)
+            bm25["tail"] = [
+                r for r in bm25.get("tail", []) if r not in set(tail)
+            ]
+            meta = dict(cur.get("meta", {}))
+            meta["bm25"] = bm25
+            try:
+                return M.commit(
+                    base, fams, cur.get("version", 0), meta=meta, stats=stats
+                )
+            except M.CommitConflict:
+                continue
+        raise M.CommitConflict("index_maintain lost the CAS twice")
+
+
 def bm25_search_indexed(
     spark: SparkSession,
     base: str,
@@ -274,15 +438,20 @@ def bm25_search_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 20,
+    broadcast_limit: int = BM25_BROADCAST_LIMIT,
 ) -> DataFrame:
     """BM25 top-k served FROM the persisted index: each term's
     postings come from the files whose token zone covers it (manifest
-    pruning — never a corpus scan), df per term is a count over those
-    bounded postings, and the doc-length join BROADCASTS the matched
-    docs onto the lengths table (one scan, no dl shuffle). Scores are
-    bit-identical to the batch `bm25_topk` — same Python-computed idf
-    and avgdl, same fixed-order IEEE arithmetic (pinned in
-    test_retrieval)."""
+    pruning — never a corpus scan) and df per term is a count over
+    those bounded postings. With the denormalized layout (dl rides in
+    every posting row) there is NO doc-length join at all — the plan
+    is scan → pivot-aggregate → TakeOrderedAndProject, for ANY term
+    df. Legacy layouts fall back to the doclen join, broadcasting the
+    matched-doc set only while Σdf ≤ `broadcast_limit` (the dfs are
+    already driver-side); above it the join shuffles — a common term
+    must never force an O(corpus) broadcast. Scores are bit-identical
+    to the batch `bm25_topk` — same Python-computed idf and avgdl,
+    same fixed-order IEEE arithmetic (pinned in test_retrieval)."""
     import os as _os
 
     from block_explorer_spark.sources import manifest as M
@@ -294,6 +463,7 @@ def bm25_search_indexed(
     if not meta:
         raise FileNotFoundError(f"no bm25 index committed under {base}")
     n, avgdl = meta["n"], (meta["sum_dl"] / meta["n"] if meta["n"] else 0.0)
+    denorm = bool(meta.get("dl_in_postings"))
     keep: list[str] = []
     for t in terms:
         keep += M.prune_by_stats(m, "postings", "token", lo=t, hi=t)
@@ -303,17 +473,29 @@ def bm25_search_indexed(
             *[_os.path.join(base, r) for r in keep]
         ).filter(F.col("token").isin(list(terms)))
     else:
-        post = spark.createDataFrame([], "token string, doc_id long, tf long")
+        schema = "token string, doc_id long, tf long"
+        post = spark.createDataFrame(
+            [], schema + (", dl long" if denorm else "")
+        )
     dfs = {
         r["token"]: r["df"]
         for r in post.groupBy("token").agg(F.count("*").alias("df")).collect()
     }
     idf = idf_weights(n, {t: int(dfs.get(t, 0)) for t in terms})
-    pivoted = post.groupBy("doc_id").pivot("token", list(terms)).sum("tf")
-    dl = spark.read.parquet(
-        *[_os.path.join(base, r) for r in m["families"]["doclen"]]
-    )
-    scored = dl.join(F.broadcast(pivoted), "doc_id")
+    if denorm:
+        # dl is functionally dependent on doc_id, so grouping by both
+        # keeps it through the pivot: zero joins in the serving plan.
+        scored = post.groupBy("doc_id", "dl").pivot("token", list(terms)).sum("tf")
+    else:
+        pivoted = post.groupBy("doc_id").pivot("token", list(terms)).sum("tf")
+        dl = spark.read.parquet(
+            *[_os.path.join(base, r) for r in m["families"]["doclen"]]
+        )
+        matched = sum(int(v) for v in dfs.values())
+        if matched <= broadcast_limit:
+            scored = dl.join(F.broadcast(pivoted), "doc_id")
+        else:
+            scored = dl.join(pivoted, "doc_id")
     norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
     score = F.lit(0.0)
     for t in terms:

@@ -272,7 +272,10 @@ def bloom_positions(
     distinct-shuffle of ≤ k·|S| ints.
     """
     c = F.col(fp_col) if isinstance(fp_col, str) else fp_col
-    rows = df.select(c.alias("__fp")).select(
+    # NULL keys can never equal anything in an equi-join, so a NULL
+    # fingerprint contributes no positions (and would otherwise poison
+    # bloom_bitmap's np.fromiter with None).
+    rows = df.select(c.alias("__fp")).filter(F.col("__fp").isNotNull()).select(
         "__fp", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("d")
     )
     return rows.select((hash60("__fp", F.col("d")) % m_bits).alias("pos")).distinct()
@@ -300,7 +303,10 @@ def bloom_probe(
     )
     rows = rows.select(id_col, "__fp", "d", (hash60("__fp", F.col("d")) % m_bits).alias("pos"))
     hit = rows.join(F.broadcast(positions), "pos")
-    full = hit.groupBy(id_col, "__fp").agg(F.count("*").alias("__nd")).filter(
+    # count DISTINCT seeds, not rows: duplicate (id, fp) probe rows
+    # would otherwise reach 2k hits and fail the == k test — a false
+    # negative, which a bloom filter must never produce.
+    full = hit.groupBy(id_col, "__fp").agg(F.count_distinct("d").alias("__nd")).filter(
         F.col("__nd") == k
     )
     return full.groupBy(id_col).agg(F.count_distinct("__fp").alias("n_hits"))
@@ -364,7 +370,11 @@ def bitmap_member(
         return pd.Series(bits.all(axis=1))
 
     c = F.col(col) if isinstance(col, str) else col
-    return _member(F.array(*[hash60(c, i) % m_bits for i in range(k)]))
+    # NULL input → False (matches inner-join semantics: a NULL key
+    # matches nothing). The coalesce keeps the UDF batch free of None
+    # entries; the isNotNull AND overrides whatever bit 0 holds.
+    pos = F.array(*[F.coalesce(hash60(c, i) % m_bits, F.lit(0)) for i in range(k)])
+    return c.isNotNull() & _member(pos)
 
 
 def bloom_prefilter_join(

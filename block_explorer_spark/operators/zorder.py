@@ -93,6 +93,33 @@ def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, floa
     return out
 
 
+def zorder_meta(cur: dict, family: str) -> dict | None:
+    """The family's zorder layout entry from a manifest snapshot.
+    Meta shape is per-family — `meta["zorder"][family] = {cols, bits,
+    bounds, tail}` — so several clustered families (e.g. a records
+    table and an events table) coexist under one store base without
+    the writers clobbering each other. Reads the pre-round-8 single-
+    family shape transparently."""
+    z = cur.get("meta", {}).get("zorder") or {}
+    if "cols" in z:  # legacy single-family shape
+        return z if z.get("family") == family else None
+    return z.get(family)
+
+
+def _merge_zorder(cur: dict, family: str, entry: dict) -> dict:
+    """A full meta dict for commit: the snapshot's meta with ONLY this
+    family's zorder entry replaced. Never drops other features' meta
+    (bm25 stats, another family's layout) — writers that passed a
+    fresh dict here used to silently destroy them."""
+    meta = dict(cur.get("meta", {}))
+    z = dict(meta.get("zorder") or {})
+    if "cols" in z:  # migrate legacy single-family shape in place
+        z = {z["family"]: {k: v for k, v in z.items() if k != "family"}}
+    z[family] = entry
+    meta["zorder"] = z
+    return meta
+
+
 def cluster_write(
     df: DataFrame,
     base: str,
@@ -119,12 +146,13 @@ def cluster_write(
     with M.write_intent(base):
         rels = M.stage_df(clustered, base, family)
         stats = M.file_stats(base, rels, cols)
-        meta = {"zorder": {"family": family, "cols": cols, "bits": bits,
-                           "bounds": {c: list(bounds[c]) for c in cols}}}
+        entry = {"cols": cols, "bits": bits,
+                 "bounds": {c: list(bounds[c]) for c in cols}, "tail": []}
         for _ in range(2):
             cur = M.read(base)
             fams = dict(cur.get("families", {}))
             fams[family] = rels
+            meta = _merge_zorder(cur, family, entry)
             try:
                 return M.commit(
                     base, fams, cur.get("version", 0), meta=meta, stats=stats
@@ -191,8 +219,8 @@ def cluster_append(
     the tail back into z-order. Returns the committed version."""
     with M.write_intent(base):
         cur = M.read(base)
-        zmeta = cur.get("meta", {}).get("zorder")
-        if not zmeta or zmeta.get("family") != family:
+        zmeta = zorder_meta(cur, family)
+        if not zmeta:
             raise ValueError(
                 f"family {family!r} has no zorder layout to append to; "
                 "run cluster_write first"
@@ -201,21 +229,19 @@ def cluster_append(
         towrite = df.repartition(num_files) if num_files else df
         rels = M.stage_df(towrite, base, family)
         stats = M.file_stats(base, rels, cols)
-        tail = list(zmeta.get("tail", [])) + rels
         for _ in range(2):
             cur = M.read(base)
             fams = dict(cur.get("families", {}))
             fams[family] = list(fams.get(family, [])) + rels
-            meta = dict(cur.get("meta", {}))
-            meta["zorder"] = {**meta.get("zorder", zmeta), "tail": tail}
+            snap = zorder_meta(cur, family) or zmeta
+            entry = {**snap, "tail": list(snap.get("tail", [])) + rels}
+            meta = _merge_zorder(cur, family, entry)
             try:
                 return M.commit(
                     base, fams, cur.get("version", 0), meta=meta, stats=stats
                 )
             except M.CommitConflict:
-                tail = list(
-                    M.read(base).get("meta", {}).get("zorder", {}).get("tail", [])
-                ) + rels
+                continue
         raise M.CommitConflict(f"cluster_append({family}) lost the CAS twice")
 
 
@@ -237,8 +263,8 @@ def cluster_maintain(
     import os as _os
 
     cur = M.read(base)
-    zmeta = cur.get("meta", {}).get("zorder")
-    if not zmeta or zmeta.get("family") != family:
+    zmeta = zorder_meta(cur, family)
+    if not zmeta:
         raise ValueError(f"family {family!r} has no zorder layout")
     tail = list(zmeta.get("tail", []))
     if len(tail) < min_tail_files:
@@ -262,12 +288,10 @@ def cluster_maintain(
             fams = dict(cur.get("families", {}))
             kept = [r for r in fams.get(family, []) if r not in set(tail)]
             fams[family] = kept + rels
-            meta = dict(cur.get("meta", {}))
-            new_tail = [
-                r for r in meta.get("zorder", {}).get("tail", [])
-                if r not in set(tail)
-            ]
-            meta["zorder"] = {**meta.get("zorder", zmeta), "tail": new_tail}
+            snap = zorder_meta(cur, family) or zmeta
+            new_tail = [r for r in snap.get("tail", []) if r not in set(tail)]
+            entry = {**snap, "tail": new_tail}
+            meta = _merge_zorder(cur, family, entry)
             try:
                 return M.commit(
                     base, fams, cur.get("version", 0), meta=meta, stats=stats

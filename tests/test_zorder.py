@@ -126,7 +126,7 @@ class TestClusterReadWrite:
         assert set(v2["families"]["g"]).isdisjoint(v1["families"]["g"])
         for rel in v2["families"]["g"]:
             assert "a" in v2["stats"][rel] and "b" in v2["stats"][rel]
-        assert v2["meta"]["zorder"]["cols"] == ["a", "b"]
+        assert v2["meta"]["zorder"]["g"]["cols"] == ["a", "b"]
 
 
 class TestSkippingPower:
@@ -188,7 +188,7 @@ class TestIncrementalMaintenance:
         )
         Z.cluster_append(extra, base, "g", num_files=2)
         m = M.read(base)
-        assert len(m["meta"]["zorder"]["tail"]) == 2
+        assert len(m["meta"]["zorder"]["g"]["tail"]) == 2
         box = {"a": (8, 15), "b": (48, 55)}
         got = sorted(
             r["id"] for r in Z.read_clustered(spark, base, "g", box).collect()
@@ -223,7 +223,7 @@ class TestIncrementalMaintenance:
             )
         assert Z.cluster_maintain(spark, base, "g", min_tail_files=9) is None
         m0 = M.read(base)
-        assert len(m0["meta"]["zorder"]["tail"]) == 8
+        assert len(m0["meta"]["zorder"]["g"]["tail"]) == 8
 
         box = {"a": (8, 15), "b": (48, 55)}
         keep_before, total_before = Z.pruned_files(base, "g", box)
@@ -234,7 +234,7 @@ class TestIncrementalMaintenance:
         v = Z.cluster_maintain(spark, base, "g", min_tail_files=8)
         assert v is not None
         m1 = M.read(base)
-        assert m1["meta"]["zorder"]["tail"] == []
+        assert m1["meta"]["zorder"]["g"]["tail"] == []
         # tail folded: fewer live files, all with zone stats
         assert len(m1["families"]["g"]) < len(m0["families"]["g"])
         for rel in m1["families"]["g"]:
@@ -248,7 +248,7 @@ class TestIncrementalMaintenance:
         assert len(keep_after) <= len(keep_before)
         # old tail files are no longer listed (snapshot isolation:
         # still on disk until vacuum)
-        assert not set(m0["meta"]["zorder"]["tail"]) & set(m1["families"]["g"])
+        assert not set(m0["meta"]["zorder"]["g"]["tail"]) & set(m1["families"]["g"])
 
 
 class TestStreamingIngest:
@@ -290,9 +290,9 @@ class TestStreamingIngest:
         q.awaitTermination(120)
 
         m = M.read(base)
-        assert len(m["meta"]["zorder"]["tail"]) == 3
+        assert len(m["meta"]["zorder"]["g"]["tail"]) == 3
         assert Z.cluster_maintain(spark, base, "g", min_tail_files=3) is not None
-        assert M.read(base)["meta"]["zorder"]["tail"] == []
+        assert M.read(base)["meta"]["zorder"]["g"]["tail"] == []
 
         want = _grid(spark, n=512)
         for bdf in batches:
