@@ -2667,6 +2667,33 @@ def q120_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q121_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """q113's query served from an index built INCREMENTALLY
+    (operators/retrieval.py::index_append/index_maintain): the bulk
+    run covers ~60% of the corpus, two LSM-style tail appends fold in
+    the rest (n/Σdl updated exactly, no bulk file rewritten), and a
+    maintenance pass merges the tail into one token-sorted run. The
+    oracle is the SAME full-corpus BM25 SQL as q113/q120 — the
+    certification IS the claim that a daily-crawl refresh path serves
+    scores bit-identical to a from-scratch rebuild."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+
+    def _build(b: str) -> None:
+        R.write_postings_index(
+            docs.filter(F.col("doc_id") % 5 < 3), b, num_files=8
+        )
+        R.index_append(docs.filter(F.col("doc_id") % 5 == 3), b, num_files=2)
+        R.index_append(docs.filter(F.col("doc_id") % 5 == 4), b, num_files=2)
+        R.index_maintain(spark, b, min_tail_files=2)
+
+    base = _gate_store("bm25-inc", sf, _build)
+    return R.bm25_search_indexed(
+        spark, base, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2799,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_phrase_search": q118_phrase_search,
         "q119_proximity_search": q119_proximity_search,
         "q120_bm25_indexed": q120_bm25_indexed,
+        "q121_bm25_incremental": q121_bm25_incremental,
     }
 
 
@@ -4799,6 +4827,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id
         """,
         "q120_bm25_indexed": _bm25_oracle(),
+        "q121_bm25_incremental": _bm25_oracle(),
         "q119_proximity_search": """
             WITH toks AS (
               SELECT doc_id,

@@ -252,7 +252,12 @@ def hll_estimate_tokens(spark: SparkSession, state_dir: str) -> float:
     return float(rows[0]["hll_estimate"]) if rows else 0.0
 
 
-def hll_sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
+def hll_sync(
+    spark: SparkSession,
+    corpus_base: str,
+    state_dir: str,
+    on_delete: str = "rebuild",
+) -> dict:
     """Incremental distinct-token HLL over the change feed: merge the
     DELTA's token registers into the persisted register table —
     cost ∝ delta tokens + 2^p, never corpus size. This is the whole
@@ -260,12 +265,25 @@ def hll_sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
     every document ever; the incremental path reads the new ones and
     ≤ 4096 register rows.
 
-    Semantics (HLL is not invertible): the estimate covers distinct
-    tokens EVER INGESTED — `delete`/sweep rows do not retract
-    registers. A retention gap raises the same consumer-level
-    RuntimeError as `sync`; `hll_resync` rebuilds from the current
-    snapshot (after which the estimate covers live docs only, until
-    new inserts widen it again).
+    Deletes (HLL is not invertible — a register max cannot be
+    decremented):
+
+      - on_delete="rebuild" (default): a delete-bearing change window
+        triggers an EPOCH REBUILD from the current snapshot — one
+        loud, full corpus scan, reported in the return value as
+        {"rebuilt": True}. After every sync the estimate therefore
+        tracks the LIVE corpus (== batch hll_distinct over the
+        current snapshot, pinned by test_pipeline_e2e). Deletes are
+        rare maintenance events (RTBF, retention sweeps); paying one
+        scan per delete-bearing commit keeps the steady-state path
+        delta-cost.
+      - on_delete="keep": deletes do not retract — the estimate
+        covers distinct tokens EVER INGESTED (the union-semantics
+        sketch: still exact as a register-level union, and never a
+        rebuild).
+
+    A retention gap raises the same consumer-level RuntimeError as
+    `sync`; `hll_resync` rebuilds from the current snapshot.
 
     State swap is crash-safe in the same way as the mirror: the new
     register dir is written first, then the checkpoint json swaps
@@ -273,6 +291,8 @@ def hll_sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
     """
     from block_explorer_spark.operators import sketches as SK
 
+    if on_delete not in ("rebuild", "keep"):
+        raise ValueError(f"on_delete must be 'rebuild' or 'keep', got {on_delete!r}")
     os.makedirs(state_dir, exist_ok=True)
     ck = _read_hll_ckpt(state_dir)
     head = Mf.current_version(corpus_base)
@@ -289,6 +309,12 @@ def hll_sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
             "cdc_consumer.hll_resync(spark, corpus_base, state_dir) to "
             "rebuild from the current snapshot."
         ) from e
+    if on_delete == "rebuild":
+        n_deletes = feed.filter(F.col("op") == "delete").count()
+        if n_deletes:
+            out = hll_resync(spark, corpus_base, state_dir)
+            out.update({"n_changes": n_deletes, "rebuilt": True})
+            return out
     inserted = feed.filter(F.col("op") != "delete")
     n_changes = inserted.count()
     if not n_changes:

@@ -60,6 +60,15 @@ class CommitConflict(Exception):
 
 _MANIFEST_DIR = "_manifest"
 
+#: Meta namespaces that describe PERSISTENT store state (a committed
+#: layout or index configuration) rather than one commit's event info
+#: ("kind", "cdc", "data_change"). `commit` carries these forward from
+#: the previous version whenever the new meta does not itself set
+#: them — so an upsert's meta={"kind": "upsert"} can never silently
+#: destroy the z-order layout or the BM25 corpus totals another
+#: writer committed into the same base.
+PERSISTENT_META_KEYS = ("zorder", "bm25", "layout", "sketch")
+
 
 def _mdir(base: str) -> str:
     return os.path.join(base, _MANIFEST_DIR)
@@ -173,17 +182,24 @@ def commit(
     new_version = expect_version + 1
     listed = {rel for rels in families.values() for rel in rels}
     carried: dict = {}
+    prev_meta: dict = {}
     if expect_version > 0:
         try:
             with open(_vpath(base, expect_version)) as f:
-                carried = json.load(f).get("stats", {})
+                prev = json.load(f)
+            carried = prev.get("stats", {})
+            prev_meta = prev.get("meta", {})
         except FileNotFoundError:
             carried = {}  # pre-stats store or vacuumed: no carry
     merged_stats = {
         rel: s for rel, s in {**carried, **(stats or {})}.items() if rel in listed
     }
+    merged_meta = dict(meta or {})
+    for k in PERSISTENT_META_KEYS:
+        if k not in merged_meta and k in prev_meta:
+            merged_meta[k] = prev_meta[k]
     body = {"families": {k: sorted(v) for k, v in families.items()},
-            "meta": meta or {}, "stats": merged_stats}
+            "meta": merged_meta, "stats": merged_stats}
     tmp = os.path.join(_mdir(base), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(body, f)

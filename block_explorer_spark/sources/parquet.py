@@ -70,6 +70,74 @@ TABLE_SCHEMAS = {
 
 _BUCKET_RE = re.compile(r"pulse_bucket=(-?\d+)")
 
+#: Physical layout column for the records table: a portable 60-bit
+#: hash of object_reference. The reference's workhorse index is
+#: records(object_reference, type, pulse_number, "order")
+#: (migrations/migrations.go:54-80) — every lifeline query walks it.
+#: Parquet has no B-tree, so the equivalent at 100 TB is file-level
+#: skipping: records files are laid out (pulse_bucket, obj_key)-
+#: clustered so each file's [min, max] obj_key zone is a narrow slice,
+#: and a lifeline read opens ~1 file per bucket instead of every
+#: micro-batch file the bucket accumulated. The hash is md5-based so
+#: the DRIVER can compute the probe key in pure Python (no Spark job)
+#: before pruning the manifest; it exists only in the parquet files
+#: and the zone maps — the pinned read schema never surfaces it.
+OBJ_KEY = "obj_key"
+
+
+def obj_key_expr(col: str = "object_reference"):
+    """The layout hash as a Column: top 15 hex chars of md5(ref) as a
+    long — identical to obj_key_py on the same bytes."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+
+
+def obj_key_py(ref: bytes) -> int:
+    """Driver-side twin of obj_key_expr (pure Python, no Spark)."""
+    import hashlib
+
+    return int(hashlib.md5(ref).hexdigest()[:15], 16)
+
+
+#: Columns lifted into per-file zone maps at commit, per table.
+_STATS_COLS = {
+    "pulses": ["pulse_number"],
+    "jet_drops": ["pulse_number"],
+    "records": ["pulse_number", OBJ_KEY],
+}
+
+#: The records table's OBJECT INDEX sidecar family: distinct
+#: (obj_key, pulse_bucket) pairs, obj_key-sorted with zone maps — the
+#: parquet equivalent of the reference's composite B-tree
+#: records(object_reference, ...) at BUCKET granularity. A lifeline
+#: probe opens the 1–2 sidecar files whose obj_key zone covers the
+#: hash, collects the object's (bounded) bucket list, and reads only
+#: those buckets' obj_key-sliced files — cost ∝ the object's actual
+#: lifetime, FLAT as the table grows. The sidecar commits in the SAME
+#: CAS swap as the records files (never desynced) and is an
+#: OVER-approximation by design: a delete can leave a stale pair,
+#: which costs one empty-file open, never a wrong row — the
+#: object_reference equality filter is always re-applied.
+OBJIDX = "records_objidx"
+
+
+def _layout(name: str, df: DataFrame, buckets_hint: int = 1) -> DataFrame:
+    """Physical layout applied at EVERY staging point for a table.
+    records: append the obj_key column, range-partition on
+    (pulse_bucket, obj_key) and sort within files — so each staged
+    file covers a narrow obj_key slice of its bucket and the parquet
+    footers (→ manifest zone maps) stay tight. Other tables stage
+    unchanged."""
+    if name != "records":
+        return df
+    nf = max(1, buckets_hint)
+    return (
+        df.withColumn(OBJ_KEY, obj_key_expr())
+        .repartitionByRange(nf, "pulse_bucket", OBJ_KEY)
+        .sortWithinPartitions(
+            "pulse_bucket", OBJ_KEY, "pulse_number", F.col("order")
+        )
+    )
+
 
 def with_bucket(df: DataFrame) -> DataFrame:
     return df.withColumn(
@@ -216,6 +284,181 @@ def read_table(
     return df.select(*cols)
 
 
+def build_object_index(spark: SparkSession, base: str) -> int:
+    """Full (re)build of the records object-index sidecar — the one
+    scan that makes an ADOPTED legacy warehouse lifeline-indexed (a
+    fresh store's first upsert marks the incrementally-built sidecar
+    trustworthy by itself). Scans the records family's
+    (object_reference, pulse_bucket) pairs once, commits the sorted
+    sidecar + the meta flag in one CAS swap. Returns the number of
+    index pairs."""
+    _adopt_if_legacy(base)
+    with Mf.write_intent(base):
+        while True:
+            snap = Mf.read(base)
+            rels = snap["families"].get("records", [])
+            if not rels:
+                return 0
+            pairs = (
+                _read_rels(spark, base, "records", rels)
+                .select(obj_key_expr().alias(OBJ_KEY), "pulse_bucket")
+                .distinct()
+                .repartitionByRange(4, OBJ_KEY)
+                .sortWithinPartitions(OBJ_KEY)
+            )
+            irels = Mf.stage_df(pairs, base, OBJIDX)
+            families = dict(snap["families"])
+            families[OBJIDX] = irels
+            layout = dict(snap.get("meta", {}).get("layout", {}))
+            layout["objidx"] = "full"
+            try:
+                Mf.commit(
+                    base, families, expect_version=snap["version"],
+                    meta={"kind": "build_objidx", "data_change": False,
+                          "layout": layout},
+                    stats=Mf.file_stats(base, irels, [OBJ_KEY]),
+                )
+                return spark.read.parquet(
+                    *[os.path.join(base, r) for r in irels]
+                ).count()
+            except Mf.CommitConflict:
+                Mf.discard(base, irels)
+
+
+def maintain_object_index(
+    spark: SparkSession, base: str, min_files: int = 8
+) -> int | None:
+    """Fold the sidecar's per-commit delta files into one sorted run —
+    the OPTIMIZE cadence for the object index (every upsert appends a
+    small delta file; a day of micro-batches is thousands). The
+    sidecar is tiny relative to the table (distinct (obj, bucket)
+    pairs), so the merge reads it whole, de-duplicates, and drops
+    pairs whose bucket no longer has any live records file (retiring
+    delete staleness at bucket granularity). No-op below `min_files`.
+    Returns the new file count, or None if skipped."""
+    cur = Mf.read(base)
+    rels = cur["families"].get(OBJIDX, [])
+    if len(rels) < min_files:
+        return None
+    with Mf.write_intent(base):
+        while True:
+            snap = Mf.read(base)
+            rels = snap["families"].get(OBJIDX, [])
+            if len(rels) < min_files:
+                return None
+            live_buckets = sorted(
+                {
+                    b
+                    for r in snap["families"].get("records", [])
+                    if (b := _rel_bucket(r)) is not None
+                }
+            )
+            pairs = spark.read.parquet(
+                *[os.path.join(base, r) for r in rels]
+            ).distinct()
+            if live_buckets:
+                pairs = pairs.filter(F.col("pulse_bucket").isin(live_buckets))
+            else:
+                pairs = pairs.limit(0)
+            merged = pairs.repartitionByRange(4, OBJ_KEY).sortWithinPartitions(
+                OBJ_KEY
+            )
+            irels = Mf.stage_df(merged, base, OBJIDX)
+            families = dict(snap["families"])
+            families[OBJIDX] = irels
+            try:
+                Mf.commit(
+                    base, families, expect_version=snap["version"],
+                    meta={"kind": "maintain_objidx", "data_change": False},
+                    stats=Mf.file_stats(base, irels, [OBJ_KEY]),
+                )
+                return len(irels)
+            except Mf.CommitConflict:
+                Mf.discard(base, irels)
+
+
+def _object_buckets(
+    spark: SparkSession, base: str, m: dict, k: int
+) -> list[int] | None:
+    """The buckets an object's records can live in, via the sidecar.
+    None = sidecar absent or not marked complete (fall back to
+    pulse-only pruning); [] = object provably absent."""
+    if m.get("meta", {}).get("layout", {}).get("objidx") != "full":
+        return None
+    rels = m["families"].get(OBJIDX, [])
+    if not rels:
+        return None
+    rels = Mf.prune_by_stats(m, OBJIDX, OBJ_KEY, lo=k, hi=k, rels=rels)
+    if not rels:
+        return []
+    rows = (
+        spark.read.parquet(*[os.path.join(base, r) for r in rels])
+        .filter(F.col(OBJ_KEY) == k)
+        .select("pulse_bucket")
+        .distinct()
+        .collect()
+    )
+    return [r["pulse_bucket"] for r in rows]
+
+
+def read_records_for_object(
+    spark: SparkSession,
+    base: str,
+    object_reference: bytes,
+    pulse_gte: int | None = None,
+    pulse_lte: int | None = None,
+    snapshot: dict | None = None,
+) -> DataFrame:
+    """The lifeline read path: records for ONE object, pruned to the
+    files whose obj_key zone can hold md5(object_reference) — the
+    parquet answer to the reference's composite B-tree index
+    records(object_reference, type, pulse_number, "order")
+    (migrations/migrations.go:54-80), which every lifeline query
+    walks. Without this, a no-pulse-bound lifeline scans every
+    micro-batch file in every bucket; with the (pulse_bucket,
+    obj_key)-clustered layout it opens ~1 file per bucket (pinned by
+    test_write_path::test_lifeline_read_opens_few_files).
+
+    Pruning is manifest-side (no filesystem LISTs) and always
+    conservative: files without obj_key stats (legacy layout) are
+    kept, and the object_reference equality filter is re-applied
+    row-level, so correctness never depends on the layout. Falls back
+    to the plain read for unmanifested warehouses."""
+    if snapshot is None and Mf.current_version(base) == 0:
+        df = read_table(spark, base, "records", pulse_gte, pulse_lte)
+        return df.filter(F.col("object_reference") == object_reference)
+    m = snapshot if snapshot is not None else Mf.read(base)
+    cols = [f.name for f in TABLE_SCHEMAS["records"].fields]
+    rels = m["families"].get("records", [])
+    lo_b = pulse_gte // PULSE_BUCKET_SIZE if pulse_gte is not None else None
+    hi_b = pulse_lte // PULSE_BUCKET_SIZE if pulse_lte is not None else None
+    if lo_b is not None or hi_b is not None:
+        rels = [
+            r
+            for r in rels
+            if (b := _rel_bucket(r)) is None
+            or ((lo_b is None or b >= lo_b) and (hi_b is None or b <= hi_b))
+        ]
+        rels = Mf.prune_by_stats(
+            m, "records", "pulse_number", lo=pulse_gte, hi=pulse_lte, rels=rels
+        )
+    k = obj_key_py(object_reference)
+    obj_buckets = _object_buckets(spark, base, m, k)
+    if obj_buckets is not None:
+        want = set(obj_buckets)
+        rels = [r for r in rels if (_rel_bucket(r) is None or _rel_bucket(r) in want)]
+    rels = Mf.prune_by_stats(m, "records", OBJ_KEY, lo=k, hi=k, rels=rels)
+    if not rels:
+        return spark.createDataFrame([], TABLE_SCHEMAS["records"])
+    df = _read_rels(spark, base, "records", rels)
+    df = df.filter(F.col("object_reference") == object_reference)
+    if pulse_gte is not None:
+        df = df.filter(F.col("pulse_number") >= pulse_gte)
+    if pulse_lte is not None:
+        df = df.filter(F.col("pulse_number") <= pulse_lte)
+    return df.select(*cols)
+
+
 def init_table(spark: SparkSession, base: str, name: str) -> None:
     """Create an empty partitioned table directory if absent (an
     absent table already reads as empty; this exists for layout
@@ -236,12 +479,27 @@ def _plan_and_stage(
     batch_keys: DataFrame,
     buckets: list[int],
     key_bucket_affinity: bool,
-) -> tuple[list[str], list[str]]:
+) -> tuple[list[str], dict[str, list[str]]]:
     """One table's share of a transactional upsert against a pinned
-    snapshot: stage the files, return (staged_rels, new_family_list).
-    Nothing is visible until the caller's manifest commit."""
+    snapshot: stage the files, return (staged_rels, {family:
+    new_file_list}) — records also stages its object-index sidecar
+    delta, so both publish in the caller's ONE manifest commit.
+    Nothing is visible until that commit."""
     keys = TABLE_KEYS[name]
     rels = snap["families"].get(name, [])
+
+    def _with_objidx(staged, fams):
+        if name != "records":
+            return staged, fams
+        delta = (
+            prep.select(obj_key_expr().alias(OBJ_KEY), "pulse_bucket")
+            .distinct()
+            .repartitionByRange(1, OBJ_KEY)
+            .sortWithinPartitions(OBJ_KEY)
+        )
+        irels = Mf.stage_df(delta, base, OBJIDX)
+        fams[OBJIDX] = snap["families"].get(OBJIDX, []) + irels
+        return staged + irels, fams
 
     if not key_bucket_affinity and rels:
         # Column-pruned key scan over the full table: any bucket that
@@ -279,14 +537,20 @@ def _plan_and_stage(
             .count()
         )
     if collisions == 0:
-        new_rels = Mf.stage_df(prep, base, name, partition_by="pulse_bucket")
-        return new_rels, rels + new_rels
+        new_rels = Mf.stage_df(
+            _layout(name, prep, len(buckets)), base, name,
+            partition_by="pulse_bucket",
+        )
+        return _with_objidx(new_rels, {name: rels + new_rels})
 
     kept = existing.join(F.broadcast(batch_keys), on=keys, how="left_anti")
     merged = kept.select(*prep.columns).unionByName(prep)
-    new_rels = Mf.stage_df(merged, base, name, partition_by="pulse_bucket")
+    new_rels = Mf.stage_df(
+        _layout(name, merged, len(buckets)), base, name,
+        partition_by="pulse_bucket",
+    )
     survivors = [r for r in rels if r not in set(touched)]
-    return new_rels, survivors + new_rels
+    return _with_objidx(new_rels, {name: survivors + new_rels})
 
 
 def upsert_many(
@@ -369,17 +633,31 @@ def upsert_many(
                 for name, r in results:
                     if r is None:
                         continue
-                    new_rels, family = r
+                    new_rels, fam_updates = r
                     staged.extend(new_rels)
-                    families[name] = family
+                    families.update(fam_updates)
                     changed = True
                 if not changed:
                     return
+                meta: dict = {"kind": "upsert"}
+                if (
+                    "records" in batches
+                    and not snap["families"].get("records")
+                ):
+                    # A fresh store's first records commit: the delta
+                    # IS full coverage, so the object index is
+                    # trustworthy from birth. Adopted legacy
+                    # warehouses must run build_object_index once.
+                    layout = dict(snap.get("meta", {}).get("layout", {}))
+                    layout["objidx"] = "full"
+                    meta["layout"] = layout
                 try:
                     Mf.commit(
                         base, families, expect_version=snap["version"],
-                        meta={"kind": "upsert"},
-                        stats=Mf.file_stats(base, staged, ["pulse_number"]),
+                        meta=meta,
+                        stats=Mf.file_stats(
+                            base, staged, ["pulse_number", OBJ_KEY]
+                        ),
                     )
                     return
                 except Mf.CommitConflict:
@@ -498,7 +776,8 @@ def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
             kept = tdf.filter(~F.coalesce(predicate, F.lit(False)))
             n_deleted = tdf.count() - kept.count()
             new_rels = Mf.stage_df(
-                kept, base, name, partition_by="pulse_bucket"
+                _layout(name, kept, len(hit_buckets)), base, name,
+                partition_by="pulse_bucket",
             )
             families = dict(snap["families"])
             families[name] = [
@@ -508,7 +787,9 @@ def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
                 Mf.commit(
                     base, families, expect_version=snap["version"],
                     meta={"kind": "delete"},
-                    stats=Mf.file_stats(base, new_rels, ["pulse_number"]),
+                    stats=Mf.file_stats(
+                        base, new_rels, ["pulse_number", OBJ_KEY]
+                    ),
                 )
                 return n_deleted
             except Mf.CommitConflict:
@@ -557,8 +838,20 @@ def compact_table(
             files_before = sum(len(fs) for fs in needy.values())
             touched = [r for fs in needy.values() for r in fs]
             df = _read_rels(spark, base, name, touched)
+            if name == "records":
+                # The OPTIMIZE pass for the lifeline read path: each
+                # compacted bucket lands as `max_files_per_bucket`
+                # files covering DISJOINT obj_key slices (range-
+                # partition on (bucket, obj_key) + in-file sort), so
+                # steady state an object-point read opens 1 file per
+                # bucket, not the bucket's whole accumulation.
+                compacted = _layout(
+                    name, df, len(needy) * max_files_per_bucket
+                )
+            else:
+                compacted = df.repartition("pulse_bucket")
             new_rels = Mf.stage_df(
-                df.repartition("pulse_bucket"),
+                compacted,
                 base,
                 name,
                 partition_by="pulse_bucket",
@@ -571,8 +864,16 @@ def compact_table(
                 Mf.commit(
                     base, families, expect_version=snap["version"],
                     meta={"kind": "compact", "data_change": False},
-                    stats=Mf.file_stats(base, new_rels, ["pulse_number"]),
+                    stats=Mf.file_stats(
+                        base, new_rels, ["pulse_number", OBJ_KEY]
+                    ),
                 )
+                if name == "records":
+                    # same OPTIMIZE cadence: fold the object-index
+                    # sidecar's per-commit delta files too
+                    maintain_object_index(
+                        spark, base, min_files=max_files_per_bucket + 1
+                    )
                 return {
                     "buckets_compacted": len(needy),
                     "files_before": files_before,

@@ -211,6 +211,36 @@ def measure(spark, base: str, scale: int, collector=None) -> dict:
     )
     assert len(rows) == 50, len(rows)
 
+    # -- lifeline: the object-point read (the reference's hottest
+    # index, records(object_reference, type, pulse, "order")). With
+    # the object-index sidecar + obj_key zone maps the read opens the
+    # object's OWN bucket files, so latency and input bytes stay FLAT
+    # while the table grows 100x. ------------------------------------
+    from block_explorer_spark.sources import manifest as Mf
+
+    if Mf.read(base).get("meta", {}).get("layout", {}).get("objidx") != "full":
+        P.build_object_index(spark, base)
+    obj = _ref(mid_pn, 10_000 + 3)
+
+    def lifeline():
+        return P.read_records_for_object(spark, base, obj).collect()
+
+    lrows = lifeline()  # warm plan
+    assert len(lrows) == RECS_PER_PULSE // len(JETS), len(lrows)
+    before = collector.totals() if collector else None
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        lifeline()
+    lifeline_ms = (time.perf_counter() - t0) / n_iter * 1000
+    lifeline_input_mb = (
+        round(collector.delta(before, collector.totals())["inputBytes"] / n_iter / 1e6, 2)
+        if collector else None
+    )
+    lifeline_files = len(
+        set(P.read_records_for_object(spark, base, obj).inputFiles())
+    )
+    total_files = len(Mf.read(base)["families"]["records"])
+
     # -- upsert: merge a fresh one-pulse batch ------------------------
     batch = gen_records(spark, 1, start_idx=n_pulses + 7)
     t0 = time.perf_counter()
@@ -239,6 +269,10 @@ def measure(spark, base: str, scale: int, collector=None) -> dict:
         "records": total,
         "page_ms": round(page_ms, 1),
         "page_input_mb": page_input_mb,
+        "lifeline_ms": round(lifeline_ms, 1),
+        "lifeline_input_mb": lifeline_input_mb,
+        "lifeline_files": lifeline_files,
+        "records_files_total": total_files,
         "upsert_s": round(upsert_s, 2),
         "scan_s": round(scan_s, 2),
         "scan_input_mb": scan_input_mb,

@@ -247,7 +247,7 @@ def test_cdc_hll_sketch_state_tracks_delta(spark, tmp_path):
     b2 = [(i, filler(f"b{i}"), "en", "web") for i in range(10, 15)]
     cs.ingest(spark, base, spark.createDataFrame(b2, COLS))
     cs.delete_where(spark, base, F.col("doc_id") == 3)
-    s = cdc.hll_sync(spark, base, state)
+    s = cdc.hll_sync(spark, base, state, on_delete="keep")
     assert s["n_changes"] == 5  # delete rows filtered out
     ever += [t for _, t, _, _ in b2]
     assert got_regs() == expected_regs(ever)
@@ -258,7 +258,7 @@ def test_cdc_hll_sketch_state_tracks_delta(spark, tmp_path):
     assert abs(est - true) / true < 0.10
 
     # caught-up sync is a no-op
-    assert cdc.hll_sync(spark, base, state)["n_changes"] == 0
+    assert cdc.hll_sync(spark, base, state, on_delete="keep")["n_changes"] == 0
 
     # retention: vacuum past the checkpoint -> loud -> resync recovers
     cs.ingest(
@@ -273,7 +273,7 @@ def test_cdc_hll_sketch_state_tracks_delta(spark, tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="hll_resync"):
-        cdc.hll_sync(spark, base, state)
+        cdc.hll_sync(spark, base, state, on_delete="keep")
     cdc.hll_resync(spark, base, state)
     live_texts = [r["text"] for r in cs.read_corpus(spark, base).collect()]
     assert got_regs() == expected_regs(live_texts)
@@ -308,3 +308,52 @@ def test_cdc_mirror_folds_run_stack(spark, tmp_path):
         if os.path.isdir(os.path.join(state, n))
     }
     assert on_disk == set(ck["runs"])
+
+
+def test_cdc_hll_delete_triggers_epoch_rebuild(spark, tmp_path):
+    """Default delete semantics: HLL registers cannot decrement, so a
+    delete-bearing change window forces an epoch rebuild from the
+    snapshot — loudly ({"rebuilt": True}) — and after EVERY sync the
+    persisted estimate equals the batch hll_distinct over the LIVE
+    corpus."""
+    from block_explorer_spark.operators import sketches as SK
+    from block_explorer_spark.sources import cdc_consumer as cdc
+
+    base = str(tmp_path / "corpus")
+    state = str(tmp_path / "sketch")
+    COLS = ["doc_id", "text", "lang", "source"]
+    filler = lambda tag, n=40: " ".join(f"{tag}w{i}" for i in range(n))
+
+    def batch_estimate():
+        toks = cs.read_corpus(spark, base).select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        )
+        regs = SK.hll_registers(toks, "tok", p=cdc.HLL_P)
+        rows = SK.hll_estimate(regs, (), p=cdc.HLL_P).collect()
+        return float(rows[0]["hll_estimate"]) if rows else 0.0
+
+    cs.ingest(spark, base, spark.createDataFrame(
+        [(i, filler(f"a{i}"), "en", "web") for i in range(1, 8)], COLS))
+    s = cdc.hll_sync(spark, base, state)
+    assert "rebuilt" not in s
+    assert cdc.hll_estimate_tokens(spark, state) == batch_estimate()
+
+    # pure-insert round: incremental merge, no rebuild
+    cs.ingest(spark, base, spark.createDataFrame(
+        [(i, filler(f"b{i}"), "en", "web") for i in range(10, 14)], COLS))
+    s = cdc.hll_sync(spark, base, state)
+    assert "rebuilt" not in s and s["n_changes"] == 4
+    assert cdc.hll_estimate_tokens(spark, state) == batch_estimate()
+
+    # delete-bearing round: loud epoch rebuild, estimate tracks LIVE
+    cs.delete_where(spark, base, F.col("doc_id") <= 3)
+    s = cdc.hll_sync(spark, base, state)
+    assert s.get("rebuilt") is True
+    assert cdc.hll_estimate_tokens(spark, state) == batch_estimate()
+
+    # and the next insert round goes back to delta-cost merging
+    cs.ingest(spark, base, spark.createDataFrame(
+        [(20, filler("c20"), "en", "web")], COLS))
+    s = cdc.hll_sync(spark, base, state)
+    assert "rebuilt" not in s and s["n_changes"] == 1
+    assert cdc.hll_estimate_tokens(spark, state) == batch_estimate()

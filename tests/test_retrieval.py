@@ -203,3 +203,118 @@ class TestPostingsIndex:
             R.bm25_search_indexed(spark, str(tmp_path / "nope"), ["x"])
         with _pt.raises(ValueError):
             R.bm25_search_indexed(spark, base, [])
+
+
+class TestIncrementalIndex:
+    def _docs(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("w"), (F.col("id") % 97).cast("string"),
+                F.lit(" common filler w"), (F.col("id") % 13).cast("string"),
+            ).alias("text"),
+        )
+
+    def test_append_built_index_serves_full_corpus_scores(self, spark, tmp_path):
+        """write_postings_index on 60% of the corpus + index_append of
+        the remaining 40% must serve scores bit-identical to the batch
+        BM25 over the FULL corpus (n / Σdl fold exactly)."""
+        base = str(tmp_path / "inc")
+        full = self._docs(spark, 0, 1000)
+        R.write_postings_index(self._docs(spark, 0, 600), base, num_files=8)
+        R.index_append(self._docs(spark, 600, 1000), base, num_files=2)
+        terms = ["w5", "w40"]
+        batch = {(r["doc_id"], r["score"])
+                 for r in R.bm25_topk(full, terms, topk=15).collect()}
+        idx = {(r["doc_id"], r["score"])
+               for r in R.bm25_search_indexed(spark, base, terms, topk=15).collect()}
+        assert idx == batch and idx
+
+    def test_append_cost_proportional_to_delta(self, spark, tmp_path):
+        """No bulk postings file is rewritten by an append: the bulk
+        relpaths survive verbatim and only the delta's files join the
+        family (+ the tail list tracks them for maintenance)."""
+        from block_explorer_spark.sources import manifest as M
+
+        base = str(tmp_path / "delta")
+        R.write_postings_index(self._docs(spark, 0, 800), base, num_files=8)
+        bulk = set(M.read(base)["families"]["postings"])
+        R.index_append(self._docs(spark, 800, 820), base, num_files=2)
+        m = M.read(base)
+        after = set(m["families"]["postings"])
+        assert bulk <= after
+        new = after - bulk
+        assert 0 < len(new) <= 2
+        assert set(m["meta"]["bm25"]["tail"]) == new
+
+    def test_maintain_folds_tail_scores_identical(self, spark, tmp_path):
+        from block_explorer_spark.sources import manifest as M
+
+        base = str(tmp_path / "maint")
+        R.write_postings_index(self._docs(spark, 0, 400), base, num_files=4)
+        for s in range(4):
+            R.index_append(
+                self._docs(spark, 400 + s * 50, 400 + (s + 1) * 50),
+                base, num_files=2,
+            )
+        assert R.index_maintain(spark, base, min_tail_files=9) is None
+        before = {(r["doc_id"], r["score"]) for r in
+                  R.bm25_search_indexed(spark, base, ["w5", "w40"]).collect()}
+        n_before = len(M.read(base)["families"]["postings"])
+        assert R.index_maintain(spark, base, min_tail_files=8) is not None
+        m = M.read(base)
+        assert m["meta"]["bm25"]["tail"] == []
+        assert len(m["families"]["postings"]) < n_before
+        after = {(r["doc_id"], r["score"]) for r in
+                 R.bm25_search_indexed(spark, base, ["w5", "w40"]).collect()}
+        assert after == before and after
+
+    def test_denormalized_serving_plan_has_no_join(self, spark, tmp_path):
+        """dl rides in the posting rows, so the serving plan is scan →
+        pivot-aggregate → top-k: zero joins for ANY term df — the
+        unbounded matched-doc broadcast cannot exist."""
+        base = str(tmp_path / "nojoin")
+        R.write_postings_index(self._docs(spark, 0, 500), base, num_files=4)
+        df = R.bm25_search_indexed(spark, base, ["common"], topk=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+
+    def test_legacy_layout_bounds_the_broadcast(self, spark, tmp_path):
+        """Pre-denormalization layout: the matched-doc broadcast is
+        forced only while Σdf ≤ broadcast_limit; a corpus-wide term
+        above the limit gets a plain shuffled join — same scores."""
+        base = str(tmp_path / "legacy")
+        R.write_postings_index(
+            self._docs(spark, 0, 500), base, num_files=4, denormalize_dl=False
+        )
+        lo = R.bm25_search_indexed(spark, base, ["common"], topk=5,
+                                   broadcast_limit=10)
+        hi = R.bm25_search_indexed(spark, base, ["common"], topk=5)
+        lo_plan = lo._jdf.queryExecution().optimizedPlan().toString()
+        hi_plan = hi._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in lo_plan, lo_plan
+        assert "strategy=broadcast" in hi_plan, hi_plan
+        assert sorted(map(tuple, lo.collect())) == sorted(map(tuple, hi.collect()))
+
+    def test_index_commit_preserves_foreign_meta(self, spark, tmp_path):
+        """A postings index committed into a base that already holds a
+        z-order layout must not clobber meta['zorder'] (and the
+        reverse) — the writers merge, never replace."""
+        from block_explorer_spark.operators import zorder as Z
+        from block_explorer_spark.sources import manifest as M
+
+        base = str(tmp_path / "shared")
+        ev = spark.range(200).select(
+            F.col("id"), (F.col("id") % 16).alias("a"), (F.col("id") % 7).alias("b")
+        )
+        Z.cluster_write(ev, base, "events_z", ["a", "b"], bits=6, num_files=4)
+        R.write_postings_index(self._docs(spark, 0, 100), base, num_files=2)
+        m = M.read(base)
+        assert "events_z" in m["meta"]["zorder"]
+        assert m["meta"]["bm25"]["n"] == 100
+        Z.cluster_append(
+            ev.withColumn("id", F.col("id") + 1000), base, "events_z", num_files=1
+        )
+        m2 = M.read(base)
+        assert m2["meta"]["bm25"]["n"] == 100  # zorder writer kept bm25 meta
+        assert len(m2["meta"]["zorder"]["events_z"]["tail"]) == 1

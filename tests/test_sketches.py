@@ -307,3 +307,49 @@ class TestKMVSetAlgebra:
             SK.kmv_signature(empty, "k"), SK.kmv_signature(empty, "k")
         )
         assert st0 == {"union_est": 0, "inter_est": 0, "jacc_bp": 0}
+
+
+class TestBloomEdgeCases:
+    def test_duplicate_probe_rows_never_false_negative(self, spark):
+        """A duplicated (id, fp) probe row contributes 2k exploded
+        rows; counting rows instead of distinct seeds used to reach
+        2k != k and DROP a true member — a false negative, the one
+        thing a bloom filter must never do."""
+        members = spark.range(0, 50).select(
+            F.concat(F.lit("fp"), F.col("id")).alias("fp")
+        )
+        one = spark.range(0, 50).select(
+            F.lit(7).alias("pid"), F.concat(F.lit("fp"), F.col("id")).alias("fp")
+        )
+        probe = one.union(one)  # every (pid, fp) appears twice
+        pos = SK.bloom_positions(members, "fp", k=3, m_bits=1 << 16)
+        got = SK.bloom_probe(probe, "pid", "fp", pos, k=3, m_bits=1 << 16).collect()
+        assert [(r["pid"], r["n_hits"]) for r in got] == [(7, 50)]
+        # and the bitmap tier agrees on the duplicated input
+        bm = SK.bloom_bitmap(pos, m_bits=1 << 16)
+        got2 = SK.bloom_probe_bitmap(
+            probe, "pid", "fp", bm, k=3, m_bits=1 << 16
+        ).collect()
+        assert [(r["pid"], r["n_hits"]) for r in got2] == [(7, 50)]
+
+    def test_null_keys_match_plain_join_semantics(self, spark):
+        """NULL join keys: an inner join drops them, so the prefilter
+        must too — previously a NULL build key crashed bloom_bitmap's
+        np.fromiter and a NULL probe key crashed bitmap_member."""
+        left = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "id long, k string"
+        )
+        right = spark.createDataFrame(
+            [("a", "x"), (None, "y"), ("c", "z")], "k string, v string"
+        )
+        plain = sorted(tuple(r) for r in left.join(right, "k").collect())
+        bloomed = sorted(
+            tuple(r)
+            for r in SK.bloom_prefilter_join(
+                left.select("k", "id"), right, "k", m_bits=1 << 16
+            ).collect()
+        )
+        assert bloomed == sorted(
+            tuple(r) for r in left.select("k", "id").join(right, "k").collect()
+        )
+        assert len(plain) == 2  # sanity: NULLs joined nothing

@@ -299,3 +299,60 @@ def test_group_spool_replayed_batch_dedups(spark, tmp_path):
     assert P.flush_pending(spark, base, ckpt) == 12  # raw rows, pre-dedup
     assert pq.read_table(spark, base, "records").count() == 6
     assert pq.read_table(spark, base, "pulses").count() == 1
+
+
+def test_streaming_ingest_lands_clustered_lifeline_layout(spark, tmp_path):
+    """Round-8 item: the ingest stream's micro-batches land records
+    with the (pulse_bucket, obj_key) layout + object-index sidecar
+    ALREADY applied (it is the staging path, not a post-pass), so a
+    lifeline read is pruned and correct MID-STREAM; a periodic
+    compact + sidecar maintain folds the accumulation without
+    changing any answer."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    batches = [
+        _raw_pulse_batch(40 + i, 4_000_000 + 1000 * i, ("0", "1"),
+                         recs_per_jet=4)
+        for i in range(6)
+    ]
+    for rows in batches[:4]:
+        spark.createDataFrame(rows, schemas.RAW_RECORDS).write.mode(
+            "append"
+        ).parquet(src)
+    q = P.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    m = Mf.read(base)
+    assert m["meta"]["layout"]["objidx"] == "full"
+    assert m["families"].get(pq.OBJIDX), "sidecar commits with the stream"
+
+    # mid-stream lifeline: object from batch 2 (jet "1"), activate is
+    # dropped from obj linkage? no — amends chain on the same obj
+    target_obj = batches[2][4]["object_reference"]  # jet "1" chain
+    want = sum(1 for r in batches[2] if r["object_reference"] == target_obj)
+    out = pq.read_records_for_object(spark, base, target_obj)
+    assert out.count() == want
+    assert len(set(out.inputFiles())) <= 2  # routed to its own bucket
+
+    # two more micro-batches land, then the OPTIMIZE cadence folds
+    for rows in batches[4:]:
+        spark.createDataFrame(rows, schemas.RAW_RECORDS).write.mode(
+            "append"
+        ).parquet(src)
+    q2 = P.start_ingest_stream(spark, src, base, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    pq.compact_table(spark, base, "records", max_files_per_bucket=1)
+    pq.maintain_object_index(spark, base, min_files=2)
+
+    out2 = pq.read_records_for_object(spark, base, target_obj)
+    assert out2.count() == want
+    assert len(set(out2.inputFiles())) <= 2
+    # an object from a post-compact batch is found through the sidecar
+    late_obj = batches[5][0]["object_reference"]
+    late_want = sum(1 for r in batches[5]
+                    if r["object_reference"] == late_obj)
+    assert pq.read_records_for_object(spark, base, late_obj).count() == late_want

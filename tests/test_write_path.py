@@ -627,3 +627,170 @@ def test_zone_maps_prune_files_within_bucket(spark, base):
     )
     assert span.count() == 3
     assert len(set(span.inputFiles())) < len(all_rels)
+
+
+def test_lifeline_read_opens_few_files(spark, base):
+    """The records table's answer to the reference's workhorse index
+    records(object_reference, type, pulse_number, "order")
+    (migrations/migrations.go:54-80): files are (pulse_bucket,
+    obj_key)-clustered, the manifest carries per-file obj_key zones,
+    and a NO-pulse-bound lifeline read opens ~1 file per bucket —
+    not every micro-batch file the table accumulated."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    buckets_pulses = [4_000_000, 4_001_000, 4_002_000]
+    lifes = [
+        gen.make_lifeline(seed=100 + i, pulses=buckets_pulses,
+                          records_per_pulse=4)
+        for i in range(16)
+    ]
+    # 8 micro-batches of 2 objects: every batch touches all 3 buckets
+    for b in range(8):
+        rows = [r for life in lifes[2 * b:2 * b + 2] for r in life.records]
+        pq.upsert(spark, base, "records",
+                  spark.createDataFrame(rows, schemas.RECORDS))
+
+    target = lifes[5]
+    want = sorted(
+        r["reference"]
+        for r in pq.read_table(spark, base, "records")
+        .filter(F.col("object_reference") == target.object_reference)
+        .collect()
+    )
+    assert len(want) == len(target.records)
+
+    # pre-compact: micro-batch files span wide obj_key ranges, so
+    # pruning is weak — but the read is CORRECT regardless of layout
+    pre = pq.read_records_for_object(spark, base, target.object_reference)
+    assert sorted(r["reference"] for r in pre.collect()) == want
+
+    # OPTIMIZE: each bucket folds into 4 disjoint obj_key slices
+    pq.compact_table(spark, base, "records", max_files_per_bucket=4)
+    m = Mf.read(base)
+    total = len(m["families"]["records"])
+    assert total >= 9  # 3 buckets x >=3 slices survived
+    assert all(pq.OBJ_KEY in m["stats"][r] for r in m["families"]["records"])
+
+    post = pq.read_records_for_object(spark, base, target.object_reference)
+    assert sorted(r["reference"] for r in post.collect()) == want
+    opened = len(set(post.inputFiles()))
+    # ~1 slice per bucket: strictly fewer than a third of the table
+    assert opened <= 3, (opened, total)
+    assert opened * 3 <= total, (opened, total)
+
+    # pulse-bounded lifeline prunes buckets on top of obj_key slices
+    bounded = pq.read_records_for_object(
+        spark, base, target.object_reference,
+        pulse_gte=4_001_000, pulse_lte=4_001_999,
+    )
+    assert bounded.count() == 4
+    assert len(set(bounded.inputFiles())) <= 1 + 0 * total
+
+
+def test_upsert_commit_preserves_persistent_meta(spark, base):
+    """manifest.commit carries persistent namespaces (zorder/bm25/...)
+    forward when a commit's meta doesn't set them — an upsert's
+    {"kind": "upsert"} must never destroy a layout another writer
+    committed into the same base."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    pq.save_pulse(
+        spark, base,
+        spark.createDataFrame(gen.make_pulses(count=2), schemas.PULSES),
+    )
+    snap = Mf.read(base)
+    Mf.commit(base, snap["families"], snap["version"],
+              meta={"kind": "layout", "bm25": {"n": 7, "sum_dl": 70}})
+    pq.save_pulse(
+        spark, base,
+        spark.createDataFrame(
+            gen.make_pulses(start=9_000_000, count=1), schemas.PULSES
+        ),
+    )
+    m = Mf.read(base)
+    assert m["meta"]["kind"] == "upsert"  # per-commit meta is fresh
+    assert m["meta"]["bm25"] == {"n": 7, "sum_dl": 70}  # persistent carried
+
+
+def test_object_index_makes_lifeline_flat_and_safe(spark, base):
+    """The object-index sidecar (records_objidx): a no-pulse-bound
+    lifeline read opens ~the object's OWN buckets, not one file per
+    bucket of the whole table — the flat-latency property of the
+    reference's B-tree. And an ADOPTED legacy warehouse must not
+    trust a partial sidecar: until build_object_index runs, reads
+    fall back to conservative pruning and still find legacy rows."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    # 12 buckets; each object lives in exactly ONE bucket
+    for b in range(12):
+        life = gen.make_lifeline(
+            seed=500 + b, pulses=[4_000_000 + 1000 * b], records_per_pulse=5
+        )
+        pq.upsert(spark, base, "records",
+                  spark.createDataFrame(life.records, schemas.RECORDS))
+    m = Mf.read(base)
+    assert m["meta"]["layout"]["objidx"] == "full"
+    total = len(m["families"]["records"])
+    assert total >= 12
+
+    target = gen.make_lifeline(
+        seed=500 + 7, pulses=[4_000_000 + 7000], records_per_pulse=5
+    )
+    out = pq.read_records_for_object(spark, base, target.object_reference)
+    assert out.count() == len(target.records)
+    # sidecar routed the read to the object's single bucket
+    assert len(set(out.inputFiles())) <= 2, out.inputFiles()
+
+    # unknown object: provably absent via the sidecar, zero files read
+    ghost = pq.read_records_for_object(spark, base, b"\xde\xad" * 16)
+    assert ghost.count() == 0
+
+    # legacy-adoption safety: a store whose records PREDATE the
+    # sidecar must not trust the partial index
+    import os
+    legacy = base + "_legacy"
+    rows = target.records
+    spark.createDataFrame(rows, schemas.RECORDS).transform(
+        pq.with_bucket
+    ).write.partitionBy("pulse_bucket").parquet(
+        os.path.join(legacy, "records")
+    )
+    other = gen.make_lifeline(seed=900, pulses=[4_100_000], records_per_pulse=3)
+    pq.upsert(spark, legacy, "records",
+              spark.createDataFrame(other.records, schemas.RECORDS))
+    m2 = Mf.read(legacy)
+    assert m2["meta"].get("layout", {}).get("objidx") != "full"
+    # the legacy object is still found (conservative fallback)
+    got = pq.read_records_for_object(spark, legacy, target.object_reference)
+    assert got.count() == len(target.records)
+    # one full build flips the flag and indexes everything
+    pq.build_object_index(spark, legacy)
+    assert Mf.read(legacy)["meta"]["layout"]["objidx"] == "full"
+    got2 = pq.read_records_for_object(spark, legacy, target.object_reference)
+    assert got2.count() == len(target.records)
+    assert pq.read_records_for_object(
+        spark, legacy, other.object_reference
+    ).count() == len(other.records)
+
+
+def test_object_index_maintain_folds_deltas(spark, base):
+    from block_explorer_spark.sources import manifest as Mf
+
+    for b in range(10):
+        life = gen.make_lifeline(
+            seed=700 + b, pulses=[4_000_000 + 100 * b], records_per_pulse=2
+        )
+        pq.upsert(spark, base, "records",
+                  spark.createDataFrame(life.records, schemas.RECORDS))
+    m = Mf.read(base)
+    assert len(m["families"][pq.OBJIDX]) == 10  # one delta per upsert
+    assert pq.maintain_object_index(spark, base, min_files=8) is not None
+    m2 = Mf.read(base)
+    assert len(m2["families"][pq.OBJIDX]) <= 4
+    # answers unchanged through the fold
+    life = gen.make_lifeline(
+        seed=700 + 3, pulses=[4_000_300], records_per_pulse=2
+    )
+    assert pq.read_records_for_object(
+        spark, base, life.object_reference
+    ).count() == len(life.records)
