@@ -483,9 +483,33 @@ def bm25_search_indexed(
     }
     idf = idf_weights(n, {t: int(dfs.get(t, 0)) for t in terms})
     if denorm:
-        # dl is functionally dependent on doc_id, so grouping by both
-        # keeps it through the pivot: zero joins in the serving plan.
-        scored = post.groupBy("doc_id", "dl").pivot("token", list(terms)).sum("tf")
+        # dl rides in every posting row, so each posting's score
+        # CONTRIBUTION — idf_t · tf·(k1+1)/(tf + norm(dl)), the exact
+        # per-term expression the batch path evaluates — is computed
+        # JVM-side BEFORE the shuffle; the pivot then moves one double
+        # per posting (vs tf+dl) and groups by doc_id alone. Each
+        # (doc_id, token) is unique by the index contract, so the
+        # pivot's sum is a singleton (no float accumulation), and the
+        # final column sum runs in the same fixed left-to-right term
+        # order as bm25_topk — scores stay bit-identical, with ZERO
+        # joins for any term df.
+        norm_row = F.lit(k1) * (
+            F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+        )
+        idf_col = F.lit(None).cast("double")
+        for t in terms:
+            idf_col = F.when(F.col("token") == t, F.lit(idf[t])).otherwise(idf_col)
+        tf_row = F.col("tf").cast("double")
+        contrib = idf_col * (tf_row * F.lit(k1 + 1.0) / (tf_row + norm_row))
+        scored = (
+            post.withColumn("__c", contrib)
+            .groupBy("doc_id")
+            .pivot("token", list(terms))
+            .sum("__c")
+        )
+        score = F.lit(0.0)
+        for t in terms:
+            score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
     else:
         pivoted = post.groupBy("doc_id").pivot("token", list(terms)).sum("tf")
         dl = spark.read.parquet(
@@ -496,11 +520,11 @@ def bm25_search_indexed(
             scored = dl.join(F.broadcast(pivoted), "doc_id")
         else:
             scored = dl.join(pivoted, "doc_id")
-    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-    score = F.lit(0.0)
-    for t in terms:
-        tf = F.coalesce(F.col(f"`{t}`").cast("double"), F.lit(0.0))
-        score = score + F.lit(idf[t]) * (tf * F.lit(k1 + 1.0) / (tf + norm))
+        norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        score = F.lit(0.0)
+        for t in terms:
+            tf = F.coalesce(F.col(f"`{t}`").cast("double"), F.lit(0.0))
+            score = score + F.lit(idf[t]) * (tf * F.lit(k1 + 1.0) / (tf + norm))
     return (
         scored.select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))

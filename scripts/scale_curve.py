@@ -403,6 +403,69 @@ def main() -> None:
 
     qs["bm25_indexed"] = bm25_indexed
 
+    def _bm25_store_base(sf_dir_):
+        return (
+            os.path.join(args.root, "x1_bm25_store")
+            if sf_dir_.startswith("/root/testdata")
+            else os.path.join(sf_dir_, "bm25_store")
+        )
+
+    def _bm25_store_ensure(spark_, sf_dir_):
+        from block_explorer_spark.operators import retrieval as R
+        from block_explorer_spark.sources import manifest as Mf_
+
+        base_ = _bm25_store_base(sf_dir_)
+        if Mf_.current_version(base_) == 0:
+            docs = spark_.read.parquet(
+                os.path.join(sf_dir_, "documents.parquet")
+            )
+            R.write_postings_index(docs, base_, num_files=32)
+        return base_
+
+    def bm25_indexed_store(spark_, sf_dir_):
+        """The PRODUCTION serving path (q120/q121): the
+        write_postings_index manifest store with dl DENORMALIZED into
+        the posting rows — the probe plan is pruned-scan → pivot →
+        top-k with ZERO joins (round 7's curve named the doclen join
+        as the residual growth term; this row measures the
+        flattening). The one-time build is cached behind the manifest
+        and runs OUTSIDE the timed window (pre-call below)."""
+        from block_explorer_spark.operators import retrieval as R
+
+        base_ = _bm25_store_ensure(spark_, sf_dir_)
+        return R.bm25_search_indexed(
+            spark_, base_, ["tok00001", "tok00400", "tok20000"], topk=25
+        )
+
+    qs["bm25_indexed_store"] = bm25_indexed_store
+
+    def bm25_index_refresh(spark_, sf_dir_):
+        """Round-8 incremental maintenance: +1% fresh docs folded into
+        the committed index via index_append — tokenize the delta,
+        stage it as an LSM tail, ONE CAS commit; no bulk file is read
+        or rewritten, so the measured cost tracks the DELTA (near-
+        constant per delta-doc across x1→x100) while a full rebuild
+        tracks the corpus. Fresh doc_ids per invocation (offset by
+        committed version), honoring index_append's append-only
+        contract."""
+        from block_explorer_spark.operators import retrieval as R
+        from block_explorer_spark.sources import manifest as Mf_
+
+        base_ = _bm25_store_ensure(spark_, sf_dir_)
+        meta_ = Mf_.read(base_)
+        n_corpus = meta_["meta"]["bm25"]["n"]
+        n_delta = max(50, n_corpus // 100)
+        off = (meta_["version"] + 1) * 10**12
+        delta = gen_documents(spark_, n_delta, seed=1000 + meta_["version"]).withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(off)).cast("long")
+        )
+        v = R.index_append(delta, base_, num_files=2)
+        return spark_.range(1).select(
+            F.lit(v).alias("version"), F.lit(n_delta).alias("n_delta")
+        )
+
+    qs["bm25_index_refresh"] = bm25_index_refresh
+
     def pagerank_5it(spark_, sf_dir_):
         """q116's operator at scale over a deterministic power-law-ish
         graph derived from doc_id (each doc points at 3 hubs: id div
@@ -456,6 +519,8 @@ def main() -> None:
                 # build/cache the index OUTSIDE the timed window — the
                 # cell measures probe latency, not the one-time build
                 qs[name](spark, sf_dir).count()
+            elif name == "bm25_indexed_store":
+                _bm25_store_ensure(spark, sf_dir)  # untimed build
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.perf_counter()

@@ -56,6 +56,13 @@ def main() -> None:
         "feed's cost tracks the delta, not the corpus (round 7)",
     )
     ap.add_argument(
+        "--cdc-hll", action="store_true",
+        help="run the persisted-sketch consumer (cdc_consumer.hll_sync) "
+        "after every round and record its per-round cost — flat when "
+        "merging the delta's registers tracks the delta, not the "
+        "corpus (round 8)",
+    )
+    ap.add_argument(
         "--substr-window", type=int, default=None,
         help="enable the incremental ExactSubstr tier (round 6): each "
         "round probes the persisted whash sidecar and appends the "
@@ -78,8 +85,10 @@ def main() -> None:
 
         per_round = []
         mirror_round = []
+        hll_round = []
         compact_sec = []
         mirror_state = base + "_mirror"
+        hll_state = base + "_hll"
         for r in range(args.rounds):
             b = _batch(spark, 1 + r * args.docs, args.docs)
             t0 = time.perf_counter()
@@ -95,6 +104,14 @@ def main() -> None:
                 mirror_round.append(round(time.perf_counter() - t0, 2))
                 assert s["n_changes"] == args.docs, s
                 print(f"# mirror sync {r}: {mirror_round[-1]}s", file=sys.stderr)
+            if args.cdc_hll:
+                from block_explorer_spark.sources import cdc_consumer as cdc
+
+                t0 = time.perf_counter()
+                s = cdc.hll_sync(spark, base, hll_state)
+                hll_round.append(round(time.perf_counter() - t0, 2))
+                assert s["n_changes"] == args.docs, s
+                print(f"# hll sync {r}: {hll_round[-1]}s", file=sys.stderr)
             if args.compact_every and (r + 1) % args.compact_every == 0:
                 t0 = time.perf_counter()
                 n_files = cs.compact(spark, base)
@@ -122,6 +139,8 @@ def main() -> None:
             if args.cdc_mirror
             else {}
         )
+        if args.cdc_hll:
+            out_extra["hll_sync_sec_per_round"] = hll_round
         if args.compact_every:
             out_extra["compact_every"] = args.compact_every
             out_extra["compact_sec"] = compact_sec
