@@ -2694,6 +2694,65 @@ def q121_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q122: the lifeline-store gate reads events mapped into the records
+#: schema. Derivations are integer-exact so the oracle replays them.
+LIFELINE_USER = 42
+
+
+def q122_lifeline_store(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-8 lifeline path END TO END, hash-certified: events
+    mapped into the records schema (reference = event_id bytes,
+    object_reference = user_id bytes, pulse = 4M + event_id div 100,
+    order = event_id mod 100), ingested through the transactional
+    upsert in four batches (each staging the (pulse_bucket, obj_key)
+    layout + the object-index sidecar in one CAS swap,
+    sources/parquet.py), compacted into obj_key slices, then ONE
+    user's no-pulse-bound lifeline served via
+    read_records_for_object — sidecar bucket lookup + obj_key zone
+    pruning + row-level equality — and decoded back to integers the
+    DuckDB oracle reproduces from the raw events table. The reference
+    behavior this certifies: the records(object_reference, ...)
+    composite-index read (migrations/migrations.go:54-80,
+    storage.go:258-283)."""
+    from block_explorer_spark import schemas as Sc
+    from block_explorer_spark.sources import parquet as PQ
+
+    ev = _t(spark, sf, "events")
+
+    def _build(b: str) -> None:
+        recs = ev.select(
+            F.expr("unhex(lpad(hex(event_id), 16, '0'))").alias("reference"),
+            F.lit("state").alias("type"),
+            F.expr("unhex(lpad(hex(user_id), 16, '0'))").alias(
+                "object_reference"
+            ),
+            F.lit(b"p").alias("prototype_reference"),
+            F.lit(b"x").alias("payload"),
+            F.lit(None).cast("binary").alias("prev_record_reference"),
+            F.lit(b"h").alias("hash"),
+            F.lit(b"r").alias("raw_data"),
+            F.lit("0").alias("jet_id"),
+            (F.lit(4_000_000) + F.expr("event_id div 100")).cast("long").alias(
+                "pulse_number"
+            ),
+            (F.col("event_id") % 100).cast("int").alias("order"),
+            F.lit(1_600_000_000).cast("long").alias("timestamp"),
+        ).select(*[f.name for f in Sc.RECORDS.fields])
+        for q in range(4):
+            PQ.upsert(spark, b, "records",
+                      recs.filter(F.col("pulse_number") % 4 == q))
+        PQ.compact_table(spark, b, "records", max_files_per_bucket=2)
+
+    base = _gate_store("lifeline-store", sf, _build)
+    obj = LIFELINE_USER.to_bytes(8, "big")
+    out = PQ.read_records_for_object(spark, base, obj)
+    return out.select(
+        F.conv(F.hex(F.col("reference")), 16, 10).cast("long").alias("event_id"),
+        "pulse_number",
+        F.col("order").cast("long").alias("ord"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2827,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_proximity_search": q119_proximity_search,
         "q120_bm25_indexed": q120_bm25_indexed,
         "q121_bm25_incremental": q121_bm25_incremental,
+        "q122_lifeline_store": q122_lifeline_store,
     }
 
 
@@ -4828,6 +4888,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q120_bm25_indexed": _bm25_oracle(),
         "q121_bm25_incremental": _bm25_oracle(),
+        "q122_lifeline_store": f"""
+            SELECT event_id,
+                   CAST(4000000 + event_id // 100 AS BIGINT) AS pulse_number,
+                   CAST(event_id % 100 AS BIGINT) AS ord
+            FROM events
+            WHERE user_id = {LIFELINE_USER}
+        """,
         "q119_proximity_search": """
             WITH toks AS (
               SELECT doc_id,

@@ -284,6 +284,36 @@ def read_table(
     return df.select(*cols)
 
 
+def read_record_by_reference(
+    spark: SparkSession,
+    base: str,
+    reference: bytes,
+    pulse: int | None = None,
+    snapshot: dict | None = None,
+) -> DataFrame:
+    """Point lookup by record reference — the reference system's PK
+    B-tree read (records.reference, migrations/migrations.go:54-80).
+
+    In the reference's data model a record ID EMBEDS its pulse number
+    (insolar.ID = [pulse | hash]; test/heavymock uses
+    `Record.ID.Pulse()` throughout), so a deployment whose references
+    follow that layout passes `pulse=` (or derives it with
+    `int.from_bytes(ref[:4], "big")`) and the lookup prunes to ONE
+    bucket's files by pulse zone maps — constant cost at any table
+    size, like the B-tree. Without `pulse` the reference bytes are
+    treated as opaque (the engine's schema makes no layout promise —
+    test fixtures use random bytes) and the lookup is an honest
+    column-pruned scan with the equality filter pushed to every
+    footer. Never guesses: a wrong parsed pulse would wrongly prove
+    absence, so the derivation is opt-in by the caller who knows the
+    deployment's layout."""
+    df = read_table(
+        spark, base, "records",
+        pulse_gte=pulse, pulse_lte=pulse, snapshot=snapshot,
+    )
+    return df.filter(F.col("reference") == reference)
+
+
 def build_object_index(spark: SparkSession, base: str) -> int:
     """Full (re)build of the records object-index sidecar — the one
     scan that makes an ADOPTED legacy warehouse lifeline-indexed (a

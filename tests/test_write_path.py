@@ -794,3 +794,44 @@ def test_object_index_maintain_folds_deltas(spark, base):
     assert pq.read_records_for_object(
         spark, base, life.object_reference
     ).count() == len(life.records)
+
+
+def test_record_point_lookup_prunes_with_embedded_pulse(spark, base):
+    """get_record at warehouse scale: the reference system's record
+    IDs embed the pulse (Record.ID.Pulse()), so a caller that knows
+    the layout passes pulse= and the lookup opens one bucket's
+    covering file(s); opaque references get a correct full scan."""
+    for b in range(6):
+        pn = 4_000_000 + 1000 * b
+        rows = []
+        for i in range(10):
+            ref = pn.to_bytes(4, "big") + bytes([b, i]) * 14
+            rows.append({
+                "reference": ref, "type": "state",
+                "object_reference": b"obj" + bytes([b]),
+                "prototype_reference": b"p", "payload": b"x",
+                "prev_record_reference": None, "hash": ref,
+                "raw_data": b"r", "jet_id": "0", "pulse_number": pn,
+                "order": i, "timestamp": 1_600_000_000,
+            })
+        pq.upsert(spark, base, "records",
+                  spark.createDataFrame(rows, schemas.RECORDS))
+    target_pn = 4_003_000
+    target_ref = target_pn.to_bytes(4, "big") + bytes([3, 7]) * 14
+    pulse = int.from_bytes(target_ref[:4], "big")
+    assert pulse == target_pn
+    hit = pq.read_record_by_reference(spark, base, target_ref, pulse=pulse)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["order"] == 7
+    from block_explorer_spark.sources import manifest as Mf
+    total = len(Mf.read(base)["families"]["records"])
+    assert total >= 6
+    assert len(set(hit.inputFiles())) <= 1  # one bucket's one file
+    # opaque path: correct, just unpruned
+    full = pq.read_record_by_reference(spark, base, target_ref)
+    assert full.count() == 1
+    # absent reference with embedded pulse: provably-empty fast path
+    ghost = (4_002_000).to_bytes(4, "big") + b"\xff" * 28
+    assert pq.read_record_by_reference(
+        spark, base, ghost, pulse=4_002_000
+    ).count() == 0
