@@ -99,10 +99,28 @@ class BlockExplorerApi:
     accumulation order.
     """
 
-    def __init__(self, pulses: DataFrame, jet_drops: DataFrame, records: DataFrame):
+    def __init__(
+        self,
+        pulses: DataFrame,
+        jet_drops: DataFrame,
+        records: DataFrame,
+        warehouse_base: str | None = None,
+        spark=None,
+    ):
         self.pulses = pulses
         self.jet_drops = jet_drops
         self.records = records
+        # WAREHOUSE MODE (round 8): at test scale the three cached
+        # DataFrames are the fastest serving store, but at 100 TB the
+        # records table cannot be cached — pass `warehouse_base` (+
+        # its SparkSession) and the lifeline endpoint reads through
+        # sources/parquet.read_records_for_object instead: manifest
+        # snapshot + object-index sidecar + obj_key zone pruning, the
+        # flat-latency path SCALE_RELATIONAL measures. Results are
+        # byte-identical to the cached mode (pinned by
+        # test_rest_golden::test_lifeline_warehouse_mode_identical).
+        self.warehouse_base = warehouse_base
+        self.spark = spark
         # Continuous per-endpoint timers, observed on EVERY request by
         # the HTTP handler (reference parity: the Prometheus timers of
         # etl/storage/storage_metrics.go:1-125 run in normal operation,
@@ -219,8 +237,20 @@ class BlockExplorerApi:
             raise _validation_error(failures)
         ts_gte = _int_param(params, "timestamp_gte", [])
         ts_lte = _int_param(params, "timestamp_lte", [])
+        source = self.records
+        if self.warehouse_base is not None:
+            from block_explorer_spark.sources import parquet as _pq
+
+            # exclusive API bounds -> inclusive file-pruning bounds
+            source = _pq.read_records_for_object(
+                self.spark,
+                self.warehouse_base,
+                ref,
+                pulse_gte=pulse_gt + 1 if pulse_gt is not None else None,
+                pulse_lte=pulse_lt - 1 if pulse_lt is not None else None,
+            )
         page, total = Q.get_lifeline(
-            self.records,
+            source,
             ref,
             cursor=cursor,
             pulse_gt=pulse_gt,

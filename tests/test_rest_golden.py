@@ -1400,3 +1400,64 @@ def test_serve_warmup_runs_every_endpoint_and_skips_metrics(spark):
         spark.createDataFrame([], schemas.RECORDS),
     )
     assert empty_api.warmup() == 8  # miss/4xx paths still execute plans
+
+
+# ---------------------------------------------------------------------------
+# Warehouse mode (round 8): lifeline served through the object-index
+# store instead of the cached DataFrame — bytes must be IDENTICAL
+# ---------------------------------------------------------------------------
+
+
+def test_lifeline_warehouse_mode_identical(spark, base_url, tmp_path_factory):
+    from block_explorer_spark.rest import serve as _serve
+    from block_explorer_spark.sources import parquet as pq
+
+    rng = random.Random(13)
+    pulses = gen.make_pulses(start=P0, count=5)
+    # consume the SAME rng draws as the module fixture (it generates
+    # the jet drops first), so the record bytes are identical
+    _ = [
+        gen.make_jet_drop(rng, P0 + 20, jet, timestamp=1_600_000_020)
+        for jet in ("000", "001", "010")
+    ] + [gen.make_jet_drop(rng, P0 + 30, "00", timestamp=1_600_000_030)]
+    records = []
+    for order in range(3):
+        records.append(gen.make_record(
+            rng, P0 + 20, "000", order=order, rec_type="state",
+            object_reference=OBJ_REF, timestamp=1_600_000_020,
+        ))
+    records[1]["reference"] = REC_REF
+    records.append(gen.make_record(rng, P0 + 20, "000", order=3,
+                                   rec_type="request"))
+    records.append(gen.make_record(rng, P0 + 20, "001", order=0,
+                                   rec_type="result"))
+    # NOTE: same rng seed/sequence as the module fixture, so the rows
+    # (references, payload bytes) are byte-identical to the cached set
+
+    wh = str(tmp_path_factory.mktemp("wh") / "store")
+    pq.upsert(spark, wh, "records",
+              spark.createDataFrame(records, schemas.RECORDS))
+    api_wh = BlockExplorerApi(
+        spark.createDataFrame(pulses, schemas.PULSES).cache(),
+        spark.createDataFrame([], schemas.JET_DROPS),
+        spark.createDataFrame(records, schemas.RECORDS).cache(),
+        warehouse_base=wh,
+        spark=spark,
+    )
+    server = _serve(api_wh, warm=False)
+    wh_url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        ref = base58_encode(OBJ_REF)
+        for q in (
+            f"/api/v1/lifeline/{ref}/records?limit=20",
+            f"/api/v1/lifeline/{ref}/records?sort_by=index_asc",
+            f"/api/v1/lifeline/{ref}/records?pulse_number_gt={P0 + 10}"
+            f"&pulse_number_lt={P0 + 30}",
+            f"/api/v1/lifeline/{ref}/records?from_index={P0 + 20}%3A1",
+            f"/api/v1/lifeline/{base58_encode(LOST_REF)}/records",
+        ):
+            want = get(base_url, q)
+            got = get(wh_url, q)
+            assert got == want, q
+    finally:
+        server.shutdown()
