@@ -2753,6 +2753,47 @@ def q122_lifeline_store(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q123 probes these event_ids as record references on q122's store.
+POINT_EVENT_IDS = [3, 257, 4099, 9001]
+
+
+def q123_record_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's PK point lookup (get_record,
+    storage.go:382-407) at warehouse scale: each probe reference
+    embeds its pulse (the Record.ID.Pulse() layout the reference's
+    own tests rely on), so read_record_by_reference prunes to ONE
+    bucket's covering file per probe — constant cost at any table
+    size. Served from q122's committed store; absent ids certify the
+    provably-empty path. Oracle: DuckDB point queries on the raw
+    events table."""
+    from functools import reduce as _reduce
+
+    from block_explorer_spark.sources import parquet as PQ
+
+    q122_lifeline_store(spark, sf)  # ensure the cached store exists
+    import hashlib as _h
+
+    base = os.path.join(
+        os.environ.get("BES_GATE_CACHE", "/tmp/bes-gate-cache"),
+        f"lifeline-store-{_h.md5(sf.encode()).hexdigest()[:10]}",
+    )
+    outs = []
+    for eid in POINT_EVENT_IDS:
+        ref = eid.to_bytes(8, "big")
+        pulse = 4_000_000 + eid // 100
+        hit = PQ.read_record_by_reference(spark, base, ref, pulse=pulse)
+        outs.append(
+            hit.select(
+                F.conv(F.hex(F.col("reference")), 16, 10)
+                .cast("long")
+                .alias("event_id"),
+                "pulse_number",
+                F.col("order").cast("long").alias("ord"),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2887,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_bm25_indexed": q120_bm25_indexed,
         "q121_bm25_incremental": q121_bm25_incremental,
         "q122_lifeline_store": q122_lifeline_store,
+        "q123_record_point_lookup": q123_record_point_lookup,
     }
 
 
@@ -4894,6 +4936,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 100 AS BIGINT) AS ord
             FROM events
             WHERE user_id = {LIFELINE_USER}
+        """,
+        "q123_record_point_lookup": f"""
+            SELECT event_id,
+                   CAST(4000000 + event_id // 100 AS BIGINT) AS pulse_number,
+                   CAST(event_id % 100 AS BIGINT) AS ord
+            FROM events
+            WHERE event_id IN ({", ".join(str(i) for i in POINT_EVENT_IDS)})
         """,
         "q119_proximity_search": """
             WITH toks AS (

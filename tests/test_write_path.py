@@ -835,3 +835,32 @@ def test_record_point_lookup_prunes_with_embedded_pulse(spark, base):
     assert pq.read_record_by_reference(
         spark, base, ghost, pulse=4_002_000
     ).count() == 0
+
+
+def test_vacuum_retires_folded_object_index_files(spark, base):
+    """maintain_object_index supersedes the per-commit sidecar delta
+    files; vacuum physically removes them once no kept manifest lists
+    them — and the pruned lifeline read still serves correctly from
+    the merged run afterwards."""
+    import os
+
+    from block_explorer_spark.sources import manifest as Mf
+
+    lifes = []
+    for b in range(10):
+        life = gen.make_lifeline(
+            seed=800 + b, pulses=[4_000_000 + 100 * b], records_per_pulse=2
+        )
+        lifes.append(life)
+        pq.upsert(spark, base, "records",
+                  spark.createDataFrame(life.records, schemas.RECORDS))
+    old_rels = Mf.read(base)["families"][pq.OBJIDX]
+    assert pq.maintain_object_index(spark, base, min_files=8) is not None
+    removed = Mf.vacuum(base, keep_last=1, min_age_s=0.0)
+    assert removed >= len(old_rels)
+    for r in old_rels:
+        assert not os.path.exists(os.path.join(base, r))
+    got = pq.read_records_for_object(
+        spark, base, lifes[4].object_reference
+    )
+    assert got.count() == len(lifes[4].records)
