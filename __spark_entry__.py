@@ -2794,6 +2794,38 @@ def q123_record_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     return _reduce(lambda a, b: a.unionByName(b), outs)
 
 
+#: q124: one rare term (df 25 at sf0.01) + two Zipf-head terms
+#: (df ≈ 400 of 500) — the shape where MaxScore's essential split
+#: engages and the head terms' postings never enter the pivot.
+MAXSCORE_TERMS = ["dup", "batch", "scan"]
+MAXSCORE_TOPK = 15
+
+
+def q124_bm25_maxscore(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT top-k BM25 with MaxScore pruning (Turtle & Flood 1995;
+    operators/retrieval.py::bm25_search_maxscore) over the same
+    persisted index as q120: a θ threshold seeded from the RAREST
+    term's fully-scored docs makes the two Zipf-head query terms
+    non-essential, so their postings meet only a broadcast semi-join
+    against the rare term's candidate docs instead of being
+    pivot-aggregated wholesale — the early-exit SCALE.md's indexed
+    curve said "no layout removes", WITHOUT the exactness price
+    block-max WAND pays. The oracle is the same FULL-evaluation BM25
+    SQL as q113/q120 — certification IS the claim that pruning
+    changed nothing."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    base = _gate_store(
+        "bm25-idx",
+        sf,
+        lambda b: R.write_postings_index(docs, b, num_files=8),
+    )
+    return R.bm25_search_maxscore(
+        spark, base, MAXSCORE_TERMS, k1=BM25_K1, b=BM25_B, topk=MAXSCORE_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2929,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_bm25_incremental": q121_bm25_incremental,
         "q122_lifeline_store": q122_lifeline_store,
         "q123_record_point_lookup": q123_record_point_lookup,
+        "q124_bm25_maxscore": q124_bm25_maxscore,
     }
 
 
@@ -4930,6 +4963,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q120_bm25_indexed": _bm25_oracle(),
         "q121_bm25_incremental": _bm25_oracle(),
+        "q124_bm25_maxscore": _bm25_oracle(
+            terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
+        ),
         "q122_lifeline_store": f"""
             SELECT event_id,
                    CAST(4000000 + event_id // 100 AS BIGINT) AS pulse_number,

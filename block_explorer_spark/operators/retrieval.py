@@ -226,6 +226,25 @@ def proximity_match(
 #: corpus size; broadcasting that is O(corpus) on every executor.
 BM25_BROADCAST_LIMIT = 1_000_000
 
+#: Manifest family holding per-token posting extremes — (token,
+#: max_tf, min_dl) — the auxiliary structure MaxScore-style pruning
+#: needs (Turtle & Flood, IP&M 1995; Lucene stores the same idea as
+#: per-block "impacts"). Deliberately avgdl-INDEPENDENT: the bound
+#: g(tf, dl) = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is increasing in
+#: tf and decreasing in dl, so max_tf/min_dl upper-bound it under the
+#: CURRENT corpus avgdl at query time, and an append just adds rows
+#: (the reader folds max/min) — the stored extremes never go stale
+#: when Σdl shifts.
+TERMMAX = "termmax"
+
+
+def _term_extremes(post_with_dl: DataFrame) -> DataFrame:
+    """(token, max_tf, min_dl) over denormalized postings — one row
+    per distinct token, token-zone-prunable like the postings files."""
+    return post_with_dl.groupBy("token").agg(
+        F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl")
+    )
+
 
 def _postings_with_dl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(token, doc_id, tf, dl) postings in ONE shuffle: dl is carried
@@ -301,10 +320,22 @@ def write_postings_index(
         prels = M.stage_df(clustered, base, "postings")
         drels = M.stage_df(dl, base, "doclen")
         stats = M.file_stats(base, prels, ["token"])
+        trels: list[str] = []
+        if denormalize_dl:
+            trels = M.stage_df(
+                _term_extremes(post).repartitionByRange(
+                    max(1, num_files // 8), "token"
+                ).sortWithinPartitions("token"),
+                base,
+                TERMMAX,
+            )
+            stats.update(M.file_stats(base, trels, ["token"]))
         for _ in range(2):
             cur = M.read(base)
             fams = dict(cur.get("families", {}))
             fams["postings"], fams["doclen"] = prels, drels
+            if trels:
+                fams[TERMMAX] = trels
             meta = dict(cur.get("meta", {}))
             meta["bm25"] = bm25
             try:
@@ -361,6 +392,16 @@ def index_append(
         prels = M.stage_df(clustered, base, "postings")
         drels = M.stage_df(dl, base, "doclen")
         stats = M.file_stats(base, prels, ["token"])
+        trels: list[str] = []
+        if bmeta.get("dl_in_postings") and cur0.get("families", {}).get(TERMMAX):
+            # extremes fold by max/min, so the delta's rows just join
+            # the family — the reader aggregates across runs.
+            trels = M.stage_df(
+                _term_extremes(post).coalesce(1).sortWithinPartitions("token"),
+                base,
+                TERMMAX,
+            )
+            stats.update(M.file_stats(base, trels, ["token"]))
         for _ in range(2):
             cur = M.read(base)
             bm25 = dict(cur.get("meta", {}).get("bm25") or bmeta)
@@ -370,6 +411,8 @@ def index_append(
             fams = dict(cur.get("families", {}))
             fams["postings"] = list(fams.get("postings", [])) + prels
             fams["doclen"] = list(fams.get("doclen", [])) + drels
+            if trels:
+                fams[TERMMAX] = list(fams.get(TERMMAX, [])) + trels
             meta = dict(cur.get("meta", {}))
             meta["bm25"] = bm25
             try:
@@ -431,6 +474,47 @@ def index_maintain(
         raise M.CommitConflict("index_maintain lost the CAS twice")
 
 
+def _score_denorm(
+    post: DataFrame,
+    terms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> tuple[DataFrame, "F.Column"]:
+    """Scoring over denormalized postings (dl rides in every row):
+    each posting's score CONTRIBUTION — idf_t · tf·(k1+1)/(tf +
+    norm(dl)), the exact per-term expression the batch path evaluates
+    — is computed JVM-side BEFORE the shuffle; the pivot then moves
+    one double per posting (vs tf+dl) and groups by doc_id alone.
+    Each (doc_id, token) is unique by the index contract, so the
+    pivot's sum is a singleton (no float accumulation), and the final
+    column sum runs in the same fixed left-to-right term order as
+    bm25_topk — scores stay bit-identical, with ZERO joins for any
+    term df. Per-doc arithmetic is independent of which OTHER docs
+    are present, which is what lets the MaxScore path score only its
+    candidate set and still match the full evaluation bit for bit.
+    Returns (pivoted frame, score Column over it)."""
+    norm_row = F.lit(k1) * (
+        F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    idf_col = F.lit(None).cast("double")
+    for t in terms:
+        idf_col = F.when(F.col("token") == t, F.lit(idf[t])).otherwise(idf_col)
+    tf_row = F.col("tf").cast("double")
+    contrib = idf_col * (tf_row * F.lit(k1 + 1.0) / (tf_row + norm_row))
+    scored = (
+        post.withColumn("__c", contrib)
+        .groupBy("doc_id")
+        .pivot("token", list(terms))
+        .sum("__c")
+    )
+    score = F.lit(0.0)
+    for t in terms:
+        score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+    return scored, score
+
+
 def bm25_search_indexed(
     spark: SparkSession,
     base: str,
@@ -483,33 +567,7 @@ def bm25_search_indexed(
     }
     idf = idf_weights(n, {t: int(dfs.get(t, 0)) for t in terms})
     if denorm:
-        # dl rides in every posting row, so each posting's score
-        # CONTRIBUTION — idf_t · tf·(k1+1)/(tf + norm(dl)), the exact
-        # per-term expression the batch path evaluates — is computed
-        # JVM-side BEFORE the shuffle; the pivot then moves one double
-        # per posting (vs tf+dl) and groups by doc_id alone. Each
-        # (doc_id, token) is unique by the index contract, so the
-        # pivot's sum is a singleton (no float accumulation), and the
-        # final column sum runs in the same fixed left-to-right term
-        # order as bm25_topk — scores stay bit-identical, with ZERO
-        # joins for any term df.
-        norm_row = F.lit(k1) * (
-            F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
-        )
-        idf_col = F.lit(None).cast("double")
-        for t in terms:
-            idf_col = F.when(F.col("token") == t, F.lit(idf[t])).otherwise(idf_col)
-        tf_row = F.col("tf").cast("double")
-        contrib = idf_col * (tf_row * F.lit(k1 + 1.0) / (tf_row + norm_row))
-        scored = (
-            post.withColumn("__c", contrib)
-            .groupBy("doc_id")
-            .pivot("token", list(terms))
-            .sum("__c")
-        )
-        score = F.lit(0.0)
-        for t in terms:
-            score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        scored, score = _score_denorm(post, terms, idf, avgdl, k1, b)
     else:
         pivoted = post.groupBy("doc_id").pivot("token", list(terms)).sum("tf")
         dl = spark.read.parquet(
@@ -525,6 +583,204 @@ def bm25_search_indexed(
         for t in terms:
             tf = F.coalesce(F.col(f"`{t}`").cast("double"), F.lit(0.0))
             score = score + F.lit(idf[t]) * (tf * F.lit(k1 + 1.0) / (tf + norm))
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )
+
+
+#: Relative guard band on the essential/non-essential split. The
+#: real-arithmetic bound (a doc with only non-essential terms scores
+#: ≤ ΣUB_NE) carries over to IEEE doubles up to per-op rounding
+#: (each +,*,/ rounds monotonically, but the COMPOSED expressions on
+#: the two sides round independently); 1e-9 is ~10^7 × the worst
+#: accumulated ulp drift over a ≤64-term sum, and costs essentially
+#: no pruning, so exactness never hinges on a half-ulp coincidence.
+MAXSCORE_SLACK = 1e-9
+
+
+def bm25_search_maxscore(
+    spark: SparkSession,
+    base: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    broadcast_limit: int = BM25_BROADCAST_LIMIT,
+    explain: dict | None = None,
+) -> DataFrame:
+    """EXACT top-k BM25 with MaxScore pruning (Turtle & Flood, IP&M
+    1995) over the persisted index — same result set and bit-identical
+    scores as `bm25_search_indexed`, but a common term's postings are
+    never pivot-aggregated wholesale:
+
+      1. seed a threshold θ: fully score the docs of the RAREST
+         query terms (df-ascending, widening until ≥ topk docs) —
+         cost ∝ rare-term postings;
+      2. per-term upper bounds UB_t = idf_t · g(max_tf, min_dl) from
+         the termmax family ((token, max_tf, min_dl) extremes —
+         avgdl-independent, so appends only ADD rows and the bound is
+         evaluated under the CURRENT avgdl); static fallback
+         UB_t = idf_t · (k1+1) when the family is absent;
+      3. split terms: the maximal UB-ascending prefix whose ΣUB
+         stays (1+ε)-strictly below θ is NON-ESSENTIAL — a doc
+         containing only those terms scores < θ, and ≥ topk seed docs
+         already scored ≥ θ, so it cannot enter the top-k;
+      4. candidates = docs holding ≥1 ESSENTIAL term; score ONLY
+         them (postings semi-joined to the candidate set — broadcast
+         while Σdf_essential ≤ `broadcast_limit`, shuffled beyond)
+         with the IDENTICAL fixed-order arithmetic, then
+         TakeOrderedAndProject.
+
+    Why this is exact: every true top-k doc scores ≥ the true kth
+    score ≥ θ (θ is the kth best of a SUBSET), and any doc without an
+    essential term scores strictly < θ — so the candidate set
+    contains the whole true top-k, and per-doc scores don't depend on
+    which other docs are scored. SCALE.md's indexed-BM25 curve names
+    the Zipf-head term's per-doc aggregation as the serving path's
+    output-side lower bound "no layout removes"; MaxScore removes it
+    for top-k queries WITHOUT the exactness price block-max WAND
+    pays, at the cost of the rare-term seed pass. Requires the
+    denormalized layout; legacy layouts delegate to
+    `bm25_search_indexed` (correct, unpruned).
+
+    `explain`, when a dict, receives driver-side decisions: theta,
+    per-term df/ub, seed/essential/nonessential term lists, and
+    whether pruning engaged — the hook the tests and scale scripts
+    use to pin that the stopword stayed non-essential."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    if not terms:
+        raise ValueError("bm25_search_maxscore needs at least one term")
+    m = M.read(base)
+    meta = m.get("meta", {}).get("bm25")
+    if not meta:
+        raise FileNotFoundError(f"no bm25 index committed under {base}")
+    if not meta.get("dl_in_postings"):
+        return bm25_search_indexed(
+            spark, base, terms, k1=k1, b=b, topk=topk,
+            broadcast_limit=broadcast_limit,
+        )
+    n, avgdl = meta["n"], (meta["sum_dl"] / meta["n"] if meta["n"] else 0.0)
+    keep: list[str] = []
+    for t in terms:
+        keep += M.prune_by_stats(m, "postings", "token", lo=t, hi=t)
+    keep = sorted(set(keep))
+    if not keep:
+        if explain is not None:
+            explain.update({"pruned": False, "theta": None, "dfs": {}})
+        return spark.createDataFrame([], "doc_id long, score double")
+    post = spark.read.parquet(
+        *[_os.path.join(base, r) for r in keep]
+    ).filter(F.col("token").isin(list(terms)))
+    dfs = {
+        r["token"]: int(r["df"])
+        for r in post.groupBy("token").agg(F.count("*").alias("df")).collect()
+    }
+    dfs = {t: dfs.get(t, 0) for t in terms}
+    idf = idf_weights(n, dfs)
+
+    # --- per-term upper bounds -------------------------------------
+    ub = {t: idf[t] * (k1 + 1.0) for t in terms}
+    if m.get("families", {}).get(TERMMAX):
+        tkeep: list[str] = []
+        for t in terms:
+            tkeep += M.prune_by_stats(m, TERMMAX, "token", lo=t, hi=t)
+        if tkeep:
+            ext = {
+                r["token"]: (int(r["mt"]), int(r["mdl"]))
+                for r in spark.read.parquet(
+                    *[_os.path.join(base, rel) for rel in sorted(set(tkeep))]
+                )
+                .filter(F.col("token").isin(list(terms)))
+                .groupBy("token")
+                .agg(F.max("max_tf").alias("mt"), F.min("min_dl").alias("mdl"))
+                .collect()
+            }
+            for t, (mt, mdl) in ext.items():
+                if avgdl > 0 and mt > 0:
+                    g = mt * (k1 + 1.0) / (
+                        mt + k1 * (1.0 - b + b * mdl / avgdl)
+                    )
+                    ub[t] = idf[t] * g
+    for t in terms:
+        if dfs[t] == 0:
+            ub[t] = 0.0
+
+    # --- phase 1: threshold from the rarest terms ------------------
+    live = [t for t in terms if dfs[t] > 0]
+    by_rarity = sorted(live, key=lambda t: (dfs[t], t))
+    total_df = sum(dfs[t] for t in live)
+    theta = None
+    seed_terms: list[str] = []
+    for i in range(1, len(by_rarity) + 1):
+        seed_df = sum(dfs[t] for t in by_rarity[:i])
+        if seed_df >= topk:
+            # seed only when the θ pass is cheap relative to the
+            # query it might prune — if filling top-k needs a
+            # Zipf-head term (seed ≈ the whole query), scoring the
+            # seed IS the query: skip pruning rather than score twice
+            if i < len(by_rarity) and seed_df * 4 <= total_df:
+                seed_terms = by_rarity[:i]
+            break
+    if seed_terms:
+        seed_df = sum(dfs[t] for t in seed_terms)
+        seeds = (
+            post.filter(F.col("token").isin(list(seed_terms)))
+            .select("doc_id")
+            .distinct()
+        )
+        if seed_df <= broadcast_limit:
+            seeds = F.broadcast(seeds)
+        sc, col = _score_denorm(
+            post.join(seeds, "doc_id"), terms, idf, avgdl, k1, b
+        )
+        rows = (
+            sc.select("doc_id", col.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(topk)
+            .collect()
+        )
+        if len(rows) >= topk:
+            theta = rows[-1]["score"]
+
+    # --- phase 2: essential split + candidate scoring --------------
+    nonessential: list[str] = []
+    if theta is not None:
+        cum = 0.0
+        for t in sorted(live, key=lambda t: (ub[t], t)):
+            if (cum + ub[t]) * (1.0 + MAXSCORE_SLACK) < theta:
+                cum += ub[t]
+                nonessential.append(t)
+            else:
+                break
+    essential = [t for t in live if t not in set(nonessential)]
+    if explain is not None:
+        explain.update(
+            {
+                "theta": theta,
+                "dfs": dict(dfs),
+                "ub": dict(ub),
+                "seed_terms": list(seed_terms),
+                "essential": list(essential),
+                "nonessential": list(nonessential),
+                "pruned": bool(nonessential),
+            }
+        )
+    scoped = post
+    if nonessential:
+        cands = (
+            post.filter(F.col("token").isin(list(essential)))
+            .select("doc_id")
+            .distinct()
+        )
+        if sum(dfs[t] for t in essential) <= broadcast_limit:
+            cands = F.broadcast(cands)
+        scoped = post.join(cands, "doc_id")
+    scored, score = _score_denorm(scoped, terms, idf, avgdl, k1, b)
     return (
         scored.select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -318,3 +318,120 @@ class TestIncrementalIndex:
         m2 = M.read(base)
         assert m2["meta"]["bm25"]["n"] == 100  # zorder writer kept bm25 meta
         assert len(m2["meta"]["zorder"]["events_z"]["tail"]) == 1
+
+
+class TestMaxScore:
+    """Exact top-k with MaxScore pruning: bit-identical to the full
+    indexed evaluation, with the stopword's postings kept out of the
+    pivot whenever the rare terms can fill the top-k."""
+
+    TERMS = ["needle", "gem", "the"]
+
+    def _corpus(self, spark):
+        # 600 docs, every one carries the stopword; 50 carry "needle",
+        # 50 carry "gem", with varying tf and lengths — deterministic.
+        rows = []
+        for i in range(600):
+            toks = ["the"] * (1 + i % 3) + [f"w{i % 97}"] * (1 + i % 5)
+            if i < 50:
+                toks += ["needle"] * (1 + i % 4)
+            elif i < 100:
+                toks += ["gem"] * (1 + i % 3)
+            rows.append((i, " ".join(toks)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _base(self, spark, tmp_path, **kw):
+        base = str(tmp_path / "msidx")
+        R.write_postings_index(self._corpus(spark), base, num_files=8, **kw)
+        return base
+
+    def test_pruned_query_bit_identical_and_stopword_nonessential(
+        self, spark, tmp_path
+    ):
+        base = self._base(spark, tmp_path)
+        full = R.bm25_search_indexed(spark, base, self.TERMS, topk=10).collect()
+        ex: dict = {}
+        ms = R.bm25_search_maxscore(
+            spark, base, self.TERMS, topk=10, explain=ex
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in full] == [
+            (r["doc_id"], r["score"]) for r in ms
+        ]
+        assert ex["pruned"] is True
+        assert "the" in ex["nonessential"]
+        assert set(ex["essential"]) == {"needle", "gem"}
+        # the work bound pruning buys: essential postings ≪ matched
+        ess = sum(ex["dfs"][t] for t in ex["essential"])
+        assert ess * 5 <= sum(ex["dfs"].values())
+
+    def test_no_pruning_when_stopword_fills_topk(self, spark, tmp_path):
+        """topk larger than the rare coverage: θ lands below the
+        stopword's upper bound, pruning correctly refuses, results
+        still match the full path exactly."""
+        base = self._base(spark, tmp_path)
+        full = R.bm25_search_indexed(spark, base, self.TERMS, topk=200).collect()
+        ex: dict = {}
+        ms = R.bm25_search_maxscore(
+            spark, base, self.TERMS, topk=200, explain=ex
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in full] == [
+            (r["doc_id"], r["score"]) for r in ms
+        ]
+        assert ex["pruned"] is False
+
+    def test_termmax_family_tightens_static_bound(self, spark, tmp_path):
+        base = self._base(spark, tmp_path)
+        ex: dict = {}
+        R.bm25_search_maxscore(
+            spark, base, self.TERMS, topk=10, explain=ex
+        ).collect()
+        idf = R.idf_weights(600, ex["dfs"])
+        for t in self.TERMS:
+            static = idf[t] * (1.2 + 1.0)
+            assert ex["ub"][t] < static, t
+
+    def test_append_then_maxscore_still_exact(self, spark, tmp_path):
+        base = self._base(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1000 + i, "needle fresh the") for i in range(30)],
+            "doc_id long, text string",
+        )
+        R.index_append(delta, base)
+        full = R.bm25_search_indexed(spark, base, self.TERMS, topk=15).collect()
+        ex: dict = {}
+        ms = R.bm25_search_maxscore(
+            spark, base, self.TERMS, topk=15, explain=ex
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in full] == [
+            (r["doc_id"], r["score"]) for r in ms
+        ]
+        assert ex["pruned"] is True
+
+    def test_legacy_layout_delegates_to_indexed(self, spark, tmp_path):
+        base = str(tmp_path / "legacy")
+        R.write_postings_index(
+            self._corpus(spark), base, num_files=4, denormalize_dl=False
+        )
+        full = R.bm25_search_indexed(spark, base, self.TERMS, topk=10).collect()
+        ms = R.bm25_search_maxscore(spark, base, self.TERMS, topk=10).collect()
+        assert [tuple(r) for r in full] == [tuple(r) for r in ms]
+
+    def test_absent_term_and_empty_terms(self, spark, tmp_path):
+        base = self._base(spark, tmp_path)
+        assert (
+            R.bm25_search_maxscore(spark, base, ["zzz_missing"], topk=5).count()
+            == 0
+        )
+        with pytest.raises(ValueError):
+            R.bm25_search_maxscore(spark, base, [], topk=5)
+
+    def test_candidate_join_broadcasts_small_essential_set(
+        self, spark, tmp_path
+    ):
+        """The final scoring's semi-join against the candidate set is
+        a broadcast while Σdf_essential is bounded — the stopword's
+        postings meet only a broadcast hash join, never a shuffle."""
+        base = self._base(spark, tmp_path)
+        ms = R.bm25_search_maxscore(spark, base, self.TERMS, topk=10)
+        plan = ms._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" in plan, plan
