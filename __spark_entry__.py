@@ -2826,6 +2826,36 @@ def q124_bm25_maxscore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q125: quantile probes and the sub-bucket resolution (2^-6 ≈ 1.6%
+#: relative bucket width).
+QHIST_PROBS = [0.5, 0.9, 0.99]
+
+
+def q125_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile histogram (DDSketch re-derived on the
+    integer lattice — operators/sketches.py::qhist_*): per-returnflag
+    p50/p90/p99 of lineitem price in cents. The sketch state is
+    (flag, bucket, cnt) with ≤ (64−B)·2^B rows per flag regardless of
+    table size — map-side combine collapses each partition before the
+    shuffle, states from different days/splits merge by SUM, and
+    deletes decrement EXACTLY (counter lattice, like the CMS mirror).
+    The estimate itself — bucket of the ceil(p·n)-th value, midpoint
+    on the 2^-6 geometric lattice — is integer-reproducible, so the
+    DuckDB oracle replays the ESTIMATOR (bucket assignment via the
+    base-2 digit string, HUGEINT midpoint), not just the data."""
+    from block_explorer_spark.operators import sketches as S
+
+    li = _t(spark, sf, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    st = S.qhist_state(cents, "v", group_by=["flag"])
+    return S.qhist_quantiles(st, QHIST_PROBS, group_by=["flag"]).select(
+        "flag", "prob", F.col("est").alias("cents_est")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2962,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_lifeline_store": q122_lifeline_store,
         "q123_record_point_lookup": q123_record_point_lookup,
         "q124_bm25_maxscore": q124_bm25_maxscore,
+        "q125_quantile_sketch": q125_quantile_sketch,
     }
 
 
@@ -4966,6 +4997,49 @@ def oracle_sql() -> dict[str, str]:
         "q124_bm25_maxscore": _bm25_oracle(
             terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
         ),
+        "q125_quantile_sketch": f"""
+            WITH cents AS (
+              SELECT l_returnflag AS flag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem
+            ),
+            bucketed AS (
+              SELECT flag,
+                     CASE WHEN v <= 0 THEN -1 ELSE
+                       (length(bin(v)) - 1) * 64
+                       + CAST((v::HUGEINT * 64)
+                              // ((1::BIGINT << (length(bin(v)) - 1))::HUGEINT)
+                              AS BIGINT) - 64
+                     END AS bucket
+              FROM cents
+            ),
+            state AS (
+              SELECT flag, bucket, COUNT(*) AS cnt
+              FROM bucketed GROUP BY flag, bucket
+            ),
+            cdf AS (
+              SELECT flag, bucket,
+                     SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+                     SUM(cnt) OVER (PARTITION BY flag) AS n
+              FROM state
+            ),
+            probs AS (
+              SELECT CAST(prob AS DOUBLE) AS prob
+              FROM (VALUES {", ".join(f"({p!r})" for p in QHIST_PROBS)})
+              AS t(prob)
+            ),
+            hit AS (
+              SELECT flag, prob, MIN(bucket) AS bucket
+              FROM cdf JOIN probs ON cum >= ceil(prob * n)
+              GROUP BY flag, prob
+            )
+            SELECT flag, prob,
+                   CASE WHEN bucket < 0 THEN 0 ELSE
+                     CAST(((1::BIGINT << (bucket // 64))::HUGEINT
+                           * (2 * (64 + bucket % 64) + 1)) // 128 AS BIGINT)
+                   END AS cents_est
+            FROM hit
+        """,
         "q122_lifeline_store": f"""
             SELECT event_id,
                    CAST(4000000 + event_id // 100 AS BIGINT) AS pulse_number,

@@ -590,6 +590,48 @@ def bm25_search_indexed(
     )
 
 
+def build_term_extremes(spark: SparkSession, base: str) -> int | None:
+    """Backfill the termmax family onto an index committed before the
+    family existed (or after a maintenance shape that dropped it):
+    ONE aggregation over the committed postings (which must carry dl —
+    the denormalized layout), one CAS commit. Idempotent: replaces any
+    existing termmax rows with the freshly-folded extremes. Returns
+    the committed version, or None when the layout has no dl to fold
+    (legacy index — MaxScore falls back to the static bound there)."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    cur0 = M.read(base)
+    bmeta = cur0.get("meta", {}).get("bm25")
+    if not bmeta or not bmeta.get("dl_in_postings"):
+        return None
+    with M.write_intent(base):
+        post = spark.read.parquet(
+            *[_os.path.join(base, r) for r in cur0["families"]["postings"]]
+        )
+        ext = _term_extremes(post).repartitionByRange(
+            max(1, len(cur0["families"]["postings"]) // 8), "token"
+        ).sortWithinPartitions("token")
+        trels = M.stage_df(ext, base, TERMMAX)
+        stats = M.file_stats(base, trels, ["token"])
+        for _ in range(2):
+            cur = M.read(base)
+            fams = dict(cur.get("families", {}))
+            fams[TERMMAX] = trels
+            try:
+                return M.commit(
+                    base,
+                    fams,
+                    cur.get("version", 0),
+                    meta=dict(cur.get("meta", {})),
+                    stats=stats,
+                )
+            except M.CommitConflict:
+                continue
+        raise M.CommitConflict("build_term_extremes lost the CAS twice")
+
+
 #: Relative guard band on the essential/non-essential split. The
 #: real-arithmetic bound (a doc with only non-essential terms scores
 #: ≤ ΣUB_NE) carries over to IEEE doubles up to per-op rounding

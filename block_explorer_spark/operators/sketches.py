@@ -521,3 +521,149 @@ def kmv_set_stats(sig_a: DataFrame, sig_b: DataFrame, k: int = 256) -> dict:
         "inter_est": (x * union_est) // n_u,
         "jacc_bp": (x * 10000) // n_u,
     }
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram: mergeable log-bucket quantiles (DDSketch-style)
+# ---------------------------------------------------------------------------
+#
+# DDSketch (Masson, Rim & Lee, VLDB 2019) re-derived on the integer
+# lattice: the KMV sample above answers quantiles from a UNIFORM
+# sample (error in RANK), while this histogram answers with bounded
+# RELATIVE VALUE error at every quantile — the right guarantee for
+# long-tailed latency/size/price columns, and the one a p99 needs.
+# The bucket of a positive integer v is
+#
+#     e   = floor(log2 v)         (bit-length − 1: EXACT via the
+#                                  base-2 digit count, no float log)
+#     sub = (v << B) // 2^e − 2^B (top B mantissa bits below the MSB)
+#     bucket = (e << B) | sub
+#
+# — pure integer ops both engines replay verbatim, giving geometric
+# buckets with width 2^e/2^B, i.e. relative width ≤ 2^-B. The sketch
+# state is (bucket, cnt) rows: ≤ (64−B)·2^B rows total regardless of
+# input size, mergeable by SUM (and EXACTLY decrementable on delete —
+# same counter-lattice argument as the CMS mirror). A quantile query
+# walks the ≤ 4k-row CDF and reports the bucket midpoint
+# (2^e·(2^B + sub) + 2^e·(2^B + sub + 1)) // 2 / 2^B — floor-integer,
+# so estimates (not just counts) are bit-reproducible in the DuckDB
+# oracle, with relative error ≤ 2^-(B+1) + floor slack (test-pinned
+# against exact percentiles). Zero lands in bucket −1 (exact);
+# negatives are rejected (mirror a second sketch if needed, as
+# DDSketch does).
+
+
+#: Mantissa bits per bucket: 2^-B relative bucket width. B=6 → 64
+#: sub-buckets per octave, ≤ 0.8% midpoint error, ≤ 3,712 buckets
+#: for the full positive long range.
+QHIST_SUB_BITS = 6
+
+
+def qhist_bucket(col: Column | str, sub_bits: int = QHIST_SUB_BITS) -> Column:
+    """Bucket id of a non-negative integer column (−1 for zero).
+
+    floor(v·2^B / 2^e) is the top B+1 bits of v — extracted EXACTLY
+    from the base-2 digit string (conv → rpad → conv), because a
+    64-bit shift-by-column isn't expressible and a double division
+    loses bits past 2^53. rpad both left-pads short values (e < B:
+    v·2^(B−e)) and truncates long ones (e ≥ B: the top B+1 digits) —
+    the same one-expression semantics DuckDB's rpad has, so the
+    oracle replays it verbatim. Inputs must stay below 2^62 (bigint
+    lattice); cents/bytes/nanoseconds all fit."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = c.cast("long")
+    s = F.conv(v, 10, 2)
+    e = (F.length(s) - 1).cast("long")
+    m = F.conv(F.rpad(s, sub_bits + 1, "0"), 2, 10).cast("long")
+    return F.when(v <= 0, F.lit(-1).cast("long")).otherwise(
+        F.shiftleft(e, sub_bits) + (m - F.lit(1 << sub_bits))
+    )
+
+
+def qhist_state(
+    df: DataFrame,
+    value: Column | str,
+    group_by: list[str] | None = None,
+    sub_bits: int = QHIST_SUB_BITS,
+) -> DataFrame:
+    """The mergeable sketch state: (group..., bucket, cnt). One
+    shuffle whose key space is ≤ (64−B)·2^B per group — map-side
+    partial aggregation collapses each partition to the bucket set
+    before anything moves."""
+    keys = list(group_by or [])
+    return (
+        df.select(*keys, qhist_bucket(value, sub_bits).alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qhist_merge(*states: DataFrame) -> DataFrame:
+    """Union partial states (days / splits / tables) into one: SUM per
+    bucket. Associative and commutative — integer counters."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("cnt",)]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def qhist_bucket_mid(col: Column | str, sub_bits: int = QHIST_SUB_BITS) -> Column:
+    """Deterministic representative of a bucket: the floor midpoint of
+    its value interval [2^e·(2^B+sub)/2^B, 2^e·(2^B+sub+1)/2^B) —
+    all integer shifts and one floor division, identical in DuckDB.
+    Bucket −1 (zero values) maps to 0."""
+    b = F.col(col) if isinstance(col, str) else col
+    e = F.shiftright(b, sub_bits)
+    sub = b - F.shiftleft(e, sub_bits)
+    # 2^e is a double with a ONE-bit mantissa and (2m+1) < 2^(B+2):
+    # every op below is exact in IEEE double for B ≤ 45, so the floor
+    # is the true integer midpoint — the oracle computes the same
+    # integer on the HUGEINT lattice.
+    two_e = F.pow(F.lit(2.0), e.cast("double"))
+    m = (F.lit(1 << sub_bits) + sub).cast("double")
+    est = F.floor(two_e * (m + m + F.lit(1.0)) / F.lit(float(2 * (1 << sub_bits))))
+    return F.when(b < 0, F.lit(0).cast("long")).otherwise(est.cast("long"))
+
+
+def qhist_quantiles(
+    state: DataFrame,
+    probs: list[float],
+    group_by: list[str] | None = None,
+    sub_bits: int = QHIST_SUB_BITS,
+) -> DataFrame:
+    """Quantile estimates from the sketch state: for each prob p the
+    midpoint of the first bucket whose cumulative count reaches
+    ceil(p·n) (the classic lower quantile on the bucket CDF). The
+    cumulative window runs over ≤ 4k bucket rows per group — bounded
+    by the sketch, not the data (same bounded-window argument as
+    sample_quantiles). Returns (group..., prob, est)."""
+    keys = list(group_by or [])
+    w = (
+        Window.partitionBy(*keys).orderBy("bucket")
+        if keys
+        else Window.partitionBy().orderBy("bucket")
+    )
+    cdf = state.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*keys) if keys else Window.partitionBy()
+        ).alias("n"),
+    )
+    qrows = state.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    hit = cdf.join(F.broadcast(qrows), F.col("cum") >= F.ceil(
+        F.col("prob") * F.col("n")
+    ))
+    return (
+        hit.groupBy(*keys, "prob")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            *keys,
+            "prob",
+            qhist_bucket_mid("bucket", sub_bits).alias("est"),
+        )
+    )

@@ -420,6 +420,10 @@ def main() -> None:
                 os.path.join(sf_dir_, "documents.parquet")
             )
             R.write_postings_index(docs, base_, num_files=32)
+        if R.TERMMAX not in Mf_.read(base_).get("families", {}):
+            # stores cached before the termmax family existed:
+            # backfill once (outside every timed window)
+            R.build_term_extremes(spark_, base_)
         return base_
 
     def bm25_indexed_store(spark_, sf_dir_):
@@ -438,6 +442,23 @@ def main() -> None:
         )
 
     qs["bm25_indexed_store"] = bm25_indexed_store
+
+    def bm25_maxscore_store(spark_, sf_dir_):
+        """q124's serving path on the SAME store and the SAME query as
+        bm25_indexed_store: exact MaxScore top-k. The head term
+        (tok00001, df ≈ 40% of corpus) goes non-essential under the θ
+        seeded from tok20000's docs, so its postings meet only a
+        broadcast semi-join against the rare-term candidates — this
+        row measures what that buys vs the full pivot at each scale,
+        with bit-identical results (q124 certifies)."""
+        from block_explorer_spark.operators import retrieval as R
+
+        base_ = _bm25_store_ensure(spark_, sf_dir_)
+        return R.bm25_search_maxscore(
+            spark_, base_, ["tok00001", "tok00400", "tok20000"], topk=25
+        )
+
+    qs["bm25_maxscore_store"] = bm25_maxscore_store
 
     def bm25_index_refresh(spark_, sf_dir_):
         """Round-8 incremental maintenance: +1% fresh docs folded into

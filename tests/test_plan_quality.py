@@ -92,6 +92,10 @@ def test_no_cartesian_products(spark):
         # q117: the 1-row (Na, Nb) totals broadcast onto the token
         # counts — the same deliberate scalar-broadcast shape as q50.
         "q117_segment_drift",
+        # q125: cum ≥ ceil(p·n) over the sketch CDF — ≤ (64−B)·2^B
+        # bucket rows per group × |probs|, bounded by the lattice
+        # (sketches.py::qhist_quantiles), never data-sized.
+        "q125_quantile_sketch",
     }
     for name, fn in entry.queries().items():
         text = plan(fn(spark, SF))

@@ -435,3 +435,29 @@ class TestMaxScore:
         ms = R.bm25_search_maxscore(spark, base, self.TERMS, topk=10)
         plan = ms._jdf.queryExecution().optimizedPlan().toString()
         assert "strategy=broadcast" in plan, plan
+
+    def test_backfill_term_extremes_on_pre_family_index(self, spark, tmp_path):
+        """An index committed before the termmax family existed serves
+        MaxScore with the static bound; build_term_extremes backfills
+        the tight bounds in one commit, results unchanged."""
+        from block_explorer_spark.sources import manifest as M
+
+        base = self._base(spark, tmp_path)
+        cur = M.read(base)
+        fams = dict(cur["families"])
+        fams.pop(R.TERMMAX)
+        M.commit(base, fams, cur["version"], meta=dict(cur["meta"]))
+        ex: dict = {}
+        R.bm25_search_maxscore(
+            spark, base, self.TERMS, topk=10, explain=ex
+        ).collect()
+        idf = R.idf_weights(600, ex["dfs"])
+        assert ex["ub"]["needle"] == pytest.approx(idf["needle"] * 2.2)
+        assert R.build_term_extremes(spark, base) is not None
+        ex2: dict = {}
+        ms = R.bm25_search_maxscore(
+            spark, base, self.TERMS, topk=10, explain=ex2
+        ).collect()
+        assert ex2["ub"]["needle"] < ex["ub"]["needle"]
+        full = R.bm25_search_indexed(spark, base, self.TERMS, topk=10).collect()
+        assert [tuple(r) for r in full] == [tuple(r) for r in ms]

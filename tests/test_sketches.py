@@ -353,3 +353,105 @@ class TestBloomEdgeCases:
             tuple(r) for r in left.select("k", "id").join(right, "k").collect()
         )
         assert len(plain) == 2  # sanity: NULLs joined nothing
+
+
+class TestQhist:
+    """DDSketch-style log-bucket quantile histogram: exact bucket
+    arithmetic, bounded relative error, counter-lattice mergeability."""
+
+    def _py_bucket(self, v: int, B: int = 6) -> int:
+        if v <= 0:
+            return -1
+        e = v.bit_length() - 1
+        sub = (v << B >> e) - (1 << B)
+        return (e << B) + sub
+
+    def test_bucket_matches_python_reference(self, spark):
+        from block_explorer_spark.operators import sketches as S
+
+        vals = [1, 2, 3, 63, 64, 65, 127, 128, 1000, 2**40 - 1, 2**40,
+                5, 0, 7_654_321, 2**61]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r["v"]: r["b"]
+            for r in df.select("v", S.qhist_bucket("v").alias("b")).collect()
+        }
+        for v in vals:
+            assert got[v] == self._py_bucket(v), v
+
+    def test_quantile_relative_error_bound(self, spark):
+        """est within 2^-B relative of the exact quantile on a
+        long-tailed column — the guarantee the sketch exists for."""
+        import random
+
+        from block_explorer_spark.operators import sketches as S
+
+        rng = random.Random(42)
+        vals = [int(math.exp(rng.uniform(0, 18))) + 1 for _ in range(20_000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        st = S.qhist_state(df, "v")
+        got = {
+            r["prob"]: r["est"]
+            for r in S.qhist_quantiles(st, [0.5, 0.9, 0.99]).collect()
+        }
+        svals = sorted(vals)
+        for p, est in got.items():
+            exact = svals[math.ceil(p * len(svals)) - 1]
+            assert abs(est - exact) / exact <= 2 ** -6 + 2 / exact, (p, est, exact)
+
+    def test_state_bounded_and_mergeable(self, spark):
+        from block_explorer_spark.operators import sketches as S
+
+        a = spark.range(1, 30_000).select((F.col("id") * 37 % 90_001 + 1).alias("v"))
+        b = spark.range(1, 20_000).select((F.col("id") * 91 % 70_001 + 1).alias("v"))
+        sa, sb = S.qhist_state(a, "v"), S.qhist_state(b, "v")
+        assert sa.count() <= 58 * 64  # bounded by the lattice, not the data
+        merged = S.qhist_merge(sa, sb)
+        direct = S.qhist_state(a.unionAll(b), "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_deletes_decrement_exactly(self, spark):
+        """Counters decrement like the CMS mirror: state(A) − state(D)
+        == state(A \\ D) exactly — the property that lets a persisted
+        sketch survive RTBF deletes without an epoch rebuild."""
+        from block_explorer_spark.operators import sketches as S
+
+        a = spark.range(1, 10_000).select((F.col("id") % 5_000 + 1).alias("v"))
+        d = a.filter(F.col("v") % 7 == 0)
+        keep = a.filter(F.col("v") % 7 != 0)
+        neg = S.qhist_state(d, "v").withColumn("cnt", -F.col("cnt"))
+        merged = S.qhist_merge(S.qhist_state(a, "v"), neg).filter(F.col("cnt") > 0)
+        want = S.qhist_state(keep, "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_grouped_quantiles(self, spark):
+        from block_explorer_spark.operators import sketches as S
+
+        df = spark.range(1, 12_001).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") * 13 % 40_000 + 1).alias("v")
+        )
+        st = S.qhist_state(df, "v", group_by=["g"])
+        out = S.qhist_quantiles(st, [0.5, 0.95], group_by=["g"]).collect()
+        assert len(out) == 6
+        rows = {(r["g"], r["prob"]): r["est"] for r in out}
+        import numpy as np
+
+        pdf = df.toPandas()
+        for (g, p), est in rows.items():
+            vals = sorted(pdf[pdf.g == g].v)
+            exact = vals[math.ceil(p * len(vals)) - 1]
+            assert abs(est - exact) / exact <= 2 ** -6 + 2 / exact, (g, p)
+
+    def test_zero_and_negative_handling(self, spark):
+        from block_explorer_spark.operators import sketches as S
+
+        df = spark.createDataFrame([(0,), (0,), (5,)], "v long")
+        st = S.qhist_state(df, "v")
+        got = {r["bucket"]: r["cnt"] for r in st.collect()}
+        assert got[-1] == 2
+        q = S.qhist_quantiles(st, [0.5]).collect()[0]
+        assert q["est"] == 0  # rank-2 of 3 lands in the zero bucket
