@@ -544,3 +544,151 @@ def resync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
     _swap_ckpt(state_dir, ck)
     _gc_orphans(state_dir, ck)
     return {"n_docs": read_mirror(spark, state_dir).count(), "version": head}
+
+
+# ---------------------------------------------------------------------------
+# Quantile-histogram state: persisted doc-length distribution
+# ---------------------------------------------------------------------------
+#
+# The third member of the maintained-sketch family, and the simplest
+# delete story of the three: qhist state is (bucket, cnt) counters on
+# the integer lattice (sketches.py::qhist_*), so — exactly like the
+# CMS — deletes fold as EXACT decrements from the pre-delete snapshot
+# via manifest time travel, and unlike the HLL there is never an
+# epoch rebuild for them. The maintained histogram equals a batch
+# qhist_state over the LIVE corpus, bucket for bucket (pinned by
+# test_pipeline_e2e), which makes the served p50/p99 doc-length — a
+# first-class curation metric — a ≤ 4k-row read at any corpus size.
+
+
+def _qhist_ckpt_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "qhist_checkpoint.json")
+
+
+def _read_qhist_ckpt(state_dir: str) -> dict:
+    try:
+        with open(_qhist_ckpt_path(state_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"since_version": 0, "dir": None}
+
+
+def _swap_ckpt_qhist(state_dir: str, ck: dict) -> None:
+    tmp = _qhist_ckpt_path(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+    os.replace(tmp, _qhist_ckpt_path(state_dir))
+
+
+def _gc_qhist_orphans(state_dir: str, live: str) -> None:
+    for name in os.listdir(state_dir):
+        p = os.path.join(state_dir, name)
+        if os.path.isdir(p) and name.startswith("qhist_") and name != live:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _doc_len_state(df: DataFrame) -> DataFrame:
+    from block_explorer_spark.operators import sketches as SK
+
+    lens = df.select(F.length(F.col("text")).cast("long").alias("v"))
+    return SK.qhist_state(lens, "v")
+
+
+def read_qhist_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The persisted histogram state: (bucket, cnt), ≤ (64−B)·2^B rows."""
+    ck = _read_qhist_ckpt(state_dir)
+    if ck["dir"] is None:
+        return spark.createDataFrame([], "bucket long, cnt long")
+    return spark.read.parquet(os.path.join(state_dir, ck["dir"]))
+
+
+def qhist_sync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
+    """Incremental doc-length histogram over the change feed: inserts
+    increment, deletes decrement EXACTLY (pre-delete snapshot via
+    read_at(v-1), transiently — same retention contract as the CMS
+    decrement), updates (sweep rewrites change the length) trigger
+    the loud epoch rebuild. Cost ∝ delta docs + ≤ 4k counter rows."""
+    from block_explorer_spark.operators import sketches as SK
+
+    os.makedirs(state_dir, exist_ok=True)
+    ck = _read_qhist_ckpt(state_dir)
+    head = Mf.current_version(corpus_base)
+    if head == ck["since_version"]:
+        return {"n_changes": 0, "version": head}
+    try:
+        feed = cs.changes_since(
+            spark, corpus_base, ck["since_version"], until_version=head
+        ).localCheckpoint()
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"change feed no longer reaches qhist checkpoint version "
+            f"{ck['since_version']} (retention/vacuum): {e}. Run "
+            "cdc_consumer.qhist_resync(spark, corpus_base, state_dir) "
+            "to rebuild from the current snapshot."
+        ) from e
+    if feed.filter(F.col("op") == "update").limit(1).count():
+        out = qhist_resync(spark, corpus_base, state_dir)
+        out["rebuilt"] = True
+        return out
+    n_changes = feed.count()
+    if not n_changes:
+        _swap_ckpt_qhist(state_dir, {"since_version": head, "dir": ck["dir"]})
+        return {"n_changes": 0, "version": head}
+    parts = [read_qhist_state(spark, state_dir)]
+    parts.append(_doc_len_state(feed.filter(F.col("op") == "insert")))
+    del_rows = feed.filter(F.col("op") == "delete").select("version", "doc_id")
+    del_versions = sorted(
+        r["version"] for r in del_rows.select("version").distinct().collect()
+    )
+    try:
+        for v in del_versions:
+            ids = [
+                r["doc_id"]
+                for r in del_rows.filter(F.col("version") == v).collect()
+            ]
+            prev = cs.read_docs_by_ids(
+                spark, corpus_base, ids,
+                snapshot=Mf.read_at(corpus_base, v - 1),
+            ).localCheckpoint()
+            parts.append(
+                _doc_len_state(prev).withColumn("cnt", -F.col("cnt"))
+            )
+    except Exception as e:
+        raise RuntimeError(
+            f"pre-delete snapshot for the qhist decrement is gone "
+            f"(retention/vacuum): {e}. Run cdc_consumer.qhist_resync("
+            "spark, corpus_base, state_dir) to rebuild from the "
+            "current snapshot."
+        ) from e
+    merged = SK.qhist_merge(*parts).filter(F.col("cnt") != 0)
+    name = f"qhist_v{head}"
+    _write_run(spark, state_dir, name, merged)
+    _swap_ckpt_qhist(state_dir, {"since_version": head, "dir": name})
+    _gc_qhist_orphans(state_dir, name)
+    return {"n_changes": n_changes, "version": head}
+
+
+def qhist_resync(spark: SparkSession, corpus_base: str, state_dir: str) -> dict:
+    """Rebuild the histogram state from the current snapshot."""
+    os.makedirs(state_dir, exist_ok=True)
+    head = Mf.current_version(corpus_base)
+    st = _doc_len_state(cs.read_corpus(spark, corpus_base))
+    name = f"qhist_v{head}_base"
+    _write_run(spark, state_dir, name, st)
+    _swap_ckpt_qhist(state_dir, {"since_version": head, "dir": name})
+    _gc_qhist_orphans(state_dir, name)
+    return {"version": head}
+
+
+def qhist_doclen_quantiles(
+    spark: SparkSession, state_dir: str, probs: list[float]
+) -> dict[float, int]:
+    """Doc-length quantile estimates from the persisted state —
+    a ≤ 4k-row read + bounded CDF walk at any corpus size."""
+    from block_explorer_spark.operators import sketches as SK
+
+    st = read_qhist_state(spark, state_dir)
+    return {
+        float(r["prob"]): int(r["est"])
+        for r in SK.qhist_quantiles(st, probs).collect()
+    }

@@ -241,6 +241,33 @@ def measure(spark, base: str, scale: int, collector=None) -> dict:
     )
     total_files = len(Mf.read(base)["families"]["records"])
 
+    # -- point lookup: the PK B-tree read (get_record,
+    # storage.go:382-407). References embed their pulse (the
+    # reference's Record.ID.Pulse() layout), so the lookup prunes to
+    # ONE bucket's covering files by pulse zone maps — the q123 gate's
+    # path, measured here against 100x table growth. ------------------
+    pref = _ref(mid_pn, 5)
+
+    def point():
+        return P.read_record_by_reference(
+            spark, base, pref, pulse=mid_pn
+        ).collect()
+
+    prow = point()  # warm
+    assert len(prow) == 1, len(prow)
+    before = collector.totals() if collector else None
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        point()
+    point_ms = (time.perf_counter() - t0) / n_iter * 1000
+    point_input_mb = (
+        round(collector.delta(before, collector.totals())["inputBytes"] / n_iter / 1e6, 2)
+        if collector else None
+    )
+    point_files = len(
+        set(P.read_record_by_reference(spark, base, pref, pulse=mid_pn).inputFiles())
+    )
+
     # -- upsert: merge a fresh one-pulse batch ------------------------
     batch = gen_records(spark, 1, start_idx=n_pulses + 7)
     t0 = time.perf_counter()
@@ -272,6 +299,9 @@ def measure(spark, base: str, scale: int, collector=None) -> dict:
         "lifeline_ms": round(lifeline_ms, 1),
         "lifeline_input_mb": lifeline_input_mb,
         "lifeline_files": lifeline_files,
+        "point_ms": round(point_ms, 1),
+        "point_input_mb": point_input_mb,
+        "point_files": point_files,
         "records_files_total": total_files,
         "upsert_s": round(upsert_s, 2),
         "scan_s": round(scan_s, 2),

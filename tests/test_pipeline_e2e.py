@@ -441,3 +441,80 @@ def test_cdc_cms_state_exact_through_deletes(spark, tmp_path):
         cdc.cms_sync(spark, base, state)
     cdc.cms_resync(spark, base, state)
     assert got_counters() == batch_counters()
+
+
+def test_cdc_qhist_state_exact_through_deletes(spark, tmp_path):
+    """The quantile-histogram member of the maintained-sketch family:
+    after every insert/delete sync the persisted (bucket, cnt) state
+    equals a batch qhist_state over the LIVE corpus, bucket for
+    bucket — deletes are exact decrements from the pre-delete
+    snapshot, never a rebuild. Updates rebuild loudly; retention
+    failure is loud; resync recovers; the served p50/p99 matches the
+    batch estimator."""
+    import pytest as _pytest
+
+    from block_explorer_spark.operators import sketches as SK
+    from block_explorer_spark.sources import cdc_consumer as cdc
+    from block_explorer_spark.sources import manifest as Mf
+
+    base = str(tmp_path / "corpus")
+    state = str(tmp_path / "qh")
+    COLS = ["doc_id", "text", "lang", "source"]
+    filler = lambda tag, n: " ".join(f"{tag}w{i}" for i in range(n))
+
+    def batch_state():
+        return {
+            r["bucket"]: r["cnt"]
+            for r in cdc._doc_len_state(cs.read_corpus(spark, base)).collect()
+        }
+
+    def got_state():
+        return {
+            r["bucket"]: r["cnt"]
+            for r in cdc.read_qhist_state(spark, state).collect()
+        }
+
+    b1 = [(i, filler(f"a{i}", 25 + 7 * i), "en", "web") for i in range(1, 6)]
+    cs.ingest(spark, base, spark.createDataFrame(b1, COLS))
+    s = cdc.qhist_sync(spark, base, state)
+    assert "rebuilt" not in s and s["n_changes"] == 5
+    assert got_state() == batch_state()
+
+    # insert + delete in one window: exact decrement, no rebuild
+    b2 = [(i, filler(f"b{i}", 200 + i), "en", "web") for i in range(10, 14)]
+    cs.ingest(spark, base, spark.createDataFrame(b2, COLS))
+    cs.delete_where(spark, base, F.col("doc_id").isin([2, 11]))
+    s = cdc.qhist_sync(spark, base, state)
+    assert "rebuilt" not in s
+    assert got_state() == batch_state()
+
+    # served quantiles == batch estimator over the live corpus
+    got_q = cdc.qhist_doclen_quantiles(spark, state, [0.5, 0.99])
+    lens = cs.read_corpus(spark, base).select(
+        F.length("text").cast("long").alias("v")
+    )
+    want_q = {
+        float(r["prob"]): int(r["est"])
+        for r in SK.qhist_quantiles(
+            SK.qhist_state(lens, "v"), [0.5, 0.99]
+        ).collect()
+    }
+    assert got_q == want_q
+
+    # sweep (update rows) -> loud epoch rebuild, state tracks live
+    sw = cs.substr_sweep(spark, base, window=8)
+    if sw["n_stripped"]:
+        s = cdc.qhist_sync(spark, base, state)
+        assert s.get("rebuilt") is True
+        assert got_state() == batch_state()
+
+    # retention: vacuum past checkpoint -> loud -> resync recovers
+    cs.ingest(spark, base, spark.createDataFrame(
+        [(30, filler("c30", 40), "en", "web")], COLS))
+    cs.ingest(spark, base, spark.createDataFrame(
+        [(31, filler("c31", 41), "en", "web")], COLS))
+    Mf.vacuum(base, keep_last=1, min_age_s=0.0)
+    with _pytest.raises(RuntimeError, match="qhist_resync"):
+        cdc.qhist_sync(spark, base, state)
+    cdc.qhist_resync(spark, base, state)
+    assert got_state() == batch_state()
