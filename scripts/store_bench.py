@@ -63,6 +63,13 @@ def main() -> None:
         "corpus (round 8)",
     )
     ap.add_argument(
+        "--cdc-qhist", action="store_true",
+        help="run the quantile-histogram consumer (cdc_consumer."
+        "qhist_sync) after every round and record its per-round cost "
+        "— flat when folding the delta's length counters tracks the "
+        "delta, not the corpus (round 8)",
+    )
+    ap.add_argument(
         "--substr-window", type=int, default=None,
         help="enable the incremental ExactSubstr tier (round 6): each "
         "round probes the persisted whash sidecar and appends the "
@@ -86,9 +93,11 @@ def main() -> None:
         per_round = []
         mirror_round = []
         hll_round = []
+        qhist_round = []
         compact_sec = []
         mirror_state = base + "_mirror"
         hll_state = base + "_hll"
+        qhist_state = base + "_qhist"
         for r in range(args.rounds):
             b = _batch(spark, 1 + r * args.docs, args.docs)
             t0 = time.perf_counter()
@@ -112,6 +121,14 @@ def main() -> None:
                 hll_round.append(round(time.perf_counter() - t0, 2))
                 assert s["n_changes"] == args.docs, s
                 print(f"# hll sync {r}: {hll_round[-1]}s", file=sys.stderr)
+            if args.cdc_qhist:
+                from block_explorer_spark.sources import cdc_consumer as cdc
+
+                t0 = time.perf_counter()
+                s = cdc.qhist_sync(spark, base, qhist_state)
+                qhist_round.append(round(time.perf_counter() - t0, 2))
+                assert s["n_changes"] == args.docs, s
+                print(f"# qhist sync {r}: {qhist_round[-1]}s", file=sys.stderr)
             if args.compact_every and (r + 1) % args.compact_every == 0:
                 t0 = time.perf_counter()
                 n_files = cs.compact(spark, base)
@@ -141,6 +158,8 @@ def main() -> None:
         )
         if args.cdc_hll:
             out_extra["hll_sync_sec_per_round"] = hll_round
+        if args.cdc_qhist:
+            out_extra["qhist_sync_sec_per_round"] = qhist_round
         if args.compact_every:
             out_extra["compact_every"] = args.compact_every
             out_extra["compact_sec"] = compact_sec
