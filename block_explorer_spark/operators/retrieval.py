@@ -919,3 +919,60 @@ def start_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bm25_search(
+    spark: SparkSession,
+    base: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    strategy: str = "auto",
+    maxscore_min_postings: int = 200_000,
+    explain: dict | None = None,
+) -> DataFrame:
+    """The serving policy in one call — both paths are exact, so the
+    choice is pure economics, and SCALE_CURVE measured the crossover:
+    below ~10^5 matched postings the full zero-join pivot wins (the
+    MaxScore θ seed is a second query); above it MaxScore wins and
+    the gap grows with the Zipf-head term (75× less shuffle at
+    x1000). `auto` spends one bounded COUNT over the term-pruned
+    postings files — the same files either path reads anyway — and
+    dispatches on `maxscore_min_postings`; "full" / "maxscore" force
+    a side. MaxScore self-degrades to a single full evaluation when
+    its seed would cost as much as the query, so auto can never be
+    worse than ~2× the better side."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    if strategy not in ("auto", "full", "maxscore"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "full":
+        return bm25_search_indexed(spark, base, terms, k1=k1, b=b, topk=topk)
+    if strategy == "maxscore":
+        return bm25_search_maxscore(
+            spark, base, terms, k1=k1, b=b, topk=topk, explain=explain
+        )
+    m = M.read(base)
+    if not m.get("meta", {}).get("bm25"):
+        raise FileNotFoundError(f"no bm25 index committed under {base}")
+    keep: list[str] = []
+    for t in terms or []:
+        keep += M.prune_by_stats(m, "postings", "token", lo=t, hi=t)
+    matched = 0
+    if keep:
+        matched = (
+            spark.read.parquet(*[_os.path.join(base, r) for r in sorted(set(keep))])
+            .filter(F.col("token").isin(list(terms)))
+            .count()
+        )
+    chosen = "maxscore" if matched >= maxscore_min_postings else "full"
+    if explain is not None:
+        explain.update({"strategy": chosen, "matched_postings": matched})
+    if chosen == "full":
+        return bm25_search_indexed(spark, base, terms, k1=k1, b=b, topk=topk)
+    return bm25_search_maxscore(
+        spark, base, terms, k1=k1, b=b, topk=topk, explain=explain
+    )

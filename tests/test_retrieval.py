@@ -545,3 +545,33 @@ class TestStreamingIndex:
         assert M.read(base)["meta"]["bm25"]["n"] == n_before
         after = R.bm25_search_indexed(spark, base, ["needle"], topk=5).collect()
         assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+class TestServingPolicy:
+    def test_auto_dispatch_both_sides_exact(self, spark, tmp_path):
+        """auto picks full below the postings threshold and maxscore
+        above it (forced via threshold=0) — identical results."""
+        base = str(tmp_path / "idx")
+        rows = [
+            (i, ("stop " * (1 + i % 3)) + (f"rare{i % 40} " if i % 10 == 0 else "w ")
+             + f"f{i % 31}")
+            for i in range(800)
+        ]
+        R.write_postings_index(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            base, num_files=4,
+        )
+        terms = ["rare3", "stop"]
+        want = R.bm25_search_indexed(spark, base, terms, topk=8).collect()
+        ex: dict = {}
+        got_full = R.bm25_search(spark, base, terms, topk=8, explain=ex).collect()
+        assert ex["strategy"] == "full" and ex["matched_postings"] > 0
+        ex2: dict = {}
+        got_ms = R.bm25_search(
+            spark, base, terms, topk=8, maxscore_min_postings=0, explain=ex2
+        ).collect()
+        assert ex2["strategy"] == "maxscore"
+        key = lambda rs: [(r["doc_id"], r["score"]) for r in rs]
+        assert key(want) == key(got_full) == key(got_ms)
+        with pytest.raises(ValueError):
+            R.bm25_search(spark, base, terms, strategy="wand")
