@@ -2830,6 +2830,11 @@ def q124_bm25_maxscore(spark: SparkSession, sf: str) -> DataFrame:
 #: relative bucket width).
 QHIST_PROBS = [0.5, 0.9, 0.99]
 
+#: q126: hybrid-search inputs — keyword side + vector side fused on
+#: ranks (RRF k=60, the SIGIR'09 default), 50 candidates per side.
+HYBRID_TERMS = ["dup", "merge"]
+HYBRID_CAND, HYBRID_TOPK, HYBRID_RRF_K = 50, 20, 60
+
 
 def q125_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable quantile histogram (DDSketch re-derived on the
@@ -2854,6 +2859,38 @@ def q125_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return S.qhist_quantiles(st, QHIST_PROBS, group_by=["flag"]).select(
         "flag", "prob", F.col("est").alias("cents_est")
     )
+
+
+def q126_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-50 over `documents` and
+    brute cosine top-50 over `embeddings` (aligned ids), fused by
+    Reciprocal Rank Fusion (retrieval.py::rrf_fuse — SIGIR'09). Ranks
+    are integers with ties pre-broken by id, so the fusion — the
+    modern RAG-stack serving shape — is exactly SQL-replayable: the
+    oracle reruns both full rankings, row_numbers them identically,
+    and adds the two 1/(60+rank) terms in the same order."""
+    from block_explorer_spark.operators import retrieval as R
+    from block_explorer_spark.operators import similarity as Sim
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    rank_w = lambda score, idc: F.row_number().over(
+        W.partitionBy().orderBy(F.desc(score), F.asc(idc))
+    )
+    bm = R.bm25_topk(
+        docs, HYBRID_TERMS, k1=BM25_K1, b=BM25_B, topk=HYBRID_CAND
+    ).select(F.col("doc_id").alias("id"), rank_w("score", "doc_id").alias("rank"))
+    ann = Sim.brute_force_topk(
+        emb, "embedding", qvec, k=HYBRID_CAND
+    ).select(F.col("vec_id").alias("id"), rank_w("cosine", "vec_id").alias("rank"))
+    return R.rrf_fuse(
+        [bm, ann], id_col="id", rrf_k=HYBRID_RRF_K, topk=HYBRID_TOPK
+    ).select("id", F.round("rrf_score", 9).alias("rrf_score"))
 
 
 # ---------------------------------------------------------------------------
@@ -2993,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_record_point_lookup": q123_record_point_lookup,
         "q124_bm25_maxscore": q124_bm25_maxscore,
         "q125_quantile_sketch": q125_quantile_sketch,
+        "q126_hybrid_search": q126_hybrid_search,
     }
 
 
@@ -3171,6 +3209,54 @@ def _bm25_oracle(
         WHERE {any_match} > 0
         ORDER BY score DESC, doc_id ASC
         LIMIT {topk}
+    """
+
+
+def _hybrid_oracle() -> str:
+    """q126 oracle: rerun BOTH full rankings (the q113-style bit-exact
+    BM25 replay at 50 candidates; the q27-style exact-double cosine),
+    row_number them with the identical tie-break, and add the two
+    1/(k+rank) terms in the same left-to-right order."""
+    bm_sql = _bm25_oracle(terms=HYBRID_TERMS, topk=HYBRID_CAND)
+    dot = (
+        "list_sum(list_transform(list_zip(embedding, qe), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(qe, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    kf = float(HYBRID_RRF_K)
+    return f"""
+        WITH bm AS ({bm_sql}),
+        bmr AS (
+          SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
+          FROM bm
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        ann AS (
+          SELECT vec_id AS id, {dot} / ({nrm}) AS c
+          FROM embeddings, q
+          ORDER BY c DESC, vec_id ASC
+          LIMIT {HYBRID_CAND}
+        ),
+        annr AS (
+          SELECT id, row_number() OVER (ORDER BY c DESC, id ASC) AS rb
+          FROM ann
+        ),
+        fused AS (
+          SELECT COALESCE(bmr.id, annr.id) AS id,
+                 COALESCE(1.0 / ({kf!r} + CAST(ra AS DOUBLE)), 0.0)
+                 + COALESCE(1.0 / ({kf!r} + CAST(rb AS DOUBLE)), 0.0) AS s
+          FROM bmr FULL OUTER JOIN annr ON bmr.id = annr.id
+        )
+        SELECT id, round(s, 9) AS rrf_score
+        FROM fused
+        ORDER BY s DESC, id ASC
+        LIMIT {HYBRID_TOPK}
     """
 
 
@@ -4997,6 +5083,7 @@ def oracle_sql() -> dict[str, str]:
         "q124_bm25_maxscore": _bm25_oracle(
             terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
         ),
+        "q126_hybrid_search": _hybrid_oracle(),
         "q125_quantile_sketch": f"""
             WITH cents AS (
               SELECT l_returnflag AS flag,

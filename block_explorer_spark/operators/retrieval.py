@@ -976,3 +976,53 @@ def bm25_search(
     return bm25_search_maxscore(
         spark, base, terms, k1=k1, b=b, topk=topk, explain=explain
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    rrf_k: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009): fused score = Σ_sources 1/(rrf_k + rank). The modern
+    hybrid-search combiner — keyword (BM25) and vector (cosine)
+    rankings fuse on RANKS alone, so the two sides' incomparable
+    score scales never meet. Each input carries (id_col, rank) with
+    rank 1..n deterministic (ties pre-broken by id).
+
+    Shape: union the bounded ranked lists with a source tag, pivot
+    per source, sum contributions in FIXED source order — the exact
+    construction the BM25 pivot uses, for the same reason (float
+    addition is not associative; the oracle must add in the same
+    order). No full-outer join (which would force a sort-merge), one
+    shuffle of ≤ Σ|rankings| rows — bounded by the input top-k's,
+    never the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = []
+    for i, r in enumerate(rankings):
+        parts.append(
+            r.select(
+                F.col(id_col),
+                F.lit(i).alias("__src"),
+                F.col("rank").cast("long").alias("__rank"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pivoted = u.groupBy(id_col).pivot(
+        "__src", list(range(len(rankings)))
+    ).min("__rank")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"`{i}`").cast("double")),
+            F.lit(0.0),
+        )
+    return (
+        pivoted.select(id_col, score.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )

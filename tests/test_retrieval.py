@@ -575,3 +575,50 @@ class TestServingPolicy:
         assert key(want) == key(got_full) == key(got_ms)
         with pytest.raises(ValueError):
             R.bm25_search(spark, base, terms, strategy="wand")
+
+
+class TestHybrid:
+    """RRF fusion: hand-checkable rank arithmetic, degenerate and
+    disjoint inputs."""
+
+    def test_matches_hand_fusion(self, spark):
+        a = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(11, 1), (12, 2), (13, 3)], "id long, rank long"
+        )
+        got = {
+            r["id"]: r["rrf_score"]
+            for r in R.rrf_fuse([a, b], rrf_k=60, topk=10).collect()
+        }
+        want = {
+            10: 1.0 / 61,
+            11: 1.0 / 62 + 1.0 / 61,
+            12: 1.0 / 63 + 1.0 / 62,
+            13: 1.0 / 63,
+        }
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i] == pytest.approx(want[i], abs=1e-15), i
+        order = [
+            r["id"] for r in R.rrf_fuse([a, b], rrf_k=60, topk=10).collect()
+        ]
+        assert order[0] == 11 and order[1] == 12  # two-list docs first
+
+    def test_single_source_is_rank_order(self, spark):
+        a = spark.createDataFrame(
+            [(5, 1), (9, 2), (7, 3)], "id long, rank long"
+        )
+        out = [r["id"] for r in R.rrf_fuse([a], topk=3).collect()]
+        assert out == [5, 9, 7]
+
+    def test_disjoint_ids_both_survive(self, spark):
+        a = spark.createDataFrame([(1, 1)], "id long, rank long")
+        b = spark.createDataFrame([(2, 1)], "id long, rank long")
+        out = R.rrf_fuse([a, b], topk=5).collect()
+        assert sorted(r["id"] for r in out) == [1, 2]
+        # equal scores -> id tie-break
+        assert [r["id"] for r in out] == [1, 2]
+        with pytest.raises(ValueError):
+            R.rrf_fuse([])
