@@ -2893,6 +2893,39 @@ def q126_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id", F.round("rrf_score", 9).alias("rrf_score"))
 
 
+#: q127: filtered-ANN inputs — predicate label, store geometry.
+FANN_LABEL, FANN_CELLS, FANN_K = 7, 8, 10
+
+
+def q127_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered vector search over the PERSISTED store: top-k cosine
+    among vectors with label == 7 (vector_store.probe(where=...)) —
+    the predicate applies inside the probe cells BEFORE the distance
+    math (pre-filter; pushed to the parquet scan), never the
+    under-filling post-filter shape. Probing every cell makes it
+    exact, so the oracle is the plain filtered brute-force SQL: the
+    certification IS the claim that the store's cell layout +
+    predicate pushdown changed nothing."""
+    from block_explorer_spark.operators import similarity as Sim  # noqa: F401
+    from block_explorer_spark.sources import vector_store as VS
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    base = _gate_store(
+        "fann",
+        sf,
+        lambda b: VS.create(spark, b, emb, n_centroids=FANN_CELLS),
+    )
+    top = VS.probe(
+        spark, base, qvec, k=FANN_K, n_probe=FANN_CELLS,
+        where=F.col("label") == FANN_LABEL,
+    )
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3031,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_bm25_maxscore": q124_bm25_maxscore,
         "q125_quantile_sketch": q125_quantile_sketch,
         "q126_hybrid_search": q126_hybrid_search,
+        "q127_filtered_ann": q127_filtered_ann,
     }
 
 
@@ -5084,6 +5118,23 @@ def oracle_sql() -> dict[str, str]:
             terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
         ),
         "q126_hybrid_search": _hybrid_oracle(),
+        "q127_filtered_ann": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(
+              list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              6) AS cosine
+            FROM embeddings, q
+            WHERE label = {FANN_LABEL}
+            ORDER BY list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+              vec_id ASC
+            LIMIT {FANN_K}
+        """,
         "q125_quantile_sketch": f"""
             WITH cents AS (
               SELECT l_returnflag AS flag,

@@ -500,6 +500,7 @@ def ivf_probe_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     files: list[str] | None = None,
+    where=None,
 ) -> DataFrame:
     """Query the persisted IVF index: read ONLY the probe cells'
     partitions, exact cosine + top-k over those cells.
@@ -527,6 +528,12 @@ def ivf_probe_topk(
         if not sel:
             return spark.createDataFrame([], f"{id_col} long, cosine double")
         cells = spark.read.option("basePath", path).parquet(*sorted(sel))
+        if where is not None:
+            # PRE-filter (exact w.r.t. the probed cells): the predicate
+            # lands before the distance math, pushed into the parquet
+            # scan of the metadata columns — never the post-filtered
+            # "fetch k then hope" shape, which under-fills k.
+            cells = cells.filter(where)
         return brute_force_topk(cells, vec_col, query, k, id_col)
     cell_dirs = [
         os.path.join(path, f"centroid_id={c}")
@@ -537,6 +544,8 @@ def ivf_probe_topk(
         cells = spark.read.option("basePath", path).parquet(*cell_dirs)
     else:
         cells = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
+    if where is not None:
+        cells = cells.filter(where)
     return brute_force_topk(cells, vec_col, query, k, id_col)
 
 

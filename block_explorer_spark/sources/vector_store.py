@@ -611,6 +611,7 @@ def probe(
     target_recall: float | None = None,
     tier: str = "exact",
     rerank: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Top-k over the probe cells only: the manifest snapshot IS the
     file listing, so the probe reads exactly the live files of the
@@ -623,6 +624,15 @@ def probe(
     (vec_id, adc_dist) rather than (vec_id, cosine); production
     re-ranks the PQ candidates with exact vectors when it needs
     cosine-faithful order.
+
+    `where` (round 8): filtered search — a Column predicate over the
+    stored metadata columns (e.g. `F.col("label") == 3`), applied
+    INSIDE the probe cells BEFORE the distance math (pre-filter):
+    exact top-k among matching vectors of the probed cells, with the
+    predicate pushed into the parquet scan. The post-filter
+    alternative ("fetch k, then filter") under-fills k and is not
+    offered. PQ tier refuses `where` loudly (codes carry no
+    metadata).
 
     `target_recall` (round 6): ignore `n_probe` and pick it from the
     store's calibrated recall curve (see `calibrate`); if no measured
@@ -652,6 +662,13 @@ def probe(
                     stacklevel=2,
                 )
     if tier == "pq":
+        if where is not None:
+            raise ValueError(
+                "filtered search needs the metadata columns, which the "
+                "PQ codes family does not carry — use tier='exact' "
+                "(or re-rank a wider unfiltered PQ candidate set "
+                "yourself, accepting post-filter under-fill)"
+            )
         return _probe_pq(spark, base, query, k, n_probe, rerank=rerank)
     if tier != "exact":
         raise ValueError(f"unknown probe tier {tier!r}: use 'exact' or 'pq'")
@@ -660,7 +677,8 @@ def probe(
         for r in Mf.read(base)["families"].get("vectors", [])
     ]
     return Sim.ivf_probe_topk(
-        spark, _data_path(base), query, cents, k=k, n_probe=n_probe, files=files
+        spark, _data_path(base), query, cents, k=k, n_probe=n_probe,
+        files=files, where=where,
     )
 
 

@@ -359,3 +359,61 @@ def test_changes_feed_append_only_with_versions(spark, base):
     tail = vs.changes_since(spark, base, v1).collect()
     assert {r["vec_id"] for r in tail} == {6, 7, 8}
     assert vs.changes_since(spark, base, Mf.current_version(base)).count() == 0
+
+
+def test_filtered_probe_prefilter_exact(spark, base):
+    """probe(where=...) is the PRE-filter: exact top-k among matching
+    vectors of the probed cells — equal to brute force over the
+    filtered store when every cell is probed, and never the
+    under-filled post-filter result."""
+    from pyspark.sql import functions as F
+
+    from block_explorer_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    _founding(spark, base, rng)
+    q = CENTERS[0]
+    got = vs.probe(
+        spark, base, q, k=5, n_probe=3, where=F.col("label") == 2
+    ).collect()
+    want = sim.brute_force_topk(
+        vs.read_vectors(spark, base).filter(F.col("label") == 2),
+        "embedding", q, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    # every returned row matches the predicate (k filled from the
+    # filtered population, not filtered from an unfiltered top-k)
+    ids = {r["vec_id"] for r in got}
+    labs = {
+        r["vec_id"]: r["label"]
+        for r in vs.read_vectors(spark, base).collect()
+    }
+    assert all(labs[i] == 2 for i in ids) and len(got) == 5
+
+
+def test_filtered_probe_pushes_predicate_to_scan(spark, base):
+    from pyspark.sql import functions as F
+
+    rng = random.Random(12)
+    _founding(spark, base, rng)
+    df = vs.probe(
+        spark, base, CENTERS[1], k=3, n_probe=1, where=F.col("label") == 1
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "label" in plan.split(
+        "PushedFilters:"
+    )[1][:80], plan
+
+
+def test_filtered_probe_pq_tier_refused(spark, base):
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    _founding(spark, base, rng)
+    with pytest.raises(ValueError, match="metadata"):
+        vs.probe(
+            spark, base, CENTERS[0], k=3, tier="pq",
+            where=F.col("label") == 1,
+        )
