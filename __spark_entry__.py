@@ -2847,7 +2847,10 @@ def q125_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     The estimate itself — bucket of the ceil(p·n)-th value, midpoint
     on the 2^-6 geometric lattice — is integer-reproducible, so the
     DuckDB oracle replays the ESTIMATOR (bucket assignment via the
-    base-2 digit string, HUGEINT midpoint), not just the data."""
+    base-2 digit string, HUGEINT midpoint), not just the data.
+    Prices are strictly positive, so the oracle replays only the
+    positive lattice; the zero bucket and the mirrored negative
+    lattice are pinned by test_sketches TestQhist."""
     from block_explorer_spark.operators import sketches as S
 
     li = _t(spark, sf, "lineitem")

@@ -549,8 +549,9 @@ def kmv_set_stats(sig_a: DataFrame, sig_b: DataFrame, k: int = 256) -> dict:
 # so estimates (not just counts) are bit-reproducible in the DuckDB
 # oracle, with relative error ≤ 2^-(B+1) + floor slack (test-pinned
 # against exact percentiles). Zero lands in bucket −1 (exact);
-# negatives are rejected (mirror a second sketch if needed, as
-# DDSketch does).
+# negatives land on the MIRRORED lattice −2 − bucket(|v|) (DDSketch's
+# negative store in one id space — ascending bucket id stays
+# ascending value, so the CDF walk needs no special case).
 
 
 #: Mantissa bits per bucket: 2^-B relative bucket width. B=6 → 64
@@ -560,23 +561,32 @@ QHIST_SUB_BITS = 6
 
 
 def qhist_bucket(col: Column | str, sub_bits: int = QHIST_SUB_BITS) -> Column:
-    """Bucket id of a non-negative integer column (−1 for zero).
+    """Bucket id of an integer column: −1 for zero, the positive
+    lattice for v > 0, and the MIRRORED lattice −2 − bucket(|v|) for
+    v < 0 (DDSketch's negative store folded into one id space) — the
+    mirror reverses sign-magnitude order, so ascending bucket id is
+    ascending VALUE across the whole line and the CDF walk needs no
+    special case.
 
-    floor(v·2^B / 2^e) is the top B+1 bits of v — extracted EXACTLY
+    floor(v·2^B / 2^e) is the top B+1 bits of |v| — extracted EXACTLY
     from the base-2 digit string (conv → rpad → conv), because a
     64-bit shift-by-column isn't expressible and a double division
     loses bits past 2^53. rpad both left-pads short values (e < B:
     v·2^(B−e)) and truncates long ones (e ≥ B: the top B+1 digits) —
     the same one-expression semantics DuckDB's rpad has, so the
-    oracle replays it verbatim. Inputs must stay below 2^62 (bigint
+    oracle replays it verbatim. |v| must stay below 2^62 (bigint
     lattice); cents/bytes/nanoseconds all fit."""
     c = F.col(col) if isinstance(col, str) else col
     v = c.cast("long")
-    s = F.conv(v, 10, 2)
+    av = F.abs(v)
+    s = F.conv(av, 10, 2)
     e = (F.length(s) - 1).cast("long")
     m = F.conv(F.rpad(s, sub_bits + 1, "0"), 2, 10).cast("long")
-    return F.when(v <= 0, F.lit(-1).cast("long")).otherwise(
-        F.shiftleft(e, sub_bits) + (m - F.lit(1 << sub_bits))
+    pos = F.shiftleft(e, sub_bits) + (m - F.lit(1 << sub_bits))
+    return (
+        F.when(v == 0, F.lit(-1).cast("long"))
+        .when(v < 0, F.lit(-2).cast("long") - pos)
+        .otherwise(pos)
     )
 
 
@@ -612,8 +622,10 @@ def qhist_bucket_mid(col: Column | str, sub_bits: int = QHIST_SUB_BITS) -> Colum
     """Deterministic representative of a bucket: the floor midpoint of
     its value interval [2^e·(2^B+sub)/2^B, 2^e·(2^B+sub+1)/2^B) —
     all integer shifts and one floor division, identical in DuckDB.
-    Bucket −1 (zero values) maps to 0."""
-    b = F.col(col) if isinstance(col, str) else col
+    Bucket −1 (zero values) maps to 0; mirrored buckets (< −1) to the
+    negated midpoint of their magnitude bucket."""
+    b0 = F.col(col) if isinstance(col, str) else col
+    b = F.when(b0 < F.lit(-1), F.lit(-2) - b0).otherwise(b0)
     e = F.shiftright(b, sub_bits)
     sub = b - F.shiftleft(e, sub_bits)
     # 2^e is a double with a ONE-bit mantissa and (2m+1) < 2^(B+2):
@@ -623,7 +635,11 @@ def qhist_bucket_mid(col: Column | str, sub_bits: int = QHIST_SUB_BITS) -> Colum
     two_e = F.pow(F.lit(2.0), e.cast("double"))
     m = (F.lit(1 << sub_bits) + sub).cast("double")
     est = F.floor(two_e * (m + m + F.lit(1.0)) / F.lit(float(2 * (1 << sub_bits))))
-    return F.when(b < 0, F.lit(0).cast("long")).otherwise(est.cast("long"))
+    return (
+        F.when(b0 == F.lit(-1), F.lit(0).cast("long"))
+        .when(b0 < F.lit(-1), -est.cast("long"))
+        .otherwise(est.cast("long"))
+    )
 
 
 def qhist_quantiles(

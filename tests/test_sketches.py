@@ -455,3 +455,43 @@ class TestQhist:
         assert got[-1] == 2
         q = S.qhist_quantiles(st, [0.5]).collect()[0]
         assert q["est"] == 0  # rank-2 of 3 lands in the zero bucket
+
+    def test_negative_values_mirrored_lattice(self, spark):
+        """Negatives land on the mirrored lattice: bucket order ==
+        value order across the whole line, midpoints negate, and
+        quantiles on a mixed-sign column stay within the relative
+        bound of |exact|."""
+        import random
+
+        from block_explorer_spark.operators import sketches as S
+
+        rng = random.Random(9)
+        vals = [
+            (1 if rng.random() < 0.5 else -1)
+            * (int(math.exp(rng.uniform(0, 12))) + 1)
+            for _ in range(10_000)
+        ] + [0, 0]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        # bucket id ascending == value ascending (spot-pin via sort)
+        bs = df.select(
+            "v", S.qhist_bucket("v").alias("b")
+        ).orderBy("b", "v").collect()
+        assert [r["v"] for r in bs] == sorted(vals, key=lambda v: (
+            S and self._py_signed_bucket(v), v
+        ))
+        st = S.qhist_state(df, "v")
+        got = {
+            r["prob"]: r["est"]
+            for r in S.qhist_quantiles(st, [0.1, 0.5, 0.9]).collect()
+        }
+        svals = sorted(vals)
+        for p, est in got.items():
+            exact = svals[math.ceil(p * len(svals)) - 1]
+            assert abs(est - exact) <= abs(exact) * 2 ** -6 + 2, (p, est, exact)
+
+    def _py_signed_bucket(self, v: int, B: int = 6) -> int:
+        if v == 0:
+            return -1
+        if v < 0:
+            return -2 - self._py_bucket(-v, B)
+        return self._py_bucket(v, B)
