@@ -2929,6 +2929,35 @@ def q127_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+#: q128: the decontamination-sweep shape — many BM25 queries, one
+#: pass. Term lists deliberately overlap and mix rare/head tokens.
+MANYQ_QUERIES = {
+    "qa": ["dup", "spark"],
+    "qb": ["batch", "merge"],
+    "qc": ["dup"],
+}
+MANYQ_TOPK = 10
+
+
+def q128_bm25_many(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch multi-query BM25 (retrieval.py::bm25_topk_many): all
+    queries' postings come from ONE pre-shuffle-filtered build over
+    the union of terms; idf stays a Python-computed literal per
+    (query, term); per-(query, doc) scores fold token-ascending with
+    F.aggregate (the fixed evaluation order heterogeneous term sets
+    need, since they can't share a pivot layout); top-k per query is
+    one partitioned row_number. The oracle evaluates each query
+    independently with the q113 replay (terms sorted ascending — the
+    same fold order) and unions — one pass must equal N passes bit
+    for bit."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    return R.bm25_topk_many(
+        docs, MANYQ_QUERIES, k1=BM25_K1, b=BM25_B, topk=MANYQ_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3068,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_quantile_sketch": q125_quantile_sketch,
         "q126_hybrid_search": q126_hybrid_search,
         "q127_filtered_ann": q127_filtered_ann,
+        "q128_bm25_many": q128_bm25_many,
     }
 
 
@@ -3294,6 +3324,23 @@ def _hybrid_oracle() -> str:
         FROM fused
         ORDER BY s DESC, id ASC
         LIMIT {HYBRID_TOPK}
+    """
+
+
+def _bm25_many_oracle() -> str:
+    """q128 oracle: each query evaluated independently with the q113
+    bit-exact replay (terms token-ascending — the engine's fold
+    order), tagged and unioned."""
+    parts = []
+    for qid in sorted(MANYQ_QUERIES):
+        sub = _bm25_oracle(
+            terms=sorted(set(MANYQ_QUERIES[qid])), topk=MANYQ_TOPK
+        )
+        parts.append(f"SELECT '{qid}' AS query_id, * FROM ({sub})")
+    u = " UNION ALL ".join(parts)
+    return f"""
+        SELECT query_id, doc_id, score FROM ({u})
+        ORDER BY query_id, score DESC, doc_id ASC
     """
 
 
@@ -5121,6 +5168,7 @@ def oracle_sql() -> dict[str, str]:
             terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
         ),
         "q126_hybrid_search": _hybrid_oracle(),
+        "q128_bm25_many": _bm25_many_oracle(),
         "q127_filtered_ann": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round(

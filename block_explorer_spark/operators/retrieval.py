@@ -1026,3 +1026,79 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def bm25_topk_many(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """MANY BM25 queries in ONE pass — the decontamination-sweep shape
+    ("which training docs score against ANY of these 10k benchmark
+    queries"), where per-query serving round-trips are the scale
+    killer: one postings build filtered to the UNION of all query
+    terms before its shuffle, one bounded df aggregate (idf per term
+    stays a Python-computed literal — the bit-exact contract), then a
+    broadcast (query_id, token, idf) join fans each posting out to
+    the queries that want it.
+
+    Determinism without a pivot: heterogeneous term sets can't share
+    one pivot column layout, so per-(query, doc) contributions are
+    collected, sorted BY TOKEN, and folded left-to-right with
+    F.aggregate — a fixed evaluation order both engines replay (the
+    oracle lists each query's terms token-ascending). Top-k per query
+    is one row_number window partitioned by query_id.
+
+    Returns (query_id, doc_id, score), ≤ topk rows per query, ordered
+    within each query by (score desc, doc_id)."""
+    from pyspark.sql import Window as W
+
+    if not queries:
+        raise ValueError("bm25_topk_many needs at least one query")
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    n, avgdl, dfs = corpus_stats(docs, id_col, text_col, all_terms)
+    idf = idf_weights(n, dfs)
+    post = inverted_index(docs, id_col, text_col, terms=all_terms)
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokenize(text_col)).alias("dl")
+    )
+    spark = docs.sparkSession
+    qrows = spark.createDataFrame(
+        [
+            (qid, t, float(idf[t]))
+            for qid, ts in queries.items()
+            for t in sorted(set(ts))
+        ],
+        "query_id string, token string, idf double",
+    )
+    fanned = post.join(F.broadcast(qrows), "token").join(dl, "doc_id")
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    tf = F.col("tf").cast("double")
+    contrib = F.col("idf") * (tf * F.lit(k1 + 1.0) / (tf + norm))
+    per_pair = (
+        fanned.withColumn("__c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("token"), F.col("__c").alias("c")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("score")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_pair.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .select("query_id", "doc_id", "score")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )

@@ -622,3 +622,41 @@ class TestHybrid:
         assert [r["id"] for r in out] == [1, 2]
         with pytest.raises(ValueError):
             R.rrf_fuse([])
+
+
+class TestManyQueries:
+    """Batch multi-query BM25: one pass == N single-query evaluations
+    bit-for-bit (fold order = token-ascending = the sorted single
+    query's pivot order; absent-term additions are exact 0.0)."""
+
+    def test_matches_single_query_results(self, spark, corpus):
+        qs = {
+            "qa": ["data", "spark"],
+            "qb": ["only", "spark"],
+            "qc": ["data"],
+        }
+        out = R.bm25_topk_many(corpus, qs, topk=5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        for qid, terms in qs.items():
+            want = [
+                (r["doc_id"], r["score"])
+                for r in R.bm25_topk(corpus, sorted(terms), topk=5).collect()
+            ]
+            assert by_q.get(qid, []) == want, qid
+
+    def test_shared_terms_fan_out_once(self, spark, corpus):
+        # both queries contain "spark": same doc scores both sides
+        out = R.bm25_topk_many(
+            corpus, {"a": ["spark"], "b": ["spark"]}, topk=3
+        ).collect()
+        a = [(r["doc_id"], r["score"]) for r in out if r["query_id"] == "a"]
+        b = [(r["doc_id"], r["score"]) for r in out if r["query_id"] == "b"]
+        assert a == b and len(a) == 3
+
+    def test_rejects_empty(self, spark, corpus):
+        with pytest.raises(ValueError):
+            R.bm25_topk_many(corpus, {})
+        with pytest.raises(ValueError):
+            R.bm25_topk_many(corpus, {"q": []})
