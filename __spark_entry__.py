@@ -2958,6 +2958,25 @@ def q128_bm25_many(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q129_bm25_many_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """q128's sweep served FROM the persisted postings index
+    (retrieval.py::bm25_search_many): one pruned read over the union
+    of terms' covering files, same broadcast fan-out and
+    token-ascending fold. Same oracle as q128 — the index must
+    reproduce the batch sweep's scores without touching the corpus."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    base = _gate_store(
+        "bm25-idx",
+        sf,
+        lambda b: R.write_postings_index(docs, b, num_files=8),
+    )
+    return R.bm25_search_many(
+        spark, base, MANYQ_QUERIES, k1=BM25_K1, b=BM25_B, topk=MANYQ_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3098,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_hybrid_search": q126_hybrid_search,
         "q127_filtered_ann": q127_filtered_ann,
         "q128_bm25_many": q128_bm25_many,
+        "q129_bm25_many_indexed": q129_bm25_many_indexed,
     }
 
 
@@ -5169,6 +5189,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q126_hybrid_search": _hybrid_oracle(),
         "q128_bm25_many": _bm25_many_oracle(),
+        "q129_bm25_many_indexed": _bm25_many_oracle(),
         "q127_filtered_ann": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round(

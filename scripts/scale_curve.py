@@ -329,6 +329,25 @@ def main() -> None:
 
     qs["bm25_topk"] = bm25_topk_scaled
 
+    def bm25_many32(spark_, sf_dir_):
+        """32 BM25 queries in ONE pass (bm25_topk_many — the
+        decontamination-sweep shape). Each query mixes a distinct
+        mid-frequency token with a shared tail token, so term sets
+        overlap without collapsing. The honest comparison is this
+        row vs 32× the `bm25_topk` row: one fan-out pass amortizes
+        the corpus-side work (one postings build, one dl projection,
+        one stats pass) that 32 serial queries each repay."""
+        from block_explorer_spark.operators import retrieval as R
+
+        docs = spark_.read.parquet(os.path.join(sf_dir_, "documents.parquet"))
+        queries = {
+            f"q{i:02d}": [f"tok{300 + 17 * i:05d}", f"tok{15000 + 101 * i:05d}"]
+            for i in range(32)
+        }
+        return R.bm25_topk_many(docs, queries, topk=25)
+
+    qs["bm25_many32"] = bm25_many32
+
     def bm25_indexed(spark_, sf_dir_):
         """The INTERACTIVE path batch bm25_topk motivates: postings +
         doc lengths + corpus stats persisted ONCE (cached beside the

@@ -660,3 +660,17 @@ class TestManyQueries:
             R.bm25_topk_many(corpus, {})
         with pytest.raises(ValueError):
             R.bm25_topk_many(corpus, {"q": []})
+
+    def test_indexed_many_matches_batch_many(self, spark, corpus, tmp_path):
+        base = str(tmp_path / "manyidx")
+        R.write_postings_index(corpus, base, num_files=2)
+        qs = {"qa": ["data", "spark"], "qb": ["only"]}
+        want = R.bm25_topk_many(corpus, qs, topk=5).collect()
+        got = R.bm25_search_many(spark, base, qs, topk=5).collect()
+        assert [tuple(r) for r in want] == [tuple(r) for r in got]
+
+    def test_indexed_many_requires_denormalized(self, spark, corpus, tmp_path):
+        base = str(tmp_path / "legacy2")
+        R.write_postings_index(corpus, base, num_files=2, denormalize_dl=False)
+        with pytest.raises(ValueError, match="denormalized"):
+            R.bm25_search_many(spark, base, {"q": ["data"]})
