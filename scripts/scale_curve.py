@@ -348,6 +348,23 @@ def main() -> None:
 
     qs["bm25_many32"] = bm25_many32
 
+    def bm25_many32_store(spark_, sf_dir_):
+        """The same 32-query sweep served FROM the persisted index
+        (bm25_search_many, q129): one pruned read over the union of
+        the 64 terms' covering files — no corpus tokenize at all.
+        Compare to `bm25_many32` (batch, pays the corpus scan once)
+        and to 32× `bm25_indexed_store` (serial serving)."""
+        from block_explorer_spark.operators import retrieval as R
+
+        base_ = _bm25_store_ensure(spark_, sf_dir_)
+        queries = {
+            f"q{i:02d}": [f"tok{300 + 17 * i:05d}", f"tok{15000 + 101 * i:05d}"]
+            for i in range(32)
+        }
+        return R.bm25_search_many(spark_, base_, queries, topk=25)
+
+    qs["bm25_many32_store"] = bm25_many32_store
+
     def bm25_indexed(spark_, sf_dir_):
         """The INTERACTIVE path batch bm25_topk motivates: postings +
         doc lengths + corpus stats persisted ONCE (cached beside the
