@@ -2977,6 +2977,57 @@ def q129_bm25_many_indexed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pos_store(spark: SparkSession, sf: str) -> str:
+    """Per-sf postings index WITH the positional family — the store
+    behind the indexed phrase/proximity/vocab gates (q130–q132)."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    return _gate_store(
+        "bm25-pos",
+        sf,
+        lambda b: R.write_postings_index(docs, b, num_files=8, positions=True),
+    )
+
+
+def q130_phrase_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """q118's exact-phrase query served FROM the persisted positional
+    family (retrieval.py::write_postings_index(positions=True) /
+    phrase_search_indexed): per-word token-zone pruning replaces the
+    corpus scan, then the identical doc_id-co-located adjacency chain
+    runs over the bounded postings — the Lucene .pos structure stored
+    relationally. Same oracle as q118: the certification IS the claim
+    that the index serves phrase hits identical to a full positional
+    scan."""
+    from block_explorer_spark.operators import retrieval as R
+
+    return R.phrase_search_indexed(spark, _pos_store(spark, sf), ["batch", "batch"])
+
+
+def q131_proximity_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """q119's proximity query served from the persisted positional
+    family (retrieval.py::proximity_search_indexed) — zone-pruned
+    per-term reads, same pair-count join, same oracle as q119."""
+    from block_explorer_spark.operators import retrieval as R
+
+    return R.proximity_search_indexed(
+        spark, _pos_store(spark, sf), "spark", "join", window=5
+    )
+
+
+def q132_prefix_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary range scan over the token-sorted postings index
+    (retrieval.py::vocab_prefix): every term starting with a prefix,
+    with document frequency and collection frequency — wildcard
+    expansion (`s*`) as a B-tree-style range probe. Zone pruning
+    keeps only files whose token range intersects [prefix, prefix+∞);
+    df/cf are exact integers, so the oracle recomputes them from the
+    corpus directly."""
+    from block_explorer_spark.operators import retrieval as R
+
+    return R.vocab_prefix(spark, _pos_store(spark, sf), "s")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3118,6 +3169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_filtered_ann": q127_filtered_ann,
         "q128_bm25_many": q128_bm25_many,
         "q129_bm25_many_indexed": q129_bm25_many_indexed,
+        "q130_phrase_indexed": q130_phrase_indexed,
+        "q131_proximity_indexed": q131_proximity_indexed,
+        "q132_prefix_vocab": q132_prefix_vocab,
     }
 
 
@@ -3362,6 +3416,48 @@ def _bm25_many_oracle() -> str:
         SELECT query_id, doc_id, score FROM ({u})
         ORDER BY query_id, score DESC, doc_id ASC
     """
+
+
+def _positional_sql(select: str) -> str:
+    """Shared positional-postings replay (q118/q119 and their indexed
+    twins q130/q131): tokenize exactly like the engine, then run the
+    given SELECT over p(doc_id, pos, token)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)),
+                             '\\s+'), t -> t <> '') AS tk
+          FROM documents
+        ),
+        idx AS (SELECT doc_id,
+                       unnest(generate_series(1, len(tk))) AS i, tk
+                FROM toks),
+        p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     tk[i] AS token
+              FROM idx)
+        {select}
+    """
+
+
+def _phrase_oracle() -> str:
+    return _positional_sql("""
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.token = 'batch' AND b.token = 'batch'
+        GROUP BY a.doc_id
+    """)
+
+
+def _proximity_oracle() -> str:
+    return _positional_sql("""
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM p a JOIN p b
+          ON a.doc_id = b.doc_id
+         AND abs(a.pos - b.pos) <= 5 AND a.pos <> b.pos
+        WHERE a.token = 'spark' AND b.token = 'join'
+        GROUP BY a.doc_id
+    """)
 
 
 def _pagerank_oracle(
@@ -5163,25 +5259,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY drift DESC, token ASC
             LIMIT 15
         """,
-        "q118_phrase_search": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(trim(text)),
-                                 '\\s+'), t -> t <> '') AS tk
-              FROM documents
-            ),
-            idx AS (SELECT doc_id,
-                           unnest(generate_series(1, len(tk))) AS i, tk
-                    FROM toks),
-            p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-                         tk[i] AS token
-                  FROM idx)
-            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-            FROM p a JOIN p b
-              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            WHERE a.token = 'batch' AND b.token = 'batch'
-            GROUP BY a.doc_id
-        """,
+        "q118_phrase_search": _phrase_oracle(),
+        "q130_phrase_indexed": _phrase_oracle(),
+        "q131_proximity_indexed": _proximity_oracle(),
+        "q132_prefix_vocab": _positional_sql("""
+            SELECT token,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS cf
+            FROM p
+            WHERE token LIKE 's%'
+            GROUP BY token
+        """),
         "q120_bm25_indexed": _bm25_oracle(),
         "q121_bm25_incremental": _bm25_oracle(),
         "q124_bm25_maxscore": _bm25_oracle(
@@ -5264,24 +5352,5 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id IN ({", ".join(str(i) for i in POINT_EVENT_IDS)})
         """,
-        "q119_proximity_search": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(trim(text)),
-                                 '\\s+'), t -> t <> '') AS tk
-              FROM documents
-            ),
-            idx AS (SELECT doc_id,
-                           unnest(generate_series(1, len(tk))) AS i, tk
-                    FROM toks),
-            p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-                         tk[i] AS token
-                  FROM idx)
-            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
-            FROM p a JOIN p b
-              ON a.doc_id = b.doc_id
-             AND abs(a.pos - b.pos) <= 5 AND a.pos <> b.pos
-            WHERE a.token = 'spark' AND b.token = 'join'
-            GROUP BY a.doc_id
-        """,
+        "q119_proximity_search": _proximity_oracle(),
     }

@@ -154,6 +154,47 @@ def positional_index(
     return toks.select("token", "doc_id", F.col("pos").cast("long").alias("pos"))
 
 
+def _phrase_chain(post: DataFrame, phrase: list[str]) -> DataFrame:
+    """The phrase adjacency join over a (token, doc_id, pos) frame:
+    chain each word's positions on (doc_id, pos == p0 + offset). All
+    joins share the doc_id key, so they co-locate after the first
+    shuffle; each side is filtered to ONE term's postings before it
+    shuffles. Shared by the batch path (postings built from the
+    corpus) and the indexed path (postings read from the pruned
+    `positions` family) — one plan, two feeders."""
+    cur = (
+        post.filter(F.col("token") == phrase[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("token") == w).select(
+            "doc_id", F.col("pos").alias(f"p{i}")
+        )
+        cur = cur.join(nxt, "doc_id").filter(
+            F.col(f"p{i}") == F.col("p0") + i
+        )
+    return cur.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
+
+
+def _proximity_pairs(
+    post: DataFrame, term_a: str, term_b: str, window: int
+) -> DataFrame:
+    """The proximity pair count over a (token, doc_id, pos) frame —
+    one doc_id-keyed join, |pos_a − pos_b| ≤ window residual. Shared
+    by the batch and indexed feeders like `_phrase_chain`."""
+    pa = post.filter(F.col("token") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    pb = post.filter(F.col("token") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    pairs = pa.join(pb, "doc_id").filter(
+        (F.abs(F.col("pa") - F.col("pb")) <= window)
+        & (F.col("pa") != F.col("pb"))
+    )
+    return pairs.groupBy("doc_id").agg(F.count("*").alias("n_pairs"))
+
+
 def phrase_match(
     docs: DataFrame,
     phrase: list[str],
@@ -170,18 +211,7 @@ def phrase_match(
     if len(phrase) < 2:
         raise ValueError("phrase_match needs >= 2 tokens")
     post = positional_index(docs, id_col, text_col, terms=list(set(phrase)))
-    cur = (
-        post.filter(F.col("token") == phrase[0])
-        .select("doc_id", F.col("pos").alias("p0"))
-    )
-    for i, w in enumerate(phrase[1:], start=1):
-        nxt = post.filter(F.col("token") == w).select(
-            "doc_id", F.col("pos").alias(f"p{i}")
-        )
-        cur = cur.join(nxt, "doc_id").filter(
-            F.col(f"p{i}") == F.col("p0") + i
-        )
-    return cur.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
+    return _phrase_chain(post, phrase)
 
 
 def proximity_match(
@@ -201,17 +231,7 @@ def proximity_match(
     if window < 1:
         raise ValueError("window must be >= 1")
     post = positional_index(docs, id_col, text_col, terms=[term_a, term_b])
-    pa = post.filter(F.col("token") == term_a).select(
-        "doc_id", F.col("pos").alias("pa")
-    )
-    pb = post.filter(F.col("token") == term_b).select(
-        "doc_id", F.col("pos").alias("pb")
-    )
-    pairs = pa.join(pb, "doc_id").filter(
-        (F.abs(F.col("pa") - F.col("pb")) <= window)
-        & (F.col("pa") != F.col("pb"))
-    )
-    return pairs.groupBy("doc_id").agg(F.count("*").alias("n_pairs"))
+    return _proximity_pairs(post, term_a, term_b, window)
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +256,13 @@ BM25_BROADCAST_LIMIT = 1_000_000
 #: (the reader folds max/min) — the stored extremes never go stale
 #: when Σdl shifts.
 TERMMAX = "termmax"
+
+#: Manifest family holding positional postings — (token, doc_id,
+#: pos) token-range-partitioned and token-sorted like the postings,
+#: so a phrase/proximity query prunes each word to its covering
+#: files exactly the way a BM25 term does. The positional analog of
+#: Lucene's .pos file, stored relationally.
+POSITIONS = "positions"
 
 
 def _term_extremes(post_with_dl: DataFrame) -> DataFrame:
@@ -270,6 +297,7 @@ def write_postings_index(
     text_col: str = "text",
     num_files: int = 32,
     denormalize_dl: bool = True,
+    positions: bool = False,
 ) -> int:
     """Persist the full inverted index + doc lengths behind the
     manifest commit log (sources/manifest.py): postings range-
@@ -292,6 +320,14 @@ def write_postings_index(
     The meta commit MERGES the current manifest meta per CAS attempt
     — committing an index into a base that also carries a z-order
     layout must not clobber `meta["zorder"]` (and vice versa).
+
+    With `positions`, a `positions` family — (token, doc_id, pos),
+    token-range-partitioned and sorted like the postings — commits in
+    the SAME swap, giving phrase/proximity queries the same pruned
+    serving path BM25 has (Lucene stores the analogous structure as
+    its .pos file). It is opt-in because positions are the one index
+    component whose size is Σdl (one row per token OCCURRENCE), vs
+    the postings' one row per (doc, term) class.
 
     Measured (SCALE_CURVE `bm25_indexed`): the probe answers a 3-term
     query near-flat across four decades of corpus growth while the
@@ -316,10 +352,24 @@ def write_postings_index(
         "dl_in_postings": bool(denormalize_dl),
         "tail": [],
     }
+    if positions:
+        bm25["positional"] = True
+        bm25["ptail"] = []
     with M.write_intent(base):
         prels = M.stage_df(clustered, base, "postings")
         drels = M.stage_df(dl, base, "doclen")
         stats = M.file_stats(base, prels, ["token"])
+        xrels: list[str] = []
+        if positions:
+            pos = positional_index(docs, id_col, text_col)
+            xrels = M.stage_df(
+                pos.repartitionByRange(num_files, "token").sortWithinPartitions(
+                    "token", "doc_id", "pos"
+                ),
+                base,
+                POSITIONS,
+            )
+            stats.update(M.file_stats(base, xrels, ["token"]))
         trels: list[str] = []
         if denormalize_dl:
             trels = M.stage_df(
@@ -334,6 +384,8 @@ def write_postings_index(
             cur = M.read(base)
             fams = dict(cur.get("families", {}))
             fams["postings"], fams["doclen"] = prels, drels
+            if xrels:
+                fams[POSITIONS] = xrels
             if trels:
                 fams[TERMMAX] = trels
             meta = dict(cur.get("meta", {}))
@@ -393,6 +445,17 @@ def index_append(
         prels = M.stage_df(clustered, base, "postings")
         drels = M.stage_df(dl, base, "doclen")
         stats = M.file_stats(base, prels, ["token"])
+        xrels: list[str] = []
+        if bmeta.get("positional"):
+            pos = positional_index(docs, id_col, text_col)
+            xrels = M.stage_df(
+                pos.repartitionByRange(num_files, "token").sortWithinPartitions(
+                    "token", "doc_id", "pos"
+                ),
+                base,
+                POSITIONS,
+            )
+            stats.update(M.file_stats(base, xrels, ["token"]))
         trels: list[str] = []
         if bmeta.get("dl_in_postings") and cur0.get("families", {}).get(TERMMAX):
             # extremes fold by max/min, so the delta's rows just join
@@ -409,6 +472,8 @@ def index_append(
             bm25["n"] = int(bm25["n"]) + dn
             bm25["sum_dl"] = int(bm25["sum_dl"]) + dsum
             bm25["tail"] = list(bm25.get("tail", [])) + prels
+            if xrels:
+                bm25["ptail"] = list(bm25.get("ptail", [])) + xrels
             if bm25_meta_patch:
                 # rides in the SAME CAS swap as the postings — the
                 # streaming sink's exactly-once marker can never be
@@ -417,6 +482,8 @@ def index_append(
             fams = dict(cur.get("families", {}))
             fams["postings"] = list(fams.get("postings", [])) + prels
             fams["doclen"] = list(fams.get("doclen", [])) + drels
+            if xrels:
+                fams[POSITIONS] = list(fams.get(POSITIONS, [])) + xrels
             if trels:
                 fams[TERMMAX] = list(fams.get(TERMMAX, [])) + trels
             meta = dict(cur.get("meta", {}))
@@ -452,6 +519,7 @@ def index_maintain(
     if not bmeta:
         raise FileNotFoundError(f"no bm25 index committed under {base}")
     tail = list(bmeta.get("tail", []))
+    ptail = list(bmeta.get("ptail", []))
     if len(tail) < min_tail_files:
         return None
     with M.write_intent(base):
@@ -460,15 +528,34 @@ def index_maintain(
         merged = df.repartitionByRange(nf, "token").sortWithinPartitions("token")
         rels = M.stage_df(merged, base, "postings")
         stats = M.file_stats(base, rels, ["token"])
+        xrels: list[str] = []
+        if ptail:
+            # fold the positional tail in the same OPTIMIZE pass —
+            # cost ∝ appended positions, the bulk run is untouched
+            pdf = spark.read.parquet(*[_os.path.join(base, r) for r in ptail])
+            pm = pdf.repartitionByRange(
+                max(1, len(ptail) // 4), "token"
+            ).sortWithinPartitions("token", "doc_id", "pos")
+            xrels = M.stage_df(pm, base, POSITIONS)
+            stats.update(M.file_stats(base, xrels, ["token"]))
         for _ in range(2):
             cur = M.read(base)
             fams = dict(cur.get("families", {}))
             kept = [r for r in fams.get("postings", []) if r not in set(tail)]
             fams["postings"] = kept + rels
+            if xrels:
+                pkept = [
+                    r for r in fams.get(POSITIONS, []) if r not in set(ptail)
+                ]
+                fams[POSITIONS] = pkept + xrels
             bm25 = dict(cur.get("meta", {}).get("bm25") or bmeta)
             bm25["tail"] = [
                 r for r in bm25.get("tail", []) if r not in set(tail)
             ]
+            if xrels:
+                bm25["ptail"] = [
+                    r for r in bm25.get("ptail", []) if r not in set(ptail)
+                ]
             meta = dict(cur.get("meta", {}))
             meta["bm25"] = bm25
             try:
@@ -594,6 +681,108 @@ def bm25_search_indexed(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(topk)
     )
+
+
+def _read_positions(
+    spark: SparkSession, base: str, terms: list[str]
+) -> DataFrame:
+    """(token, doc_id, pos) for the given terms, read from the pruned
+    `positions` family: each term keeps only the files whose token
+    zone covers it — a phrase over rare words opens a handful of
+    files however large the corpus. Raises when the index was built
+    without `positions=True`."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    m = M.read(base)
+    bmeta = m.get("meta", {}).get("bm25") or {}
+    if not bmeta.get("positional") or not m.get("families", {}).get(POSITIONS):
+        raise FileNotFoundError(
+            f"no positional family committed under {base}; "
+            "write_postings_index(..., positions=True)"
+        )
+    keep: list[str] = []
+    for t in terms:
+        keep += M.prune_by_stats(m, POSITIONS, "token", lo=t, hi=t)
+    keep = sorted(set(keep))
+    if not keep:
+        return spark.createDataFrame([], "token string, doc_id long, pos long")
+    return spark.read.parquet(
+        *[_os.path.join(base, r) for r in keep]
+    ).filter(F.col("token").isin(list(terms)))
+
+
+def phrase_search_indexed(
+    spark: SparkSession, base: str, phrase: list[str]
+) -> DataFrame:
+    """q118's exact-phrase semantics served FROM the persisted index:
+    per-word zone pruning replaces the corpus scan, then the same
+    doc_id-co-located adjacency chain as the batch `phrase_match`
+    runs over the bounded postings — results are identical row for
+    row (integer counts; nothing to drift). The decontamination-audit
+    shape at serving latency: cost ∝ the rarest word's posting
+    volume, never corpus size."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_search_indexed needs >= 2 tokens")
+    post = _read_positions(spark, base, list(set(phrase)))
+    return _phrase_chain(post, phrase)
+
+
+def proximity_search_indexed(
+    spark: SparkSession,
+    base: str,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+) -> DataFrame:
+    """q119's proximity semantics served from the persisted positional
+    family — same pair-count join as the batch `proximity_match` over
+    zone-pruned postings."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    post = _read_positions(spark, base, [term_a, term_b])
+    return _proximity_pairs(post, term_a, term_b, window)
+
+
+def vocab_prefix(
+    spark: SparkSession,
+    base: str,
+    prefix: str,
+    topk: int | None = None,
+) -> DataFrame:
+    """Vocabulary range scan: (token, df, cf) for every indexed term
+    starting with `prefix` — wildcard expansion (`spar*`), typo
+    probing, and index-profiling all reduce to this. The token-sorted
+    layout makes it a B-tree-style range probe: zone pruning keeps
+    only the files whose [min, max] token range intersects
+    [prefix, prefix+∞), so cost ∝ the matching vocabulary slice, not
+    the index. df counts documents (distinct by the index contract:
+    one row per (token, doc_id)), cf sums term frequency. Ordered by
+    df desc, token asc; `topk` caps via TakeOrderedAndProject."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    if not prefix:
+        raise ValueError("vocab_prefix needs a non-empty prefix")
+    m = M.read(base)
+    if not m.get("families", {}).get("postings"):
+        raise FileNotFoundError(f"no postings committed under {base}")
+    # upper zone bound: any token with this prefix is < prefix + U+10FFFF
+    hi = prefix + "\U0010ffff"
+    keep = M.prune_by_stats(m, "postings", "token", lo=prefix, hi=hi)
+    if not keep:
+        return spark.createDataFrame([], "token string, df long, cf long")
+    post = spark.read.parquet(
+        *[_os.path.join(base, r) for r in keep]
+    ).filter(F.col("token").startswith(prefix))
+    out = (
+        post.groupBy("token")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("token"))
+    )
+    return out.limit(topk) if topk else out
 
 
 def build_term_extremes(spark: SparkSession, base: str) -> int | None:

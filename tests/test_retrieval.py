@@ -674,3 +674,161 @@ class TestManyQueries:
         R.write_postings_index(corpus, base, num_files=2, denormalize_dl=False)
         with pytest.raises(ValueError, match="denormalized"):
             R.bm25_search_many(spark, base, {"q": ["data"]})
+
+
+class TestPositionalIndex:
+    """Persisted positional family: phrase/proximity served from the
+    index must equal the batch scan row for row, prune by token zone,
+    and survive the append → maintain lifecycle."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "spark joins data with spark joins"),
+            (2, "data data batch batch batch"),
+            (3, "spark only joins"),
+            (4, "nothing relevant here batch batch"),
+            (5, "spark data spark join"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_indexed_phrase_equals_batch(self, spark, tmp_path):
+        docs = self._docs(spark)
+        base = str(tmp_path / "pos1")
+        R.write_postings_index(docs, base, num_files=4, positions=True)
+        batch = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in R.phrase_match(docs, ["batch", "batch"]).collect()
+        )
+        idx = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in R.phrase_search_indexed(spark, base, ["batch", "batch"]).collect()
+        )
+        assert idx == batch == [(2, 2), (4, 1)]
+
+    def test_indexed_proximity_equals_batch(self, spark, tmp_path):
+        docs = self._docs(spark)
+        base = str(tmp_path / "pos2")
+        R.write_postings_index(docs, base, num_files=4, positions=True)
+        batch = sorted(
+            (r["doc_id"], r["n_pairs"])
+            for r in R.proximity_match(docs, "spark", "joins", window=3).collect()
+        )
+        idx = sorted(
+            (r["doc_id"], r["n_pairs"])
+            for r in R.proximity_search_indexed(
+                spark, base, "spark", "joins", window=3
+            ).collect()
+        )
+        assert idx == batch and idx
+
+    def test_append_then_maintain_still_identical(self, spark, tmp_path):
+        docs = self._docs(spark)
+        base = str(tmp_path / "pos3")
+        R.write_postings_index(docs, base, num_files=2, positions=True)
+        more = spark.createDataFrame(
+            [(6, "batch batch batch spark"), (7, "spark joins")],
+            "doc_id long, text string",
+        )
+        R.index_append(more, base, num_files=1)
+        from block_explorer_spark.sources import manifest as M
+
+        assert M.read(base)["meta"]["bm25"]["ptail"]  # tail recorded
+        alldocs = docs.union(more)
+        want = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in R.phrase_match(alldocs, ["batch", "batch"]).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in R.phrase_search_indexed(spark, base, ["batch", "batch"]).collect()
+        )
+        assert got == want
+        assert R.index_maintain(spark, base, min_tail_files=1) is not None
+        m = M.read(base)
+        assert m["meta"]["bm25"]["ptail"] == []  # tail folded
+        after = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in R.phrase_search_indexed(spark, base, ["batch", "batch"]).collect()
+        )
+        assert after == want
+
+    def test_phrase_zone_pruning_opens_fewer_files(self, spark, tmp_path):
+        from block_explorer_spark.sources import manifest as M
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("w"), (F.col("id") % 500).cast("string"),
+                F.lit(" w"), (F.col("id") % 500).cast("string"),
+            ).alias("text"),
+        )
+        base = str(tmp_path / "posprune")
+        R.write_postings_index(docs, base, num_files=16, positions=True)
+        m = M.read(base)
+        total = len(m["families"][R.POSITIONS])
+        kept = M.prune_by_stats(m, R.POSITIONS, "token", lo="w123", hi="w123")
+        assert total == 16
+        assert len(kept) <= 2, kept
+        got = R.phrase_search_indexed(spark, base, ["w123", "w123"]).collect()
+        assert sorted(r["doc_id"] for r in got) == [123, 623, 1123, 1623]
+
+    def test_missing_family_and_bad_phrase(self, spark, tmp_path):
+        docs = self._docs(spark)
+        base = str(tmp_path / "nopos")
+        R.write_postings_index(docs, base, num_files=2)  # no positions
+        with pytest.raises(FileNotFoundError):
+            R.phrase_search_indexed(spark, base, ["batch", "batch"])
+        base2 = str(tmp_path / "pos4")
+        R.write_postings_index(docs, base2, num_files=2, positions=True)
+        with pytest.raises(ValueError):
+            R.phrase_search_indexed(spark, base2, ["batch"])
+        # absent term: empty result, no error
+        assert R.phrase_search_indexed(spark, base2, ["zz", "zz"]).count() == 0
+
+
+class TestVocabPrefix:
+    def test_matches_recomputed_vocab(self, spark, tmp_path):
+        rows = [
+            (1, "spark joins data with spark joins"),
+            (2, "data data batch batch batch"),
+            (3, "spark only joins"),
+            (5, "spark data spark join"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        base = str(tmp_path / "vp1")
+        R.write_postings_index(docs, base, num_files=4)
+        got = {
+            (r["token"], r["df"], r["cf"])
+            for r in R.vocab_prefix(spark, base, "jo").collect()
+        }
+        assert got == {("joins", 2, 3), ("join", 1, 1)}
+        # topk caps by df desc
+        top = R.vocab_prefix(spark, base, "jo", topk=1).collect()
+        assert [(r["token"], r["df"]) for r in top] == [("joins", 2)]
+
+    def test_prefix_zone_pruning(self, spark, tmp_path):
+        from block_explorer_spark.sources import manifest as M
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("w"), (F.col("id") % 500).cast("string"), F.lit(" filler")
+            ).alias("text"),
+        )
+        base = str(tmp_path / "vp2")
+        R.write_postings_index(docs, base, num_files=16)
+        m = M.read(base)
+        kept = M.prune_by_stats(
+            m, "postings", "token", lo="w49", hi="w49" + "\U0010ffff"
+        )
+        assert len(kept) < len(m["families"]["postings"])
+        got = {r["token"] for r in R.vocab_prefix(spark, base, "w49").collect()}
+        assert got == {"w49", "w490", "w491", "w492", "w493", "w494",
+                       "w495", "w496", "w497", "w498", "w499"}
+
+    def test_empty_and_absent_prefix(self, spark, tmp_path, corpus):
+        base = str(tmp_path / "vp3")
+        R.write_postings_index(corpus, base, num_files=2)
+        with pytest.raises(ValueError):
+            R.vocab_prefix(spark, base, "")
+        assert R.vocab_prefix(spark, base, "zzz").count() == 0
