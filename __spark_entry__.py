@@ -3028,6 +3028,36 @@ def q132_prefix_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return R.vocab_prefix(spark, _pos_store(spark, sf), "s")
 
 
+#: q133 seed customer + hop bound for the reachability gate.
+BFS_SRC, BFS_HOPS = 7, 3
+
+
+def q133_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop-bounded BFS reachability (operators/graph.py::bfs_hops)
+    over the undirected customer–supplier co-purchase graph (same
+    edge set as q116's PageRank, symmetrized): every vertex within 3
+    hops of one seed customer, labeled with its MINIMAL hop count —
+    the blast-radius / k-hop-neighborhood query. One shuffle per hop,
+    frontier anti-joined against the visited set, early exit on an
+    empty frontier. Hop counts are exact integers and BFS admits no
+    order dependence, so the oracle replays this ITERATIVE algorithm
+    with a recursive CTE + GROUP BY MIN — like q116, certification of
+    a loop, not a single plan."""
+    from block_explorer_spark.operators.graph import bfs_hops
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("dst"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    srcs = spark.createDataFrame([(BFS_SRC,)], "id long")
+    return bfs_hops(sym, srcs, BFS_HOPS)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3172,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_phrase_indexed": q130_phrase_indexed,
         "q131_proximity_indexed": q131_proximity_indexed,
         "q132_prefix_vocab": q132_prefix_vocab,
+        "q133_bfs_reachability": q133_bfs_reachability,
     }
 
 
@@ -5353,4 +5384,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id IN ({", ".join(str(i) for i in POINT_EVENT_IDS)})
         """,
         "q119_proximity_search": _proximity_oracle(),
+        "q133_bfs_reachability": f"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT o_custkey AS u,
+                              l_suppkey + {PR_SUPP_OFFSET} AS v
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            r(id, hops) AS (
+              SELECT CAST({BFS_SRC} AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT sym.v, r.hops + 1
+              FROM r JOIN sym ON sym.u = r.id
+              WHERE r.hops < {BFS_HOPS}
+            )
+            SELECT id, MIN(hops) AS hops FROM r GROUP BY id
+        """,
     }

@@ -174,3 +174,67 @@ def pagerank_int(
         if use_checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """Hop-bounded breadth-first reachability: (id, hops) with the
+    MINIMAL hop count from any source vertex, for every vertex within
+    `max_hops` directed hops — "which documents/accounts/objects sit
+    within k links of this seed set", the blast-radius query every
+    graph-shaped audit starts with (and the relational core of k-hop
+    GNN neighborhood sampling).
+
+    Frontier expansion, Spark-relationally: each hop is ONE shuffle
+    (frontier⋈edges, distinct, anti-join against the visited set);
+    lineage is localCheckpoint-cut per hop like the other iterative
+    operators here. The frontier SHRINKS as the reachable set
+    saturates — an early exit fires when it empties, so cost is
+    bounded by min(max_hops, eccentricity) rounds. Driver sees one
+    scalar per round (the empty check), never the data.
+
+    Hop counts are exact integers and the expansion order cannot
+    affect the minimal hop count (BFS invariant: a vertex enters at
+    its true distance), so a SQL oracle replays this bit for bit with
+    a recursive CTE + GROUP BY min — certified in q133.
+
+    edges: directed (src, dst) pairs (symmetrize upstream for an
+    undirected walk). sources: one column `id`; hops start at 0
+    there. Self-loops are harmless (a vertex already visited is
+    anti-joined away)."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    if use_checkpoint:
+        e = e.localCheckpoint(eager=True)  # edges reused every round
+    visited = (
+        sources.select(F.col("id").cast("long").alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+    )
+    if use_checkpoint:
+        visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+        )
+        if use_checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        if use_checkpoint:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

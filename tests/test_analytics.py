@@ -147,3 +147,69 @@ class TestSegmentDrift:
         r1 = segment_drift(df, "lang", "A", "B", topk=25).collect()
         r2 = segment_drift(df.repartition(11), "lang", "A", "B", topk=25).collect()
         assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+class TestBfsHops:
+    """Hop-bounded reachability (graph.py::bfs_hops): minimal hop
+    counts, directedness, early exit, and the hop-0 edge."""
+
+    def _edges(self, spark):
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7), (9, 10)],
+            "src long, dst long",
+        )
+
+    def test_min_hops_on_chain(self, spark):
+        from block_explorer_spark.operators.graph import bfs_hops
+
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = sorted(
+            (r["id"], r["hops"])
+            for r in bfs_hops(self._edges(spark), srcs, 3).collect()
+        )
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 3), (6, 2), (7, 3)]
+
+    def test_early_exit_beyond_eccentricity(self, spark):
+        from block_explorer_spark.operators.graph import bfs_hops
+
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = sorted(
+            (r["id"], r["hops"])
+            for r in bfs_hops(self._edges(spark), srcs, 50).collect()
+        )
+        # component of 1 exhausted at hop 4; 9/10 unreachable
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 3), (5, 4), (6, 2), (7, 3)]
+
+    def test_directed_and_multi_source(self, spark):
+        from block_explorer_spark.operators.graph import bfs_hops
+
+        # edges are directed: nothing reaches back to 1
+        srcs = spark.createDataFrame([(5,), (9,)], "id long")
+        got = sorted(
+            (r["id"], r["hops"])
+            for r in bfs_hops(self._edges(spark), srcs, 2).collect()
+        )
+        assert got == [(5, 0), (9, 0), (10, 1)]
+
+    def test_zero_hops_and_bad_bound(self, spark):
+        import pytest as _pt
+
+        from block_explorer_spark.operators.graph import bfs_hops
+
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = bfs_hops(self._edges(spark), srcs, 0).collect()
+        assert [(r["id"], r["hops"]) for r in got] == [(1, 0)]
+        with _pt.raises(ValueError):
+            bfs_hops(self._edges(spark), srcs, -1)
+
+    def test_cycle_terminates_with_min_hops(self, spark):
+        from block_explorer_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = sorted(
+            (r["id"], r["hops"]) for r in bfs_hops(edges, srcs, 10).collect()
+        )
+        assert got == [(1, 0), (2, 1), (3, 2)]
