@@ -1071,6 +1071,7 @@ def start_index_stream(
     text_col: str = "text",
     max_files_per_trigger: int = 4,
     maintain_min_tail: int = 8,
+    positions: bool = False,
 ) -> "StreamingQuery":
     """readStream over a documents parquet directory → foreachBatch →
     `index_append`: the daily-crawl refresh path as a stream, so
@@ -1086,8 +1087,12 @@ def start_index_stream(
     from block_explorer_spark.sources import manifest as M
 
     if not M.read(base).get("meta", {}).get("bm25"):
+        # `positions` here decides the layout for the index's whole
+        # life: every appended batch mirrors the bootstrap's families
         empty = spark.createDataFrame([], sch)
-        write_postings_index(empty, base, id_col, text_col, num_files=1)
+        write_postings_index(
+            empty, base, id_col, text_col, num_files=1, positions=positions
+        )
     stream = (
         spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", max_files_per_trigger)

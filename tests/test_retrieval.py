@@ -832,3 +832,44 @@ class TestVocabPrefix:
         with pytest.raises(ValueError):
             R.vocab_prefix(spark, base, "")
         assert R.vocab_prefix(spark, base, "zzz").count() == 0
+
+
+class TestStreamingPositionalIndex:
+    def test_streamed_positional_index_serves_batch_phrase(self, spark, tmp_path):
+        """A stream bootstrapped with positions=True mirrors the
+        positional family in every appended batch — phrase search
+        from the streamed index equals the batch scan, including
+        after a mid-stream tail fold."""
+        import os
+
+        src = str(tmp_path / "src")
+        base = str(tmp_path / "idx")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        rows = [
+            (i, "needle point " + ("needle point " if i % 4 == 0 else "haystack "))
+            for i in range(90)
+        ]
+        for lo in (0, 30, 60):
+            spark.createDataFrame(
+                rows[lo:lo + 30], "doc_id long, text string"
+            ).write.mode("append").parquet(src)
+        q = R.start_index_stream(
+            spark, src, base, ckpt, max_files_per_trigger=1,
+            maintain_min_tail=2, positions=True,
+        )
+        q.awaitTermination(180)
+        all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+        want = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in R.phrase_match(all_docs, ["needle", "point"]).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in R.phrase_search_indexed(
+                spark, base, ["needle", "point"]
+            ).collect()
+        )
+        assert got == want and len(want) == 90
+        # BM25 on the same streamed store still serves
+        assert R.bm25_search_indexed(spark, base, ["needle"], topk=3).count() == 3
