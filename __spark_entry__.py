@@ -3058,6 +3058,37 @@ def q133_bfs_reachability(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_hops(sym, srcs, BFS_HOPS)
 
 
+#: q134 sparsifier: keep every 50th part when building the
+#: co-supplier graph, so the projection stays O(|parts|·deg²)-bounded
+#: at every sf instead of going hub-quadratic.
+TRI_PART_MOD = 50
+
+
+def q134_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vertex triangle counts (operators/graph.py::
+    triangle_counts) on the co-supplier graph — suppliers connected
+    when they ship the same part (a sampled part slice keeps the
+    projection sparse). Degree-ordered orientation bounds the wedge
+    join at O(m^1.5); counts are exact integers, so the oracle
+    replays them with the id-canonical 3-way self-join — orientation
+    changes the plan, never the counts."""
+    from block_explorer_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf, "lineitem")
+    ps = (
+        li.filter(F.col("l_partkey") % TRI_PART_MOD == 0)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    pairs = (
+        ps.select("p", F.col("s").alias("u"))
+        .join(ps.select("p", F.col("s").alias("v")), "p")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    return triangle_counts(pairs, "u", "v")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3203,6 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_proximity_indexed": q131_proximity_indexed,
         "q132_prefix_vocab": q132_prefix_vocab,
         "q133_bfs_reachability": q133_bfs_reachability,
+        "q134_triangle_counts": q134_triangle_counts,
     }
 
 
@@ -5399,5 +5431,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.hops < {BFS_HOPS}
             )
             SELECT id, MIN(hops) AS hops FROM r GROUP BY id
+        """,
+        "q134_triangle_counts": f"""
+            WITH ps AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+              FROM lineitem WHERE l_partkey % {TRI_PART_MOD} = 0
+            ),
+            pairs AS (
+              SELECT DISTINCT a.s AS u, b.s AS v
+              FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+            ),
+            tri AS (
+              SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM pairs e1
+              JOIN pairs e2 ON e2.u = e1.v
+              JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM (
+              SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            GROUP BY id
         """,
     }

@@ -238,3 +238,75 @@ def bfs_hops(
             visited = visited.localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected graph — the
+    local clustering signal behind community/cohesion analysis (and
+    the classic test of whether a graph engine can avoid the naive
+    O(Σdeg²) wedge explosion).
+
+    Degree-ordered orientation (Cohen, "Graph Twiddling in a
+    MapReduce World", CiSE 2009): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one — a total
+    order, so each triangle closes exactly once — then join wedges
+    (two out-edges of the pivot) against the oriented edge set. The
+    pivot of every wedge is its LOWEST-degree vertex, which bounds
+    out-degree by O(√m) on any graph, so the wedge volume is O(m^1.5)
+    instead of the hub-quadratic count a plain neighbor self-join
+    pays. Three shuffles total: degree agg, wedge join, closing join.
+
+    Returns (id, triangles) for vertices in ≥1 triangle — exact
+    integers, so a SQL oracle replays it with the id-canonical 3-way
+    join (orientation changes the plan, never the counts; q134)."""
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("id"))
+        .unionAll(e0.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        e0.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("i")).alias("ra"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("i")).alias("rb"),
+        )
+    )
+    oriented = ranked.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("d"),
+        F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rd"),
+    )
+    x = oriented.select(
+        F.col("s"), F.col("d").alias("d1"), F.col("rd").alias("r1")
+    )
+    y = oriented.select(
+        F.col("s"), F.col("d").alias("d2"), F.col("rd").alias("r2")
+    )
+    # wedge endpoints ordered by RANK so the closing edge — oriented
+    # lower-rank → higher-rank by construction — matches exactly once
+    wedges = x.join(y, "s").filter(F.col("r1") < F.col("r2")).select(
+        "s", "d1", "d2"
+    )
+    closing = oriented.select(F.col("s").alias("d1"), F.col("d").alias("d2"))
+    tri = wedges.join(closing, ["d1", "d2"])
+    roles = (
+        tri.select(F.col("s").alias("id"))
+        .unionAll(tri.select(F.col("d1").alias("id")))
+        .unionAll(tri.select(F.col("d2").alias("id")))
+    )
+    return roles.groupBy("id").agg(F.count("*").alias("triangles"))

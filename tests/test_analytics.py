@@ -213,3 +213,40 @@ class TestBfsHops:
             (r["id"], r["hops"]) for r in bfs_hops(edges, srcs, 10).collect()
         )
         assert got == [(1, 0), (2, 1), (3, 2)]
+
+
+class TestTriangleCounts:
+    def test_k4_plus_pendant(self, spark):
+        from block_explorer_spark.operators.graph import triangle_counts
+
+        # K4 on {1..4} (each vertex in 3 triangles) + pendant 5 +
+        # duplicate/reversed edges that must not double-count
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1)],
+            "u long, v long",
+        )
+        got = sorted(
+            (r["id"], r["triangles"]) for r in triangle_counts(edges).collect()
+        )
+        assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+    def test_triangle_free_and_self_loops(self, spark):
+        from block_explorer_spark.operators.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (2, 2)], "u long, v long"
+        )
+        assert triangle_counts(edges).count() == 0
+
+    def test_two_shared_triangles(self, spark):
+        from block_explorer_spark.operators.graph import triangle_counts
+
+        # bowtie: triangles (1,2,3) and (3,4,5) share vertex 3
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)],
+            "u long, v long",
+        )
+        got = dict(
+            (r["id"], r["triangles"]) for r in triangle_counts(edges).collect()
+        )
+        assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
