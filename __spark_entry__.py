@@ -3089,6 +3089,24 @@ def q134_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_counts(pairs, "u", "v")
 
 
+#: q135 co-occurrence window (positions apart, strictly after).
+COOC_WINDOW = 3
+
+
+def q135_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed token co-occurrence counts (operators/profile.py::
+    cooccurrence): every unordered token pair within 3 positions,
+    counted once per occurrence — the integer table under PMI
+    collocation mining and word2vec context sampling. Range-join
+    binning keeps the position self-join O(dl·window) per document
+    (never dl²); counts are exact, so the oracle replays the pair
+    join over the same tokenization."""
+    from block_explorer_spark.operators.profile import cooccurrence
+
+    docs = _t(spark, sf, "documents")
+    return cooccurrence(docs, window=COOC_WINDOW)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3235,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_prefix_vocab": q132_prefix_vocab,
         "q133_bfs_reachability": q133_bfs_reachability,
         "q134_triangle_counts": q134_triangle_counts,
+        "q135_cooccurrence": q135_cooccurrence,
     }
 
 
@@ -5455,4 +5474,13 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY id
         """,
+        "q135_cooccurrence": _positional_sql(f"""
+            SELECT least(a.token, b.token) AS a,
+                   greatest(a.token, b.token) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM p a JOIN p b
+              ON a.doc_id = b.doc_id
+             AND b.pos - a.pos BETWEEN 1 AND {COOC_WINDOW}
+            GROUP BY 1, 2
+        """),
     }

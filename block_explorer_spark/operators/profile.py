@@ -117,3 +117,58 @@ def segment_drift(
         ).cast("long").alias("drift"),
     )
     return scored.orderBy(F.desc("drift"), F.asc("token")).limit(topk)
+
+
+def cooccurrence(
+    docs: DataFrame,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed token co-occurrence counts: (a, b, n) for every
+    unordered token pair appearing within `window` positions in a
+    document — the corpus statistic under PMI collocation mining and
+    word2vec-style context tables. Pairs are counted once per
+    occurrence (the right token strictly after the left), tokens
+    canonicalized a ≤ b.
+
+    Scale shape: the naive doc_id self-join compares dl² position
+    pairs per document — a 100k-token doc costs 10^10 comparisons.
+    This uses range-join binning instead: positions bucket by
+    ⌊pos/window⌋, the left side duplicates into its own and the next
+    bucket, and the join key is (doc_id, bucket) — any pair within
+    `window` shares one of the two buckets, so comparisons are
+    O(dl · window) and the shuffle key stays per-document bounded.
+    One explode + one co-located join + one pair-count shuffle."""
+    from block_explorer_spark.operators.retrieval import positional_index
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    post = positional_index(docs, id_col, text_col)
+    left = post.select(
+        "doc_id",
+        F.col("token").alias("ta"),
+        F.col("pos").alias("pa"),
+        F.explode(
+            F.array(
+                (F.col("pos") / window).cast("long"),
+                (F.col("pos") / window).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = post.select(
+        "doc_id",
+        F.col("token").alias("tb"),
+        F.col("pos").alias("pb"),
+        (F.col("pos") / window).cast("long").alias("bucket"),
+    )
+    pairs = left.join(right, ["doc_id", "bucket"]).filter(
+        (F.col("pb") - F.col("pa")).between(1, window)
+    )
+    return (
+        pairs.select(
+            F.least("ta", "tb").alias("a"), F.greatest("ta", "tb").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )

@@ -93,3 +93,57 @@ def test_bpe_ish_vs_whitespace(spark):
     ws = df.select(Tx.token_count("text").alias("v")).collect()[0]["v"]
     bpe = df.select(Tx.bpe_ish_token_count("text").alias("v")).collect()[0]["v"]
     assert bpe > ws  # punctuation boundaries add sub-word splits
+
+
+class TestCooccurrence:
+    def test_hand_counted_pairs(self, spark):
+        from block_explorer_spark.operators.profile import cooccurrence
+
+        docs = spark.createDataFrame(
+            [(1, "a b a c"), (2, "b b")], "doc_id long, text string"
+        )
+        got = sorted(
+            (r["a"], r["b"], r["n"])
+            for r in cooccurrence(docs, window=2).collect()
+        )
+        # doc1 positions a0 b1 a2 c3: pairs (0,1)(0,2)(1,2)(1,3)(2,3);
+        # doc2: (0,1) — canonicalized a<=b, same-token pairs kept
+        assert got == [
+            ("a", "a", 1), ("a", "b", 2), ("a", "c", 1),
+            ("b", "b", 1), ("b", "c", 1),
+        ]
+
+    def test_window_one_is_adjacency(self, spark):
+        from block_explorer_spark.operators.profile import cooccurrence
+
+        docs = spark.createDataFrame(
+            [(1, "x y x y x")], "doc_id long, text string"
+        )
+        got = sorted(
+            (r["a"], r["b"], r["n"])
+            for r in cooccurrence(docs, window=1).collect()
+        )
+        assert got == [("x", "y", 4)]
+
+    def test_bucket_boundary_pairs_not_dropped(self, spark):
+        from block_explorer_spark.operators.profile import cooccurrence
+
+        # window=3: pair at positions (2, 5) spans buckets 0 and 1 —
+        # the duplicated left bucket must catch it
+        docs = spark.createDataFrame(
+            [(1, "f0 f1 hit f3 f4 hit")], "doc_id long, text string"
+        )
+        got = {
+            (r["a"], r["b"]): r["n"]
+            for r in cooccurrence(docs, window=3).collect()
+        }
+        assert got[("hit", "hit")] == 1
+
+    def test_bad_window(self, spark):
+        import pytest as _pt
+
+        from block_explorer_spark.operators.profile import cooccurrence
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            cooccurrence(docs, window=0)
