@@ -3107,6 +3107,27 @@ def q135_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     return cooccurrence(docs, window=COOC_WINDOW)
 
 
+#: q136 KWIC term (rare — the duplicated-doc marker token) + context.
+KWIC_TERM, KWIC_WIDTH = "dup", 3
+
+
+def q136_kwic(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword-in-context snippets served through the persisted
+    positional family (retrieval.py::kwic_snippets_indexed): the
+    term's zone-pruned positions (bounded by its df) broadcast onto
+    the corpus, so only matching documents are tokenized; ±3 tokens
+    sliced from the SAME token array (no second scan). The reviewer's
+    "show me the hits" view after a decontamination sweep. Oracle
+    replays the slice over the shared tokenization; snippets are
+    plain strings, so the match is exact."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+    return R.kwic_snippets_indexed(
+        spark, _pos_store(spark, sf), docs, KWIC_TERM, width=KWIC_WIDTH
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3254,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_bfs_reachability": q133_bfs_reachability,
         "q134_triangle_counts": q134_triangle_counts,
         "q135_cooccurrence": q135_cooccurrence,
+        "q136_kwic": q136_kwic,
     }
 
 
@@ -5482,5 +5504,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id
              AND b.pos - a.pos BETWEEN 1 AND {COOC_WINDOW}
             GROUP BY 1, 2
+        """),
+        "q136_kwic": _positional_sql(f"""
+            SELECT p.doc_id, p.pos,
+                   array_to_string(
+                     list_slice(t.tk,
+                                greatest(p.pos + 1 - {KWIC_WIDTH}, 1),
+                                p.pos + 1 + {KWIC_WIDTH}),
+                     ' ') AS snippet
+            FROM p JOIN toks t ON p.doc_id = t.doc_id
+            WHERE p.token = '{KWIC_TERM}'
         """),
     }

@@ -785,6 +785,77 @@ def vocab_prefix(
     return out.limit(topk) if topk else out
 
 
+def kwic_snippets(
+    docs: DataFrame,
+    term: str,
+    width: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context: every occurrence of `term` with ±`width`
+    tokens of context — the "show me the hits" view a reviewer needs
+    after any decontamination/search sweep. One pass: tokenize,
+    posexplode filtered to the term BEFORE any shuffle, then slice
+    the SAME token array around each hit — no join at all (the array
+    rides the row), so the plan is scan → generate → project.
+    Returns (doc_id, pos, snippet), snippet space-joined."""
+    if not term:
+        raise ValueError("kwic_snippets needs a non-empty term")
+    if width < 0:
+        raise ValueError("width must be >= 0")
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    )
+    hits = tk.select(
+        "doc_id", "tk", F.posexplode("tk").alias("pos", "token")
+    ).filter(F.col("token") == term)
+    start = F.greatest(F.col("pos") + 1 - width, F.lit(1))
+    length = F.col("pos") + 1 + width - start + 1
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice("tk", start, length)).alias("snippet"),
+    )
+
+
+def kwic_snippets_indexed(
+    spark: SparkSession,
+    base: str,
+    docs: DataFrame,
+    term: str,
+    width: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 100_000,
+) -> DataFrame:
+    """KWIC served with the persisted positional family locating the
+    hits: the zone-pruned positions (bounded by the term's df) are
+    broadcast onto the corpus, so only matching documents are ever
+    tokenized — the corpus scan becomes a broadcast-pruned semi-join
+    instead of a full tokenize. Refuses loudly above
+    `broadcast_limit` occurrences (a stopword's positions are
+    O(corpus); use the batch `kwic_snippets` there — same rows
+    either way, pinned in tests)."""
+    pos = _read_positions(spark, base, [term]).select("doc_id", "pos")
+    n = pos.count()
+    if n > broadcast_limit:
+        raise ValueError(
+            f"term {term!r} has {n} occurrences (> {broadcast_limit}); "
+            "broadcasting them is O(corpus) — use kwic_snippets"
+        )
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tk")
+    )
+    hits = tk.join(F.broadcast(pos), "doc_id")
+    start = F.greatest(F.col("pos") + 1 - width, F.lit(1))
+    length = F.col("pos") + 1 + width - start + 1
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice("tk", start, length)).alias("snippet"),
+    )
+
+
 def build_term_extremes(spark: SparkSession, base: str) -> int | None:
     """Backfill the termmax family onto an index committed before the
     family existed (or after a maintenance shape that dropped it):

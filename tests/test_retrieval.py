@@ -873,3 +873,54 @@ class TestStreamingPositionalIndex:
         assert got == want and len(want) == 90
         # BM25 on the same streamed store still serves
         assert R.bm25_search_indexed(spark, base, ["needle"], topk=3).count() == 3
+
+
+class TestKwicSnippets:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "beta at start"),
+                (3, "ends with beta"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_edges_clamped_and_positions_exact(self, spark):
+        docs = self._docs(spark)
+        got = sorted(tuple(r) for r in R.kwic_snippets(docs, "beta", width=2).collect())
+        assert got == [
+            (1, 1, "alpha beta gamma delta"),
+            (2, 0, "beta at start"),
+            (3, 2, "ends with beta"),
+        ]
+
+    def test_indexed_equals_batch_and_bounds_broadcast(self, spark, tmp_path):
+        docs = self._docs(spark)
+        base = str(tmp_path / "kwic")
+        R.write_postings_index(docs, base, num_files=2, positions=True)
+        batch = sorted(
+            tuple(r) for r in R.kwic_snippets(docs, "beta", width=2).collect()
+        )
+        idx = sorted(
+            tuple(r)
+            for r in R.kwic_snippets_indexed(
+                spark, base, docs, "beta", width=2
+            ).collect()
+        )
+        assert idx == batch
+        with pytest.raises(ValueError):
+            R.kwic_snippets_indexed(
+                spark, base, docs, "beta", broadcast_limit=1
+            )
+
+    def test_multiple_occurrences_and_bad_args(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x hit y hit z")], "doc_id long, text string"
+        )
+        got = sorted(tuple(r) for r in R.kwic_snippets(docs, "hit", width=1).collect())
+        assert got == [(1, 1, "x hit y"), (1, 3, "y hit z")]
+        with pytest.raises(ValueError):
+            R.kwic_snippets(docs, "")
+        with pytest.raises(ValueError):
+            R.kwic_snippets(docs, "hit", width=-1)
