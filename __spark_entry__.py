@@ -3128,6 +3128,65 @@ def q136_kwic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q137 chunk geometry: 32-token windows, 8-token overlap (stride 24).
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def q137_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (operators/selection.py
+    ::chunk_documents) — the context-window prep step for RAG
+    indexing and long-document training. Map-only plan: tokenize,
+    explode the stride sequence, slice the same token array — no
+    shuffle, no UDF. The oracle replays it with generate_series +
+    list_slice over the shared tokenization."""
+    from block_explorer_spark.operators.selection import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+#: q138: seed supplier, relaxation rounds, and the part sparsifier
+#: for the weighted co-supplier graph (weight = 10 − shared-part
+#: count, floored at 1 — more co-supply, cheaper edge).
+SP_SRC, SP_ROUNDS, SP_PART_MOD = 1, 3, 100
+
+
+def q138_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded Bellman-Ford (operators/graph.py::shortest_paths_int)
+    on the weighted co-supplier graph: minimal total edge weight from
+    one seed supplier over paths of ≤ 3 edges — weighted blast
+    radius with integer arithmetic. One shuffle per round, workset-
+    pruned relaxation. Like q116/q133, the oracle certifies the
+    ITERATIVE loop: a hop-bounded recursive CTE + GROUP BY MIN."""
+    from block_explorer_spark.operators.graph import shortest_paths_int
+
+    li = _t(spark, sf, "lineitem")
+    ps = (
+        li.filter(F.col("l_partkey") % SP_PART_MOD == 0)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    pairs = (
+        ps.select("p", F.col("s").alias("u"))
+        .join(ps.select("p", F.col("s").alias("v")), "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    e = pairs.select(
+        "u", "v", F.greatest(F.lit(1), F.lit(10) - F.col("c")).alias("w")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    srcs = spark.createDataFrame([(SP_SRC,)], "id long")
+    return shortest_paths_int(
+        sym, srcs, rounds=SP_ROUNDS, src="u", dst="v", weight="w"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3276,6 +3335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_triangle_counts": q134_triangle_counts,
         "q135_cooccurrence": q135_cooccurrence,
         "q136_kwic": q136_kwic,
+        "q137_chunking": q137_chunking,
+        "q138_shortest_paths": q138_shortest_paths,
     }
 
 
@@ -5515,4 +5576,50 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN toks t ON p.doc_id = t.doc_id
             WHERE p.token = '{KWIC_TERM}'
         """),
+        "q137_chunking": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                 '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ),
+            d AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+            s AS (SELECT doc_id, tk, n,
+                         unnest(generate_series(0, n - 1,
+                                {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+                  FROM d)
+            SELECT doc_id,
+                   CAST(start // {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT)
+                     AS chunk_id,
+                   CAST(least({CHUNK_TOKENS}, n - start) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(
+                     list_slice(tk, start + 1, start + {CHUNK_TOKENS}),
+                     ' ') AS chunk
+            FROM s
+        """,
+        "q138_shortest_paths": f"""
+            WITH RECURSIVE ps AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+              FROM lineitem WHERE l_partkey % {SP_PART_MOD} = 0
+            ),
+            pr AS (
+              SELECT a.s AS u, b.s AS v, COUNT(*) AS c
+              FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+              GROUP BY a.s, b.s
+            ),
+            e AS (
+              SELECT u, v, GREATEST(1, 10 - c) AS w FROM pr
+              UNION ALL
+              SELECT v, u, GREATEST(1, 10 - c) FROM pr
+            ),
+            r(id, dist, hops) AS (
+              SELECT CAST({SP_SRC} AS BIGINT), CAST(0 AS BIGINT), 0
+              UNION
+              SELECT e.v, r.dist + e.w, r.hops + 1
+              FROM r JOIN e ON e.u = r.id
+              WHERE r.hops < {SP_ROUNDS}
+            )
+            SELECT id, MIN(dist) AS dist FROM r GROUP BY id
+        """,
     }

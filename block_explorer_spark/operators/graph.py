@@ -310,3 +310,73 @@ def triangle_counts(
         .unionAll(tri.select(F.col("d2").alias("id")))
     )
     return roles.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def shortest_paths_int(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded Bellman-Ford: (id, dist) with the minimal total
+    INTEGER edge weight from any source, over paths of at most
+    `rounds` edges — weighted blast radius / cheapest-route within a
+    hop budget. With rounds ≥ |V|−1 and non-negative weights this is
+    the exact single-source shortest path.
+
+    Each round is ONE shuffle: frontier-relax candidates
+    (dist ⋈ edges), union with the standing distances, groupBy min.
+    Lineage localCheckpoint-cut per round; the relaxation joins only
+    vertices whose distance IMPROVED last round (the classic
+    workset optimization), so saturated graphs stop paying the join
+    long before the round budget. Distances are exact integers and
+    min() is order-free, so the q138 oracle replays the loop with a
+    hop-bounded recursive CTE + GROUP BY MIN.
+
+    edges: (src, dst, weight) directed rows, weight a non-negative
+    integer column (symmetrize upstream for undirected graphs).
+    sources: one column `id`, distance 0."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if use_checkpoint:
+        e = e.localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col("id").cast("long").alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    if use_checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist  # vertices improved last round
+    for _ in range(rounds):
+        cand = (
+            frontier.join(e, frontier["id"] == e["u"])
+            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if use_checkpoint:
+            merged = merged.localCheckpoint(eager=True)
+        improved = merged.alias("m").join(
+            dist.alias("d"), "id", "left"
+        ).filter(
+            F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
+        ).select("id", F.col("m.dist").alias("dist"))
+        if use_checkpoint:
+            improved = improved.localCheckpoint(eager=True)
+        if improved.limit(1).count() == 0:
+            return merged
+        dist, frontier = merged, improved
+    return dist

@@ -76,3 +76,52 @@ def budget_select(
         .withColumn("cum_weight", (F.col("__prefix") + F.col("__cum")).cast("long"))
         .drop("__bkt", "__cum", "__prefix")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the context-window
+    prep step every RAG index and long-document training pipeline
+    runs: windows of `chunk_tokens` starting every
+    stride = chunk_tokens − overlap positions, the last window
+    ragged, an empty document yielding none.
+
+    Map-only: tokenize, explode a `sequence(0, n−1, stride)` of
+    start offsets, slice the SAME token array per start — no shuffle,
+    no UDF, fully whole-stage-codegen. Deterministic (chunk_id =
+    start // stride), so a SQL oracle replays it with generate_series
+    + list_slice. Returns (doc_id, chunk_id, n_tokens, chunk)."""
+    from block_explorer_spark.functions import text as Tx
+
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(Tx.tokens(F.col(text_col)), lambda t: t != "").alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    starts = tk.filter(F.col("n") > 0).select(
+        "doc_id",
+        "tk",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(" ", F.slice("tk", F.col("start") + 1, chunk_tokens)).alias(
+            "chunk"
+        ),
+    )

@@ -523,6 +523,67 @@ def main() -> None:
 
     qs["bm25_index_refresh"] = bm25_index_refresh
 
+    def _bm25_pos_store_ensure(spark_, sf_dir_):
+        """Positional-index store (positions=True): the q130/q136
+        serving layout. Separate cache from the plain store — the
+        positions family is Σdl-sized and only these rows pay it."""
+        from block_explorer_spark.operators import retrieval as R
+        from block_explorer_spark.sources import manifest as Mf_
+
+        base_ = (
+            os.path.join(args.root, "x1_bm25_pos_store")
+            if sf_dir_.startswith("/root/testdata")
+            else os.path.join(sf_dir_, "bm25_pos_store")
+        )
+        if Mf_.current_version(base_) == 0:
+            docs = spark_.read.parquet(
+                os.path.join(sf_dir_, "documents.parquet")
+            )
+            R.write_postings_index(docs, base_, num_files=32, positions=True)
+        return base_
+
+    def phrase_batch(spark_, sf_dir_):
+        """q118's batch path at scale: tokenize the WHOLE corpus,
+        filter to the two phrase words pre-shuffle, adjacency join.
+        Honest linear baseline for phrase_indexed_store — the
+        tokenize pass tracks the corpus even though the join is
+        bounded by the terms' posting volume."""
+        from block_explorer_spark.operators import retrieval as R
+
+        docs = spark_.read.parquet(os.path.join(sf_dir_, "documents.parquet"))
+        return R.phrase_match(docs, ["tok00400", "tok00900"])
+
+    qs["phrase_batch"] = phrase_batch
+
+    def phrase_indexed_store(spark_, sf_dir_):
+        """q130's serving path: the SAME phrase answered from the
+        persisted positional family — zone pruning keeps each word's
+        covering files, so probe cost ∝ the words' occurrence volume
+        (linear in corpus for fixed-rank words, but with no tokenize
+        pass and no full scan; near-flat for tail words)."""
+        from block_explorer_spark.operators import retrieval as R
+
+        base_ = _bm25_pos_store_ensure(spark_, sf_dir_)
+        return R.phrase_search_indexed(spark_, base_, ["tok00400", "tok00900"])
+
+    qs["phrase_indexed_store"] = phrase_indexed_store
+
+    def kwic_store(spark_, sf_dir_):
+        """q136's serving path: KWIC snippets for a tail term — the
+        zone-pruned positions broadcast onto the corpus, only
+        matching docs tokenized. The corpus-side semi-join is the
+        scale question this row answers."""
+        from block_explorer_spark.operators import retrieval as R
+
+        base_ = _bm25_pos_store_ensure(spark_, sf_dir_)
+        docs = spark_.read.parquet(os.path.join(sf_dir_, "documents.parquet"))
+        return R.kwic_snippets_indexed(
+            spark_, base_, docs, "tok20000", width=3,
+            broadcast_limit=2_000_000,
+        )
+
+    qs["kwic_store"] = kwic_store
+
     def pagerank_5it(spark_, sf_dir_):
         """q116's operator at scale over a deterministic power-law-ish
         graph derived from doc_id (each doc points at 3 hubs: id div
@@ -578,6 +639,8 @@ def main() -> None:
                 qs[name](spark, sf_dir).count()
             elif name == "bm25_indexed_store":
                 _bm25_store_ensure(spark, sf_dir)  # untimed build
+            elif name in ("phrase_indexed_store", "kwic_store"):
+                _bm25_pos_store_ensure(spark, sf_dir)  # untimed build
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.perf_counter()

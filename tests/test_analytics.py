@@ -250,3 +250,59 @@ class TestTriangleCounts:
             (r["id"], r["triangles"]) for r in triangle_counts(edges).collect()
         )
         assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+class TestShortestPathsInt:
+    def _wedges(self, spark):
+        # 1->2 (w1), 2->3 (w1), 1->3 (w5): two-hop path beats direct
+        return spark.createDataFrame(
+            [(1, 2, 1), (2, 3, 1), (1, 3, 5), (3, 4, 2)],
+            "src long, dst long, w long",
+        )
+
+    def test_relaxation_beats_direct_edge(self, spark):
+        from block_explorer_spark.operators.graph import shortest_paths_int
+
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = sorted(
+            (r["id"], r["dist"])
+            for r in shortest_paths_int(self._wedges(spark), srcs, 3).collect()
+        )
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 4)]
+
+    def test_round_bound_is_path_length_bound(self, spark):
+        from block_explorer_spark.operators.graph import shortest_paths_int
+
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = dict(
+            (r["id"], r["dist"])
+            for r in shortest_paths_int(self._wedges(spark), srcs, 1).collect()
+        )
+        # one round: only direct edges relaxed — 3 keeps weight 5
+        assert got == {1: 0, 2: 1, 3: 5}
+
+    def test_early_exit_and_zero_rounds(self, spark):
+        import pytest as _pt
+
+        from block_explorer_spark.operators.graph import shortest_paths_int
+
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = sorted(
+            (r["id"], r["dist"])
+            for r in shortest_paths_int(self._wedges(spark), srcs, 99).collect()
+        )
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 4)]
+        only_src = shortest_paths_int(self._wedges(spark), srcs, 0).collect()
+        assert [(r["id"], r["dist"]) for r in only_src] == [(1, 0)]
+        with _pt.raises(ValueError):
+            shortest_paths_int(self._wedges(spark), srcs, -1)
+
+    def test_multi_source_takes_best(self, spark):
+        from block_explorer_spark.operators.graph import shortest_paths_int
+
+        srcs = spark.createDataFrame([(1,), (3,)], "id long")
+        got = dict(
+            (r["id"], r["dist"])
+            for r in shortest_paths_int(self._wedges(spark), srcs, 3).collect()
+        )
+        assert got == {1: 0, 2: 1, 3: 0, 4: 2}

@@ -700,3 +700,55 @@ def test_ivf_assign_arrow_two_level_blocks_near_dups_together(spark):
         ).collect()
     }
     assert again == got  # determinism across runs
+
+
+class TestChunkDocuments:
+    def test_geometry_and_ragged_tail(self, spark):
+        from block_explorer_spark.operators.selection import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "a b"), (3, "  "), (4, "solo")],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            tuple(r)
+            for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+        )
+        # doc1 (7 tokens, stride 3): starts 0,3,6
+        assert got == [
+            (1, 0, 4, "t0 t1 t2 t3"),
+            (1, 1, 4, "t3 t4 t5 t6"),
+            (1, 2, 1, "t6"),
+            (2, 0, 2, "a b"),
+            (4, 0, 1, "solo"),
+        ]
+
+    def test_zero_overlap_partitions_exactly(self, spark):
+        from block_explorer_spark.operators.selection import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(docs, chunk_tokens=5, overlap=0).collect()
+        assert sorted((r["chunk_id"], r["n_tokens"]) for r in rows) == [
+            (0, 5), (1, 5)
+        ]
+        # concatenation of zero-overlap chunks reconstructs the doc
+        joined = " ".join(
+            r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_id"])
+        )
+        assert joined == " ".join(f"w{i}" for i in range(10))
+
+    def test_bad_geometry_rejected(self, spark):
+        import pytest as _pt
+
+        from block_explorer_spark.operators.selection import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=0)
+        with _pt.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=4, overlap=4)
+        with _pt.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=4, overlap=-1)
