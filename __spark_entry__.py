@@ -3187,6 +3187,27 @@ def q138_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q139 collocation parameters: pair-count floor and result size.
+COLL_MIN, COLL_TOPK = 5, 30
+
+
+def q139_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining (operators/profile.py::collocations): token
+    pairs ranked by LIFT — n_ab·N/(n_a·n_b), PMI's monotone twin that
+    stays inside IEEE +,*,/ so both engines compute bit-identical
+    doubles (every operand cast to double BEFORE multiplying: nothing
+    can wrap an int64 at any corpus size, products round identically
+    instead). Marginals and N fold from the q135-certified pair
+    table; two token-keyed joins; top-30 by lift with full
+    tiebreak."""
+    from block_explorer_spark.operators.profile import collocations
+
+    docs = _t(spark, sf, "documents")
+    return collocations(
+        docs, window=COOC_WINDOW, min_count=COLL_MIN, topk=COLL_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3337,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_kwic": q136_kwic,
         "q137_chunking": q137_chunking,
         "q138_shortest_paths": q138_shortest_paths,
+        "q139_collocations": q139_collocations,
     }
 
 
@@ -5621,5 +5643,45 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.hops < {SP_ROUNDS}
             )
             SELECT id, MIN(dist) AS dist FROM r GROUP BY id
+        """,
+        "q139_collocations": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                 '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ),
+            idx AS (SELECT doc_id,
+                           unnest(generate_series(1, len(tk))) AS i, tk
+                    FROM toks),
+            p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                         tk[i] AS token
+                  FROM idx),
+            cnt AS (
+              SELECT least(a.token, b.token) AS a,
+                     greatest(a.token, b.token) AS b,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM p a JOIN p b
+                ON a.doc_id = b.doc_id
+               AND b.pos - a.pos BETWEEN 1 AND {COOC_WINDOW}
+              GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT t, SUM(n) AS nt
+              FROM (SELECT a AS t, n FROM cnt
+                    UNION ALL SELECT b, n FROM cnt)
+              GROUP BY t
+            ),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cnt)
+            SELECT c.a, c.b, c.n,
+                   CAST(c.n AS DOUBLE) * (SELECT nn FROM tot)
+                     / (CAST(ma.nt AS DOUBLE) * CAST(mb.nt AS DOUBLE))
+                     AS lift
+            FROM cnt c
+            JOIN m ma ON ma.t = c.a
+            JOIN m mb ON mb.t = c.b
+            WHERE c.n >= {COLL_MIN}
+            ORDER BY lift DESC, c.a ASC, c.b ASC
+            LIMIT {COLL_TOPK}
         """,
     }

@@ -172,3 +172,56 @@ def cooccurrence(
         .groupBy("a", "b")
         .agg(F.count("*").alias("n"))
     )
+
+
+def collocations(
+    docs: DataFrame,
+    window: int = 5,
+    min_count: int = 2,
+    topk: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: co-occurring token pairs ranked by LIFT —
+    n_ab·N / (n_a·n_b), the association ratio whose log is PMI. The
+    ranking is identical to PMI's (log is monotone) but the statistic
+    stays inside IEEE +,*,/ — no transcendental — so a SQL oracle
+    matches it bit for bit (q139), which ln-PMI could never promise.
+
+    All inputs come from the q135-certified co-occurrence table:
+    marginals n_a fold the pair counts from both sides (an (a,a)
+    pair contributes twice — the convention both engines replay),
+    N = Σ n. Every operand is cast to double BEFORE multiplying, so
+    nothing can wrap an int64 at any corpus size: the products round
+    (identically, in both engines) instead of overflowing silently.
+    Two token-keyed joins against the vocabulary-sized marginal
+    table; N is one driver scalar. Returns (a, b, n, lift) with
+    n ≥ min_count, lift-desc / a / b ordered, optional top-k."""
+    pairs = cooccurrence(docs, window, id_col, text_col)
+    m = (
+        pairs.select(F.col("a").alias("t"), "n")
+        .unionAll(pairs.select(F.col("b").alias("t"), "n"))
+        .groupBy("t")
+        .agg(F.sum("n").alias("nt"))
+    )
+    total = pairs.agg(F.sum("n").alias("N")).collect()[0]["N"]
+    if not total:
+        return pairs.select(
+            "a", "b", "n", F.lit(None).cast("double").alias("lift")
+        ).limit(0)
+    scored = (
+        pairs.filter(F.col("n") >= min_count)
+        .join(m.select(F.col("t").alias("a"), F.col("nt").alias("na")), "a")
+        .join(m.select(F.col("t").alias("b"), F.col("nt").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "n",
+            (
+                F.col("n").cast("double") * F.lit(float(total))
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
+    )
+    return scored.limit(topk) if topk else scored

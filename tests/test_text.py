@@ -147,3 +147,41 @@ class TestCooccurrence:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with _pt.raises(ValueError):
             cooccurrence(docs, window=0)
+
+
+class TestCollocations:
+    def test_lift_hand_computed(self, spark):
+        from block_explorer_spark.operators.profile import collocations
+
+        docs = spark.createDataFrame(
+            [
+                (1, "new york new york city"),
+                (2, "big data big data"),
+                (3, "new data"),
+            ],
+            "doc_id long, text string",
+        )
+        got = [tuple(r) for r in collocations(docs, window=1, min_count=1).collect()]
+        # N=8; marginals: new 4, york 4, big 3, data 4, city 1
+        assert got == [
+            ("big", "data", 3, 2.0),      # 3*8/(3*4)
+            ("city", "york", 1, 2.0),     # 1*8/(1*4) — tie broken by a
+            ("new", "york", 3, 1.5),      # 3*8/(4*4)
+            ("data", "new", 1, 0.5),      # 1*8/(4*4)
+        ]
+
+    def test_min_count_and_topk(self, spark):
+        from block_explorer_spark.operators.profile import collocations
+
+        docs = spark.createDataFrame(
+            [(1, "new york new york city"), (2, "big data big data")],
+            "doc_id long, text string",
+        )
+        got = collocations(docs, window=1, min_count=3, topk=1).collect()
+        assert len(got) == 1 and got[0]["n"] >= 3
+
+    def test_empty_corpus(self, spark):
+        from block_explorer_spark.operators.profile import collocations
+
+        docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        assert collocations(docs, window=2).count() == 0
