@@ -3208,6 +3208,39 @@ def q139_collocations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q140: the deleted slice (RTBF request) — every 7th doc, offset 3.
+DEL_MOD, DEL_REM = 7, 3
+
+
+def q140_bm25_deleted(spark: SparkSession, sf: str) -> DataFrame:
+    """q113's query served from an index that DELETED a slice of its
+    corpus via tombstones (retrieval.py::index_delete): doc_ids land
+    as a tombstone family (the Lucene live-docs idea, stored
+    relationally — the token-partitioned layout scatters a doc
+    across every token range, so rewrite-on-delete would cost the
+    whole index), n/Σdl decrement EXACTLY from the doclen rows at
+    delete time, and every serving path anti-joins tombstones away
+    BEFORE df counting. The oracle is the full BM25 replay over the
+    SURVIVING corpus — certification that delete-then-serve equals
+    rebuild-from-survivors bit for bit. The RTBF path a 100 TB search
+    deployment cannot ship without."""
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = _t(spark, sf, "documents")
+
+    def _build(b: str) -> None:
+        R.write_postings_index(docs, b, num_files=8)
+        R.index_delete(
+            spark, b,
+            docs.filter(F.col("doc_id") % DEL_MOD == DEL_REM).select("doc_id"),
+        )
+
+    base = _gate_store("bm25-del", sf, _build)
+    return R.bm25_search_indexed(
+        spark, base, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3359,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_chunking": q137_chunking,
         "q138_shortest_paths": q138_shortest_paths,
         "q139_collocations": q139_collocations,
+        "q140_bm25_deleted": q140_bm25_deleted,
     }
 
 
@@ -3490,6 +3524,7 @@ def _bm25_oracle(
     k1: float = BM25_K1,
     b: float = BM25_B,
     topk: int = BM25_TOPK,
+    where: str = "TRUE",
 ) -> str:
     """q113 oracle: recompute N / avgdl / per-term df from the
     certification parquet with DuckDB, derive idf in the SAME Python
@@ -3512,7 +3547,7 @@ def _bm25_oracle(
     )
     row = con.sql(
         f"SELECT count(*) AS n, sum(len({tok})) AS sum_dl, {df_cols} "
-        f"FROM '{sf_dir}/documents.parquet'"
+        f"FROM '{sf_dir}/documents.parquet' WHERE {where}"
     ).fetchone()
     n, sum_dl = int(row[0]), int(row[1])
     dfs = {t: int(row[2 + i]) for i, t in enumerate(terms)}
@@ -3530,7 +3565,8 @@ def _bm25_oracle(
         score = f"{score} + {idf[t]!r} * (tf_{i} * {k1p1!r} / (tf_{i} + {norm}))"
     any_match = " + ".join(f"tf_{i}" for i in range(len(terms)))
     return f"""
-        WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
+        WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents
+                      WHERE {where}),
         per AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, {tfs} FROM toks)
         SELECT doc_id, {score} AS score
         FROM per
@@ -5459,6 +5495,9 @@ def oracle_sql() -> dict[str, str]:
         """),
         "q120_bm25_indexed": _bm25_oracle(),
         "q121_bm25_incremental": _bm25_oracle(),
+        "q140_bm25_deleted": _bm25_oracle(
+            where=f"doc_id % {DEL_MOD} <> {DEL_REM}"
+        ),
         "q124_bm25_maxscore": _bm25_oracle(
             terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
         ),

@@ -264,6 +264,15 @@ TERMMAX = "termmax"
 #: Lucene's .pos file, stored relationally.
 POSITIONS = "positions"
 
+#: Manifest family holding deleted documents — (doc_id, dl) rows.
+#: A delete cannot rewrite the token-partitioned postings (one doc's
+#: rows are scattered across every token range), so it lands as a
+#: TOMBSTONE the serving paths anti-join away — Lucene's live-docs
+#: bitmap, stored relationally. Corpus totals (n, Σdl) decrement
+#: EXACTLY at delete time from the doclen rows; `index_purge` folds
+#: tombstones back into physical deletion on its own cadence.
+TOMBSTONES = "tombstones"
+
 
 def _term_extremes(post_with_dl: DataFrame) -> DataFrame:
     """(token, max_tf, min_dl) over denormalized postings — one row
@@ -428,6 +437,26 @@ def index_append(
         raise FileNotFoundError(
             f"no bm25 index committed under {base}; run write_postings_index"
         )
+    trels0 = cur0.get("families", {}).get(TOMBSTONES) or []
+    if trels0:
+        # a tombstoned doc_id re-appended would be silently hidden by
+        # its own tombstone — reject loudly; run index_purge first
+        import os as _osc
+
+        dead0 = docs.sparkSession.read.parquet(
+            *[_osc.path.join(base, r) for r in trels0]
+        ).select("doc_id")
+        clash = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(dead0, "doc_id")
+            .limit(1)
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                "index_append delta contains tombstoned doc_ids; doc_ids "
+                "are append-only — purge (index_purge) before reusing ids"
+            )
     dl = docs.select(
         F.col(id_col).alias("doc_id"), F.size(tokenize(text_col)).alias("dl")
     )
@@ -567,6 +596,196 @@ def index_maintain(
         raise M.CommitConflict("index_maintain lost the CAS twice")
 
 
+def _live_postings(spark: SparkSession, base: str, m: dict, post: DataFrame) -> DataFrame:
+    """Anti-join the tombstone family away from a postings/positions
+    read. No forced broadcast: the tombstone set grows with deletes
+    until `index_purge` folds it, so AQE picks broadcast vs shuffle
+    from its actual size."""
+    import os as _os
+
+    rels = m.get("families", {}).get(TOMBSTONES) or []
+    if not rels:
+        return post
+    dead = spark.read.parquet(
+        *[_os.path.join(base, r) for r in rels]
+    ).select("doc_id")
+    return post.join(dead, "doc_id", "left_anti")
+
+
+def index_delete(
+    spark: SparkSession,
+    base: str,
+    doc_ids: DataFrame,
+) -> int | None:
+    """Delete documents from the committed index — the RTBF/GDPR path
+    search cannot ship without. The token-partitioned layout scatters
+    one document across every token range, so physical rewrite-on-
+    delete would cost the whole index; instead the doc_ids land as a
+    TOMBSTONE family (the Lucene live-docs idea) and every serving
+    path anti-joins them away BEFORE df counting — so idf, scores,
+    phrase hits, vocabulary stats all match an index rebuilt from the
+    surviving corpus bit for bit (q140 certifies exactly that).
+
+    Corpus totals fold exactly at delete time: the deleted docs'
+    (doc_id, dl) rows come from the committed doclen family, so
+    n -= |deleted ∩ corpus| and Σdl -= Σ their dl — absent doc_ids
+    and re-deletes are no-ops (semi-join + anti-join vs existing
+    tombstones). termmax extremes may still cite deleted docs; a
+    stale max_tf/min_dl only LOOSENS the MaxScore bound, never
+    breaks exactness. One CAS commit; returns the version, or None
+    when nothing new was deleted."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    cur0 = M.read(base)
+    bmeta = cur0.get("meta", {}).get("bm25")
+    if not bmeta:
+        raise FileNotFoundError(f"no bm25 index committed under {base}")
+    dl = spark.read.parquet(
+        *[_os.path.join(base, r) for r in cur0["families"]["doclen"]]
+    )
+    dead = dl.join(
+        doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")).distinct(),
+        "doc_id",
+    )
+    prev = cur0.get("families", {}).get(TOMBSTONES) or []
+    if prev:
+        already = spark.read.parquet(
+            *[_os.path.join(base, r) for r in prev]
+        ).select("doc_id")
+        dead = dead.join(already, "doc_id", "left_anti")
+    with M.write_intent(base):
+        row = dead.agg(
+            F.count("*").alias("dn"), F.sum("dl").alias("dsum")
+        ).collect()[0]
+        dn, dsum = int(row["dn"]), int(row["dsum"] or 0)
+        if dn == 0:
+            return None
+        rels = M.stage_df(dead.coalesce(1), base, TOMBSTONES)
+        for _ in range(2):
+            cur = M.read(base)
+            fams = dict(cur.get("families", {}))
+            fams[TOMBSTONES] = list(fams.get(TOMBSTONES, [])) + rels
+            bm25 = dict(cur.get("meta", {}).get("bm25") or bmeta)
+            bm25["n"] = int(bm25["n"]) - dn
+            bm25["sum_dl"] = int(bm25["sum_dl"]) - dsum
+            meta = dict(cur.get("meta", {}))
+            meta["bm25"] = bm25
+            try:
+                return M.commit(base, fams, cur.get("version", 0), meta=meta)
+            except M.CommitConflict:
+                continue
+        raise M.CommitConflict("index_delete lost the CAS twice")
+
+
+def index_purge(
+    spark: SparkSession,
+    base: str,
+    num_files: int | None = None,
+) -> int | None:
+    """Fold tombstones into physical deletion — the compaction
+    cadence that bounds the anti-join cost deletes accrue. Rewrites
+    postings (and positions, when present) and doclen WITHOUT the
+    tombstoned docs, recomputes termmax from the surviving postings,
+    clears the tombstone family — one CAS swap; meta totals are
+    untouched (they folded at delete time). Cost ∝ the index, which
+    is exactly why deletes don't pay it inline. Serving is
+    bit-identical before and after (pinned in tests). No-op (None)
+    without tombstones."""
+    import os as _os
+
+    from block_explorer_spark.sources import manifest as M
+
+    cur0 = M.read(base)
+    bmeta = cur0.get("meta", {}).get("bm25")
+    if not bmeta:
+        raise FileNotFoundError(f"no bm25 index committed under {base}")
+    trels = cur0.get("families", {}).get(TOMBSTONES) or []
+    if not trels:
+        return None
+    with M.write_intent(base):
+        dead = spark.read.parquet(
+            *[_os.path.join(base, r) for r in trels]
+        ).select("doc_id")
+        fams0 = cur0["families"]
+        nf = num_files or max(1, len(fams0["postings"]))
+        post = spark.read.parquet(
+            *[_os.path.join(base, r) for r in fams0["postings"]]
+        ).join(dead, "doc_id", "left_anti")
+        pclustered = post.repartitionByRange(nf, "token").sortWithinPartitions(
+            "token"
+        )
+        prels = M.stage_df(pclustered, base, "postings")
+        stats = M.file_stats(base, prels, ["token"])
+        dl = spark.read.parquet(
+            *[_os.path.join(base, r) for r in fams0["doclen"]]
+        ).join(dead, "doc_id", "left_anti")
+        drels = M.stage_df(dl, base, "doclen")
+        xrels: list[str] = []
+        if fams0.get(POSITIONS):
+            pos = spark.read.parquet(
+                *[_os.path.join(base, r) for r in fams0[POSITIONS]]
+            ).join(dead, "doc_id", "left_anti")
+            xrels = M.stage_df(
+                pos.repartitionByRange(nf, "token").sortWithinPartitions(
+                    "token", "doc_id", "pos"
+                ),
+                base,
+                POSITIONS,
+            )
+            stats.update(M.file_stats(base, xrels, ["token"]))
+        mrels: list[str] = []
+        if bmeta.get("dl_in_postings") and fams0.get(TERMMAX):
+            ext = _term_extremes(
+                spark.read.parquet(*[_os.path.join(base, r) for r in prels])
+            )
+            mrels = M.stage_df(
+                ext.coalesce(1).sortWithinPartitions("token"), base, TERMMAX
+            )
+            stats.update(M.file_stats(base, mrels, ["token"]))
+        for _ in range(2):
+            cur = M.read(base)
+            fams = dict(cur.get("families", {}))
+            # write_intent is a vacuum lease, not a writer lock: a
+            # concurrent append may have landed since fams0 was read.
+            # Its rels (and tombstones) survive the swap; only the
+            # files this purge actually rewrote are replaced.
+            def _since(fam: str) -> list[str]:
+                base_set = set(fams0.get(fam, []))
+                return [r for r in fams.get(fam, []) if r not in base_set]
+
+            fams["postings"] = prels + _since("postings")
+            fams["doclen"] = drels + _since("doclen")
+            if xrels:
+                fams[POSITIONS] = xrels + _since(POSITIONS)
+            if mrels:
+                fams[TERMMAX] = mrels + _since(TERMMAX)
+            new_tombs = _since(TOMBSTONES)
+            if new_tombs:
+                fams[TOMBSTONES] = new_tombs
+            else:
+                fams.pop(TOMBSTONES, None)
+            bm25 = dict(cur.get("meta", {}).get("bm25") or bmeta)
+            bm25["tail"] = [
+                r for r in bm25.get("tail", []) if r in set(_since("postings"))
+            ]
+            if "ptail" in bm25:
+                bm25["ptail"] = [
+                    r for r in bm25.get("ptail", [])
+                    if r in set(_since(POSITIONS))
+                ]
+            meta = dict(cur.get("meta", {}))
+            meta["bm25"] = bm25
+            try:
+                return M.commit(
+                    base, fams, cur.get("version", 0), meta=meta, stats=stats
+                )
+            except M.CommitConflict:
+                continue
+        raise M.CommitConflict("index_purge lost the CAS twice")
+
+
 def _score_denorm(
     post: DataFrame,
     terms: list[str],
@@ -646,9 +865,14 @@ def bm25_search_indexed(
         keep += M.prune_by_stats(m, "postings", "token", lo=t, hi=t)
     keep = sorted(set(keep))
     if keep:
-        post = spark.read.parquet(
-            *[_os.path.join(base, r) for r in keep]
-        ).filter(F.col("token").isin(list(terms)))
+        post = _live_postings(
+            spark,
+            base,
+            m,
+            spark.read.parquet(
+                *[_os.path.join(base, r) for r in keep]
+            ).filter(F.col("token").isin(list(terms))),
+        )
     else:
         schema = "token string, doc_id long, tf long"
         post = spark.createDataFrame(
@@ -708,9 +932,14 @@ def _read_positions(
     keep = sorted(set(keep))
     if not keep:
         return spark.createDataFrame([], "token string, doc_id long, pos long")
-    return spark.read.parquet(
-        *[_os.path.join(base, r) for r in keep]
-    ).filter(F.col("token").isin(list(terms)))
+    return _live_postings(
+        spark,
+        base,
+        m,
+        spark.read.parquet(
+            *[_os.path.join(base, r) for r in keep]
+        ).filter(F.col("token").isin(list(terms))),
+    )
 
 
 def phrase_search_indexed(
@@ -774,9 +1003,14 @@ def vocab_prefix(
     keep = M.prune_by_stats(m, "postings", "token", lo=prefix, hi=hi)
     if not keep:
         return spark.createDataFrame([], "token string, df long, cf long")
-    post = spark.read.parquet(
-        *[_os.path.join(base, r) for r in keep]
-    ).filter(F.col("token").startswith(prefix))
+    post = _live_postings(
+        spark,
+        base,
+        m,
+        spark.read.parquet(
+            *[_os.path.join(base, r) for r in keep]
+        ).filter(F.col("token").startswith(prefix)),
+    )
     out = (
         post.groupBy("token")
         .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
@@ -981,9 +1215,14 @@ def bm25_search_maxscore(
         if explain is not None:
             explain.update({"pruned": False, "theta": None, "dfs": {}})
         return spark.createDataFrame([], "doc_id long, score double")
-    post = spark.read.parquet(
-        *[_os.path.join(base, r) for r in keep]
-    ).filter(F.col("token").isin(list(terms)))
+    post = _live_postings(
+        spark,
+        base,
+        m,
+        spark.read.parquet(
+            *[_os.path.join(base, r) for r in keep]
+        ).filter(F.col("token").isin(list(terms))),
+    )
     dfs = {
         r["token"]: int(r["df"])
         for r in post.groupBy("token").agg(F.count("*").alias("df")).collect()
@@ -1414,9 +1653,14 @@ def bm25_search_many(
         keep += M.prune_by_stats(m, "postings", "token", lo=t, hi=t)
     keep = sorted(set(keep))
     if keep:
-        post = spark.read.parquet(
-            *[_os.path.join(base, r) for r in keep]
-        ).filter(F.col("token").isin(all_terms))
+        post = _live_postings(
+            spark,
+            base,
+            m,
+            spark.read.parquet(
+                *[_os.path.join(base, r) for r in keep]
+            ).filter(F.col("token").isin(all_terms)),
+        )
     else:
         post = spark.createDataFrame(
             [], "token string, doc_id long, tf long, dl long"

@@ -924,3 +924,113 @@ class TestKwicSnippets:
             R.kwic_snippets(docs, "")
         with pytest.raises(ValueError):
             R.kwic_snippets(docs, "hit", width=-1)
+
+
+class TestIndexDelete:
+    """Tombstone deletes: serve-after-delete must equal
+    rebuild-from-survivors bit for bit, totals fold exactly, purge is
+    invisible to serving, and id reuse is rejected loudly."""
+
+    def _corpora(self, spark):
+        rows = [
+            (i, f"spark data w{i % 7} {'needle' if i % 5 == 0 else 'hay'}")
+            for i in range(50)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return docs, docs.filter(F.col("doc_id") % 3 != 1)
+
+    def _stores(self, spark, tmp_path):
+        docs, live = self._corpora(spark)
+        base, ref = str(tmp_path / "del"), str(tmp_path / "ref")
+        R.write_postings_index(docs, base, num_files=4, positions=True)
+        R.index_delete(
+            spark, base, docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+        )
+        R.write_postings_index(live, ref, num_files=4, positions=True)
+        return docs, base, ref
+
+    def test_all_serving_paths_equal_rebuild(self, spark, tmp_path):
+        from block_explorer_spark.sources import manifest as M
+
+        docs, base, ref = self._stores(spark, tmp_path)
+        terms = ["needle", "spark"]
+        for fn in (R.bm25_search_indexed, R.bm25_search_maxscore):
+            a = [tuple(r) for r in fn(spark, base, terms, topk=10).collect()]
+            b = [tuple(r) for r in fn(spark, ref, terms, topk=10).collect()]
+            assert a == b and a, fn.__name__
+        m1 = M.read(base)["meta"]["bm25"]
+        m2 = M.read(ref)["meta"]["bm25"]
+        assert (m1["n"], m1["sum_dl"]) == (m2["n"], m2["sum_dl"])
+        pa = sorted(
+            tuple(r)
+            for r in R.phrase_search_indexed(spark, base, ["spark", "data"]).collect()
+        )
+        pb = sorted(
+            tuple(r)
+            for r in R.phrase_search_indexed(spark, ref, ["spark", "data"]).collect()
+        )
+        assert pa == pb and pa
+        va = sorted(tuple(r) for r in R.vocab_prefix(spark, base, "w").collect())
+        vb = sorted(tuple(r) for r in R.vocab_prefix(spark, ref, "w").collect())
+        assert va == vb
+        q = {"a": ["needle"], "b": ["spark", "data"]}
+        ma = sorted(
+            tuple(r) for r in R.bm25_search_many(spark, base, q, topk=5).collect()
+        )
+        mb = sorted(
+            tuple(r) for r in R.bm25_search_many(spark, ref, q, topk=5).collect()
+        )
+        assert ma == mb
+
+    def test_redelete_and_absent_are_noops(self, spark, tmp_path):
+        docs, base, _ = self._stores(spark, tmp_path)
+        again = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+        assert R.index_delete(spark, base, again) is None
+        ghost = spark.createDataFrame([(999,)], "doc_id long")
+        assert R.index_delete(spark, base, ghost) is None
+
+    def test_purge_folds_physically_serving_unchanged(self, spark, tmp_path):
+        from block_explorer_spark.sources import manifest as M
+
+        docs, base, ref = self._stores(spark, tmp_path)
+        before = [
+            tuple(r)
+            for r in R.bm25_search_indexed(
+                spark, base, ["needle", "spark"], topk=10
+            ).collect()
+        ]
+        assert R.index_purge(spark, base) is not None
+        m = M.read(base)
+        assert not m["families"].get(R.TOMBSTONES)
+        after = [
+            tuple(r)
+            for r in R.bm25_search_indexed(
+                spark, base, ["needle", "spark"], topk=10
+            ).collect()
+        ]
+        assert after == before
+        assert R.index_purge(spark, base) is None  # no-op without tombstones
+        # purged postings physically exclude the deleted docs
+        import os
+
+        post = spark.read.parquet(
+            *[os.path.join(base, r) for r in m["families"]["postings"]]
+        )
+        assert post.filter(F.col("doc_id") % 3 == 1).count() == 0
+
+    def test_append_rejects_tombstoned_ids_then_accepts_fresh(
+        self, spark, tmp_path
+    ):
+        docs, base, _ = self._stores(spark, tmp_path)
+        reused = spark.createDataFrame(
+            [(1, "x y")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError):
+            R.index_append(reused, base)
+        R.index_purge(spark, base)
+        fresh = spark.createDataFrame(
+            [(1000, "spark needle")], "doc_id long, text string"
+        )
+        R.index_append(fresh, base)
+        got = R.bm25_search_indexed(spark, base, ["needle"], topk=50).collect()
+        assert 1000 in {r["doc_id"] for r in got}
