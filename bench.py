@@ -179,6 +179,15 @@ HEADLINE = [
     # agg/window shapes already represented.
     "q113_bm25_search",
     "q116_pagerank",
+    # round 8 (cont.): the two heaviest new shapes — degree-ordered
+    # triangle counting (wedge + closing joins over the co-supplier
+    # graph) and windowed co-occurrence (position self-join under
+    # range-join binning). BFS/Bellman-Ford are pagerank's
+    # join-per-round shape, chunking/KWIC are map-only, and the
+    # store-backed gates (q130/q136/q140) would time their one-time
+    # gate-store build on a fresh machine — excluded by design.
+    "q134_triangle_counts",
+    "q135_cooccurrence",
 ]
 
 
