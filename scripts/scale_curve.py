@@ -542,6 +542,45 @@ def main() -> None:
             R.write_postings_index(docs, base_, num_files=32, positions=True)
         return base_
 
+    def _bm25_del_store_ensure(spark_, sf_dir_):
+        """Postings store with 1% of the corpus tombstoned (doc_id %
+        100 == 7 deleted AFTER the build) — the serving-under-deletes
+        layout the bm25_deleted_store row measures."""
+        from block_explorer_spark.operators import retrieval as R
+        from block_explorer_spark.sources import manifest as Mf_
+
+        base_ = (
+            os.path.join(args.root, "x1_bm25_del_store")
+            if sf_dir_.startswith("/root/testdata")
+            else os.path.join(sf_dir_, "bm25_del_store")
+        )
+        if Mf_.current_version(base_) == 0:
+            docs = spark_.read.parquet(
+                os.path.join(sf_dir_, "documents.parquet")
+            )
+            R.write_postings_index(docs, base_, num_files=32)
+            R.index_delete(
+                spark_, base_,
+                docs.filter(F.col("doc_id") % 100 == 7).select("doc_id"),
+            )
+        return base_
+
+    def bm25_deleted_store(spark_, sf_dir_):
+        """q140's serving shape at scale: the bm25_indexed_store query
+        with a 1% tombstone family anti-joined away inside the probe.
+        The row measures what deletes COST the serving path — the
+        anti-join's small side is the tombstone set (corpus/100),
+        which AQE broadcasts until purge folds it; compare directly
+        against bm25_indexed_store at each scale."""
+        from block_explorer_spark.operators import retrieval as R
+
+        base_ = _bm25_del_store_ensure(spark_, sf_dir_)
+        return R.bm25_search_indexed(
+            spark_, base_, ["tok00001", "tok00400", "tok20000"], topk=25
+        )
+
+    qs["bm25_deleted_store"] = bm25_deleted_store
+
     def phrase_batch(spark_, sf_dir_):
         """q118's batch path at scale: tokenize the WHOLE corpus,
         filter to the two phrase words pre-shuffle, adjacency join.
@@ -641,6 +680,8 @@ def main() -> None:
                 _bm25_store_ensure(spark, sf_dir)  # untimed build
             elif name in ("phrase_indexed_store", "kwic_store"):
                 _bm25_pos_store_ensure(spark, sf_dir)  # untimed build
+            elif name == "bm25_deleted_store":
+                _bm25_del_store_ensure(spark, sf_dir)  # untimed build
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.perf_counter()
