@@ -3241,6 +3241,54 @@ def q140_bm25_deleted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q141_index_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl→curate→search loop closed end to end
+    (sources/cdc_consumer.py::index_sync): documents flow through the
+    corpus store's curation ingest (two id-ordered batches, exact
+    bag-of-words dedup), a RTBF sweep deletes the 'de' slice
+    (corpus_store.delete_where), and the postings index follows the
+    CHANGE FEED — inserts via index_append (cost ∝ delta), deletes
+    via index_delete tombstones, the consumer watermark riding in the
+    same CAS swap as the write it covers (exactly-once under crash
+    replay). The oracle replays the curation pipeline in SQL (token
+    floor + min-id-per-fingerprint winners + lang filter) and runs
+    the full BM25 over the SURVIVORS: certification that the synced
+    index serves exactly what a from-scratch build over the live
+    corpus would."""
+    import os as _os
+
+    from block_explorer_spark.operators import retrieval as R
+    from block_explorer_spark.sources import cdc_consumer as CC
+    from block_explorer_spark.sources import corpus_store as cs
+
+    docs = _t(spark, sf, "documents")
+
+    def _build(b: str) -> None:
+        cb, ib = _os.path.join(b, "corpus"), _os.path.join(b, "idx")
+        R.write_postings_index(
+            spark.createDataFrame([], "doc_id long, text string"), ib,
+            num_files=1,
+        )
+        src = docs.select("doc_id", "text", "lang", "source")
+        thr = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        cs.ingest(
+            spark, cb, src.filter(F.col("doc_id") <= thr),
+            min_tokens=1, max_dup_word_frac=1.0,
+        )
+        CC.index_sync(spark, cb, ib)
+        cs.ingest(
+            spark, cb, src.filter(F.col("doc_id") > thr),
+            min_tokens=1, max_dup_word_frac=1.0,
+        )
+        cs.delete_where(spark, cb, F.col("lang") == "de")
+        CC.index_sync(spark, cb, ib)
+
+    base = _os.path.join(_gate_store("bm25-cdc", sf, _build), "idx")
+    return R.bm25_search_indexed(
+        spark, base, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3393,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_shortest_paths": q138_shortest_paths,
         "q139_collocations": q139_collocations,
         "q140_bm25_deleted": q140_bm25_deleted,
+        "q141_index_cdc": q141_index_cdc,
     }
 
 
@@ -3639,6 +3688,26 @@ def _bm25_many_oracle() -> str:
         SELECT query_id, doc_id, score FROM ({u})
         ORDER BY query_id, score DESC, doc_id ASC
     """
+
+
+def _bm25_live_corpus_oracle() -> str:
+    """q141 oracle: replay the curation pipeline's survivor set in
+    SQL — token floor (min_tokens=1, the q21-certified count), exact
+    bag-of-words dedup (min doc_id per word-set fingerprint, the
+    q20-certified key; the id-ordered batch split makes the store's
+    cross-batch winner the global min id), RTBF lang sweep — then run
+    the full BM25 replay over exactly those documents. The synced
+    index must serve what a from-scratch build over the live corpus
+    would."""
+    sf_dir = _oracle_sf_dir()
+    path = f"'{sf_dir}/documents.parquet'"
+    ntok = "len(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+    where = (
+        f"{ntok} >= 1 AND lang <> 'de' AND doc_id IN ("
+        f"SELECT min(doc_id) FROM {path} WHERE {ntok} >= 1 "
+        f"GROUP BY md5(array_to_string({_WORDSET}, ' ')))"
+    )
+    return _bm25_oracle(where=where)
 
 
 def _positional_sql(select: str) -> str:
@@ -5498,6 +5567,7 @@ def oracle_sql() -> dict[str, str]:
         "q140_bm25_deleted": _bm25_oracle(
             where=f"doc_id % {DEL_MOD} <> {DEL_REM}"
         ),
+        "q141_index_cdc": _bm25_live_corpus_oracle(),
         "q124_bm25_maxscore": _bm25_oracle(
             terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
         ),

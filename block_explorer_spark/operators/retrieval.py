@@ -612,10 +612,37 @@ def _live_postings(spark: SparkSession, base: str, m: dict, post: DataFrame) -> 
     return post.join(dead, "doc_id", "left_anti")
 
 
+def index_patch_meta(base: str, patch: dict) -> int:
+    """Meta-only CAS commit folding `patch` into the bm25 meta —
+    the watermark-advance a CDC consumer needs when a feed window
+    carried no effective index change (all-absent deletes,
+    maintenance-only commits)."""
+    from block_explorer_spark.sources import manifest as M
+
+    cur0 = M.read(base)
+    if not cur0.get("meta", {}).get("bm25"):
+        raise FileNotFoundError(f"no bm25 index committed under {base}")
+    for _ in range(2):
+        cur = M.read(base)
+        bm25 = dict(cur.get("meta", {}).get("bm25") or {})
+        bm25.update(patch)
+        meta = dict(cur.get("meta", {}))
+        meta["bm25"] = bm25
+        try:
+            return M.commit(
+                base, dict(cur.get("families", {})), cur.get("version", 0),
+                meta=meta,
+            )
+        except M.CommitConflict:
+            continue
+    raise M.CommitConflict("index_patch_meta lost the CAS twice")
+
+
 def index_delete(
     spark: SparkSession,
     base: str,
     doc_ids: DataFrame,
+    bm25_meta_patch: dict | None = None,
 ) -> int | None:
     """Delete documents from the committed index — the RTBF/GDPR path
     search cannot ship without. The token-partitioned layout scatters
@@ -670,6 +697,10 @@ def index_delete(
             bm25 = dict(cur.get("meta", {}).get("bm25") or bmeta)
             bm25["n"] = int(bm25["n"]) - dn
             bm25["sum_dl"] = int(bm25["sum_dl"]) - dsum
+            if bm25_meta_patch:
+                # rides the SAME CAS swap — a CDC consumer's
+                # watermark can never be seen without its deletes
+                bm25.update(bm25_meta_patch)
             meta = dict(cur.get("meta", {}))
             meta["bm25"] = bm25
             try:

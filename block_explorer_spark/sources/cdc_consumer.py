@@ -692,3 +692,101 @@ def qhist_doclen_quantiles(
         float(r["prob"]): int(r["est"])
         for r in SK.qhist_quantiles(st, probs).collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# Postings-index consumer: search stays in lockstep with the corpus
+# ---------------------------------------------------------------------------
+
+
+def index_sync(
+    spark: SparkSession,
+    corpus_base: str,
+    index_base: str,
+    num_files: int = 2,
+) -> dict:
+    """Keep a persisted postings index (operators/retrieval.py) in
+    lockstep with the corpus store's change feed — the crawl→curate→
+    search loop closed end to end, RTBF included: corpus inserts fold
+    in via `index_append` (cost ∝ delta), corpus deletes via
+    `index_delete` tombstones, and the consumer watermark
+    (`bm25["corpus_version"]`) rides in the SAME CAS swap as the
+    append/delete it covers, so a crashed sync replays exactly-once
+    (re-deletes are no-ops, un-watermarked appends never happened).
+
+    Returns {"n_inserts", "n_deletes", "version"}.
+
+    Loud paths, never silent: 'update' ops raise (the index's
+    append-only doc_id contract can't absorb an in-place text change
+    — purge + re-append, or rebuild); an insert whose doc_id is
+    already indexed raises (delete-then-reinsert across windows);
+    a vacuumed feed raises the consumer-level retention error with
+    the recovery move in the message."""
+    import os as _os
+
+    from block_explorer_spark.operators import retrieval as R
+
+    bmeta = Mf.read(index_base).get("meta", {}).get("bm25")
+    if bmeta is None:
+        raise FileNotFoundError(
+            f"no bm25 index committed under {index_base}; bootstrap with "
+            "write_postings_index (an empty corpus is fine)"
+        )
+    since = int(bmeta.get("corpus_version", 0))
+    head = Mf.current_version(corpus_base)
+    if head == since:
+        return {"n_inserts": 0, "n_deletes": 0, "version": head}
+    try:
+        feed = cs.changes_since(
+            spark, corpus_base, since, until_version=head
+        ).localCheckpoint()
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"change feed no longer reaches index watermark {since} "
+            f"(retention/vacuum): {e}. Rebuild the index from the current "
+            "corpus snapshot (write_postings_index over read_corpus)."
+        ) from e
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    last = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint()
+    )
+    if last.filter(F.col("op") == "update").limit(1).count():
+        raise RuntimeError(
+            "change feed contains in-place updates; the index's doc_ids "
+            "are append-only — index_purge + re-append the updated docs, "
+            "or rebuild the index"
+        )
+    ins = last.filter(F.col("op") == "insert").select("doc_id", "text")
+    dels = last.filter(F.col("op") == "delete").select("doc_id")
+    n_ins, n_del = ins.count(), dels.count()
+    if n_ins:
+        # an id both already-indexed and re-inserted is an update in
+        # disguise (delete + reinsert across windows) — reject loudly
+        cur = Mf.read(index_base)
+        dl = spark.read.parquet(
+            *[_os.path.join(index_base, r) for r in cur["families"]["doclen"]]
+        ).select("doc_id")
+        if ins.join(dl, "doc_id").limit(1).count():
+            raise RuntimeError(
+                "change feed re-inserts doc_ids already in the index "
+                "(delete + reinsert); purge and re-append, or rebuild"
+            )
+    mark = {"corpus_version": int(head)}
+    if n_del:
+        # deletes first: a crash after this replays as no-ops; the
+        # watermark only advances with the LAST write of the window
+        patch = None if n_ins else mark
+        if R.index_delete(spark, index_base, dels, bm25_meta_patch=patch) is None and not n_ins:
+            R.index_patch_meta(index_base, mark)
+    if n_ins:
+        R.index_append(
+            ins, index_base, num_files=num_files, bm25_meta_patch=mark
+        )
+    if not n_ins and not n_del:
+        R.index_patch_meta(index_base, mark)
+    return {"n_inserts": n_ins, "n_deletes": n_del, "version": head}

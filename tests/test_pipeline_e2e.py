@@ -518,3 +518,121 @@ def test_cdc_qhist_state_exact_through_deletes(spark, tmp_path):
         cdc.qhist_sync(spark, base, state)
     cdc.qhist_resync(spark, base, state)
     assert got_state() == batch_state()
+
+
+def test_index_sync_tracks_corpus_through_deletes(spark, tmp_path):
+    """The crawl→curate→search loop: the postings index follows the
+    corpus change feed (inserts via append, deletes via tombstones),
+    and at every checkpoint serves EXACTLY what a from-scratch build
+    over the live corpus would — scores and corpus totals both."""
+    from block_explorer_spark.operators import retrieval as R
+    from block_explorer_spark.sources import cdc_consumer as CC
+    from block_explorer_spark.sources import manifest as M
+
+    rows = [
+        (i, f"spark data w{i % 9} {'needle' if i % 5 == 0 else 'hay'} x{i}",
+         "en" if i % 4 else "de", "s")
+        for i in range(40)
+    ]
+    rows.append((100, rows[3][1], "en", "s"))  # exact word-set dup -> dropped
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    cb, ib = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    R.write_postings_index(
+        spark.createDataFrame([], "doc_id long, text string"), ib, num_files=1
+    )
+
+    def _assert_lockstep():
+        live = cs.read_corpus(spark, cb).select("doc_id", "text")
+        ref = str(tmp_path / f"ref{M.current_version(ib)}")
+        R.write_postings_index(live, ref, num_files=2)
+        a = [tuple(r) for r in R.bm25_search_indexed(
+            spark, ib, ["needle", "spark"], topk=10).collect()]
+        b = [tuple(r) for r in R.bm25_search_indexed(
+            spark, ref, ["needle", "spark"], topk=10).collect()]
+        assert a == b and a
+        m1 = M.read(ib)["meta"]["bm25"]
+        m2 = M.read(ref)["meta"]["bm25"]
+        assert (m1["n"], m1["sum_dl"]) == (m2["n"], m2["sum_dl"])
+
+    cs.ingest(spark, cb, docs.filter(F.col("doc_id") < 20),
+              min_tokens=1, max_dup_word_frac=1.0)
+    r1 = CC.index_sync(spark, cb, ib)
+    assert r1["n_inserts"] == 20 and r1["n_deletes"] == 0
+    _assert_lockstep()
+
+    cs.ingest(spark, cb, docs.filter(F.col("doc_id") >= 20),
+              min_tokens=1, max_dup_word_frac=1.0)
+    cs.delete_where(spark, cb, F.col("lang") == "de")
+    r2 = CC.index_sync(spark, cb, ib)
+    assert r2["n_deletes"] == 10  # the de docs ingested in round 1+2
+    _assert_lockstep()
+
+    # idempotent catch-up: nothing moved, watermark holds
+    r3 = CC.index_sync(spark, cb, ib)
+    assert r3 == {"n_inserts": 0, "n_deletes": 0,
+                  "version": r2["version"]}
+
+
+def test_index_sync_crash_replay_is_exactly_once(spark, tmp_path):
+    """A sync that crashed between its delete commit and its append
+    commit replays the window without double-applying: re-deletes are
+    no-ops, and the append (which carries the watermark) lands once."""
+    from block_explorer_spark.operators import retrieval as R
+    from block_explorer_spark.sources import cdc_consumer as CC
+    from block_explorer_spark.sources import manifest as M
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} needle common", "en", "s") for i in range(12)],
+        "doc_id long, text string, lang string, source string",
+    )
+    cb, ib = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    R.write_postings_index(
+        spark.createDataFrame([], "doc_id long, text string"), ib, num_files=1
+    )
+    cs.ingest(spark, cb, docs.filter(F.col("doc_id") < 6),
+              min_tokens=1, max_dup_word_frac=1.0)
+    CC.index_sync(spark, cb, ib)
+    cs.delete_where(spark, cb, F.col("doc_id") < 2)
+    cs.ingest(spark, cb, docs.filter(F.col("doc_id") >= 6),
+              min_tokens=1, max_dup_word_frac=1.0)
+    # simulate the crash window: apply the deletes WITHOUT a watermark
+    # (exactly what index_sync does before its append), then run the
+    # full sync as the post-crash replay
+    dels = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    assert R.index_delete(spark, ib, dels) is not None
+    n_before = M.read(ib)["meta"]["bm25"]["n"]
+    r = CC.index_sync(spark, cb, ib)
+    assert r["n_deletes"] == 2 and r["n_inserts"] == 6
+    m = M.read(ib)["meta"]["bm25"]
+    # 6 first-batch docs - 2 deleted + 6 appended; the replayed
+    # delete decremented nothing the crash window already paid
+    assert m["n"] == n_before + 6 == 10
+    got = {r_["doc_id"] for r_ in R.bm25_search_indexed(
+        spark, ib, ["needle"], topk=20).collect()}
+    assert got == set(range(2, 12))
+
+
+def test_index_sync_rejects_updates_loudly(spark, tmp_path):
+    from block_explorer_spark.operators import retrieval as R
+    from block_explorer_spark.sources import cdc_consumer as CC
+
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} spark data needle filler{i} pad{i}", "en", "s")
+         for i in range(8)],
+        "doc_id long, text string, lang string, source string",
+    )
+    cb, ib = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    R.write_postings_index(
+        spark.createDataFrame([], "doc_id long, text string"), ib, num_files=1
+    )
+    cs.ingest(spark, cb, docs, min_tokens=1, max_dup_word_frac=1.0)
+    CC.index_sync(spark, cb, ib)
+    # substr_sweep stages in-place UPDATE rows — the append-only
+    # index cannot absorb them silently
+    cs.substr_sweep(spark, cb, window=3, min_tokens=1)
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="update"):
+        CC.index_sync(spark, cb, ib)
