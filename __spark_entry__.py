@@ -3289,6 +3289,50 @@ def q141_index_cdc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q142_hybrid_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """q126's hybrid RAG-stack query served ENTIRELY from persisted
+    indexes: the BM25 ranking from the committed postings store
+    (q120's layout, zero-join pruned probe) and the vector ranking
+    from the IVF vector store probing every cell (exact — q127's
+    contract), fused by the same Reciprocal Rank Fusion. No corpus
+    scan, no embedding-table scan: the serving stack a RAG deployment
+    actually runs. Same oracle as q126 — both full rankings replayed
+    and fused in SQL; the indexes must reproduce the batch fusion bit
+    for bit."""
+    from block_explorer_spark.operators import retrieval as R
+    from block_explorer_spark.sources import vector_store as VS
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    bmbase = _gate_store(
+        "bm25-idx",
+        sf,
+        lambda b: R.write_postings_index(docs, b, num_files=8),
+    )
+    vbase = _gate_store(
+        "fann",
+        sf,
+        lambda b: VS.create(spark, b, emb, n_centroids=FANN_CELLS),
+    )
+    rank_w = lambda score, idc: F.row_number().over(
+        W.partitionBy().orderBy(F.desc(score), F.asc(idc))
+    )
+    bm = R.bm25_search_indexed(
+        spark, bmbase, HYBRID_TERMS, k1=BM25_K1, b=BM25_B, topk=HYBRID_CAND
+    ).select(F.col("doc_id").alias("id"), rank_w("score", "doc_id").alias("rank"))
+    ann = VS.probe(
+        spark, vbase, qvec, k=HYBRID_CAND, n_probe=FANN_CELLS
+    ).select(F.col("vec_id").alias("id"), rank_w("cosine", "vec_id").alias("rank"))
+    return R.rrf_fuse(
+        [bm, ann], id_col="id", rrf_k=HYBRID_RRF_K, topk=HYBRID_TOPK
+    ).select("id", F.round("rrf_score", 9).alias("rrf_score"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3442,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_collocations": q139_collocations,
         "q140_bm25_deleted": q140_bm25_deleted,
         "q141_index_cdc": q141_index_cdc,
+        "q142_hybrid_indexed": q142_hybrid_indexed,
     }
 
 
@@ -5568,6 +5613,7 @@ def oracle_sql() -> dict[str, str]:
             where=f"doc_id % {DEL_MOD} <> {DEL_REM}"
         ),
         "q141_index_cdc": _bm25_live_corpus_oracle(),
+        "q142_hybrid_indexed": _hybrid_oracle(),
         "q124_bm25_maxscore": _bm25_oracle(
             terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
         ),
