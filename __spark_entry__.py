@@ -3333,6 +3333,22 @@ def q142_hybrid_indexed(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id", F.round("rrf_score", 9).alias("rrf_score"))
 
 
+#: q143 terms: three mid-frequency tokens for the covering window.
+MINWIN_TERMS = ["spark", "join", "merge"]
+
+
+def q143_min_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimal covering window (retrieval.py::min_window_indexed):
+    for every document containing all three terms, the smallest token
+    span covering one occurrence of each — the passage-retrieval /
+    cover-density primitive (Clarke et al.), served from the
+    zone-pruned positional family. Integer spans over doc_id-
+    co-located joins; the oracle replays the 3-way position join."""
+    from block_explorer_spark.operators import retrieval as R
+
+    return R.min_window_indexed(spark, _pos_store(spark, sf), MINWIN_TERMS)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3487,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_bm25_deleted": q140_bm25_deleted,
         "q141_index_cdc": q141_index_cdc,
         "q142_hybrid_indexed": q142_hybrid_indexed,
+        "q143_min_window": q143_min_window,
     }
 
 
@@ -5614,6 +5631,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q141_index_cdc": _bm25_live_corpus_oracle(),
         "q142_hybrid_indexed": _hybrid_oracle(),
+        "q143_min_window": _positional_sql(f"""
+            SELECT a.doc_id,
+                   CAST(MIN(greatest(a.pos, b.pos, c.pos)
+                            - least(a.pos, b.pos, c.pos) + 1) AS BIGINT)
+                     AS min_window
+            FROM p a
+            JOIN p b ON a.doc_id = b.doc_id
+            JOIN p c ON a.doc_id = c.doc_id
+            WHERE a.token = '{MINWIN_TERMS[0]}'
+              AND b.token = '{MINWIN_TERMS[1]}'
+              AND c.token = '{MINWIN_TERMS[2]}'
+            GROUP BY a.doc_id
+        """),
         "q124_bm25_maxscore": _bm25_oracle(
             terms=MAXSCORE_TERMS, topk=MAXSCORE_TOPK
         ),

@@ -1050,6 +1050,58 @@ def vocab_prefix(
     return out.limit(topk) if topk else out
 
 
+def _min_window(post: DataFrame, terms: list[str]) -> DataFrame:
+    """Smallest token span covering one occurrence of EVERY term, per
+    document containing them all — the passage-retrieval primitive
+    (shorter cover ⇒ tighter topical association; INQUERY/Clarke's
+    cover density ranking reduces to this statistic). One doc_id-
+    co-located join per term (each side pre-filtered to one term's
+    postings), span = max(pos) − min(pos) + 1 minimized per doc.
+    Cost ∝ the product of the terms' per-doc occurrence counts —
+    bounded for query-sized term sets, the same contract as
+    phrase_match."""
+    cur = (
+        post.filter(F.col("token") == terms[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("token") == t).select(
+            "doc_id", F.col("pos").alias(f"p{i}")
+        )
+        cur = cur.join(nxt, "doc_id")
+    cols = [F.col(f"p{i}") for i in range(len(terms))]
+    span = F.greatest(*cols) - F.least(*cols) + F.lit(1) if len(cols) > 1 else F.lit(1)
+    return cur.select("doc_id", span.alias("__s")).groupBy("doc_id").agg(
+        F.min("__s").alias("min_window")
+    )
+
+
+def min_window_match(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Minimal covering window over the corpus scan — (doc_id,
+    min_window) for every document containing ALL `terms`."""
+    if len(terms) < 2 or len(set(terms)) != len(terms):
+        raise ValueError("min_window_match needs >= 2 distinct terms")
+    post = positional_index(docs, id_col, text_col, terms=list(terms))
+    return _min_window(post, terms)
+
+
+def min_window_indexed(
+    spark: SparkSession, base: str, terms: list[str]
+) -> DataFrame:
+    """Minimal covering window served from the persisted positional
+    family — zone-pruned per-term reads, same join chain as the batch
+    path (identical integer spans)."""
+    if len(terms) < 2 or len(set(terms)) != len(terms):
+        raise ValueError("min_window_indexed needs >= 2 distinct terms")
+    post = _read_positions(spark, base, list(terms))
+    return _min_window(post, terms)
+
+
 def kwic_snippets(
     docs: DataFrame,
     term: str,

@@ -1034,3 +1034,50 @@ class TestIndexDelete:
         R.index_append(fresh, base)
         got = R.bm25_search_indexed(spark, base, ["needle"], topk=50).collect()
         assert 1000 in {r["doc_id"] for r in got}
+
+
+class TestMinWindow:
+    def test_hand_computed_spans(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a x x b y a"),        # covers at (5,3): span 3
+                (2, "b a"),                # span 2
+                (3, "a only here"),        # missing b -> excluded
+                (4, "b x x x x x a x b"),  # best is (6,8): span 3
+            ],
+            "doc_id long, text string",
+        )
+        got = dict(
+            (r["doc_id"], r["min_window"])
+            for r in R.min_window_match(docs, ["a", "b"]).collect()
+        )
+        assert got == {1: 3, 2: 2, 4: 3}
+
+    def test_three_terms_and_indexed_parity(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c"),
+                (2, "a x b x x c a"),  # a@{0,6} b@2 c@5: best cover (2..6), span 5
+                (3, "c b a"),
+            ],
+            "doc_id long, text string",
+        )
+        batch = dict(
+            (r["doc_id"], r["min_window"])
+            for r in R.min_window_match(docs, ["a", "b", "c"]).collect()
+        )
+        assert batch == {1: 3, 2: 5, 3: 3}
+        base = str(tmp_path / "mw")
+        R.write_postings_index(docs, base, num_files=2, positions=True)
+        idx = dict(
+            (r["doc_id"], r["min_window"])
+            for r in R.min_window_indexed(spark, base, ["a", "b", "c"]).collect()
+        )
+        assert idx == batch
+
+    def test_bad_terms_rejected(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            R.min_window_match(docs, ["a"])
+        with pytest.raises(ValueError):
+            R.min_window_match(docs, ["a", "a"])
