@@ -244,6 +244,7 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
+    use_checkpoint: bool = True,
 ) -> DataFrame:
     """Per-vertex triangle counts over an undirected graph — the
     local clustering signal behind community/cohesion analysis (and
@@ -291,6 +292,12 @@ def triangle_counts(
         F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("d"),
         F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rd"),
     )
+    if use_checkpoint:
+        # `oriented` feeds THREE consumers (both wedge sides and the
+        # closing probe); without a cut each re-computes the whole
+        # degree-join subtree — the audit showed the uncut plan at 24
+        # SMJs / 229 exchanges vs 2 joins of the materialized frame
+        oriented = oriented.localCheckpoint(eager=True)
     x = oriented.select(
         F.col("s"), F.col("d").alias("d1"), F.col("rd").alias("r1")
     )
