@@ -3349,6 +3349,28 @@ def q143_min_window(spark: SparkSession, sf: str) -> DataFrame:
     return R.min_window_indexed(spark, _pos_store(spark, sf), MINWIN_TERMS)
 
 
+#: q144: the phrase decontamination sweep — bigrams ride the
+#: vectorized adjacency path, the trigram exercises the chain path.
+MANYP_PHRASES = {
+    "pa": ["batch", "batch"],
+    "pb": ["spark", "join"],
+    "pc": ["query", "window", "scan"],
+}
+
+
+def q144_phrase_many(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch multi-phrase search from the positional index
+    (retrieval.py::phrase_search_many): all phrases answered in ONE
+    zone-pruned read — bigram phrases share a single adjacency
+    self-join turned into per-query hits by a broadcast phrase table
+    (10k bigrams = one join), longer phrases chain over the same
+    materialized positions. The exact-string decontamination sweep at
+    serving time. Oracle: per-phrase positional replays, unioned."""
+    from block_explorer_spark.operators import retrieval as R
+
+    return R.phrase_search_many(spark, _pos_store(spark, sf), MANYP_PHRASES)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3504,6 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_index_cdc": q141_index_cdc,
         "q142_hybrid_indexed": q142_hybrid_indexed,
         "q143_min_window": q143_min_window,
+        "q144_phrase_many": q144_phrase_many,
     }
 
 
@@ -3801,6 +3824,28 @@ def _phrase_oracle() -> str:
         WHERE a.token = 'batch' AND b.token = 'batch'
         GROUP BY a.doc_id
     """)
+
+
+def _phrase_many_oracle(phrases: dict[str, list[str]]) -> str:
+    """q144 oracle: each phrase replayed independently over the shared
+    positional CTE (the q118 adjacency pattern), tagged and unioned."""
+    parts = []
+    for qid in sorted(phrases):
+        ws = phrases[qid]
+        joins = " ".join(
+            f"JOIN p a{i} ON a{i}.doc_id = a0.doc_id "
+            f"AND a{i}.pos = a0.pos + {i}"
+            for i in range(1, len(ws))
+        )
+        conds = " AND ".join(
+            f"a{i}.token = '{w}'" for i, w in enumerate(ws)
+        )
+        parts.append(
+            f"SELECT '{qid}' AS query_id, a0.doc_id, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+            f"FROM p a0 {joins} WHERE {conds} GROUP BY a0.doc_id"
+        )
+    return _positional_sql(" UNION ALL ".join(parts))
 
 
 def _proximity_oracle() -> str:
@@ -5615,6 +5660,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q118_phrase_search": _phrase_oracle(),
         "q130_phrase_indexed": _phrase_oracle(),
+        "q144_phrase_many": _phrase_many_oracle(MANYP_PHRASES),
         "q131_proximity_indexed": _proximity_oracle(),
         "q132_prefix_vocab": _positional_sql("""
             SELECT token,

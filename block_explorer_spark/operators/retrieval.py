@@ -1005,6 +1005,74 @@ def proximity_search_indexed(
     return _proximity_pairs(post, term_a, term_b, window)
 
 
+def phrase_search_many(
+    spark: SparkSession,
+    base: str,
+    phrases: dict[str, list[str]],
+) -> DataFrame:
+    """N exact-phrase queries against the persisted positional family
+    in ONE pass — the decontamination-sweep shape for benchmark
+    STRINGS (q128 is its bag-of-words cousin): 10k "question + answer"
+    phrases against the corpus without one job per phrase.
+
+    One zone-pruned read covers the union of all phrase words, then:
+
+      * every length-2 phrase rides a SINGLE vectorized path — the
+        adjacency self-join (doc_id, pos+1) runs ONCE over the pruned
+        positions, and a broadcast (query_id, w1, w2) table turns its
+        output into per-query hits; 10k bigram phrases cost one join,
+        not 10k;
+      * longer phrases each chain through `_phrase_chain` over the
+        SAME materialized positions (localCheckpoint — the pruned
+        read is paid once, not once per phrase).
+
+    Returns (query_id, doc_id, n_occurrences). Results are identical
+    to running `phrase_search_indexed` per phrase (pinned in tests;
+    q144 certifies against per-phrase SQL replays)."""
+    if not phrases:
+        raise ValueError("phrase_search_many needs at least one phrase")
+    for qid, ws in phrases.items():
+        if len(ws) < 2:
+            raise ValueError(f"phrase {qid!r} needs >= 2 tokens")
+    words = sorted({w for ws in phrases.values() for w in ws})
+    post = _read_positions(spark, base, words).localCheckpoint(eager=True)
+    out_schema = "query_id string, doc_id long, n_occurrences long"
+    parts: list[DataFrame] = []
+    bigrams = {q: ws for q, ws in phrases.items() if len(ws) == 2}
+    if bigrams:
+        a = post.select(
+            "doc_id", F.col("token").alias("ta"), F.col("pos").alias("pa")
+        )
+        b = post.select(
+            "doc_id", F.col("token").alias("tb"), F.col("pos").alias("pb")
+        )
+        adj = a.join(b, "doc_id").filter(F.col("pb") == F.col("pa") + 1)
+        qrows = spark.createDataFrame(
+            [(q, ws[0], ws[1]) for q, ws in sorted(bigrams.items())],
+            "query_id string, ta string, tb string",
+        )
+        parts.append(
+            adj.join(F.broadcast(qrows), ["ta", "tb"])
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("n_occurrences"))
+        )
+    for qid in sorted(phrases):
+        ws = phrases[qid]
+        if len(ws) == 2:
+            continue
+        parts.append(
+            _phrase_chain(post, ws).select(
+                F.lit(qid).alias("query_id"), "doc_id", "n_occurrences"
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("query_id", "doc_id", "n_occurrences")
+
+
 def vocab_prefix(
     spark: SparkSession,
     base: str,

@@ -1081,3 +1081,48 @@ class TestMinWindow:
             R.min_window_match(docs, ["a"])
         with pytest.raises(ValueError):
             R.min_window_match(docs, ["a", "a"])
+
+
+class TestPhraseSearchMany:
+    def _store(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c a b"),
+                (2, "b b b"),
+                (3, "c a b x a b c"),
+                (4, "nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+        base = str(tmp_path / "pm")
+        R.write_postings_index(docs, base, num_files=2, positions=True)
+        return docs, base
+
+    def test_one_pass_equals_per_phrase(self, spark, tmp_path):
+        docs, base = self._store(spark, tmp_path)
+        phrases = {"q1": ["a", "b"], "q2": ["b", "b"], "q3": ["c", "a", "b"]}
+        got = sorted(
+            tuple(r)
+            for r in R.phrase_search_many(spark, base, phrases).collect()
+        )
+        want = sorted(
+            (qid, r["doc_id"], r["n_occurrences"])
+            for qid, ws in phrases.items()
+            for r in R.phrase_search_indexed(spark, base, ws).collect()
+        )
+        assert got == want and got
+        # bigram overlap counting preserved through the vectorized path
+        assert ("q2", 2, 2) in got  # "b b b" has two overlapping "b b"
+
+    def test_all_bigrams_and_absent_phrase(self, spark, tmp_path):
+        docs, base = self._store(spark, tmp_path)
+        phrases = {"hit": ["a", "b"], "miss": ["x", "z"]}
+        got = R.phrase_search_many(spark, base, phrases).collect()
+        assert {r["query_id"] for r in got} == {"hit"}
+
+    def test_rejects_bad_input(self, spark, tmp_path):
+        docs, base = self._store(spark, tmp_path)
+        with pytest.raises(ValueError):
+            R.phrase_search_many(spark, base, {})
+        with pytest.raises(ValueError):
+            R.phrase_search_many(spark, base, {"q": ["solo"]})
