@@ -607,6 +607,22 @@ def main() -> None:
 
     qs["phrase_indexed_store"] = phrase_indexed_store
 
+    def phrase_many32_store(spark_, sf_dir_):
+        """q144's sweep shape at scale: 32 bigram phrases answered in
+        ONE zone-pruned read + ONE adjacency self-join fanned out by a
+        broadcast phrase table. Compare against 32× the
+        phrase_indexed_store row — the amortization claim."""
+        from block_explorer_spark.operators import retrieval as R
+
+        base_ = _bm25_pos_store_ensure(spark_, sf_dir_)
+        phrases = {
+            f"q{i:02d}": [f"tok{300 + 17 * i:05d}", f"tok{15000 + 101 * i:05d}"]
+            for i in range(32)
+        }
+        return R.phrase_search_many(spark_, base_, phrases)
+
+    qs["phrase_many32_store"] = phrase_many32_store
+
     def kwic_store(spark_, sf_dir_):
         """q136's serving path: KWIC snippets for a tail term — the
         zone-pruned positions broadcast onto the corpus, only
@@ -678,7 +694,9 @@ def main() -> None:
                 qs[name](spark, sf_dir).count()
             elif name == "bm25_indexed_store":
                 _bm25_store_ensure(spark, sf_dir)  # untimed build
-            elif name in ("phrase_indexed_store", "kwic_store"):
+            elif name in (
+                "phrase_indexed_store", "kwic_store", "phrase_many32_store"
+            ):
                 _bm25_pos_store_ensure(spark, sf_dir)  # untimed build
             elif name == "bm25_deleted_store":
                 _bm25_del_store_ensure(spark, sf_dir)  # untimed build
