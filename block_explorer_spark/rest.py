@@ -121,6 +121,15 @@ class BlockExplorerApi:
         # test_rest_golden::test_lifeline_warehouse_mode_identical).
         self.warehouse_base = warehouse_base
         self.spark = spark
+        # SEARCH MODE (round-8 continuation): pass a committed
+        # postings-index base (retrieval.write_postings_index — with
+        # positions=True for the phrase/context endpoints) and the
+        # documents DataFrame to serve /api/v1/search/* — keyword BM25
+        # from the index (auto full-vs-MaxScore policy), exact-phrase
+        # hits from the positional family, and KWIC context windows.
+        # Unconfigured, those routes answer 404 like any unknown path.
+        self.search_index: str | None = None
+        self.search_docs: DataFrame | None = None
         # Continuous per-endpoint timers, observed on EVERY request by
         # the HTTP handler (reference parity: the Prometheus timers of
         # etl/storage/storage_metrics.go:1-125 run in normal operation,
@@ -191,6 +200,12 @@ class BlockExplorerApi:
             lambda: self.object_lifeline(ref, {"limit": ["20"]}),
             lambda: self.search({"value": [ref]}),
         ]
+        if self.search_index is not None:
+            calls += [
+                lambda: self.search_documents({"query": ["warm"]}),
+                lambda: self.search_phrase({"phrase": ["warm up"]}),
+                lambda: self.search_context({"term": ["warm"]}),
+            ]
         warmed = 0
         for call in calls:
             try:
@@ -536,6 +551,123 @@ class BlockExplorerApi:
             message_field="description",
         )
 
+    # -- search endpoints (engine extension; not a reference surface) --
+
+    def attach_search(self, docs: DataFrame, index_base: str) -> None:
+        """Enable /api/v1/search/*: `index_base` is a committed
+        postings index (positions=True unlocks phrase/context)."""
+        self.search_docs = docs
+        self.search_index = index_base
+
+    def _search_terms(self, params: dict, field: str = "query") -> list[str]:
+        raw = params[field][0] if field in params else ""
+        terms = [t for t in raw.lower().split() if t]
+        if not terms:
+            raise _validation_error(
+                [api.ValidationFailure(field, "empty or missing")]
+            )
+        return terms
+
+    def _search_limit(self, params: dict, default: int = 20) -> int:
+        failures: list = []
+        limit = _int_param(params, "limit", failures)
+        if failures:
+            raise _validation_error(failures)
+        limit = default if limit is None else limit
+        if not 1 <= limit <= 100:
+            raise _validation_error(
+                [api.ValidationFailure("limit", "should be in range [1, 100]")]
+            )
+        return limit
+
+    def search_documents(self, params: dict) -> tuple[int, dict]:
+        """BM25 top-k from the committed index — the auto serving
+        policy (full vs MaxScore at the measured crossover)."""
+        if self.search_index is None:
+            return 404, {}
+        from block_explorer_spark.operators import retrieval as R
+
+        terms = self._search_terms(params)
+        limit = self._search_limit(params)
+        spark = self.search_docs.sparkSession
+        rows = R.bm25_search(spark, self.search_index, terms, topk=limit).collect()
+        return 200, {
+            "total": len(rows),
+            "result": [
+                {"doc_id": r["doc_id"], "score": r["score"]} for r in rows
+            ],
+        }
+
+    def search_phrase(self, params: dict) -> tuple[int, dict]:
+        """Exact-phrase hits from the positional family."""
+        if self.search_index is None:
+            return 404, {}
+        from block_explorer_spark.operators import retrieval as R
+
+        words = self._search_terms(params, field="phrase")
+        if len(words) < 2:
+            raise _validation_error(
+                [api.ValidationFailure("phrase", "needs at least two words")]
+            )
+        limit = self._search_limit(params)
+        spark = self.search_docs.sparkSession
+        try:
+            page = (
+                R.phrase_search_indexed(spark, self.search_index, words)
+                .orderBy("doc_id")
+                .limit(limit)
+                .collect()
+            )
+        except FileNotFoundError:
+            raise _validation_error(
+                [api.ValidationFailure("phrase", "index has no positional family")]
+            ) from None
+        return 200, {
+            "total": len(page),
+            "result": [
+                {"doc_id": r["doc_id"], "n_occurrences": r["n_occurrences"]}
+                for r in page
+            ],
+        }
+
+    def search_context(self, params: dict) -> tuple[int, dict]:
+        """KWIC context windows for one term (reviewer view)."""
+        if self.search_index is None:
+            return 404, {}
+        from block_explorer_spark.operators import retrieval as R
+
+        term = self._search_terms(params, field="term")
+        if len(term) != 1:
+            raise _validation_error(
+                [api.ValidationFailure("term", "exactly one word")]
+            )
+        limit = self._search_limit(params)
+        spark = self.search_docs.sparkSession
+        try:
+            page = (
+                R.kwic_snippets_indexed(
+                    spark, self.search_index, self.search_docs, term[0]
+                )
+                .orderBy("doc_id", "pos")
+                .limit(limit)
+                .collect()
+            )
+        except FileNotFoundError:
+            raise _validation_error(
+                [api.ValidationFailure("term", "index has no positional family")]
+            ) from None
+        except ValueError as e:  # broadcast bound: stopword-scale term
+            raise _validation_error(
+                [api.ValidationFailure("term", str(e))]
+            ) from None
+        return 200, {
+            "total": len(page),
+            "result": [
+                {"doc_id": r["doc_id"], "pos": r["pos"], "snippet": r["snippet"]}
+                for r in page
+            ],
+        }
+
 
 # ---------------------------------------------------------------------------
 # HTTP transport
@@ -579,6 +711,21 @@ _ROUTES = [
         lambda a, m, p: a.object_lifeline(m.group(1), p),
     ),
     ("search", re.compile(r"^/api/v1/search$"), lambda a, m, p: a.search(p)),
+    (
+        "search_documents",
+        re.compile(r"^/api/v1/search/documents$"),
+        lambda a, m, p: a.search_documents(p),
+    ),
+    (
+        "search_phrase",
+        re.compile(r"^/api/v1/search/phrase$"),
+        lambda a, m, p: a.search_phrase(p),
+    ),
+    (
+        "search_context",
+        re.compile(r"^/api/v1/search/context$"),
+        lambda a, m, p: a.search_context(p),
+    ),
 ]
 
 

@@ -1461,3 +1461,70 @@ def test_lifeline_warehouse_mode_identical(spark, base_url, tmp_path_factory):
             assert got == want, q
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Search extension endpoints (engine surface, not reference goldens)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def search_url(spark, tmp_path_factory):
+    from block_explorer_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins data with spark joins"),
+            (2, "data data batch batch batch"),
+            (3, "spark only joins"),
+            (4, "needle in the hay batch batch"),
+        ],
+        "doc_id long, text string",
+    ).cache()
+    idx = str(tmp_path_factory.mktemp("srch") / "idx")
+    R.write_postings_index(docs, idx, num_files=2, positions=True)
+    empty_p = spark.createDataFrame([], schemas.PULSES).cache()
+    empty_d = spark.createDataFrame([], schemas.JET_DROPS).cache()
+    empty_r = spark.createDataFrame([], schemas.RECORDS).cache()
+    api_impl = BlockExplorerApi(empty_p, empty_d, empty_r)
+    api_impl.attach_search(docs, idx)
+    server = serve(api_impl, warm=False)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_search_documents_ranked(search_url):
+    status, body = get(search_url, "/api/v1/search/documents?query=spark+data&limit=3")
+    assert status == 200
+    assert body["total"] == 3
+    ids = [r["doc_id"] for r in body["result"]]
+    assert ids[0] == 1  # two sparks + a data outrank the rest
+    scores = [r["score"] for r in body["result"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_documents_validation(search_url):
+    status, body = get(search_url, "/api/v1/search/documents?query=")
+    assert status == 400 and body["validation_failures"][0]["property"] == "query"
+    status, body = get(search_url, "/api/v1/search/documents?query=x&limit=0")
+    assert status == 400 and body["validation_failures"][0]["property"] == "limit"
+
+
+def test_search_phrase_and_context(search_url):
+    status, body = get(search_url, "/api/v1/search/phrase?phrase=batch+batch")
+    assert status == 200
+    assert {(r["doc_id"], r["n_occurrences"]) for r in body["result"]} == {
+        (2, 2), (4, 1)
+    }
+    status, body = get(search_url, "/api/v1/search/phrase?phrase=solo")
+    assert status == 400
+    status, body = get(search_url, "/api/v1/search/context?term=needle&limit=5")
+    assert status == 200
+    assert body["result"] == [
+        {"doc_id": 4, "pos": 0, "snippet": "needle in the hay"}
+    ]
+
+
+def test_search_routes_404_when_unconfigured(base_url):
+    status, _ = get(base_url, "/api/v1/search/documents?query=x")
+    assert status == 404
