@@ -63,10 +63,32 @@ def main() -> None:
     obj = state_recs[0]["object_reference"]
 
     if args.http:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
         from block_explorer_spark.functions import jets
+        from block_explorer_spark.operators import retrieval as R
         from block_explorer_spark.rest import BlockExplorerApi, serve
 
-        server = serve(BlockExplorerApi(pulses, drops, records))
+        # search extension: a 5k-doc corpus + positional index so the
+        # /api/v1/search/* endpoints join the attacked mix
+        docs = spark.range(5000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha w"), (F.col("id") % 97).cast("string"),
+                F.lit(" beta w"), (F.col("id") % 53).cast("string"),
+                F.lit(" "),
+                F.when(F.col("id") % 11 == 0, F.lit("needle point")).otherwise(
+                    F.lit("hay stack")
+                ),
+            ).alias("text"),
+        ).cache()
+        idx = tempfile.mkdtemp(prefix="loadtest-idx")
+        R.write_postings_index(docs, idx, num_files=4, positions=True)
+        api_impl = BlockExplorerApi(pulses, drops, records)
+        api_impl.attach_search(docs, idx)
+        server = serve(api_impl)
         base = f"http://127.0.0.1:{server.server_address[1]}"
         d0_id = f"{jets.storage_to_display(d0['jet_id'])}:{d0['pulse_number']}"
         urls = {
@@ -78,6 +100,9 @@ def main() -> None:
             "get_records": f"/api/v1/jet-drops/{d0_id}/records?limit=20",
             "get_lifeline": f"/api/v1/lifeline/{base58_encode(bytes(obj))}/records?limit=20",
             "search": f"/api/v1/search?value={base58_encode(bytes(obj))}",
+            "search_documents": "/api/v1/search/documents?query=needle+alpha&limit=20",
+            "search_phrase": "/api/v1/search/phrase?phrase=needle+point&limit=20",
+            "search_context": "/api/v1/search/context?term=needle&limit=20",
         }
 
         def make_fn(path: str):
