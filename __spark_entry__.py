@@ -3371,6 +3371,39 @@ def q144_phrase_many(spark: SparkSession, sf: str) -> DataFrame:
     return R.phrase_search_many(spark, _pos_store(spark, sf), MANYP_PHRASES)
 
 
+#: q145: PPR seed (same customer as the BFS gate), iterations, top-k.
+PPR_ITERS, PPR_TOPK = 4, 20
+
+
+def q145_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank on the integer lattice
+    (operators/graph.py::ppr_int, Haveliwala WWW'02): teleport mass
+    returns only to one seed customer on the symmetrized
+    customer–supplier graph — rank becomes proximity to the seed, the
+    graph-similarity/recommendation primitive. Floor-division exact
+    like q116, so the oracle unrolls the fixed iterations as chained
+    CTEs with the source-conditional teleport term."""
+    from block_explorer_spark.operators.graph import ppr_int
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("dst"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    srcs = spark.createDataFrame([(BFS_SRC,)], "id long")
+    ranks = ppr_int(sym, srcs, iters=PPR_ITERS, scale=PR_SCALE)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(PPR_TOPK)
+        .select(F.col("id").cast("long").alias("id"), F.col("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3527,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_hybrid_indexed": q142_hybrid_indexed,
         "q143_min_window": q143_min_window,
         "q144_phrase_many": q144_phrase_many,
+        "q145_ppr": q145_ppr,
     }
 
 
@@ -3895,6 +3929,55 @@ def _pagerank_oracle(
         ",\n".join(parts)
         + f"""
         SELECT CAST(id AS BIGINT) AS id, rank FROM r{iters}
+        ORDER BY rank DESC, id ASC LIMIT {topk}"""
+    )
+
+
+def _ppr_oracle(
+    src_id: int = BFS_SRC,
+    iters: int = PPR_ITERS,
+    scale: int = PR_SCALE,
+    topk: int = PPR_TOPK,
+    off: int = PR_SUPP_OFFSET,
+    num: int = 85,
+    den: int = 100,
+) -> str:
+    """q145 oracle: unroll the personalized iterations as chained
+    CTEs — identical to _pagerank_oracle except the teleport term is
+    source-conditional and rank_0 concentrates on the seed."""
+    base = ((den - num) * scale) // den
+    parts = [
+        f"""WITH e0 AS (SELECT DISTINCT o_custkey AS u,
+                               l_suppkey + {off} AS v
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        deg AS (SELECT u AS src, COUNT(*) AS deg FROM sym GROUP BY u),
+        nodes AS (SELECT DISTINCT id FROM (
+            SELECT u AS id FROM sym UNION SELECT v FROM sym
+            UNION SELECT {src_id})),
+        r0 AS (SELECT id,
+                      CAST(CASE WHEN id = {src_id} THEN {scale} ELSE 0 END
+                           AS BIGINT) AS rank
+               FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+              SELECT n.id,
+                     CAST(CASE WHEN n.id = {src_id} THEN {base} ELSE 0 END
+                          + ({num} * COALESCE(s.in_sum, 0)) // {den}
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT sym.v AS id, SUM(r.rank // d.deg) AS in_sum
+                FROM sym JOIN r{i} r ON sym.u = r.id
+                         JOIN deg d ON sym.u = d.src
+                GROUP BY sym.v) s USING (id))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT CAST(id AS BIGINT) AS id, rank FROM r{iters}
+        WHERE rank > 0
         ORDER BY rank DESC, id ASC LIMIT {topk}"""
     )
 
@@ -5661,6 +5744,7 @@ def oracle_sql() -> dict[str, str]:
         "q118_phrase_search": _phrase_oracle(),
         "q130_phrase_indexed": _phrase_oracle(),
         "q144_phrase_many": _phrase_many_oracle(MANYP_PHRASES),
+        "q145_ppr": _ppr_oracle(),
         "q131_proximity_indexed": _proximity_oracle(),
         "q132_prefix_vocab": _positional_sql("""
             SELECT token,

@@ -387,3 +387,74 @@ def shortest_paths_int(
             return merged
         dist, frontier = merged, improved
     return dist
+
+
+def ppr_int(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 1_000_000,
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized PageRank on the integer lattice: identical update
+    rule to `pagerank_int`, except the teleport term returns mass
+    ONLY to the source set — rank becomes proximity TO the seeds, the
+    similarity/recommendation primitive ("accounts most related to
+    this one", "docs in this doc's neighborhood"). Haveliwala
+    (WWW'02) topic-sensitive PageRank, floor-division exact:
+
+      rank_0(v)   = scale·[v ∈ S]
+      rank_i+1(v) = [v ∈ S]·((den−num)·scale)//den
+                    + (num · Σ incoming rank_i(u)//deg(u)) // den
+
+    Integer sums commute, so the fixed iteration count is
+    partitioning-independent and SQL-replayable (q145 unrolls it as
+    chained CTEs, like q116). One shuffle per iteration; lineage
+    cut per round."""
+    num, den = damping
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if use_checkpoint:
+        e = e.localCheckpoint(eager=True)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    srcs = sources.select(F.col("id").cast("long").alias("id")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .union(srcs)
+        .distinct()
+        .join(srcs.withColumn("__s", F.lit(1)), "id", "left")
+        .select("id", F.coalesce(F.col("__s"), F.lit(0)).alias("is_src"))
+    )
+    if use_checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    base = ((den - num) * scale) // den
+    ranks = nodes.select(
+        "id",
+        "is_src",
+        (F.col("is_src") * F.lit(scale)).cast("long").alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(out_deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                "is_src",
+                (
+                    F.col("is_src") * F.lit(base)
+                    + F.expr(f"(CAST({num} AS BIGINT) * coalesce(in_sum, 0)) div {den}")
+                ).cast("long").alias("rank"),
+            )
+        )
+        if use_checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("id", "rank")

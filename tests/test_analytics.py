@@ -306,3 +306,49 @@ class TestShortestPathsInt:
             for r in shortest_paths_int(self._wedges(spark), srcs, 3).collect()
         )
         assert got == {1: 0, 2: 1, 3: 0, 4: 2}
+
+
+class TestPersonalizedPageRank:
+    def test_hand_iteration_on_cycle(self, spark):
+        from block_explorer_spark.operators.graph import ppr_int
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        srcs = spark.createDataFrame([(1,)], "id long")
+        one = dict(
+            (r["id"], r["rank"])
+            for r in ppr_int(edges, srcs, iters=1, scale=1_000_000).collect()
+        )
+        # r0 = 1e6 at the seed; iter1: seed keeps base 150000, its
+        # out-neighbor gets 850000, the far node 0
+        assert one == {1: 150000, 2: 850000, 3: 0}
+        two = dict(
+            (r["id"], r["rank"]) for r in ppr_int(edges, srcs, iters=2).collect()
+        )
+        assert two == {1: 150000, 2: 127500, 3: 722500}
+
+    def test_mass_concentrates_near_seed(self, spark):
+        from block_explorer_spark.operators.graph import ppr_int
+
+        # star: seed 1 <-> hub 2 <-> {3,4,5}; distant chain 5->6
+        rows = [(1, 2), (2, 1), (2, 3), (3, 2), (2, 4), (4, 2), (5, 6)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = dict(
+            (r["id"], r["rank"]) for r in ppr_int(edges, srcs, iters=6).collect()
+        )
+        assert got[1] > got[2] > got[3] == got[4] > got.get(6, 0)
+        # disconnected 5 never gains mass
+        assert got[5] == 0
+
+    def test_multi_seed_union(self, spark):
+        from block_explorer_spark.operators.graph import ppr_int
+
+        edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+        srcs = spark.createDataFrame([(1,), (3,)], "id long")
+        got = dict(
+            (r["id"], r["rank"]) for r in ppr_int(edges, srcs, iters=2).collect()
+        )
+        # symmetric components get identical ranks
+        assert got[1] == got[3] and got[2] == got[4] and got[2] > 0
