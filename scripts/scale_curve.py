@@ -639,6 +639,56 @@ def main() -> None:
 
     qs["kwic_store"] = kwic_store
 
+    def _sparse_edges(spark_, sf_dir_):
+        """Deterministic sparse graph over the corpus ids: 3
+        hash-derived out-neighbors per doc (degree ~6 symmetrized,
+        uniform — no adversarial hubs). Grows linearly with the
+        corpus, so the graph rows measure the operators' growth, not
+        a degenerate hub blowup. The vertex-count modulus is one
+        driver scalar (deterministic — max doc_id)."""
+        ids = spark_.read.parquet(
+            os.path.join(sf_dir_, "documents.parquet")
+        ).select("doc_id")
+        n = int(ids.agg(F.max("doc_id")).collect()[0][0]) + 1
+        return ids.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(*[
+                    F.pmod(F.xxhash64(F.col("doc_id") * 3 + k), F.lit(n))
+                    for k in range(3)
+                ])
+            ).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+
+    def triangles_sparse(spark_, sf_dir_):
+        """q134's operator at scale on the uniform sparse graph —
+        degree-ordered orientation keeps the wedge join linear when
+        degrees are bounded; the row pins that the three-shuffle plan
+        grows with m, not m^1.5's worst case."""
+        from block_explorer_spark.operators.graph import triangle_counts
+
+        e = _sparse_edges(spark_, sf_dir_)
+        return triangle_counts(e, "src", "dst")
+
+    qs["triangles_sparse"] = triangles_sparse
+
+    def bfs_4hops(spark_, sf_dir_):
+        """q133's operator at scale: 4-hop reachability from one seed
+        on the symmetrized sparse graph — per-round cost tracks the
+        FRONTIER (which saturates geometrically at degree ~6), so the
+        curve should grow sublinearly until the component is
+        exhausted."""
+        from block_explorer_spark.operators.graph import bfs_hops
+
+        e = _sparse_edges(spark_, sf_dir_)
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        srcs = spark_.createDataFrame([(1,)], "id long")
+        return bfs_hops(sym, srcs, 4)
+
+    qs["bfs_4hops"] = bfs_4hops
+
     def pagerank_5it(spark_, sf_dir_):
         """q116's operator at scale over a deterministic power-law-ish
         graph derived from doc_id (each doc points at 3 hubs: id div
