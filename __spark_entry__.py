@@ -3404,6 +3404,40 @@ def q145_ppr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q146: the RTBF slice deleted from the vector store.
+VDEL_MOD, VDEL_REM = 9, 2
+
+
+def q146_ann_deleted(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector search after an RTBF delete
+    (sources/vector_store.py::delete_ids): a slice of vec_ids is
+    PHYSICALLY removed — only the files whose vec_id zone covers a
+    requested id are rewritten, survivors + rewritten PQ codes + the
+    delete log publish in one CAS swap — then the store is probed
+    across every cell (exact by q127's contract). The oracle is the
+    plain brute-force cosine SQL over the SURVIVING vectors:
+    certification that delete-then-serve equals a store rebuilt
+    without the deleted rows."""
+    from block_explorer_spark.sources import vector_store as VS
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    def _build(b: str) -> None:
+        VS.create(spark, b, emb, n_centroids=FANN_CELLS)
+        VS.delete_ids(
+            spark, b,
+            emb.filter(F.col("vec_id") % VDEL_MOD == VDEL_REM).select("vec_id"),
+        )
+
+    base = _gate_store("fann-del", sf, _build)
+    top = VS.probe(spark, base, qvec, k=FANN_K, n_probe=FANN_CELLS)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3561,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_min_window": q143_min_window,
         "q144_phrase_many": q144_phrase_many,
         "q145_ppr": q145_ppr,
+        "q146_ann_deleted": q146_ann_deleted,
     }
 
 
@@ -5780,6 +5815,23 @@ def oracle_sql() -> dict[str, str]:
         "q126_hybrid_search": _hybrid_oracle(),
         "q128_bm25_many": _bm25_many_oracle(),
         "q129_bm25_many_indexed": _bm25_many_oracle(),
+        "q146_ann_deleted": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(
+              list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              6) AS cosine
+            FROM embeddings, q
+            WHERE vec_id % {VDEL_MOD} <> {VDEL_REM}
+            ORDER BY list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+              vec_id ASC
+            LIMIT {FANN_K}
+        """,
         "q127_filtered_ann": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round(

@@ -248,6 +248,119 @@ def add_batch(
     }
 
 
+#: Family holding the delete log — one (vec_id) row per physically
+#: deleted vector, stamped with the commit version by the feed walk.
+#: The insert feed (`changes_since`) skips delete commits entirely
+#: (their added files are survivor REWRITES, not new rows);
+#: `deletes_since` is the removal channel a mirror consumes.
+VEC_CDC = "vec_cdc"
+
+
+@Mf.with_write_intent
+def delete_ids(spark: SparkSession, base: str, vec_ids) -> int:
+    """RTBF deletion: physically remove vectors by id and return the
+    count removed. The rewrite touches ONLY the files whose vec_id
+    zone covers a requested id (the manifest records per-file vec_id
+    stats at every add) plus the touched cells' PQ-code files — one
+    CAS swap publishes survivors, rewritten codes, and the delete-log
+    rows together, so a probe can never see a deleted vector through
+    either tier after the commit, and never a torn state during it.
+
+    `vec_ids`: a list of ints or a one-column DataFrame. The id set
+    is collected driver-side (an RTBF request is a bounded list by
+    nature — this is not bulk retention, which belongs in a
+    predicate-shaped rewrite like corpus_store.delete_where)."""
+    if not isinstance(vec_ids, (list, tuple)):
+        vec_ids = [r[0] for r in vec_ids.select(vec_ids.columns[0]).distinct().collect()]
+    ids = sorted({int(i) for i in vec_ids})
+    if not ids:
+        return 0
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    while True:
+        snap = Mf.read(base)
+        rels = snap["families"].get("vectors", [])
+        touched = sorted({
+            r for i in ids
+            for r in Mf.prune_by_stats(snap, "vectors", "vec_id", lo=i, hi=i)
+        })
+        if not touched:
+            return 0
+        cur = _read_files(spark, base, touched).cache()
+        hits = cur.join(ids_df, "vec_id").cache()
+        n_hit = hits.count()
+        if not n_hit:
+            cur.unpersist()
+            hits.unpersist()
+            return 0
+        cells = [r[0] for r in hits.select("centroid_id").distinct().collect()]
+        survivors = cur.join(ids_df, "vec_id", "left_anti")
+        new_rels = Mf.stage_df(
+            survivors.repartition("centroid_id"), base, "vectors",
+            partition_by="centroid_id",
+        )
+        log_rels = Mf.stage_df(hits.select("vec_id"), base, VEC_CDC)
+        staged = new_rels + log_rels
+        families = dict(snap["families"])
+        families["vectors"] = [r for r in rels if r not in set(touched)] + new_rels
+        families[VEC_CDC] = families.get(VEC_CDC, []) + log_rels
+        crels = snap["families"].get("pq_codes", [])
+        if crels:
+            ctouched = _cell_files(crels, cells)
+            if ctouched:
+                ccur = _read_codes(spark, base, ctouched)
+                csurv = ccur.join(ids_df, "vec_id", "left_anti")
+                cnew = Mf.stage_df(
+                    csurv.repartition("centroid_id"), base, "pq_codes",
+                    partition_by="centroid_id",
+                )
+                staged += cnew
+                families["pq_codes"] = [
+                    r for r in crels if r not in set(ctouched)
+                ] + cnew
+        cur.unpersist()
+        hits.unpersist()
+        try:
+            Mf.commit(
+                base, families, expect_version=snap["version"],
+                meta={"kind": "delete"},
+                stats=Mf.file_stats(base, new_rels, ["vec_id"]),
+            )
+            return n_hit
+        except Mf.CommitConflict:
+            Mf.discard(base, staged)
+
+
+def deletes_since(
+    spark: SparkSession,
+    base: str,
+    since_version: int,
+    until_version: int | None = None,
+) -> DataFrame:
+    """The removal channel: (vec_id, version) for every delete commit
+    in (since, until] — what a downstream mirror applies alongside
+    `changes_since`'s inserts. Same retention contract."""
+    entries = Mf.added_files(
+        base, family=VEC_CDC, since_version=since_version,
+        until_version=until_version,
+    )
+    frames = []
+    for e in entries:
+        rels = e["added"].get(VEC_CDC)
+        if not rels:
+            continue
+        frames.append(
+            spark.read.schema("vec_id long")
+            .parquet(*[os.path.join(base, r) for r in rels])
+            .withColumn("version", F.lit(e["version"]).cast("long"))
+        )
+    if not frames:
+        return spark.createDataFrame([], "vec_id long, version long")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def changes_since(
     spark: SparkSession,
     base: str,
@@ -273,6 +386,10 @@ def changes_since(
         )
         for e in entries
         if e.get("meta", {}).get("data_change", True) is not False
+        # delete commits ADD files too — survivor rewrites, not new
+        # rows; re-emitting them would double a mirror. Removals
+        # travel on `deletes_since`.
+        and e.get("meta", {}).get("kind") != "delete"
         and e["added"].get("vectors")
     ]
     if not frames:
@@ -411,6 +528,14 @@ def refresh_pq(spark: SparkSession, base: str) -> int:
             spark, base, since_version=rec["encoded_version"],
             until_version=snap["version"],
         )
+        dels = deletes_since(
+            spark, base, since_version=rec["encoded_version"],
+            until_version=snap["version"],
+        )
+        # an add staged before a later delete in the same window must
+        # not re-enter as a ghost code — the delete already rewrote
+        # the touched cells' codes
+        delta = delta.join(dels.select("vec_id"), "vec_id", "left_anti")
         codes = PQ.pq_encode(delta, "embedding", rec["model"]).select(
             "vec_id", "pq_codes", "centroid_id"
         )

@@ -417,3 +417,65 @@ def test_filtered_probe_pq_tier_refused(spark, base):
             spark, base, CENTERS[0], k=3, tier="pq",
             where=F.col("label") == 1,
         )
+
+
+class TestDeleteIds:
+    """RTBF for the vector store: physical file-zone-pruned rewrite,
+    both tiers clean after the commit, removal channel for mirrors."""
+
+    def _founded(self, spark, base):
+        rng = random.Random(3)
+        _founding(spark, base, rng)
+        return rng
+
+    def test_both_tiers_exclude_deleted(self, spark, base):
+        self._founded(spark, base)
+        vs.build_pq(spark, base, m=4, k=8)
+        q = CENTERS[0]
+        pre = {r["vec_id"] for r in vs.probe(spark, base, q, k=60, n_probe=3).collect()}
+        assert {0, 1, 100} <= pre
+        assert vs.delete_ids(spark, base, [0, 100, 9999]) == 2
+        post = {r["vec_id"] for r in vs.probe(spark, base, q, k=60, n_probe=3).collect()}
+        assert post == pre - {0, 100}
+        pq = {
+            r["vec_id"]
+            for r in vs.probe(spark, base, q, k=60, n_probe=3, tier="pq").collect()
+        }
+        assert not ({0, 100} & pq) and len(pq) == 58
+
+    def test_rewrite_touches_only_covering_files(self, spark, base):
+        from block_explorer_spark.sources import manifest as M
+
+        self._founded(spark, base)
+        before = set(M.read(base)["families"]["vectors"])
+        assert vs.delete_ids(spark, base, [5]) == 1
+        after = set(M.read(base)["families"]["vectors"])
+        # most files survive untouched: only the zone-covering ones swap
+        assert before & after, "every file was rewritten"
+        assert after != before
+
+    def test_channels_and_idempotence(self, spark, base):
+        self._founded(spark, base)
+        assert vs.delete_ids(spark, base, [3, 104]) == 2
+        assert vs.delete_ids(spark, base, [3]) == 0  # already gone
+        ds = sorted(r["vec_id"] for r in vs.deletes_since(spark, base, 0).collect())
+        assert ds == [3, 104]
+        # insert feed never re-emits the survivor rewrites
+        assert vs.changes_since(spark, base, 0).count() == 60
+
+    def test_refresh_pq_skips_ids_deleted_in_window(self, spark, base):
+        rng = self._founded(spark, base)
+        vs.build_pq(spark, base, m=4, k=8)
+        more = spark.createDataFrame(
+            _vecs(rng, 5, CENTERS[1], start_id=500, label=1), vs.VECTORS_SCHEMA
+        )
+        vs.add_batch(spark, base, more)
+        assert vs.delete_ids(spark, base, [500]) == 1
+        assert vs.refresh_pq(spark, base) == 4  # 5 adds − 1 deleted
+        pq = {
+            r["vec_id"]
+            for r in vs.probe(
+                spark, base, CENTERS[1], k=100, n_probe=3, tier="pq"
+            ).collect()
+        }
+        assert 501 in pq and 500 not in pq
