@@ -1126,3 +1126,45 @@ class TestPhraseSearchMany:
             R.phrase_search_many(spark, base, {})
         with pytest.raises(ValueError):
             R.phrase_search_many(spark, base, {"q": ["solo"]})
+
+
+class TestIndexVacuum:
+    def test_vacuum_after_purge_retires_dead_files(self, spark, tmp_path):
+        """The full delete lifecycle: delete (tombstones) → purge
+        (physical rewrite) → vacuum (disk reclaim) — serving identical
+        at every step, old postings/positions bytes actually gone."""
+        import os
+
+        from block_explorer_spark.sources import manifest as M
+
+        docs = spark.createDataFrame(
+            [(i, f"spark data w{i % 7} {'needle' if i % 5 == 0 else 'hay'}")
+             for i in range(50)],
+            "doc_id long, text string",
+        )
+        base = str(tmp_path / "vac")
+        R.write_postings_index(docs, base, num_files=4, positions=True)
+        R.index_delete(
+            spark, base, docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+        )
+        want = [
+            tuple(r)
+            for r in R.bm25_search_indexed(
+                spark, base, ["needle", "spark"], topk=10
+            ).collect()
+        ]
+        R.index_purge(spark, base)
+        n_files_before = sum(len(files) for _, _, files in os.walk(base))
+        removed = M.vacuum(base, keep_last=1, min_age_s=0.0)
+        assert removed > 0  # pre-purge postings/positions really retired
+        n_files_after = sum(len(files) for _, _, files in os.walk(base))
+        assert n_files_after < n_files_before
+        got = [
+            tuple(r)
+            for r in R.bm25_search_indexed(
+                spark, base, ["needle", "spark"], topk=10
+            ).collect()
+        ]
+        assert got == want
+        ph = R.phrase_search_indexed(spark, base, ["spark", "data"]).count()
+        assert ph > 0  # positional family intact post-vacuum
