@@ -3438,6 +3438,37 @@ def q146_ann_deleted(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+#: q147: the vector-sweep query ids (seed vectors from the table).
+VMANY_IDS = [0, 1, 2]
+
+
+def q147_ann_many(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch multi-query vector search (vector_store.py::probe_many):
+    N query vectors answered in ONE pass over the union of their
+    probe cells — a broadcast (query_id, qvec, cells) fan-out scores
+    each query against exactly its own cells' rows, so every result
+    is bit-identical to its single probe (pinned), while the
+    store-side scan is paid once. Probing all cells makes it exact,
+    so the oracle is N brute-force cosine rankings, tagged and
+    unioned — the re-ranking/eval-sweep shape for the vector side."""
+    from block_explorer_spark.sources import vector_store as VS
+
+    emb = _t(spark, sf, "embeddings")
+    qvecs = {
+        f"v{r['vec_id']}": [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(VMANY_IDS)).collect()
+    }
+    base = _gate_store(
+        "fann",
+        sf,
+        lambda b: VS.create(spark, b, emb, n_centroids=FANN_CELLS),
+    )
+    out = VS.probe_many(spark, base, qvecs, k=FANN_K, n_probe=FANN_CELLS)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3596,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_phrase_many": q144_phrase_many,
         "q145_ppr": q145_ppr,
         "q146_ann_deleted": q146_ann_deleted,
+        "q147_ann_many": q147_ann_many,
     }
 
 
@@ -5815,6 +5847,25 @@ def oracle_sql() -> dict[str, str]:
         "q126_hybrid_search": _hybrid_oracle(),
         "q128_bm25_many": _bm25_many_oracle(),
         "q129_bm25_many_indexed": _bm25_many_oracle(),
+        "q147_ann_many": " UNION ALL ".join(
+            f"""(
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = {i})
+            SELECT 'v{i}' AS query_id, vec_id, round(
+              list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              6) AS cosine
+            FROM embeddings, q
+            ORDER BY list_sum(list_transform(list_zip(embedding, qe),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+              vec_id ASC
+            LIMIT {FANN_K})"""
+            for i in VMANY_IDS
+        ),
         "q146_ann_deleted": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round(

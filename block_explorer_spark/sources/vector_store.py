@@ -807,6 +807,80 @@ def probe(
     )
 
 
+def probe_many(
+    spark: SparkSession,
+    base: str,
+    queries: dict[str, list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """N vector queries against the store in ONE pass — the vector
+    twin of the BM25/phrase sweeps (q128/q144): the union of all
+    queries' probe cells is read once, a broadcast (query_id, qvec,
+    cells) table fans the rows out, and each query scores ONLY its
+    own cells' rows (array_contains on the broadcast side), so every
+    per-query result is IDENTICAL to its single `probe` call — same
+    cells, same left-to-right double arithmetic, same (cosine desc,
+    vec_id) tie-break — while the store-side scan is paid once
+    instead of N times. Per-query top-k via one partitioned
+    row_number. Returns (query_id, vec_id, cosine).
+
+    Bounded fan-out: rows × matching-queries, so N belongs in the
+    hundreds (a re-ranking or eval sweep), not the millions — beyond
+    that, embed the queries as a table and use the blocked GEMM path
+    (similarity.cosine_pairs_blas)."""
+    from pyspark.sql import Window as W
+
+    from block_explorer_spark.functions import vectors as V
+    from block_explorer_spark.operators import similarity as Sim
+
+    if not queries:
+        raise ValueError("probe_many needs at least one query")
+    cents = load_centroids(base)
+    qrows = []
+    all_cells: set[int] = set()
+    for qid in sorted(queries):
+        vec = [float(x) for x in queries[qid]]
+        cells = Sim._probe_cells(vec, cents, n_probe)
+        all_cells.update(cells)
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        qrows.append((qid, vec, [int(c) for c in cells], acc ** 0.5))
+    snap = Mf.read(base)
+    rels = _cell_files(snap["families"].get("vectors", []), sorted(all_cells))
+    if not rels:
+        return spark.createDataFrame(
+            [], "query_id string, vec_id long, cosine double"
+        )
+    rows = _read_files(spark, base, rels)
+    qdf = spark.createDataFrame(
+        qrows,
+        "query_id string, qe array<double>, cells array<int>, qnorm double",
+    )
+    fanned = rows.join(
+        F.broadcast(qdf),
+        F.array_contains(F.col("cells"), F.col("centroid_id")),
+    )
+    scored = fanned.select(
+        "query_id",
+        "vec_id",
+        (
+            V.dot(F.col("embedding"), F.col("qe"))
+            / (V.norm(F.col("embedding")) * F.col("qnorm"))
+        ).alias("cosine"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
 def start_ingest_stream(
     spark: SparkSession,
     source_dir: str,

@@ -479,3 +479,33 @@ class TestDeleteIds:
             ).collect()
         }
         assert 501 in pq and 500 not in pq
+
+
+class TestProbeMany:
+    def test_sweep_equals_per_query_probe_bit_for_bit(self, spark, base):
+        rng = random.Random(5)
+        _founding(spark, base, rng)
+        qs = {"a": CENTERS[0], "b": CENTERS[2], "c": [0.5, 0.5, 0.0, 0.0]}
+        many = {}
+        for r in vs.probe_many(spark, base, qs, k=7, n_probe=2).collect():
+            many.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+        for qid, vec in qs.items():
+            single = [
+                (r["vec_id"], r["cosine"])
+                for r in vs.probe(spark, base, vec, k=7, n_probe=2).collect()
+            ]
+            assert many[qid] == single and single, qid
+
+    def test_rejects_empty_and_prunes_cells(self, spark, base):
+        import pytest as _pt
+
+        rng = random.Random(5)
+        _founding(spark, base, rng)
+        with _pt.raises(ValueError):
+            vs.probe_many(spark, base, {})
+        # one-cell probes for two queries in the same region: the
+        # union of cells is a strict subset of all cells
+        qs = {"a": CENTERS[0], "b": CENTERS[0]}
+        out = vs.probe_many(spark, base, qs, k=3, n_probe=1)
+        got = {r["query_id"] for r in out.collect()}
+        assert got == {"a", "b"}
