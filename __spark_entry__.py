@@ -3469,6 +3469,77 @@ def q147_ann_many(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q148: the hybrid sweep — (keyword terms, seed vec_id) per query.
+HMANY_QUERIES = {"h0": (["dup", "merge"], 0), "h1": (["batch", "scan"], 1)}
+
+
+def q148_hybrid_many(spark: SparkSession, sf: str) -> DataFrame:
+    """The RAG EVAL SWEEP: N hybrid queries, every side served from a
+    persisted index in ONE pass each — bm25_search_many over the
+    postings store (token-ascending fold), probe_many over the vector
+    store (all cells = exact), per-query RRF fusion via a two-term
+    commutative sum (IEEE addition of two doubles is order-safe, so
+    the grouped sum matches the oracle's fixed COALESCE order
+    exactly). Oracle: each query's q126-style fusion replay, tagged
+    and unioned."""
+    from pyspark.sql import Window as W
+
+    from block_explorer_spark.operators import retrieval as R
+    from block_explorer_spark.sources import vector_store as VS
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    bmbase = _gate_store(
+        "bm25-idx", sf, lambda b: R.write_postings_index(docs, b, num_files=8)
+    )
+    vbase = _gate_store(
+        "fann", sf, lambda b: VS.create(spark, b, emb, n_centroids=FANN_CELLS)
+    )
+    vids = sorted({v for _, v in HMANY_QUERIES.values()})
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(vids)).collect()
+    }
+    bm = R.bm25_search_many(
+        spark, bmbase,
+        {qid: ts for qid, (ts, _) in HMANY_QUERIES.items()},
+        k1=BM25_K1, b=BM25_B, topk=HYBRID_CAND,
+    )
+    ann = VS.probe_many(
+        spark, vbase,
+        {qid: vecs[v] for qid, (_, v) in HMANY_QUERIES.items()},
+        k=HYBRID_CAND, n_probe=FANN_CELLS,
+    )
+    kf = float(HYBRID_RRF_K)
+    wq = lambda s, i: W.partitionBy("query_id").orderBy(F.desc(s), F.asc(i))
+    bmr = bm.select(
+        "query_id", F.col("doc_id").alias("id"),
+        (F.lit(1.0) / (F.lit(kf) + F.row_number().over(wq("score", "doc_id"))
+                       .cast("double"))).alias("c"),
+    )
+    annr = ann.select(
+        "query_id", F.col("vec_id").alias("id"),
+        (F.lit(1.0) / (F.lit(kf) + F.row_number().over(wq("cosine", "vec_id"))
+                       .cast("double"))).alias("c"),
+    )
+    fused = (
+        bmr.unionByName(annr)
+        .groupBy("query_id", "id")
+        .agg(F.sum("c").alias("s"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("id"))
+    )
+    return (
+        fused.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= HYBRID_TOPK)
+        .select(
+            "query_id", "id", F.round("s", 9).alias("rrf_score")
+        )
+        .orderBy("query_id", F.desc("rrf_score"), F.asc("id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3628,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_ppr": q145_ppr,
         "q146_ann_deleted": q146_ann_deleted,
         "q147_ann_many": q147_ann_many,
+        "q148_hybrid_many": q148_hybrid_many,
     }
 
 
@@ -3811,12 +3883,15 @@ def _bm25_oracle(
     """
 
 
-def _hybrid_oracle() -> str:
+def _hybrid_oracle(
+    terms: list[str] = None, qvec_id: int = 0, tag: str | None = None
+) -> str:
     """q126 oracle: rerun BOTH full rankings (the q113-style bit-exact
     BM25 replay at 50 candidates; the q27-style exact-double cosine),
     row_number them with the identical tie-break, and add the two
-    1/(k+rank) terms in the same left-to-right order."""
-    bm_sql = _bm25_oracle(terms=HYBRID_TERMS, topk=HYBRID_CAND)
+    1/(k+rank) terms in the same left-to-right order. `tag` prepends a
+    query_id column (the q148 sweep unions tagged instances)."""
+    bm_sql = _bm25_oracle(terms=sorted(terms or HYBRID_TERMS), topk=HYBRID_CAND)
     dot = (
         "list_sum(list_transform(list_zip(embedding, qe), "
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -3828,6 +3903,7 @@ def _hybrid_oracle() -> str:
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     kf = float(HYBRID_RRF_K)
+    tag_col = f"'{tag}' AS query_id, " if tag else ""
     return f"""
         WITH bm AS ({bm_sql}),
         bmr AS (
@@ -3835,7 +3911,7 @@ def _hybrid_oracle() -> str:
                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
           FROM bm
         ),
-        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qvec_id}),
         ann AS (
           SELECT vec_id AS id, {dot} / ({nrm}) AS c
           FROM embeddings, q
@@ -3852,7 +3928,7 @@ def _hybrid_oracle() -> str:
                  + COALESCE(1.0 / ({kf!r} + CAST(rb AS DOUBLE)), 0.0) AS s
           FROM bmr FULL OUTER JOIN annr ON bmr.id = annr.id
         )
-        SELECT id, round(s, 9) AS rrf_score
+        SELECT {tag_col}id, round(s, 9) AS rrf_score
         FROM fused
         ORDER BY s DESC, id ASC
         LIMIT {HYBRID_TOPK}
@@ -5847,6 +5923,10 @@ def oracle_sql() -> dict[str, str]:
         "q126_hybrid_search": _hybrid_oracle(),
         "q128_bm25_many": _bm25_many_oracle(),
         "q129_bm25_many_indexed": _bm25_many_oracle(),
+        "q148_hybrid_many": " UNION ALL ".join(
+            f"({_hybrid_oracle(terms=ts, qvec_id=v, tag=qid)})"
+            for qid, (ts, v) in sorted(HMANY_QUERIES.items())
+        ),
         "q147_ann_many": " UNION ALL ".join(
             f"""(
             WITH q AS (SELECT embedding AS qe FROM embeddings
