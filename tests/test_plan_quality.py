@@ -96,6 +96,14 @@ def test_no_cartesian_products(spark):
         # bucket rows per group × |probs|, bounded by the lattice
         # (sketches.py::qhist_quantiles), never data-sized.
         "q125_quantile_sketch",
+        # q147/q148: probe_many's array_contains(cells, centroid_id)
+        # fan-out — the broadcast side is the QUERY table (N queries,
+        # hundreds by documented contract, vector_store.py::probe_many),
+        # never store-sized; each store row tests ≤ N membership
+        # predicates. The deliberate sweep shape, same bound class as
+        # q105's quantile probes.
+        "q147_ann_many",
+        "q148_hybrid_many",
     }
     for name, fn in entry.queries().items():
         text = plan(fn(spark, SF))
