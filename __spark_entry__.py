@@ -3469,6 +3469,23 @@ def q147_ann_many(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q149: keywords per document (top-k by tf·N/df).
+KW_TOPK = 3
+
+
+def q149_doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction (operators/profile.py::
+    doc_keywords): top-3 terms by tf·N/df — TF-IDF's ranking with the
+    monotone logarithm dropped, so the score is pure IEEE *,/ over
+    exact integers and both engines agree bit for bit (the
+    `collocations` trick). One explode, one df aggregation, one
+    per-doc window."""
+    from block_explorer_spark.operators.profile import doc_keywords
+
+    docs = _t(spark, sf, "documents")
+    return doc_keywords(docs, topk_per_doc=KW_TOPK)
+
+
 #: q148: the hybrid sweep — (keyword terms, seed vec_id) per query.
 HMANY_QUERIES = {"h0": (["dup", "merge"], 0), "h1": (["batch", "scan"], 1)}
 
@@ -3700,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_ann_deleted": q146_ann_deleted,
         "q147_ann_many": q147_ann_many,
         "q148_hybrid_many": q148_hybrid_many,
+        "q149_doc_keywords": q149_doc_keywords,
     }
 
 
@@ -5923,6 +5941,38 @@ def oracle_sql() -> dict[str, str]:
         "q126_hybrid_search": _hybrid_oracle(),
         "q128_bm25_many": _bm25_many_oracle(),
         "q129_bm25_many_indexed": _bm25_many_oracle(),
+        "q149_doc_keywords": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                 '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ),
+            post AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(tk) AS token FROM toks)
+              GROUP BY doc_id, token
+            ),
+            dfs AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM post GROUP BY token
+            ),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+            scored AS (
+              SELECT post.doc_id, post.token,
+                     CAST(tf AS DOUBLE) * (SELECT nn FROM n)
+                       / CAST(df AS DOUBLE) AS score
+              FROM post JOIN dfs ON post.token = dfs.token
+            ),
+            r AS (
+              SELECT doc_id, token, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, token ASC) AS rn
+              FROM scored
+            )
+            SELECT doc_id, token, score FROM r WHERE rn <= {KW_TOPK}
+        """,
         "q148_hybrid_many": " UNION ALL ".join(
             f"({_hybrid_oracle(terms=ts, qvec_id=v, tag=qid)})"
             for qid, (ts, v) in sorted(HMANY_QUERIES.items())

@@ -225,3 +225,48 @@ def collocations(
         .orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
     )
     return scored.limit(topk) if topk else scored
+
+
+def doc_keywords(
+    docs: DataFrame,
+    topk_per_doc: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the top terms by tf·N/df —
+    TF-IDF's ranking without its logarithm (ln is monotone, so the
+    order is identical and the statistic stays inside IEEE *,/ —
+    bit-exact across engines, the same trick as `collocations`).
+    The tagging/labeling pass a corpus browser or weak-supervision
+    pipeline runs over every document.
+
+    One explode + one token-keyed df aggregation + one per-doc
+    window; N is a driver scalar. Operands cast to double BEFORE
+    multiplying — identical rounding at any corpus size, no int64
+    wrap. Returns (doc_id, token, score) top-k per doc, ties by
+    token."""
+    from pyspark.sql import Window as W
+
+    from block_explorer_spark.operators.retrieval import inverted_index
+
+    if topk_per_doc < 1:
+        raise ValueError("topk_per_doc must be >= 1")
+    post = inverted_index(docs, id_col, text_col)
+    n = docs.count()
+    dfs = post.groupBy("token").agg(F.count("*").alias("df"))
+    scored = post.join(dfs, "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("tf").cast("double") * F.lit(float(n))
+            / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    )
+    return (
+        scored.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= topk_per_doc)
+        .drop("__rn")
+    )

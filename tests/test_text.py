@@ -185,3 +185,37 @@ class TestCollocations:
 
         docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
         assert collocations(docs, window=2).count() == 0
+
+
+class TestDocKeywords:
+    def test_rare_terms_outrank_common(self, spark):
+        from block_explorer_spark.operators.profile import doc_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "rare rare common"), (2, "common other"), (3, "common unique")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["token"]): r["score"]
+            for r in doc_keywords(docs, topk_per_doc=2).collect()
+        }
+        # tf*N/df: doc1 rare = 2*3/1 = 6; common = 1*3/3 = 1
+        assert got == {
+            (1, "rare"): 6.0, (1, "common"): 1.0,
+            (2, "other"): 3.0, (2, "common"): 1.0,
+            (3, "unique"): 3.0, (3, "common"): 1.0,
+        }
+
+    def test_topk_and_tiebreak(self, spark):
+        from block_explorer_spark.operators.profile import doc_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "b a c"), (2, "zz")], "doc_id long, text string"
+        )
+        rows = doc_keywords(docs, topk_per_doc=2).collect()
+        d1 = sorted(r["token"] for r in rows if r["doc_id"] == 1)
+        assert d1 == ["a", "b"]  # equal scores -> token asc keeps a, b
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            doc_keywords(docs, topk_per_doc=0)
