@@ -2,26 +2,69 @@
 
 Near-dup detection (jaccard/LSH/simhash/containment pairs) emits
 EDGES; deduplication needs CLUSTERS: every document labeled with its
-component so one canonical survivor per cluster can be kept. This is
-the standard hash-min propagation (the MapReduce CC family, Kiveris
-et al., "Connected Components in MapReduce and Beyond", SOCC'14):
+component so one canonical survivor per cluster can be kept.
 
-  label(v) := min(label(v), min label over v's neighbors), iterate.
+Implementation: LARGE-STAR / SMALL-STAR alternation (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14, Alg. 1) —
+round-9 replacement for plain hash-min propagation, whose x1000
+scale-curve tail (O(diameter) rounds, each shuffling the FULL
+symmetric edge set joined against labels) was the repo's worst curve:
 
-Each iteration is ONE shuffle (join edges⋈labels + groupBy min);
-convergence in O(diameter) rounds — near-dup graphs are unions of
-small dense cliques, so diameter is tiny (2-4) regardless of corpus
-size. Lineage is cut per iteration (localCheckpoint) so the plan
-doesn't grow unbounded — the classic Spark iterative-algorithm trap.
+  large-star(u): attach every neighbor v > u to
+                 m = min(Γ(u) ∪ {u})
+  small-star(u): orient edges (big, small); attach every neighbor
+                 and u itself to m = min(Γ(u) ∪ {u})
 
-Driver involvement is one scalar count per iteration (the
-convergence check), never the data.
+Both operations preserve connectivity and never increase edge count;
+alternation converges in O(log² n) rounds (empirically ~log n), and —
+the property hash-min lacks — the WORKING EDGE SET CONTRACTS toward
+the final star forest as it converges, so late rounds shuffle a small
+fraction of m. At the fixed point the edges are exactly
+(vertex, component-min) stars, which is the output labeling.
+
+Each round is two self-contained shuffles on the vertex id (a
+groupBy-min reusing the join exchange); lineage is cut per round
+(localCheckpoint) — the classic Spark iterative-algorithm trap.
+Driver involvement is one scalar count per round (the convergence
+check), never the data.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(oriented: DataFrame) -> DataFrame:
+    """One large-star round. Input/output: oriented (u > v) star
+    edges. Symmetrizes internally because large-star needs the FULL
+    neighborhood of every node."""
+    sym = oriented.unionByName(
+        oriented.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+    # m = min(Γ(u) ∪ {u}); emit (v, m) for strictly-larger neighbors.
+    # v > u ≥ m, so the output stays (big, small)-oriented and
+    # self-loop free by construction.
+    return (
+        sym.join(mins, "u")
+        .select(F.col("v").alias("u"), F.least("__mn", F.col("u")).alias("v"))
+        .filter(F.col("u") > F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(oriented: DataFrame) -> DataFrame:
+    """One small-star round. Input: oriented (u > v) edges, so Γ(u)
+    here is exactly the smaller neighborhood and m = min(Γ(u))."""
+    mins = oriented.groupBy("u").agg(F.min("v").alias("__mn"))
+    attach_nbrs = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("__mn"))
+        .select(F.col("v").alias("u"), F.col("__mn").alias("v"))
+    )
+    attach_self = mins.select("u", F.col("__mn").alias("v"))
+    return attach_nbrs.unionByName(attach_self).distinct()
 
 
 def connected_components(
@@ -35,7 +78,7 @@ def connected_components(
     component. Returns (id, component).
 
     edges: two-column DataFrame of undirected pairs (any orientation;
-    symmetrized internally, self-loops dropped). Vertices are the ids
+    oriented internally, self-loops dropped). Vertices are the ids
     appearing in at least one edge — callers union in singletons if
     they need every input row labeled (dedup doesn't: a doc with no
     near-dup pair is its own cluster by definition).
@@ -43,48 +86,39 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    cur = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
     if use_checkpoint:
-        sym = sym.localCheckpoint(eager=True)  # edges reused every round
-
-    labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
+        cur = cur.localCheckpoint(eager=True)
+    n_cur = cur.count()
 
     for _ in range(max_iter):
-        # candidate label for v: min component among v's neighbors
-        neighbor_min = (
-            sym.join(labels, sym.u == labels.id)
-            .groupBy(F.col("v").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.col("nbr_min")).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("__changed"),
-            )
-        )
+        nxt = _small_star(_large_star(cur))
         if use_checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        # Fixed point ⇔ edge set unchanged. Both sides are distinct
+        # (big, small) sets, so |new| == |old| plus new \ old == ∅ is
+        # full set equality; the subtract runs on the CONTRACTED sets.
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and nxt.exceptAll(cur).limit(1).count() == 0:
+            cur = nxt
             break
+        cur, n_cur = nxt, n_nxt
     else:
-        # Exiting via exhaustion with labels still moving means the
+        # Exiting via exhaustion with edges still moving means the
         # result is NOT a fixed point — silently returning it would be
-        # wrong-but-plausible (a component whose diameter exceeds
-        # max_iter keeps multiple labels). Fail loudly instead.
+        # wrong-but-plausible. Fail loudly instead.
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
-            "iterations (labels still changing); raise max_iter for "
-            "high-diameter graphs"
+            "iterations (edge set still changing); raise max_iter for "
+            "adversarially deep graphs"
         )
-    return labels
+    # Fixed point = star forest: (v, root) for every non-root vertex;
+    # roots appear only on the right. Label both sides.
+    return cur.select(F.col("u").alias("id"), F.col("v").alias("component")).unionByName(
+        cur.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    )
 
 
 def dedup_clusters(
