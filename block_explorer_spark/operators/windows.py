@@ -17,12 +17,21 @@ from pyspark.sql import functions as F
 MISSING = -1
 
 
+#: Key-range slice width for the bucketed full-table repair path.
+#: Bucket count = key_span / width: metadata-sized (one row per
+#: non-empty bucket, like a zone-map row per file), so the one global
+#: window in the boundary exchange orders bucket AGGREGATES, never
+#: data rows.
+CHAIN_BUCKET_WIDTH = 100_000
+
+
 def chain_repair(
     df: DataFrame,
     key: str = "pulse_number",
     prev_link: str = "prev_pulse_number",
     next_link: str = "next_pulse_number",
     window: WindowSpec | None = None,
+    bucket_width: int = CHAIN_BUCKET_WIDTH,
 ) -> DataFrame:
     """W2: repair prev/next links against the adjacent rows.
 
@@ -38,13 +47,81 @@ def chain_repair(
     links consult the full table (see plans.queries.get_pulses) or
     prefetch one row each side.
 
+    Callers repairing a bounded page pass `window` (the page-local
+    sort); with window=None the FULL-TABLE path runs — round 9
+    replaced its global ordered window (a data-sized single-partition
+    WindowExec, the exact shape the bounded-window census forbids)
+    with a bucketed two-level adjacency:
+
+      1. bucket rows by key-range slice (floor(key / bucket_width) —
+         deterministic, no sampled range boundaries that could drift
+         between stage recomputations);
+      2. lag/lead WITHIN each bucket (partitioned window, parallel);
+      3. bucket-boundary exchange: one row of (first/last key,
+         first prev-link) per non-empty bucket, lag/lead over THOSE
+         — the only global window, ordering metadata-sized bucket
+         aggregates (≤ key-span/width rows, one per ~width keys —
+         zone-map scale), never data rows;
+      4. join the boundary neighbors back on the bucket id and
+         patch each bucket's edge rows.
+
+    Output is row-identical to the single-window formulation (the
+    adjacency relation doesn't care how it was partitioned); pinned
+    by test_pagination_windows::test_chain_repair_bucketed_matches_global.
+
     reference: etl/storage/storage.go:326-357 (vectorized walk),
     360-379 (single-row variant).
     """
-    w = window if window is not None else Window.orderBy(key)
-    lag_key = F.lag(key).over(w)
-    lead_key = F.lead(key).over(w)
-    lead_prev = F.lead(prev_link).over(w)
+    if window is not None:
+        lag_key = F.lag(key).over(window)
+        lead_key = F.lead(key).over(window)
+        lead_prev = F.lead(prev_link).over(window)
+        return _apply_sentinels(df, key, prev_link, next_link, lag_key, lead_key, lead_prev)
+
+    wb = Window.partitionBy("__cb").orderBy(key)
+    d = (
+        df.withColumn("__cb", F.floor(F.col(key) / F.lit(bucket_width)))
+        .withColumn("__lag_key", F.lag(key).over(wb))
+        .withColumn("__lead_key", F.lead(key).over(wb))
+        .withColumn("__lead_prev", F.lead(prev_link).over(wb))
+        .withColumn("__is_first", F.lag(key).over(wb).isNull())
+        .withColumn("__is_last", F.lead(key).over(wb).isNull())
+    )
+    # one aggregate row per non-empty bucket: the rows a neighboring
+    # bucket's edge needs (its last key / first key / first prev-link)
+    bstats = d.groupBy("__cb").agg(
+        F.max(key).alias("__b_last_key"),
+        F.min(key).alias("__b_first_key"),
+        F.min_by(prev_link, F.col(key)).alias("__b_first_prev"),
+    )
+    wg = Window.orderBy("__cb")  # metadata-sized: one row per bucket
+    bnbr = bstats.select(
+        "__cb",
+        F.lag("__b_last_key").over(wg).alias("__prev_last_key"),
+        F.lead("__b_first_key").over(wg).alias("__next_first_key"),
+        F.lead("__b_first_prev").over(wg).alias("__next_first_prev"),
+    )
+    patched = d.join(bnbr, "__cb")
+    lag_key = F.when(F.col("__is_first"), F.col("__prev_last_key")).otherwise(
+        F.col("__lag_key")
+    )
+    lead_key = F.when(F.col("__is_last"), F.col("__next_first_key")).otherwise(
+        F.col("__lead_key")
+    )
+    lead_prev = F.when(F.col("__is_last"), F.col("__next_first_prev")).otherwise(
+        F.col("__lead_prev")
+    )
+    out = _apply_sentinels(patched, key, prev_link, next_link, lag_key, lead_key, lead_prev)
+    return out.drop(
+        "__cb", "__lag_key", "__lead_key", "__lead_prev", "__is_first", "__is_last",
+        "__prev_last_key", "__next_first_key", "__next_first_prev",
+    )
+
+
+def _apply_sentinels(df, key, prev_link, next_link, lag_key, lead_key, lead_prev):
+    """The reference's sentinel rules (storage.go:344-350) over any
+    adjacency source: keep prev iff it names the adjacent lower key;
+    next is the adjacent higher key iff that row's prev points back."""
     return df.withColumn(
         prev_link,
         F.when(lag_key.isNull() | (lag_key != F.col(prev_link)), F.lit(MISSING)).otherwise(

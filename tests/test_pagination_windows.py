@@ -21,6 +21,35 @@ def test_paginate_with_total(spark):
     assert [r.k for r in page.collect()] == [21, 22, 23, 24]
 
 
+def test_chain_repair_bucketed_matches_global(spark):
+    """The full-table bucketed adjacency (two-level boundary exchange)
+    is row-identical to the one-window formulation — keys chosen to
+    straddle bucket boundaries, leave empty buckets, and put single
+    rows alone in a bucket (bucket_width=10: buckets 0,1,3,4 with
+    bucket 2 empty and bucket 3 a singleton)."""
+    from pyspark.sql import Window
+
+    rows = []
+    # chain 5,6,7 intact; 8 missing; adjacency 19->33 crosses the
+    # empty bucket 2; bucket 3 is a singleton patched on both sides
+    links = [5, 6, 7, 9, 15, 19, 33, 40, 41, 47]
+    for k in links:
+        rows.append((k, k - 1, k + 1))
+    df = spark.createDataFrame(rows, ["pulse_number", "prev_pulse_number", "next_pulse_number"])
+    got = {
+        r.pulse_number: (r.prev_pulse_number, r.next_pulse_number)
+        for r in W.chain_repair(df, bucket_width=10).collect()
+    }
+    want = {
+        r.pulse_number: (r.prev_pulse_number, r.next_pulse_number)
+        for r in W.chain_repair(df, window=Window.orderBy("pulse_number")).collect()
+    }
+    assert got == want
+    assert got[5] == (-1, 6) and got[6] == (5, 7)  # intact interior chain
+    assert got[9] == (-1, -1)  # 8 missing both sides
+    assert got[19] == (-1, -1) and got[33] == (-1, -1)  # broken across buckets
+
+
 def test_chain_repair_sentinels(spark):
     # pulses 10,20,40 (30 missing): 20.next->30 unsaved => -1; 40.prev->30 => -1
     rows = [

@@ -112,6 +112,87 @@ def test_no_cartesian_products(spark):
             assert "BroadcastNestedLoopJoin" not in text, name
 
 
+def _walk_logical(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_logical(it.next())
+
+
+def _global_window_count(df) -> int:
+    """Unpartitioned logical Window nodes in df's optimized plan —
+    each plans as a single-partition WindowExec (all rows to one
+    task), legal only over a frame bounded by construction."""
+    return sum(
+        1
+        for nd in _walk_logical(df._jdf.queryExecution().optimizedPlan())
+        if nd.getClass().getSimpleName() == "Window" and nd.partitionSpec().isEmpty()
+    )
+
+
+def test_bounded_window_census(spark):
+    """EVERY gate query: no single-partition Window unless the frame
+    beneath it is bounded by construction (the cartesian census's
+    sibling, round-9 brief item 4). Allowlist entries carry the bound
+    argument; a NEW global window in any gate fails here until its
+    bound is written down. The detector itself is validated by
+    test_bounded_window_census_control below."""
+    allowed = {
+        # pagination.py:46: row_number over the pre-LIMITed page —
+        # ≤ limit+offset rows by construction (the limit sits below
+        # the window in the same plan).
+        "q02_range_page": 1,
+        # windows.py chain_repair full-table path: the one global
+        # window orders per-BUCKET aggregates (one row per non-empty
+        # key-range slice — metadata/zone-map-sized, ≤ key-span /
+        # CHAIN_BUCKET_WIDTH), never data rows.
+        "q03_chain_repair": 1,
+        # selection.py:57: descending cumsum over per-BUCKET
+        # aggregates (one row per quality bucket — the two-level
+        # cumsum that replaced the 1-partition data sort).
+        "q90_token_budget_select": 1,
+        "q97_bpe_budget_select": 1,
+        # sketches.py:450,454: rank + total over the ≤ k-row KMV
+        # sample (k is the sketch parameter, never data-sized).
+        "q105_kmv_quantiles": 2,
+        # retrieval rank windows over the two top-k candidate lists
+        # feeding RRF — each frame ≤ topk/HYBRID_CAND rows from a
+        # TakeOrderedAndProject, never the corpus.
+        "q126_hybrid_search": 2,
+        "q142_hybrid_indexed": 2,
+    }
+    bad = {}
+    for name, fn in entry.queries().items():
+        n = _global_window_count(fn(spark, SF))
+        if n > allowed.get(name, 0):
+            bad[name] = n
+    assert not bad, (
+        f"gates with unallowlisted single-partition windows: {bad} — "
+        "either partition the window or add an allowlist entry with "
+        "its written bound argument"
+    )
+
+
+def test_bounded_window_census_control(spark):
+    """The census detector flags a deliberately unbounded global
+    window (row_number over the full table, no partition, no limit)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    unbounded = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber"))
+    )
+    assert _global_window_count(unbounded) == 1
+    # and a properly partitioned window does NOT trip it
+    partitioned = li.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        ),
+    )
+    assert _global_window_count(partitioned) == 0
+
+
 def test_pulse_bounds_prune_partitions(spark, tmp_path):
     """read_table(pulse bounds) must produce directory-level
     PartitionFilters on pulse_bucket, not just row-group stats."""
