@@ -51,6 +51,29 @@ IVF_SEED = 7
 IVF_PROBES = 2
 
 
+def _money_sum(expr, alias: str):
+    """Order-independent money aggregation (round-9 sf1 fix).
+
+    ROUND(SUM(double), 2) flips a half-cent whenever the fp sum lands
+    within accumulated rounding error of a .xx5 boundary — Spark and
+    DuckDB then disagree by 0.01 because their addition ORDERS differ
+    (first seen as a 1-in-149 flip at sf1: q70; the error scales with
+    group size, so it's a certainty at 100 TB). Fix: cast each addend
+    to DECIMAL(27,4) — exact, every money input/product here carries
+    ≤4 decimal digits and the cast recovers them from the double
+    bit-for-bit in both engines — SUM exactly (order-free integer
+    arithmetic), round the exact sum, return DOUBLE. The SQL twin is
+    _money_sum_sql; both sides must use the same shape or the values
+    drift back.
+    """
+    return F.round(F.sum(expr.cast("decimal(27,4)")), 2).cast("double").alias(alias)
+
+
+def _money_sum_sql(expr: str) -> str:
+    """DuckDB twin of _money_sum (see its docstring)."""
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(27,4))), 2) AS DOUBLE)"
+
+
 def _gate_store(name: str, sf_dir: str, build: Callable[[str], None]) -> str:
     """Stable per-(gate, sf) store directory with a completion marker:
     built ONCE, reused by every later invocation. Gates that rewrite a
@@ -163,7 +186,7 @@ def q05_in_list(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+            _money_sum(F.col("o_totalprice"), "sum_totalprice"),
         )
     )
 
@@ -181,7 +204,7 @@ def q07_counters(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     return o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("order_amount"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        _money_sum(F.col("o_totalprice"), "total_spent"),
     )
 
 
@@ -271,10 +294,11 @@ def q16_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
+            _money_sum(F.col("l_quantity"), "sum_qty"),
+            _money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
             ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -294,7 +318,7 @@ def q17_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
     )
     agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
     return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
 
@@ -321,7 +345,7 @@ def q18_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
 
 
@@ -336,7 +360,7 @@ def q19_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
     )
 
 
@@ -478,7 +502,7 @@ def q35_rollup(spark: SparkSession, sf: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _money_sum(F.col("l_quantity"), "sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
@@ -543,7 +567,7 @@ def q39_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     joined = salted_join(li, s, on="suppkey", salt=8)
     return joined.groupBy("s_name").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _money_sum(F.col("l_quantity"), "sum_qty"),
     )
 
 
@@ -615,7 +639,7 @@ def q43_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(_money_sum(F.col("l_quantity"), "sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
@@ -663,7 +687,7 @@ def q46_cube(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            _money_sum(F.col("o_totalprice"), "total_price"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
     )
@@ -735,7 +759,7 @@ def q50_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
     )
     return rich.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        _money_sum(F.col("c_acctbal"), "total_bal"),
     )
 
 
@@ -755,7 +779,7 @@ def q51_promo_share(spark: SparkSession, sf: str) -> DataFrame:
                 / F.sum(rev) * 100,
             6,
             ).alias("promo_share_pct"),
-            F.round(F.sum(rev), 2).alias("revenue"),
+            _money_sum(rev, "revenue"),
         )
     )
 
@@ -789,7 +813,7 @@ def q53_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
-    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(F.round(F.sum(rev), 2).alias("revenue"))
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(_money_sum(rev, "revenue"))
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
 
@@ -883,7 +907,7 @@ def q57_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
 
 
@@ -921,7 +945,7 @@ def q58_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)) / F.sum(vol),
             6,
         ).alias("mkt_share"),
-        F.round(F.sum(vol), 2).alias("total_volume"),
+        _money_sum(vol, "total_volume"),
     )
 
 
@@ -954,8 +978,9 @@ def q60_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+        _money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_revenue",
         )
     )
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
@@ -986,7 +1011,13 @@ def q61_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
     )
     return j.groupBy("p_brand").agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        # exact sum first, then one double division: the boundary risk
+        # of round(sum(double)) is in the SUM's length, not the /7
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,4)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -1019,7 +1050,7 @@ def q62_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return j.filter(clause).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -1283,7 +1314,7 @@ def q70_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     )
     return j.groupBy(
         "nation", F.year("o_orderdate").cast("long").alias("o_year")
-    ).agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    ).agg(_money_sum(amount, "sum_profit"))
 
 
 def q71_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
@@ -1302,7 +1333,7 @@ def q71_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     cust = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     j = li.join(o, li.l_orderkey == o.o_orderkey).join(cust, o.o_custkey == cust.c_custkey)
     agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
@@ -1321,7 +1352,7 @@ def q72_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     )
     held = li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
     per_part = held.groupBy("l_partkey").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+        _money_sum(F.col("l_extendedprice"), "part_value")
     )
     threshold = per_part.agg((F.sum("part_value") * 0.001).alias("__thr"))
     return (
@@ -1410,7 +1441,7 @@ def q75_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
         idle.groupBy((F.col("c_nationkey") % 10).cast("long").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _money_sum(F.col("c_acctbal"), "totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -4478,7 +4509,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q05_in_list": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-                   round(sum(o_totalprice), 2) AS sum_totalprice
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_totalprice
             FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderstatus
         """,
@@ -4488,7 +4519,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q07_counters": """
             SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_amount,
-                   round(sum(o_totalprice), 2) AS total_spent
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_spent
             FROM orders GROUP BY o_custkey
         """,
         "q08_minmax_seek": """
@@ -4551,9 +4582,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q16_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_disc_price,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_discount), 4) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
@@ -4562,7 +4593,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q17_tpch_q3": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -4574,7 +4605,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_tpch_q5": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -4587,7 +4618,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q19_tpch_q6": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -4773,7 +4804,7 @@ def oracle_sql() -> dict[str, str]:
         "q35_rollup": """
             SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_qty,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
@@ -4806,7 +4837,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q39_salted_join": """
             SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
-                   round(sum(l_quantity), 2) AS sum_qty
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_qty
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
         """,
@@ -4840,7 +4871,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q43_tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-                   round(sum(l_quantity), 2) AS sum_qty
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_qty
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -4871,7 +4902,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
                    COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS total_price
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
@@ -4904,7 +4935,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q50_scalar_subquery": """
             SELECT c_nationkey, COUNT(*) AS n_cust,
-                   ROUND(SUM(c_acctbal), 2) AS total_bal
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_bal
             FROM customer c
             WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders o
@@ -4918,7 +4949,7 @@ def oracle_sql() -> dict[str, str]:
                                         THEN l_extendedprice * (1 - l_discount)
                                         ELSE 0 END)
                          / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
         """,
@@ -4931,7 +4962,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q53_returned_revenue": """
             SELECT c_custkey, c_name, n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -4971,7 +5002,7 @@ def oracle_sql() -> dict[str, str]:
             FROM running GROUP BY lang, pack_id
         """,
         "q57_tpch_q7": """
-            SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+            SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(CAST(volume AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
             FROM (
                 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                        CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
@@ -4992,7 +5023,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_year,
                    ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
                          / SUM(volume), 6) AS mkt_share,
-                   ROUND(SUM(volume), 2) AS total_volume
+                   CAST(ROUND(SUM(CAST(volume AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_volume
             FROM (
                 SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
                        l_extendedprice * (1 - l_discount) AS volume,
@@ -5023,7 +5054,7 @@ def oracle_sql() -> dict[str, str]:
         "q60_tpch_q15": """
             WITH revenue AS (
                 SELECT l_suppkey AS supplier_no,
-                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_revenue
                 FROM lineitem
                 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
                 GROUP BY l_suppkey
@@ -5039,7 +5070,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_partkey
             )
             SELECT p_brand,
-                   ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
                    COUNT(*) AS n_lines
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -5049,7 +5080,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand
         """,
         "q62_tpch_q19": """
-            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -5160,8 +5191,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
         """,
-        "q70_tpch_q9": """
-            SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+        "q70_tpch_q9": f"""
+            SELECT nation, o_year, {_money_sum_sql('amount')} AS sum_profit
             FROM (
                 SELECT n_name AS nation,
                        CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
@@ -5178,7 +5209,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q71_tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -5191,7 +5222,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q72_tpch_q11": """
             WITH per_part AS (
-                SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+                SELECT l_partkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS part_value
                 FROM lineitem
                 JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation   ON s_nationkey = n_nationkey
@@ -5244,7 +5275,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
                    COUNT(*) AS numcust,
-                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(27,4))), 2) AS DOUBLE) AS totacctbal
             FROM sel
             WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM sel WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

@@ -341,6 +341,7 @@ def build_object_index(spark: SparkSession, base: str) -> int:
             families[OBJIDX] = irels
             layout = dict(snap.get("meta", {}).get("layout", {}))
             layout["objidx"] = "full"
+            layout.pop("objidx_pending", None)  # full scan covers all
             try:
                 Mf.commit(
                     base, families, expect_version=snap["version"],
@@ -367,25 +368,31 @@ def maintain_object_index(
     delete staleness at bucket granularity). No-op below `min_files`.
     Returns the new file count, or None if skipped."""
     cur = Mf.read(base)
-    rels = cur["families"].get(OBJIDX, [])
-    if len(rels) < min_files:
+    if len(cur["families"].get(OBJIDX, [])) < min_files and not _objidx_pending(cur):
         return None
     with Mf.write_intent(base):
         while True:
             snap = Mf.read(base)
             rels = snap["families"].get(OBJIDX, [])
-            if len(rels) < min_files:
+            live = set(snap["families"].get("records", []))
+            pending = [r for r in _objidx_pending(snap) if r in live]
+            if len(rels) < min_files and not pending:
                 return None
             live_buckets = sorted(
-                {
-                    b
-                    for r in snap["families"].get("records", [])
-                    if (b := _rel_bucket(r)) is not None
-                }
+                {b for r in live if (b := _rel_bucket(r)) is not None}
             )
             pairs = spark.read.parquet(
                 *[os.path.join(base, r) for r in rels]
-            ).distinct()
+            )
+            if pending:
+                # fold the deferred commits' pairs (skip-or-batch):
+                # cost ∝ the bounded pending set, not the table
+                deferred = (
+                    _read_rels(spark, base, "records", pending)
+                    .select(obj_key_expr().alias(OBJ_KEY), "pulse_bucket")
+                )
+                pairs = pairs.unionByName(deferred)
+            pairs = pairs.distinct()
             if live_buckets:
                 pairs = pairs.filter(F.col("pulse_bucket").isin(live_buckets))
             else:
@@ -396,10 +403,13 @@ def maintain_object_index(
             irels = Mf.stage_df(merged, base, OBJIDX)
             families = dict(snap["families"])
             families[OBJIDX] = irels
+            layout = dict(snap.get("meta", {}).get("layout", {}))
+            layout.pop("objidx_pending", None)
             try:
                 Mf.commit(
                     base, families, expect_version=snap["version"],
-                    meta={"kind": "maintain_objidx", "data_change": False},
+                    meta={"kind": "maintain_objidx", "data_change": False,
+                          "layout": layout},
                     stats=Mf.file_stats(base, irels, [OBJ_KEY]),
                 )
                 return len(irels)
@@ -475,8 +485,18 @@ def read_records_for_object(
     k = obj_key_py(object_reference)
     obj_buckets = _object_buckets(spark, base, m, k)
     if obj_buckets is not None:
+        # files whose sidecar delta was deferred (skip-or-batch) are
+        # ALWAYS probe candidates — their pairs aren't in the sidecar
+        # yet; the OBJ_KEY zone pruning below still cuts the ones that
+        # can't hold k, so the extra opens stay ≤ the bounded pending
+        # set (OBJIDX_PENDING_MAX)
+        pending = set(_objidx_pending(m))
         want = set(obj_buckets)
-        rels = [r for r in rels if (_rel_bucket(r) is None or _rel_bucket(r) in want)]
+        rels = [
+            r
+            for r in rels
+            if (_rel_bucket(r) is None or _rel_bucket(r) in want or r in pending)
+        ]
     rels = Mf.prune_by_stats(m, "records", OBJ_KEY, lo=k, hi=k, rels=rels)
     if not rels:
         return spark.createDataFrame([], TABLE_SCHEMAS["records"])
@@ -500,6 +520,26 @@ def init_table(spark: SparkSession, base: str, name: str) -> None:
     with_bucket(empty).write.partitionBy("pulse_bucket").mode("append").parquet(path)
 
 
+#: Sidecar skip-or-batch (round-9 brief item 5): a records batch below
+#: this row floor defers its object-index delta — the staged data
+#: files are listed in manifest meta layout["objidx_pending"] instead,
+#: the lifeline read probes pending files directly (still obj_key
+#: zone-pruned), and maintain_object_index folds them into the sidecar
+#: on the OPTIMIZE cadence. Saves the ~0.4 s fixed per-commit sidecar
+#: staging job that dominated small micro-batch ingests
+#: (ingest_500x{5,10,20}); large batches still index inline.
+OBJIDX_INLINE_ROWS = 100_000
+#: Hard cap on deferred files: beyond this the commit indexes inline
+#: regardless of size, bounding the lifeline read's extra file opens.
+OBJIDX_PENDING_MAX = 32
+
+
+def _objidx_pending(snap_or_m: dict) -> list[str]:
+    return list(
+        snap_or_m.get("meta", {}).get("layout", {}).get("objidx_pending", [])
+    )
+
+
 def _plan_and_stage(
     spark: SparkSession,
     base: str,
@@ -509,18 +549,42 @@ def _plan_and_stage(
     batch_keys: DataFrame,
     buckets: list[int],
     key_bucket_affinity: bool,
-) -> tuple[list[str], dict[str, list[str]]]:
+    n_rows: int = 0,
+) -> tuple[list[str], dict[str, list[str]], list[str]]:
     """One table's share of a transactional upsert against a pinned
     snapshot: stage the files, return (staged_rels, {family:
-    new_file_list}) — records also stages its object-index sidecar
-    delta, so both publish in the caller's ONE manifest commit.
-    Nothing is visible until that commit."""
+    new_file_list}, objidx_pending_rels) — records also stages its
+    object-index sidecar delta (or defers it: pending_rels are staged
+    data files whose pairs are NOT yet in the sidecar), so everything
+    publishes in the caller's ONE manifest commit. Nothing is visible
+    until that commit."""
     keys = TABLE_KEYS[name]
     rels = snap["families"].get(name, [])
 
     def _with_objidx(staged, fams):
+        """Returns (staged, fams, new_complete_pending). Pending
+        bookkeeping must survive the merge-rewrite path: a pending
+        file whose bucket gets rewritten RELOCATES its not-yet-indexed
+        rows into this commit's output files, so those outputs join
+        pending whatever else happens — dropping the dangling rel
+        alone would silently lose the relocated pairs from lifeline
+        probes."""
         if name != "records":
-            return staged, fams
+            return staged, fams, []
+        live = set(fams[name])
+        new_data = [r for r in fams[name] if r not in set(rels)]
+        old_pending = _objidx_pending(snap)
+        carried = [r for r in old_pending if r in live]
+        relocated = any(r not in live for r in old_pending)
+        first_commit = not rels
+        if (
+            not first_commit
+            and n_rows < OBJIDX_INLINE_ROWS
+            and len(carried) + len(new_data) <= OBJIDX_PENDING_MAX
+        ):
+            # skip path: this commit's data files carry their own
+            # (and any relocated) unindexed pairs
+            return staged, fams, carried + new_data
         delta = (
             prep.select(obj_key_expr().alias(OBJ_KEY), "pulse_bucket")
             .distinct()
@@ -529,7 +593,10 @@ def _plan_and_stage(
         )
         irels = Mf.stage_df(delta, base, OBJIDX)
         fams[OBJIDX] = snap["families"].get(OBJIDX, []) + irels
-        return staged + irels, fams
+        # inline path: the sidecar delta covers the BATCH pairs only;
+        # relocated old-pending rows still need their new files probed
+        pending = carried + (new_data if relocated else [])
+        return staged + irels, fams, pending
 
     if not key_bucket_affinity and rels:
         # Column-pruned key scan over the full table: any bucket that
@@ -630,12 +697,12 @@ def upsert_many(
                     if name not in prepped:
                         keys = TABLE_KEYS[name]
                         prep = with_bucket(batch.dropDuplicates(keys)).cache()
-                        buckets = [
-                            r.pulse_bucket
-                            for r in prep.select("pulse_bucket")
-                            .distinct()
-                            .collect()
-                        ]
+                        # one job yields both the bucket list and the
+                        # row count (the sidecar skip-or-batch floor)
+                        bucket_rows = (
+                            prep.groupBy("pulse_bucket").count().collect()
+                        )
+                        buckets = [r.pulse_bucket for r in bucket_rows]
                         if not buckets:  # empty batch: nothing to merge
                             prep.unpersist()
                             prepped[name] = None
@@ -644,13 +711,14 @@ def upsert_many(
                                 prep,
                                 prep.select(*keys).distinct(),
                                 buckets,
+                                sum(r["count"] for r in bucket_rows),
                             )
                     if prepped[name] is None:
                         return name, None
-                    prep, bkeys, buckets = prepped[name]
+                    prep, bkeys, buckets, n_rows = prepped[name]
                     return name, _plan_and_stage(
                         spark, base, snap, name, prep, bkeys, buckets,
-                        key_bucket_affinity,
+                        key_bucket_affinity, n_rows=n_rows,
                     )
 
                 items = list(batches.items())
@@ -660,16 +728,20 @@ def upsert_many(
                 else:
                     results = [one(items[0])]
                 changed = False
+                records_pending: list[str] | None = None
                 for name, r in results:
                     if r is None:
                         continue
-                    new_rels, fam_updates = r
+                    new_rels, fam_updates, pending = r
                     staged.extend(new_rels)
                     families.update(fam_updates)
+                    if name == "records":
+                        records_pending = pending
                     changed = True
                 if not changed:
                     return
                 meta: dict = {"kind": "upsert"}
+                layout = dict(snap.get("meta", {}).get("layout", {}))
                 if (
                     "records" in batches
                     and not snap["families"].get("records")
@@ -678,8 +750,14 @@ def upsert_many(
                     # IS full coverage, so the object index is
                     # trustworthy from birth. Adopted legacy
                     # warehouses must run build_object_index once.
-                    layout = dict(snap.get("meta", {}).get("layout", {}))
                     layout["objidx"] = "full"
+                    meta["layout"] = layout
+                if records_pending is not None:
+                    # complete replacement of the pending set (already
+                    # carries survivors + this commit's deferrals)
+                    layout["objidx_pending"] = sorted(records_pending)
+                    if not records_pending:
+                        layout.pop("objidx_pending", None)
                     meta["layout"] = layout
                 try:
                     Mf.commit(
@@ -813,10 +891,15 @@ def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
             families[name] = [
                 r for r in rels if r not in set(touched)
             ] + new_rels
+            meta: dict = {"kind": "delete"}
+            if name == "records":
+                meta.update(
+                    _remap_pending(snap, set(touched), new_rels)
+                )
             try:
                 Mf.commit(
                     base, families, expect_version=snap["version"],
-                    meta={"kind": "delete"},
+                    meta=meta,
                     stats=Mf.file_stats(
                         base, new_rels, ["pulse_number", OBJ_KEY]
                     ),
@@ -824,6 +907,28 @@ def delete_where(spark: SparkSession, base: str, name: str, predicate) -> int:
                 return n_deleted
             except Mf.CommitConflict:
                 Mf.discard(base, new_rels)
+
+
+def _remap_pending(
+    snap: dict, removed: set[str], new_rels: list[str]
+) -> dict:
+    """Meta update keeping objidx_pending truthful across a records
+    rewrite (delete/compact): survivors stay pending; if any pending
+    file was rewritten, its not-yet-indexed rows now live in the
+    rewrite's output files, so those join pending. Returns {} when
+    nothing was pending (leave layout alone — it's a persistent key)."""
+    old_pending = _objidx_pending(snap)
+    if not old_pending:
+        return {}
+    carried = [r for r in old_pending if r not in removed]
+    relocated = any(r in removed for r in old_pending)
+    layout = dict(snap.get("meta", {}).get("layout", {}))
+    pending = sorted(set(carried) | (set(new_rels) if relocated else set()))
+    if pending:
+        layout["objidx_pending"] = pending
+    else:
+        layout.pop("objidx_pending", None)
+    return {"layout": layout}
 
 
 def _files_per_bucket(rels: list[str]) -> dict[int, list[str]]:
@@ -890,10 +995,15 @@ def compact_table(
             families[name] = [
                 r for r in rels if r not in set(touched)
             ] + new_rels
+            meta = {"kind": "compact", "data_change": False}
+            if name == "records":
+                meta.update(
+                    _remap_pending(snap, set(touched), new_rels)
+                )
             try:
                 Mf.commit(
                     base, families, expect_version=snap["version"],
-                    meta={"kind": "compact", "data_change": False},
+                    meta=meta,
                     stats=Mf.file_stats(
                         base, new_rels, ["pulse_number", OBJ_KEY]
                     ),

@@ -39,6 +39,143 @@ def _batch(spark, start_id: int, n: int):
     return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
 
 
+def multi_writer(spark, args) -> None:
+    """Round-9 brief item 7: nothing had measured the manifest's CAS
+    serialization under a REALISTIC concurrent mix. Three writers race
+    on one store:
+
+      A  ingest stream (rounds of fresh docs, id range A)
+      B  ingest stream (id range B, fully concurrent with A)
+      C  maintenance — waits for A's first commit, then interleaves
+         delete_where (a slice of A's first batch), compact(), and
+         the CDC mirror sync while A/B keep committing
+
+    Every CommitConflict is counted per writer (instrumented around
+    manifest.commit). Afterward the SAME operations replay serially
+    into a fresh store and the two corpora must match row-for-row —
+    the no-lost-update proof: CAS losers re-merge against the winner's
+    snapshot, so no interleaving can drop a batch or resurrect a
+    deleted row. Batches use disjoint id/token ranges so near-dup
+    decisions are interleaving-independent (the determinism the
+    equality check needs)."""
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from block_explorer_spark.sources import cdc_consumer as cdc
+
+    retries: dict[str, int] = {}
+    rlock = threading.Lock()
+    orig_commit = Mf.commit
+
+    def counted_commit(*a, **k):
+        try:
+            return orig_commit(*a, **k)
+        except Mf.CommitConflict:
+            name = threading.current_thread().name
+            with rlock:
+                retries[name] = retries.get(name, 0) + 1
+            raise
+
+    Mf.commit = counted_commit
+    base = tempfile.mkdtemp(prefix="store_mw_")
+    replay = tempfile.mkdtemp(prefix="store_mw_replay_")
+    mirror = base + "_mirror"
+    rounds, docs = args.rounds, args.docs
+    a_first_done = threading.Event()
+    errors: list[BaseException] = []
+    wall: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except BaseException as e:  # surface thread failures loudly
+            errors.append(e)
+        finally:
+            wall[name] = round(time.perf_counter() - t0, 2)
+
+    A0 = 1
+    B0 = 10_000_000
+    delete_ids = list(range(A0, A0 + docs, 10))  # a slice of A's batch 0
+
+    def writer_a():
+        for r in range(rounds):
+            s = cs.ingest(spark, base, _batch(spark, A0 + r * docs, docs),
+                          near_dup_threshold=0.8)
+            assert s["n_added"] == docs, s
+            if r == 0:
+                a_first_done.set()
+
+    def writer_b():
+        for r in range(rounds):
+            s = cs.ingest(spark, base, _batch(spark, B0 + r * docs, docs),
+                          near_dup_threshold=0.8)
+            assert s["n_added"] == docs, s
+
+    def writer_c():
+        a_first_done.wait(timeout=600)
+        n = cs.delete_where(spark, base, F.col("doc_id").isin(delete_ids))
+        assert n == len(delete_ids), n
+        for _ in range(3):
+            cs.compact(spark, base)
+            cdc.sync(spark, base, mirror)
+
+    threads = [
+        threading.Thread(target=run, args=(n, f), name=n)
+        for n, f in [("ingest_a", writer_a), ("ingest_b", writer_b),
+                     ("maintenance", writer_c)]
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    converge = round(time.perf_counter() - t0, 2)
+    if errors:
+        raise errors[0]
+
+    # final CDC catch-up, then the mirror must equal the corpus
+    cdc.sync(spark, base, mirror)
+    final = cs.read_corpus(spark, base).select("doc_id", "text")
+    n_final = final.count()
+    n_mirror = cdc.read_mirror(spark, mirror).count()
+
+    # serialized replay of the same operations
+    for r in range(rounds):
+        cs.ingest(spark, replay, _batch(spark, A0 + r * docs, docs),
+                  near_dup_threshold=0.8)
+        cs.ingest(spark, replay, _batch(spark, B0 + r * docs, docs),
+                  near_dup_threshold=0.8)
+    cs.delete_where(spark, replay, F.col("doc_id").isin(delete_ids))
+    cs.compact(spark, replay)
+    want = cs.read_corpus(spark, replay).select("doc_id", "text")
+    n_want = want.count()
+    diff = final.exceptAll(want).count() + want.exceptAll(final).count()
+    Mf.commit = orig_commit
+
+    print(json.dumps({
+        "metric": "store_multiwriter",
+        "writers": 3,
+        "rounds": rounds,
+        "docs_per_round": docs,
+        "converge_sec": converge,
+        "wall_per_writer_sec": wall,
+        "cas_retries": retries,
+        "manifest_version": Mf.read(base)["version"],
+        "rows_final": n_final,
+        "rows_serialized_replay": n_want,
+        "rows_mirror": n_mirror,
+        "lost_updates": diff,
+        "ok": diff == 0 and n_final == n_want == n_mirror,
+    }))
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(replay, ignore_errors=True)
+    shutil.rmtree(mirror, ignore_errors=True)
+    assert diff == 0 and n_final == n_want == n_mirror
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=8)
@@ -75,6 +212,15 @@ def main() -> None:
         "round probes the persisted whash sidecar and appends the "
         "batch's windows — measures the tier's per-round cost",
     )
+    ap.add_argument(
+        "--multi-writer", action="store_true",
+        help="round-9 contention scenario: two concurrent ingest "
+        "streams + a maintenance writer (delete_where, compact, CDC "
+        "mirror sync) race on ONE store; logs per-writer CAS retry "
+        "counts and convergence wall, then asserts the final corpus "
+        "is byte-identical to a serialized replay of the same "
+        "operations (no lost update)",
+    )
     args = ap.parse_args()
     extra = (
         {"substr_window": args.substr_window}
@@ -83,6 +229,9 @@ def main() -> None:
     )
 
     spark = get_spark("store-bench")
+    if args.multi_writer:
+        multi_writer(spark, args)
+        return
     base = tempfile.mkdtemp(prefix="store_bench_")
     try:
         # warmup round (codegen, Arrow worker spin-up) — not timed

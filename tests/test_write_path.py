@@ -774,6 +774,11 @@ def test_object_index_makes_lifeline_flat_and_safe(spark, base):
 
 
 def test_object_index_maintain_folds_deltas(spark, base):
+    """Round-9 skip-or-batch: small upserts DEFER their sidecar delta
+    (manifest layout objidx_pending lists the unindexed data files)
+    instead of paying the fixed staging job per commit; the first
+    commit still indexes inline (it births the full flag). maintain
+    folds sidecar + pending into one run and clears pending."""
     from block_explorer_spark.sources import manifest as Mf
 
     for b in range(10):
@@ -783,17 +788,77 @@ def test_object_index_maintain_folds_deltas(spark, base):
         pq.upsert(spark, base, "records",
                   spark.createDataFrame(life.records, schemas.RECORDS))
     m = Mf.read(base)
-    assert len(m["families"][pq.OBJIDX]) == 10  # one delta per upsert
-    assert pq.maintain_object_index(spark, base, min_files=8) is not None
-    m2 = Mf.read(base)
-    assert len(m2["families"][pq.OBJIDX]) <= 4
-    # answers unchanged through the fold
-    life = gen.make_lifeline(
+    assert len(m["families"][pq.OBJIDX]) == 1  # first commit only
+    pending = m["meta"]["layout"]["objidx_pending"]
+    assert len(pending) == 9  # one deferred data file per later commit
+    assert set(pending) <= set(m["families"]["records"])
+    # lifeline reads are correct BEFORE any fold (pending files probed)
+    life3 = gen.make_lifeline(
         seed=700 + 3, pulses=[4_000_300], records_per_pulse=2
     )
     assert pq.read_records_for_object(
-        spark, base, life.object_reference
-    ).count() == len(life.records)
+        spark, base, life3.object_reference
+    ).count() == len(life3.records)
+    assert pq.maintain_object_index(spark, base, min_files=8) is not None
+    m2 = Mf.read(base)
+    assert len(m2["families"][pq.OBJIDX]) <= 4
+    assert "objidx_pending" not in m2["meta"].get("layout", {})
+    # answers unchanged through the fold
+    assert pq.read_records_for_object(
+        spark, base, life3.object_reference
+    ).count() == len(life3.records)
+
+
+def test_objidx_pending_survives_delete_rewrite(spark, base):
+    """A delete that rewrites a bucket holding PENDING (unindexed)
+    records must keep those records probe-able: the rewrite's output
+    files take the pending slot (parquet.py::_remap_pending)."""
+    from pyspark.sql import functions as F
+
+    from block_explorer_spark.sources import manifest as Mf
+
+    keep = gen.make_lifeline(seed=810, pulses=[4_000_000], records_per_pulse=3)
+    pq.upsert(spark, base, "records",
+              spark.createDataFrame(keep.records, schemas.RECORDS))
+    late = gen.make_lifeline(seed=811, pulses=[4_000_000], records_per_pulse=3)
+    pq.upsert(spark, base, "records",
+              spark.createDataFrame(late.records, schemas.RECORDS))
+    m = Mf.read(base)
+    assert m["meta"]["layout"]["objidx_pending"]  # second commit deferred
+    # delete one of the FIRST object's records: rewrites the bucket
+    # holding the pending file
+    victim = keep.records[0]["reference"]
+    n = pq.delete_where(
+        spark, base, "records", F.col("reference") == victim
+    )
+    assert n == 1
+    m2 = Mf.read(base)
+    pend2 = m2["meta"]["layout"]["objidx_pending"]
+    assert pend2 and set(pend2) <= set(m2["families"]["records"])
+    # the pending (never-indexed) object still fully reads post-rewrite
+    assert pq.read_records_for_object(
+        spark, base, late.object_reference
+    ).count() == len(late.records)
+
+
+def test_objidx_inline_above_floor(spark, base, monkeypatch):
+    """A batch at/above the inline floor stages its sidecar delta in
+    the same commit — no pending growth on bulk loads."""
+    from block_explorer_spark.sources import manifest as Mf
+
+    pq.upsert(spark, base, "records", spark.createDataFrame(
+        gen.make_lifeline(seed=820, pulses=[4_000_000],
+                          records_per_pulse=2).records, schemas.RECORDS))
+    monkeypatch.setattr(pq, "OBJIDX_INLINE_ROWS", 3)
+    bulk = gen.make_lifeline(seed=821, pulses=[4_000_100], records_per_pulse=5)
+    pq.upsert(spark, base, "records",
+              spark.createDataFrame(bulk.records, schemas.RECORDS))
+    m = Mf.read(base)
+    assert len(m["families"][pq.OBJIDX]) == 2  # first commit + inline delta
+    assert not m["meta"].get("layout", {}).get("objidx_pending")
+    assert pq.read_records_for_object(
+        spark, base, bulk.object_reference
+    ).count() == len(bulk.records)
 
 
 def test_record_point_lookup_prunes_with_embedded_pulse(spark, base):
