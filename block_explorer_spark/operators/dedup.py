@@ -458,32 +458,29 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     # Verify candidates only — O(candidates), never the full pair
-    # space. Melt each pair into its two member ids, join the shingle
-    # sets ONCE (two separate joins would execute the doc-scan+shingle
-    # lineage twice), then regroup per pair and compute jaccard via
-    # array_intersect.
-    sets = _spread(df).select(F.col(id_col).alias("__sid"), shingles.alias("__set"))
-    melted = cand.select(
-        F.struct("id_a", "id_b").alias("__pair"),
-        F.explode(F.array("id_a", "id_b")).alias("__sid"),
+    # space. Round-9 rework: the previous formulation melted each
+    # pair and collect_list'ed the two full shingle ARRAYS per pair —
+    # an ObjectHashAggregate over ~KB rows that profiling
+    # (scripts/profile_q25.py) showed carries 100% of q25's x1000
+    # spill (212 GB memory / 42 GB disk at 5M docs) while signature
+    # computation spilled nothing. (A narrow-row exploded
+    # per-(pair, shingle) count was tried and measured WORSE — 100M
+    # group keys out-spill 1M wide rows.) The fix is the prefix
+    # family's verifier: per-doc sorted-distinct sets built once
+    # (doc-keyed aggregation — bounded rows, no spill), then TWO
+    # streaming hash joins pair→sets with array_intersect in the
+    # projection (_verify_pairs) — no pair-level aggregation at all;
+    # Catalyst reuses the per-doc aggregate's exchange across the
+    # a/b sides. Same exact integer (inter, sizes) → identical
+    # jaccard doubles.
+    per_doc = _per_doc_sets(df, id_col, shingles)
+    verified = _verify_pairs(cand.select("id_a", "id_b"), per_doc).withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
     )
-    regrouped = (
-        melted.join(sets, "__sid")
-        .groupBy("__pair")
-        .agg(F.collect_list("__set").alias("__two"))
-        .filter(F.size("__two") == 2)
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
-    verified = (
-        regrouped.select(
-            F.col("__pair.id_a").alias("id_a"),
-            F.col("__pair.id_b").alias("id_b"),
-            F.size(F.array_intersect(F.col("__two")[0], F.col("__two")[1])).alias("inter"),
-            (F.size(F.col("__two")[0]) + F.size(F.col("__two")[1])).alias("__sum"),
-        )
-        .withColumn("jaccard", F.col("inter") / (F.col("__sum") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("id_a", "id_b", "jaccard")
 
 
 def md5_hash60() -> Column:
