@@ -227,8 +227,16 @@ def _prefix_postings(per_doc: DataFrame, threshold: float) -> DataFrame:
     prefix_len = F.col("__size") - F.ceil(
         F.lit(threshold) * F.col("__size") - F.lit(1e-9)
     ) + F.lit(1)
+    # merge-pinned: the df side is one row per DISTINCT SHINGLE — it
+    # grows with the corpus (tens of millions of trigram types at the
+    # x100 synthetic corpus, unbounded at 100 TB), so an AQE broadcast
+    # promotion here is a data-sized broadcast; its driver-side
+    # HashedRelation build OOM'd the 8 GB heap in the round-9 x100
+    # rerun. The posting side reshuffles by __id for the prefix window
+    # right after, so the broadcast would only have saved the __sh
+    # exchange — not worth the scale hazard.
     return (
-        posting.join(dfreq, "__sh")
+        posting.hint("merge").join(dfreq, "__sh")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
         .select("__id", "__size", "__sh")
@@ -238,7 +246,20 @@ def _prefix_postings(per_doc: DataFrame, threshold: float) -> DataFrame:
 def _verify_pairs(cand: DataFrame, per_doc: DataFrame) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their shingle sets and
     compute the EXACT intersection. Two hash joins on the id — linear,
-    and candidates are prefix-pruned before they get here."""
+    and candidates are prefix-pruned before they get here.
+
+    Join strategy is PINNED to sort-merge: BOTH sides grow with the
+    corpus (candidates with the near-dup rate, per-doc sets with N),
+    so any broadcast here is a data-sized broadcast — AQE's runtime
+    estimate sat near the 64 MB threshold at the x100 corpus and
+    promoted the candidate side, OOM-ing the 8 GB driver (the exact
+    failure mode measured in the round-9 scale rerun). SMJ and not
+    shuffled-hash because SHJ's build map cannot spill: at the x100
+    corpus its 512 MB allocation requests across 32 concurrent tasks
+    in one heap aborted the stage, while SMJ's sort runs in bounded
+    memory and spills gracefully (per-partition sort volume is tiny —
+    the wide set rows hash-partition by doc id). The explicit hint
+    keeps AQE from re-promoting either side to broadcast."""
     a_sets = per_doc.select(
         F.col("__id").alias("id_a"), F.col("__shs").alias("__shs_a")
     )
@@ -246,7 +267,9 @@ def _verify_pairs(cand: DataFrame, per_doc: DataFrame) -> DataFrame:
         F.col("__id").alias("id_b"), F.col("__shs").alias("__shs_b")
     )
     return (
-        cand.join(a_sets, "id_a")
+        cand.hint("merge")
+        .join(a_sets, "id_a")
+        .hint("merge")
         .join(b_sets, "id_b")
         .select(
             "id_a",
