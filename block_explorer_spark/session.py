@@ -33,9 +33,16 @@ _BASE_CONF = {
     # and convert at the column level where needed.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
+
+#: JVM heap for local mode. 8g suits test/gate scale; the scale
+#: harness exports 48g (SCALE.md round 4: the executor-fleet-
+#: equivalent sizing for corpus-wide shuffles — 1.5 GB/core on 32
+#: threads; at 8g the x1000 sorts thrash into hundreds of GB of
+#: spill). Read LAZILY in builder(), not at import, so harnesses can
+#: set the env after importing the package but before the JVM starts.
+_DRIVER_MEM_ENV = "SPARK_GRAFT_DRIVER_MEM"
 
 
 #: Shuffle sizing is DATA-SCALE dependent, and the right knob is AQE's
@@ -56,6 +63,7 @@ def builder(app_name: str = "block-explorer-spark", **overrides: str) -> SparkSe
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     b = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     conf = dict(_BASE_CONF)
+    conf["spark.driver.memory"] = os.environ.get(_DRIVER_MEM_ENV, "8g")
     wide = os.environ.get(_WIDE_SHUFFLE_ENV)
     if wide:
         conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = wide

@@ -44,6 +44,14 @@ def main() -> None:
     )
 
     os.environ.setdefault("SPARK_GRAFT_WIDE_SHUFFLE", "256")
+    # Heap: measured BOTH ways at the x1000 corpus this round — the
+    # 8 GB default beat a 48 GB heap on the heavy legs (q83 716 s vs
+    # 1003 s): with 48 GB the corpus-wide SMJ sorts stay in-heap and
+    # go GC-bound, while at 8 GB they spill to fast local NVMe and the
+    # JVM stays responsive. (Round-4 curves recorded "48 GB heap" —
+    # that config does not transfer to this box.) So: no override here;
+    # export SPARK_GRAFT_DRIVER_MEM to experiment (read lazily by
+    # session.builder, so setting it before get_spark works).
     spark = get_spark(
         "profile-q25",
         **{
