@@ -190,13 +190,27 @@ def jaccard_pairs(
 
 
 def _per_doc_sets(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
-    """(__id, __shs sorted-distinct array, __size) — one shuffle."""
-    return (
-        _shingle_index(df, id_col, shingles, distinct=False)
-        .groupBy("__id")
-        .agg(F.array_sort(F.collect_set("__sh")).alias("__shs"))
-        .select("__id", "__shs", F.size("__shs").alias("__size"))
-    )
+    """(__id, __shs sorted-distinct array, __size) — MAP-ONLY.
+
+    The shingle expression already yields a per-row array, so the
+    sorted-distinct set is a row-local projection:
+    array_sort(array_distinct(...)), with collect_set's null-element
+    drop mirrored by an explicit filter. The previous formulation
+    exploded the array and re-aggregated with groupBy/collect_set —
+    a full corpus-wide shuffle of every (doc, shingle) row to rebuild
+    information the row already had; the round-9 x1000 stage split
+    measured that aggregation at 302 s / 10.6 GB disk spill on the
+    5M-doc corpus, the single largest avoidable cost in the q25
+    pipeline. Only difference in output: docs whose shingle set is
+    empty now carry an (id, [], 0) row instead of vanishing with
+    explode — downstream consumers explode (drops them) or
+    inner-join on candidates (never reaches them), so results are
+    identical."""
+    dedup = F.array_distinct(F.filter(shingles, lambda x: x.isNotNull()))
+    return _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(dedup).alias("__shs"),
+    ).withColumn("__size", F.size("__shs"))
 
 
 def _prefix_postings(per_doc: DataFrame, threshold: float) -> DataFrame:
