@@ -205,12 +205,28 @@ def _per_doc_sets(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
     empty now carry an (id, [], 0) row instead of vanishing with
     explode — downstream consumers explode (drops them) or
     inner-join on candidates (never reaches them), so results are
-    identical."""
+    identical.
+
+    The closing repartition("__id") is deliberate: consumers use
+    per_doc SEVERAL times (prefix postings + both verify-join sides),
+    and a pure map-only lineage would recompute the tokenize/shingle
+    pass per consumer — measured at the x1000 corpus, that took the
+    prefix-jaccard pipeline from 716 s to 1180 s. One explicit hash
+    exchange of the ARRAY rows (5M wide rows, ~an order of magnitude
+    fewer bytes than the old exploded-row shuffle) gives Catalyst an
+    identical subplan to reuse across every consumer, and the SMJ
+    sides inherit the partitioning through the id alias, so they sort
+    in place instead of re-exchanging."""
     dedup = F.array_distinct(F.filter(shingles, lambda x: x.isNotNull()))
-    return _spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.array_sort(dedup).alias("__shs"),
-    ).withColumn("__size", F.size("__shs"))
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_sort(dedup).alias("__shs"),
+        )
+        .withColumn("__size", F.size("__shs"))
+        .repartition("__id")
+    )
 
 
 def _prefix_postings(per_doc: DataFrame, threshold: float) -> DataFrame:
@@ -429,9 +445,24 @@ def _banded_signatures(
     fold_mult = np.uint64(0x9E3779B97F4A7C15)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    idx = _shingle_index(df, id_col, shingles, distinct=False)
-    hashed = idx.select(F.col("__id"), F.xxhash64("__sh").alias("__h"))
-    grouped = hashed.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
+    # MAP-ONLY hash prep (round 9): the shingle expression is already
+    # a per-row array, so the per-doc hash list is a row-local
+    # transform — the previous explode + groupBy/collect_list paid a
+    # corpus-wide shuffle to rebuild exactly this array (the same
+    # pattern _per_doc_sets shed; the x1000 split charged the
+    # signature stage 275 s / 13 GB in-memory spill, much of it this
+    # aggregation). MIN is duplicate- and order-insensitive, so the
+    # row-local order change is immaterial; docs with empty shingle
+    # arrays are filtered exactly as explode dropped them (and
+    # reduceat cannot take an empty segment).
+    grouped = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.transform(shingles, lambda x: F.xxhash64(x)).alias("__hs"),
+        )
+        .filter(F.size("__hs") > 0)
+    )
 
     def _sig(batches):
         import pandas as pd

@@ -80,10 +80,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             record[name] = {"status": "spark_error", "err": str(e)[:400]}
             failures += 1
+            _flush(record)
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             record[name] = {"status": "rows_only", "spark_rows": len(srows)}
+            _flush(record)
             continue
         try:
             rel = con.sql(oracles[name])
@@ -93,6 +95,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             record[name] = {"status": "oracle_error", "err": str(e)[:400]}
             failures += 1
+            _flush(record)
             continue
         status = []
         if len(srows) != len(orows):
@@ -118,19 +121,30 @@ def main() -> int:
                 "schema_match": True,
                 "hash_match": True,
             }
-    out_path = os.environ.get("CHECK_ORACLE_JSON")
-    if out_path:
-        import json
-
-        with open(out_path, "w") as fh:
-            json.dump(
-                {"sf_dir": SF_DIR, "n_queries": len(record), "queries": record},
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
-        print(f"# record -> {out_path}")
+        _flush(record)
+    _flush(record, final=True)
     return 1 if failures else 0
+
+
+def _flush(record: dict, final: bool = False) -> None:
+    """Write the artifact after EVERY query, not only at exit: a long
+    certification run (sf1 takes over an hour) that is cut off must
+    keep its certified prefix. partial=True marks in-flight files so a
+    truncated run is never mistaken for a complete one."""
+    out_path = os.environ.get("CHECK_ORACLE_JSON")
+    if not out_path:
+        return
+    import json
+
+    doc = {"sf_dir": SF_DIR, "n_queries": len(record), "queries": record}
+    if not final:
+        doc["partial"] = True
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    os.replace(tmp, out_path)
+    if final:
+        print(f"# record -> {out_path}")
 
 
 if __name__ == "__main__":
