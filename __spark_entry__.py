@@ -5794,12 +5794,25 @@ def oracle_sql() -> dict[str, str]:
                           e[(((k // 4) + 15) % 16) * 4 + (k % 4) + 1]
                      THEN 1 ELSE 0 END) AS b
               FROM en
+            ),
+            -- fold the bit list into two 32-bit halves ONCE per doc so
+            -- the brute-force O(n^2) pairing evaluates one vectorized
+            -- bit_count(xor(..)) per pair instead of a 64-step list
+            -- lambda (the lambda form was ~1000x slower per pair and
+            -- made the 1.25e9-pair sf1 oracle run infeasible)
+            fp AS (
+              SELECT doc_id,
+                     list_aggregate(list_transform(range(0, 32), k ->
+                       b[k + 1] * (1::BIGINT << k)), 'sum') AS lo,
+                     list_aggregate(list_transform(range(0, 32), k ->
+                       b[k + 33] * (1::BIGINT << k)), 'sum') AS hi
+              FROM bits
             )
             SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-                   CAST(len(list_filter(range(1, 65),
-                        k -> a.b[k] <> c.b[k])) AS INTEGER) AS hamming
-            FROM bits a JOIN bits c ON a.doc_id < c.doc_id
-            WHERE len(list_filter(range(1, 65), k -> a.b[k] <> c.b[k]))
+                   CAST(bit_count(xor(a.lo, c.lo))
+                      + bit_count(xor(a.hi, c.hi)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+            WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi))
                   <= {AFP_MAX_HAMMING}
         """,
         # q100: per-frame replay of the q98 dHash bit recipe keyed by
@@ -5821,10 +5834,21 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END) AS b
               FROM px
             ),
+            -- same per-doc bit fold as q99's oracle: two 32-bit halves,
+            -- one vectorized bit_count(xor(..)) per pair per slot
+            fp AS (
+              SELECT doc_id, k,
+                     list_aggregate(list_transform(range(0, 32), j ->
+                       b[j + 1] * (1::BIGINT << j)), 'sum') AS lo,
+                     list_aggregate(list_transform(range(0, 32), j ->
+                       b[j + 33] * (1::BIGINT << j)), 'sum') AS hi
+              FROM bits
+            ),
             slot AS (
               SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-                     len(list_filter(range(1, 65), j -> a.b[j] <> c.b[j])) AS h
-              FROM bits a JOIN bits c ON a.doc_id < c.doc_id AND a.k = c.k
+                     bit_count(xor(a.lo, c.lo))
+                   + bit_count(xor(a.hi, c.hi)) AS h
+              FROM fp a JOIN fp c ON a.doc_id < c.doc_id AND a.k = c.k
             )
             SELECT id_a, id_b, CAST(max(h) AS INTEGER) AS hamming
             FROM slot GROUP BY id_a, id_b

@@ -404,6 +404,42 @@ def sniff(payload: bytes) -> str | None:
     return None
 
 
+#: Decoded-footprint multiplier for payloads whose container we can't
+#: read a header from: compressed media commonly inflates 10-100x on
+#: decode; 32x is the conservative midpoint (overestimating only
+#: makes batches smaller, never unsafe).
+_UNKNOWN_BLOWUP = 32
+
+
+def decoded_size_estimate(payload: bytes) -> int:
+    """Estimated DECODED in-memory footprint of a media payload, from
+    the container header alone (no decode). Used by the multimodal
+    operators to bound mapInPandas batch memory by bytes, not rows —
+    row-count batching lets a handful of large blobs multiply past the
+    executor heap (the round-9 sf1 q99/q100 OOM class).
+
+    PNG: width*height from IHDR (bytes 16-24) x 8B working floats x2
+    for filter scratch. WAV: PCM data inflates to float64 (x4 over
+    16-bit) plus a working copy. Y4M: already raw; x2 for the frame
+    list copy. Unknown containers: len * _UNKNOWN_BLOWUP.
+    """
+    if not payload:
+        return 1
+    kind = sniff(payload)
+    try:
+        if kind == "png" and len(payload) >= 24:
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return max(len(payload), w * h * 16)
+        if kind == "wav":
+            return len(payload) * 8
+        if kind == "y4m":
+            return len(payload) * 2
+    except Exception:
+        pass
+    return len(payload) * _UNKNOWN_BLOWUP
+
+
 def _bucket_means(values: np.ndarray, n: int) -> list[float]:
     """n contiguous-chunk means of a 1-D array (deterministic pooling
     — the fixed-size featurization used across modalities)."""

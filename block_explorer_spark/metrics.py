@@ -48,17 +48,42 @@ class StageMetrics:
         self._url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
 
     def totals(self) -> dict[str, int]:
+        """Field totals over completed stages, plus per-stage-attempt
+        detail under "__stages__" — delta() needs it to stay monotone
+        when the UI store evicts old completed stages between
+        snapshots (the r9 BENCH_METRICS q134 negative-delta bug:
+        whole-run totals shrank when eviction removed stages that were
+        counted in `before`)."""
         with urllib.request.urlopen(self._url, timeout=10) as resp:
             stages = json.loads(resp.read())
-        out = dict.fromkeys(FIELDS, 0)
+        per: dict[str, dict[str, int]] = {}
         for st in stages:
+            key = f"{st.get('stageId')}.{st.get('attemptId')}"
+            per[key] = {f: int(st.get(f, 0)) for f in FIELDS}
+        out = dict.fromkeys(FIELDS, 0)
+        for vals in per.values():
             for f in FIELDS:
-                out[f] += int(st.get(f, 0))
+                out[f] += vals[f]
+        out["__stages__"] = per
         return out
 
     @staticmethod
     def delta(before: dict[str, int], after: dict[str, int]) -> dict[str, int]:
-        return {f: after[f] - before[f] for f in FIELDS}
+        """Metrics attributable to work between two totals() snapshots:
+        stages NEW since `before` plus per-stage growth, clamped at
+        zero per stage — UI eviction between snapshots can no longer
+        drive any field negative. Falls back to clamped whole-total
+        subtraction for legacy snapshots without per-stage detail."""
+        b = before.get("__stages__")
+        a = after.get("__stages__")
+        if b is None or a is None:
+            return {f: max(0, after[f] - before[f]) for f in FIELDS}
+        out = dict.fromkeys(FIELDS, 0)
+        for key, vals in a.items():
+            prev = b.get(key)
+            for f in FIELDS:
+                out[f] += max(0, vals[f] - (prev[f] if prev else 0))
+        return out
 
     def measure(self, fn):
         """Run fn(); return (fn_result, stage-metrics delta)."""
@@ -187,7 +212,9 @@ class MetricsRegistry:
         per-endpoint latency + task-level profile in one artifact."""
         out = {"endpoints": self.snapshot()}
         try:
-            out["spark_stage_totals"] = StageMetrics(spark).totals()
+            totals = StageMetrics(spark).totals()
+            totals.pop("__stages__", None)
+            out["spark_stage_totals"] = totals
         except Exception:
             out["spark_stage_totals"] = None
         return out

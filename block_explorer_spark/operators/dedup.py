@@ -70,6 +70,38 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Below this Catalyst size estimate of the SOURCE corpus, the pair
+#: pipelines drop their large-corpus physical pins (the shared
+#: per-doc-set exchange and the merge-join hints) and let AQE manage
+#: join strategy. Rationale: the pins exist to stop AQE from
+#: broadcast-promoting data-sized sides (measured 8 GB-heap OOM at the
+#: x100 ≈ 150 MB-parquet corpus) and to share one tokenize pass across
+#: 2-3 consumers at corpus scale — but at fixture/small scale the same
+#: exchanges+sorts cost 2.8x wall (q25 1.66->4.57 s at sf0.1, round-9
+#: regression). 32 MB source bytes is ~5x under the smallest corpus
+#: where promotion was ever observed to hurt, and any side derived
+#: from a <32 MB scan is safely broadcastable on the smallest heap we
+#: run (8 GB).
+SMALL_CORPUS_BYTES = 32 << 20
+
+
+def _small_corpus(df: DataFrame) -> bool:
+    """Plan-only (no job) size test: Catalyst's optimized-plan stats —
+    file bytes for parquet scans, width-scaled through projections.
+    Errs large (keeps the scale-safe pins) when the estimate is
+    unavailable."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return False
+    return size < SMALL_CORPUS_BYTES
+
+
+def _pin_merge(df: DataFrame, pin: bool) -> DataFrame:
+    """hint("merge") only on the large-corpus path; identity otherwise."""
+    return df.hint("merge") if pin else df
+
+
 def _shingle_index(df: DataFrame, id_col: str, shingles: Column, distinct: bool = True) -> DataFrame:
     """(id, shingle) inverted index, distinct per doc.
 
@@ -189,7 +221,9 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
-def _per_doc_sets(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
+def _per_doc_sets(
+    df: DataFrame, id_col: str, shingles: Column, shared: bool = True
+) -> DataFrame:
     """(__id, __shs sorted-distinct array, __size) — MAP-ONLY.
 
     The shingle expression already yields a per-row array, so the
@@ -207,29 +241,41 @@ def _per_doc_sets(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
     inner-join on candidates (never reaches them), so results are
     identical.
 
-    The closing repartition("__id") is deliberate: consumers use
-    per_doc SEVERAL times (prefix postings + both verify-join sides),
-    and a pure map-only lineage would recompute the tokenize/shingle
-    pass per consumer — measured at the x1000 corpus, that took the
-    prefix-jaccard pipeline from 716 s to 1180 s. One explicit hash
-    exchange of the ARRAY rows (5M wide rows, ~an order of magnitude
-    fewer bytes than the old exploded-row shuffle) gives Catalyst an
-    identical subplan to reuse across every consumer, and the SMJ
-    sides inherit the partitioning through the id alias, so they sort
-    in place instead of re-exchanging."""
-    dedup = F.array_distinct(F.filter(shingles, lambda x: x.isNotNull()))
-    return (
+    The closing repartition("__id") (shared=True) is deliberate:
+    consumers use per_doc SEVERAL times (prefix postings + both
+    verify-join sides), and a pure map-only lineage would recompute
+    the tokenize/shingle pass per consumer — measured at the x1000
+    corpus, that took the prefix-jaccard pipeline from 716 s to
+    1180 s. One explicit hash exchange of the ARRAY rows (5M wide
+    rows, ~an order of magnitude fewer bytes than the old
+    exploded-row shuffle) gives Catalyst an identical subplan to
+    reuse across every consumer, and the SMJ sides inherit the
+    partitioning through the id alias, so they sort in place instead
+    of re-exchanging. shared=False (the _small_corpus path) skips the
+    exchange: at fixture scale the repartition+sorts cost 2.8x wall
+    (the round-9 q25 sf0.1 regression) while recomputing a tiny
+    tokenize pass is free.
+
+    NULL shingle arrays coalesce to (id, [], 0) — same as empty
+    arrays; without the coalesce, size(NULL) = -1 would leak a
+    corrupt __size to any consumer that left-joins."""
+    dedup = F.array_distinct(
+        F.filter(F.coalesce(shingles, F.array()), lambda x: x.isNotNull())
+    )
+    out = (
         _spread(df)
         .select(
             F.col(id_col).alias("__id"),
             F.array_sort(dedup).alias("__shs"),
         )
         .withColumn("__size", F.size("__shs"))
-        .repartition("__id")
     )
+    return out.repartition("__id") if shared else out
 
 
-def _prefix_postings(per_doc: DataFrame, threshold: float) -> DataFrame:
+def _prefix_postings(
+    per_doc: DataFrame, threshold: float, pin: bool = True
+) -> DataFrame:
     """Per-doc PREFIX of the inverted index: each doc's
     |d| - ceil(t*|d|) + 1 globally-rarest shingles (global order =
     ascending document frequency, shingle as tie-break).
@@ -257,23 +303,26 @@ def _prefix_postings(per_doc: DataFrame, threshold: float) -> DataFrame:
     prefix_len = F.col("__size") - F.ceil(
         F.lit(threshold) * F.col("__size") - F.lit(1e-9)
     ) + F.lit(1)
-    # merge-pinned: the df side is one row per DISTINCT SHINGLE — it
-    # grows with the corpus (tens of millions of trigram types at the
-    # x100 synthetic corpus, unbounded at 100 TB), so an AQE broadcast
-    # promotion here is a data-sized broadcast; its driver-side
-    # HashedRelation build OOM'd the 8 GB heap in the round-9 x100
-    # rerun. The posting side reshuffles by __id for the prefix window
-    # right after, so the broadcast would only have saved the __sh
-    # exchange — not worth the scale hazard.
+    # merge-pinned (pin=True, the large-corpus path): the df side is
+    # one row per DISTINCT SHINGLE — it grows with the corpus (tens of
+    # millions of trigram types at the x100 synthetic corpus,
+    # unbounded at 100 TB), so an AQE broadcast promotion here is a
+    # data-sized broadcast; its driver-side HashedRelation build
+    # OOM'd the 8 GB heap in the round-9 x100 rerun. The posting side
+    # reshuffles by __id for the prefix window right after, so the
+    # broadcast would only have saved the __sh exchange — not worth
+    # the scale hazard. pin=False (_small_corpus) lets AQE broadcast.
     return (
-        posting.hint("merge").join(dfreq, "__sh")
+        _pin_merge(posting, pin).join(dfreq, "__sh")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
         .select("__id", "__size", "__sh")
     )
 
 
-def _verify_pairs(cand: DataFrame, per_doc: DataFrame) -> DataFrame:
+def _verify_pairs(
+    cand: DataFrame, per_doc: DataFrame, pin: bool = True
+) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their shingle sets and
     compute the EXACT intersection. Two hash joins on the id — linear,
     and candidates are prefix-pruned before they get here.
@@ -289,17 +338,19 @@ def _verify_pairs(cand: DataFrame, per_doc: DataFrame) -> DataFrame:
     in one heap aborted the stage, while SMJ's sort runs in bounded
     memory and spills gracefully (per-partition sort volume is tiny —
     the wide set rows hash-partition by doc id). The explicit hint
-    keeps AQE from re-promoting either side to broadcast."""
+    keeps AQE from re-promoting either side to broadcast. pin=False
+    (_small_corpus inputs) drops the hints and lets AQE pick —
+    broadcast is both safe and faster when the source scan is known
+    to be tiny."""
     a_sets = per_doc.select(
         F.col("__id").alias("id_a"), F.col("__shs").alias("__shs_a")
     )
     b_sets = per_doc.select(
         F.col("__id").alias("id_b"), F.col("__shs").alias("__shs_b")
     )
+    joined = _pin_merge(cand, pin).join(a_sets, "id_a")
     return (
-        cand.hint("merge")
-        .join(a_sets, "id_a")
-        .hint("merge")
+        _pin_merge(joined, pin)
         .join(b_sets, "id_b")
         .select(
             "id_a",
@@ -329,14 +380,15 @@ def jaccard_pairs_prefix(
     """
     if threshold <= 0:
         raise ValueError("prefix filtering needs threshold > 0")
-    per_doc = _per_doc_sets(df, id_col, shingles)
-    prefix = _prefix_postings(per_doc, threshold)
+    big = not _small_corpus(df)
+    per_doc = _per_doc_sets(df, id_col, shingles, shared=big)
+    prefix = _prefix_postings(per_doc, threshold, pin=big)
     cand = (
         _bucket_pairs(prefix, ["__sh"], F.col("__id"))
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    out = _verify_pairs(cand, per_doc).withColumn(
+    out = _verify_pairs(cand, per_doc, pin=big).withColumn(
         "jaccard",
         F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
     )
@@ -365,8 +417,9 @@ def containment_pairs_prefix(
     """
     if threshold <= 0:
         raise ValueError("prefix filtering needs threshold > 0")
-    per_doc = _per_doc_sets(df, id_col, shingles)
-    prefix = _prefix_postings(per_doc, threshold).select(
+    big = not _small_corpus(df)
+    per_doc = _per_doc_sets(df, id_col, shingles, shared=big)
+    prefix = _prefix_postings(per_doc, threshold, pin=big).select(
         F.col("__id").alias("__pid"), F.col("__size").alias("__psize"), "__sh"
     )
     full = per_doc.select(
@@ -386,7 +439,7 @@ def containment_pairs_prefix(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    out = _verify_pairs(cand, per_doc).withColumn(
+    out = _verify_pairs(cand, per_doc, pin=big).withColumn(
         "containment", F.col("inter") / F.least(F.col("size_a"), F.col("size_b"))
     )
     return out.filter(F.col("containment") >= threshold).select(
@@ -401,17 +454,43 @@ def minhash_signatures(
     64-bit base, then derive hash-family member i as
     xxhash64(base, seed=i) — an 8-byte re-hash instead of re-hashing
     the full shingle string per seed (~3× faster end-to-end at 128
-    hashes). One explode + one groupBy; the signature is an
-    array<long> column ordered by seed. MIN is duplicate-insensitive,
-    so the index skips its dedup shuffle.
+    hashes). SIZE-GATED like _banded_signatures (round 10): large
+    corpora take the MAP-ONLY path — each family member's MIN is a
+    row-local array_min(transform(...)), so no corpus-wide
+    (doc, shingle) shuffle; small corpora keep explode + 128 MIN
+    aggregates, because higher-order-function lambdas run outside
+    whole-stage codegen and their interpreted per-element cost
+    dominates when the avoided shuffle is tiny (the r9 q25 lesson).
+    MIN is order- and duplicate-insensitive, so both paths are
+    bit-identical; docs whose shingle array is empty or NULL vanish
+    either way.
 
-    The 128-expression aggregate is built as ONE SQL string parsed
+    The 128-expression projection is built as ONE SQL string parsed
     JVM-side: constructing it as 128 Column objects costs hundreds of
     py4j round-trips (~seconds of driver time per query build)."""
-    idx = _shingle_index(df, id_col, shingles, distinct=False)
-    hashed = idx.select("__id", F.xxhash64("__sh").alias("__h"))
-    arr = "array(" + ",".join(f"min(xxhash64(`__h`, {i}))" for i in range(num_hashes)) + ")"
-    sig = hashed.groupBy("__id").agg(F.expr(arr).alias("signature"))
+    if _small_corpus(df):
+        idx = _shingle_index(df, id_col, shingles, distinct=False)
+        hashed = idx.select("__id", F.xxhash64("__sh").alias("__h"))
+        arr = (
+            "array("
+            + ",".join(f"min(xxhash64(`__h`, {i}))" for i in range(num_hashes))
+            + ")"
+        )
+        sig = hashed.groupBy("__id").agg(F.expr(arr).alias("signature"))
+        return sig.select(F.col("__id").alias(id_col), "signature")
+    hashed = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.transform(shingles, lambda x: F.xxhash64(x)).alias("__hs"),
+    ).filter(F.size("__hs") > 0)
+    arr = (
+        "array("
+        + ",".join(
+            f"array_min(transform(`__hs`, h -> xxhash64(h, {i})))"
+            for i in range(num_hashes)
+        )
+        + ")"
+    )
+    sig = hashed.select("__id", F.expr(arr).alias("signature"))
     return sig.select(F.col("__id").alias(id_col), "signature")
 
 
@@ -445,24 +524,36 @@ def _banded_signatures(
     fold_mult = np.uint64(0x9E3779B97F4A7C15)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    # MAP-ONLY hash prep (round 9): the shingle expression is already
-    # a per-row array, so the per-doc hash list is a row-local
-    # transform — the previous explode + groupBy/collect_list paid a
-    # corpus-wide shuffle to rebuild exactly this array (the same
-    # pattern _per_doc_sets shed; the x1000 split charged the
-    # signature stage 275 s / 13 GB in-memory spill, much of it this
-    # aggregation). MIN is duplicate- and order-insensitive, so the
-    # row-local order change is immaterial; docs with empty shingle
-    # arrays are filtered exactly as explode dropped them (and
-    # reduceat cannot take an empty segment).
-    grouped = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.transform(shingles, lambda x: F.xxhash64(x)).alias("__hs"),
+    # Hash-prep formulation is SIZE-GATED (round 10). Large corpus:
+    # MAP-ONLY — the shingle expression is already a per-row array, so
+    # the per-doc hash list is a row-local transform; the explode +
+    # groupBy/collect_list alternative pays a corpus-wide shuffle to
+    # rebuild exactly this array (the r9 x1000 split charged the
+    # signature stage 275 s / 13 GB in-memory spill, much of it that
+    # aggregation). Small corpus: the transform LAMBDA is the wrong
+    # trade — higher-order-function lambdas evaluate outside
+    # whole-stage codegen, so the nested tokenize re-evaluates per
+    # element (measured 3.3x slower than explode+hash+groupBy at
+    # sf0.1: 3.2 s vs 0.97 s — the r9 q25 small-scale regression),
+    # while the shuffle it avoids is microscopic at that scale.
+    # Both formulations are signature-BIT-IDENTICAL: MIN is duplicate-
+    # and order-insensitive, and docs with empty shingle arrays are
+    # filtered exactly as explode drops them (reduceat cannot take an
+    # empty segment). Equivalence pinned by
+    # test_dedup_similarity::test_banded_signature_formulations_identical.
+    if _small_corpus(df):
+        idx = _shingle_index(df, id_col, shingles, distinct=False)
+        hashed = idx.select(F.col("__id"), F.xxhash64("__sh").alias("__h"))
+        grouped = hashed.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
+    else:
+        grouped = (
+            _spread(df)
+            .select(
+                F.col(id_col).alias("__id"),
+                F.transform(shingles, lambda x: F.xxhash64(x)).alias("__hs"),
+            )
+            .filter(F.size("__hs") > 0)
         )
-        .filter(F.size("__hs") > 0)
-    )
 
     def _sig(batches):
         import pandas as pd
@@ -541,8 +632,9 @@ def minhash_lsh_pairs(
     # Catalyst reuses the per-doc aggregate's exchange across the
     # a/b sides. Same exact integer (inter, sizes) → identical
     # jaccard doubles.
-    per_doc = _per_doc_sets(df, id_col, shingles)
-    verified = _verify_pairs(cand.select("id_a", "id_b"), per_doc).withColumn(
+    big = not _small_corpus(df)
+    per_doc = _per_doc_sets(df, id_col, shingles, shared=big)
+    verified = _verify_pairs(cand.select("id_a", "id_b"), per_doc, pin=big).withColumn(
         "jaccard",
         F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
     )
@@ -603,7 +695,7 @@ def simhash_pairs(
     blocks: int = 8,
     bits: int = 64,
     hash_expr: Column | None = None,
-    key_arity: int = 1,
+    key_arity: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -631,7 +723,7 @@ def hamming_pairs(
     max_hamming: int = 3,
     blocks: int = 8,
     bits: int = 64,
-    key_arity: int = 1,
+    key_arity: int | None = None,
 ) -> DataFrame:
     """EXACT pairs with hamming(hash) <= max_hamming over any
     precomputed `bits`-bit hash column (simhash, dHash/pHash, ...).
@@ -645,28 +737,52 @@ def hamming_pairs(
     C(blocks, key_arity) chunk-combination therefore finds every
     qualifying pair (verified exactly via bit_count(xor)), while the
     bucket key widens from chunk_bits to key_arity*chunk_bits bits.
+    key_arity=None (default) picks the LARGEST exact arity the
+    distance budget allows — Manku's production setting — because
+    wider keys are what keep buckets ~n/2^(arity*chunk_bits) and
+    candidates linear (arity 1 degrades to O(n^2/256) per block;
+    measured: OOM at 500k uniform hashes).
 
-    WHY THE ARITY MATTERS AT SCALE: with arity 1 a 64-bit/8-block key
-    is 8 bits wide — buckets hold ~n/256 rows even for UNRELATED
-    hashes, so candidate generation degrades to O(n^2/256) per block
-    (measured: OOM at 500k uniform hashes). At Manku's production
-    setting (max_hamming=3, key_arity = blocks-3 = 5 → 40-bit keys,
-    C(8,5)=56 keys/row) buckets are ~n/2^40 — candidates stay linear
-    to millions of rows (SCALE_CURVE hamming_pairs_64). The trade-off
-    is key fan-out (C(blocks, arity) rows per doc), so pick the
-    largest arity the distance budget allows. arity=1 reproduces the
-    round-5 behavior and remains right for small/fixture inputs.
+    EXACT-VALUE COLLAPSE (round 10): blocking runs over DISTINCT hash
+    values, not rows. Real perceptual hashes are low-entropy — the
+    round-9 sf1 certification OOM'd the 8 GB JVM on q99 exactly here:
+    50k audio fingerprints quantized to ~15k distinct values whose
+    hottest 8-bit block covered 24% of the corpus, so one arity-1
+    bucket held ~12k rows and its C(k,2) in-row pair array was ~72M
+    structs. Collapsing first (one groupBy on the hash: value ->
+    sorted id list) makes bucket membership per distinct VALUE
+    (measured 24x fewer candidates, 14x smaller hot bucket on the q99
+    fixture), equal-value pairs expand directly from the id lists
+    (their hamming is 0 by construction — no verification needed),
+    and cross-value candidates verify ONE bit_count(xor) per value
+    pair instead of per row pair. The collapse aggregation is also
+    the single exchange every downstream consumer reuses, so the
+    expensive upstream lineage (media decode!) executes exactly once
+    (pinned by test_plan_quality).
 
     Output: (id_a, id_b, sim_a, sim_b, hamming), id_a < id_b.
     """
     import itertools
 
+    assert bits % blocks == 0, "bits must divide evenly into blocks"
+    chunk_bits = bits // blocks
+    if key_arity is None:
+        # widest exact arity whose combination fan-out stays sane:
+        # C(blocks, arity) is rows-per-value in the blocking index AND
+        # structs in the plan's key array — C(8,5)=56 (Manku's 64-bit
+        # setting) is cheap, C(30,5)=142506 is a runaway plan. 128
+        # keeps every standard geometry at its max-selectivity arity
+        # while degenerate many-block configs fall back gracefully.
+        from math import comb
+
+        top = max(1, min(blocks - max_hamming, 62 // chunk_bits))
+        key_arity = next(
+            (a for a in range(top, 0, -1) if comb(blocks, a) <= 128), 1
+        )
     assert key_arity >= 1
     assert blocks - key_arity >= max_hamming, (
         "need key_arity <= blocks - max_hamming for exactness"
     )
-    assert bits % blocks == 0, "bits must divide evenly into blocks"
-    chunk_bits = bits // blocks
     assert key_arity * chunk_bits <= 62, "combined key must fit a long"
     combos = list(itertools.combinations(range(blocks), key_arity))
 
@@ -683,9 +799,41 @@ def hamming_pairs(
             )
         return key
 
-    sh = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__sim"))
-    chunks = sh.select(
-        "__id",
+    ids = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__sim"))
+    # the collapse: one shuffle on the hash value; map-side partials
+    # make exact-dup-heavy inputs cheap. This exchange is the reuse
+    # point for all three consumers below.
+    groups = ids.groupBy("__sim").agg(
+        F.array_sort(F.collect_list("__id")).alias("__ids")
+    )
+
+    def _expand_pairs(col: Column) -> Column:
+        # sorted array -> all (a, b) element pairs with a < b by position
+        return F.flatten(
+            F.transform(
+                col,
+                lambda x, i: F.transform(
+                    F.slice(col, i + 2, F.size(col)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+
+    # (1) equal-value pairs: identical hashes are pairs at distance 0
+    equal = (
+        groups.filter(F.size("__ids") > 1)
+        .select("__sim", F.explode(_expand_pairs(F.col("__ids"))).alias("__p"))
+        .select(
+            F.col("__p.a").alias("id_a"),
+            F.col("__p.b").alias("id_b"),
+            F.col("__sim").alias("sim_a"),
+            F.col("__sim").alias("sim_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+
+    # (2) candidate pairs of DISTINCT values via pigeonhole buckets
+    chunks = groups.select(
         "__sim",
         F.explode(
             F.array(
@@ -698,24 +846,36 @@ def hamming_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("__id", "__sim", "cc.chunk_idx", "cc.chunk")
-    # Pair payload carries (id, sim) so hamming verification needs no
-    # join back; struct ordering sorts by id first, keeping id_a < id_b.
-    cand = _bucket_pairs(
-        chunks,
-        ["chunk_idx", "chunk"],
-        F.struct(F.col("__id").alias("id"), F.col("__sim").alias("sim")),
-    )
-    return (
-        cand.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+    ).select("__sim", "cc.chunk_idx", "cc.chunk")
+    vpairs = (
+        _bucket_pairs(chunks, ["chunk_idx", "chunk"], F.col("__sim"))
+        .select(F.col("a").alias("__va"), F.col("b").alias("__vb"))
+        .withColumn("hamming", F.bit_count(F.col("__va").bitwiseXOR(F.col("__vb"))))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+    # (3) expand matched value pairs back to id pairs; sims follow
+    # their ids through the least/greatest reorder
+    a_ids = groups.select(F.col("__sim").alias("__va"), F.col("__ids").alias("__ids_a"))
+    b_ids = groups.select(F.col("__sim").alias("__vb"), F.col("__ids").alias("__ids_b"))
+    cross = (
+        vpairs.join(a_ids, "__va")
+        .join(b_ids, "__vb")
+        .select("__va", "__vb", "hamming", F.explode("__ids_a").alias("__xa"), "__ids_b")
+        .select("__va", "__vb", "hamming", "__xa", F.explode("__ids_b").alias("__xb"))
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            F.when(F.col("__xa") < F.col("__xb"), F.col("__va"))
+            .otherwise(F.col("__vb"))
+            .alias("sim_a"),
+            F.when(F.col("__xa") < F.col("__xb"), F.col("__vb"))
+            .otherwise(F.col("__va"))
+            .alias("sim_b"),
+            "hamming",
+        )
+    )
+    return equal.unionByName(cross)
 
 
 def containment_pairs(

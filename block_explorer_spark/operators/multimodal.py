@@ -66,6 +66,43 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+#: Per-chunk decoded-memory budget for the mapInPandas codec stages.
+#: Chunks are cut when the cumulative codec-header decoded-size
+#: estimate (codecs.decoded_size_estimate) would exceed this, so peak
+#: python-worker memory is bounded by BYTES, not row count — row-count
+#: batching lets a few large blobs multiply past the heap (the
+#: round-9 sf1 q99/q100 OOM class, VERDICT r9 item 1). 64 MB x 32
+#: concurrent tasks ≈ 2 GB worst-case decode scratch per host.
+DEFAULT_CHUNK_BYTES = 64 << 20
+
+
+def _payload_chunks(
+    pdf: pd.DataFrame,
+    payload_col: str,
+    batch_size: int,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> Iterator[pd.DataFrame]:
+    """Split one Arrow batch into sub-frames bounded BOTH by row count
+    (`batch_size`) and by cumulative estimated decoded bytes
+    (`chunk_bytes`). A single oversized blob still gets its own
+    1-row chunk — bounding is best-effort per chunk, exact across
+    chunks. The JVM->python input batch itself is byte-bounded by
+    spark.sql.execution.arrow.maxBytesPerBatch (session.py)."""
+    est = [
+        codecs.decoded_size_estimate(bytes(p)) if p is not None else 1
+        for p in pdf[payload_col]
+    ]
+    start, acc = 0, 0
+    for i in range(len(pdf)):
+        rows = i - start
+        if rows and (rows >= batch_size or acc + est[i] > chunk_bytes):
+            yield pdf.iloc[start:i]
+            start, acc = i, 0
+        acc += est[i]
+    if start < len(pdf):
+        yield pdf.iloc[start:]
+
+
 def fake_decode(payload: bytes, n_features: int = 8) -> list[float]:
     """Deterministic digest-derived features — the format-independent
     stand-in used where the gate needs byte-level determinism
@@ -114,18 +151,19 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Arrow streams columnar batches into Python; we re-chunk to
-    `batch_size` rows so peak executor-python memory is bounded by
-    batch_size * max_payload (decoded media blows up 10-100x, so the
-    default is conservative). Payload bytes are dropped from the
-    output — downstream stages join features back by media_id instead
-    of re-shuffling blobs.
+    Arrow streams columnar batches into Python; we re-chunk to at most
+    `batch_size` rows AND at most DEFAULT_CHUNK_BYTES of estimated
+    decoded footprint (_payload_chunks), so peak executor-python
+    memory is bounded by bytes even when blob sizes vary 1000x —
+    decoded media blows up 10-100x over the stored payload, and a
+    row-count bound alone lets large blobs multiply past the heap.
+    Payload bytes are dropped from the output — downstream stages join
+    features back by media_id instead of re-shuffling blobs.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
+            for chunk in _payload_chunks(pdf, "payload", batch_size):
                 payloads = [bytes(p) if p is not None else b"" for p in chunk["payload"]]
                 yield pd.DataFrame(
                     {
@@ -192,8 +230,7 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
+            for chunk in _payload_chunks(pdf, "payload", batch_size):
                 payloads = [bytes(p) if p is not None else b"" for p in chunk["payload"]]
                 yield pd.DataFrame(
                     {
@@ -266,8 +303,7 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
+            for chunk in _payload_chunks(pdf, "payload", batch_size):
                 out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
                 for _, row in chunk.iterrows():
                     payload = bytes(row["payload"]) if row["payload"] is not None else b""
@@ -328,8 +364,7 @@ def perceptual_hashes(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
+            for chunk in _payload_chunks(pdf, payload_col, batch_size):
                 hashes = []
                 for p in chunk[payload_col]:
                     img = _decode(bytes(p)) if p is not None else None
@@ -351,7 +386,7 @@ def perceptual_dedup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 6,
     blocks: int = 8,
-    key_arity: int = 1,
+    key_arity: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: dHash + exact hamming blocking.
     (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming."""
@@ -383,8 +418,7 @@ def audio_fingerprints(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
+            for chunk in _payload_chunks(pdf, payload_col, batch_size):
                 fps = []
                 for p in chunk[payload_col]:
                     try:
@@ -409,7 +443,7 @@ def audio_dedup_pairs(
     payload_col: str = "payload",
     max_hamming: int = 6,
     blocks: int = 8,
-    key_arity: int = 1,
+    key_arity: int | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs (round-6 item 8): WAV decode ->
     audio_fingerprint64 -> exact pigeonhole hamming blocking.
@@ -442,8 +476,7 @@ def video_keyframe_hashes(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
+            for chunk in _payload_chunks(pdf, payload_col, batch_size):
                 ids, slots, hashes = [], [], []
                 for mid, p in zip(chunk[id_col], chunk[payload_col]):
                     try:
@@ -484,7 +517,7 @@ def video_dedup_pairs(
     n_frames: int = 4,
     max_hamming: int = 6,
     blocks: int = 8,
-    key_arity: int = 1,
+    key_arity: int | None = None,
 ) -> DataFrame:
     """Near-duplicate video pairs (round-6 item 8, optional half):
     keyframe-dHash — two videos pair when EVERY sampled slot's frame

@@ -25,6 +25,14 @@ _BASE_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # JVM->python Arrow batches bounded by BYTES, not just the 10k-row
+    # default: with binary media columns a row-count bound lets a few
+    # large blobs put the whole batch (and its decode blowup) in one
+    # python worker's memory (round-9 sf1 q99/q100 OOM class). 64 MB
+    # matches the multimodal operators' per-chunk decode budget;
+    # narrow-row workloads still hit the 10k-row bound first, so this
+    # costs them nothing.
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(64 * 1024 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",

@@ -33,6 +33,16 @@ ONLY = set(sys.argv[2:])
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # sf1-scale oracles (q83's recursive-CTE closure) exhausted the
+    # default in-cwd .tmp temp store in round 9; give DuckDB most of
+    # the box's RAM before it spills, and point any spill at an
+    # explicit directory so a full run can't die on a relative path.
+    tmp = os.environ.get("CHECK_ORACLE_DUCK_TMP", "/tmp/duckdb_oracle_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"PRAGMA temp_directory='{tmp}'")
+    con.execute(
+        f"PRAGMA memory_limit='{os.environ.get('CHECK_ORACLE_DUCK_MEM', '80GB')}'"
+    )
     for t in schemas.TPCH_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
@@ -114,11 +124,16 @@ def main() -> int:
             failures += 1
         else:
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            # values_match is the honest name: the check is a
+            # normalized sorted-value comparison, not a hash.
+            # hash_match is kept one more round for artifact-diffing
+            # tools that read the older certification files.
             record[name] = {
                 "status": "ok",
                 "rows": len(srows),
                 "rows_match": True,
                 "schema_match": True,
+                "values_match": True,
                 "hash_match": True,
             }
         _flush(record)

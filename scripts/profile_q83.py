@@ -10,6 +10,12 @@ per-round shuffle volume FALLS monotonically, where the old hash-min
 loop re-shuffled the full symmetric edge set against labels every
 round (O(diameter) rounds of constant volume).
 
+Attribution caveat: per-round deltas snapshot completed stages around
+each count(); stages that finish asynchronously after the action (e.g.
+localCheckpoint follow-up stages) are attributed to the NEXT round, so
+single-round shuffle numbers can skew slightly — the monotone-decrease
+TREND across rounds is the signal, not any one row.
+
 Usage: python scripts/profile_q83.py [x100|x1000|<dir>] [--out FILE]
 Writes/merges Q83_PROFILE.json keyed by scale tag.
 """

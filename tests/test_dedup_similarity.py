@@ -434,3 +434,53 @@ def test_jaccard_prefix_exact_integer_boundary(spark):
     assert _pairs_key(plain) == _pairs_key(pref)
     ids = {(r[0], r[1]) for r in _pairs_key(pref)}
     assert (1, 2) in ids
+
+
+def test_banded_signature_formulations_identical(spark, tmp_path):
+    """Round-10: _banded_signatures and minhash_signatures pick their
+    hash-prep formulation by corpus size (_small_corpus) — explode +
+    groupBy (whole-stage codegen) small, row-local transform
+    (shuffle-free) large. MIN is order/duplicate-insensitive, so the
+    two must be BIT-IDENTICAL; this pins it by running the same docs
+    through both paths (parquet scan = small; the same scan with the
+    gate monkeypatched = the large path)."""
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + j) % 40}" for j in range(30)))
+        for i in range(60)
+    ] + [(100, ""), (101, None)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "docs.parquet")
+    )
+    pq = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    sh = Tx.word_ngrams("text", 3)
+
+    assert D._small_corpus(pq)
+    small_banded = sorted(
+        (r["__id"], r["band"], r["bhash"])
+        for r in D._banded_signatures(pq, "doc_id", sh, 64, 16).collect()
+    )
+    small_sigs = {
+        r["doc_id"]: r["signature"]
+        for r in D.minhash_signatures(pq, "doc_id", sh, num_hashes=16).collect()
+    }
+
+    orig = D._small_corpus
+    D._small_corpus = lambda df: False
+    try:
+        large_banded = sorted(
+            (r["__id"], r["band"], r["bhash"])
+            for r in D._banded_signatures(pq, "doc_id", sh, 64, 16).collect()
+        )
+        large_sigs = {
+            r["doc_id"]: r["signature"]
+            for r in D.minhash_signatures(pq, "doc_id", sh, num_hashes=16).collect()
+        }
+    finally:
+        D._small_corpus = orig
+
+    assert small_banded == large_banded
+    assert small_sigs == large_sigs
+    # empty and NULL text both tokenize to one empty shingle [""]
+    # (word_ngrams coalesces) — present with identical signatures on
+    # both paths; the equality asserts above already cover them
+    assert 100 in small_sigs and 101 in small_sigs

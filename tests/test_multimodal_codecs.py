@@ -260,3 +260,75 @@ def test_sample_frames_real_spark(spark):
     assert sorted(r.frame_idx for r in rows) == [0, 1]
     assert all(bytes(r.frame)[:64] == b"\x40" * 64 for r in rows)
     assert {r.frame_ms for r in rows} == {0, 120}
+
+
+# ---------------------------------------------------------------------------
+# Byte-budget batching (round 10): decode chunks bounded by estimated
+# decoded BYTES, not just row count — the round-9 sf1 q99/q100 OOM
+# class. A row-count-only bound let a handful of large blobs multiply
+# 10-100x past the executor heap.
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+
+
+def test_decoded_size_estimate_headers():
+    png = codecs.png_encode(np.arange(72, dtype=np.uint8).reshape(8, 9))
+    assert codecs.decoded_size_estimate(png) >= 8 * 9 * 16
+    wav = codecs.wav_encode(np.linspace(-1, 1, 64))
+    assert codecs.decoded_size_estimate(wav) == len(wav) * 8
+    y4m = codecs.y4m_encode([np.zeros((8, 9), dtype=np.uint8)], "Cmono")
+    assert codecs.decoded_size_estimate(y4m) == len(y4m) * 2
+    unknown = b"\x00" * 100
+    assert codecs.decoded_size_estimate(unknown) == 100 * codecs._UNKNOWN_BLOWUP
+    assert codecs.decoded_size_estimate(b"") == 1
+
+
+def test_payload_chunks_bounds_bytes_and_rows():
+    # blobs whose per-row estimate is ~3200 bytes (100 * 32 unknown
+    # blowup); a 10_000-byte budget fits at most 3 per chunk
+    pdf = pd.DataFrame({"id": range(10), "payload": [b"\x01" * 100] * 10})
+    chunks = list(M._payload_chunks(pdf, "payload", batch_size=256, chunk_bytes=10_000))
+    assert all(len(c) <= 3 for c in chunks)
+    # every row exactly once, in order
+    assert [i for c in chunks for i in c["id"]] == list(range(10))
+    # the row-count bound still applies independently
+    chunks = list(M._payload_chunks(pdf, "payload", batch_size=2, chunk_bytes=1 << 30))
+    assert [len(c) for c in chunks] == [2, 2, 2, 2, 2]
+
+
+def test_payload_chunks_oversized_blob_isolated():
+    # one blob alone exceeds the budget: it must ship as its own
+    # 1-row chunk (best-effort bound), never merged with neighbors,
+    # and never dropped
+    pdf = pd.DataFrame(
+        {
+            "id": [0, 1, 2],
+            "payload": [b"a" * 10, b"B" * 100_000, b"c" * 10],
+        }
+    )
+    chunks = list(M._payload_chunks(pdf, "payload", batch_size=256, chunk_bytes=5_000))
+    assert [list(c["id"]) for c in chunks] == [[0], [1], [2]]
+    # NULL payloads cost ~nothing and batch together
+    pdf = pd.DataFrame({"id": range(5), "payload": [None] * 5})
+    chunks = list(M._payload_chunks(pdf, "payload", batch_size=256, chunk_bytes=5_000))
+    assert len(chunks) == 1 and len(chunks[0]) == 5
+
+
+def test_extract_features_with_byte_chunking_spark(spark):
+    # end-to-end through mapInPandas: results are identical no matter
+    # how the byte budget slices the batches (the old row-only path
+    # and the new byte-budget path must agree bit-for-bit)
+    rows = [
+        (i, "image", None, bytes([i]) * (10_000 if i % 3 == 0 else 10), None, None, None)
+        for i in range(30)
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = M.extract_features(media, batch_size=4).orderBy("media_id").collect()
+    assert len(out) == 30
+    import hashlib as _h
+
+    for r in out:
+        payload = bytes([r.media_id]) * (10_000 if r.media_id % 3 == 0 else 10)
+        assert r.payload_sha256 == _h.sha256(payload).hexdigest()
+        assert r.n_bytes == len(payload)

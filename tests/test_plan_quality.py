@@ -353,3 +353,58 @@ def test_q110_estimate_never_underestimates(spark):
     assert rows, "watchlist empty"
     for r in rows:
         assert r.cms_estimate >= r.exact_count, r
+
+
+def test_dedup_corpus_size_gate(spark, tmp_path):
+    """Round-10: the pair pipelines pick their physical shape by the
+    Catalyst size estimate of the SOURCE corpus (dedup._small_corpus).
+    Small corpus -> no shared per-doc exchange, no merge pins (AQE may
+    broadcast: 2.8x faster at sf0.1, the r9 q25 regression). Large
+    corpus -> per-doc sets repartition("__id") once for all consumers
+    and every corpus-sized join is pinned to SortMergeJoin (AQE
+    broadcast promotion of a data-sized side OOM'd the 8 GB heap at
+    the x100 corpus in the r9 scale rerun). Unknown stats (RDD-backed
+    local relations report Long.MaxValue) err LARGE — the safe side."""
+    from block_explorer_spark.operators import dedup as D
+    from block_explorer_spark.functions import text as Tx
+
+    mem = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2} tok{i + 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert not D._small_corpus(mem)  # unknown stats -> keep the pins
+    # a parquet scan has exact file-size stats: the gate's real input
+    mem.write.parquet(str(tmp_path / "docs.parquet"))
+    small = spark.read.parquet(str(tmp_path / "docs.parquet"))
+    assert D._small_corpus(small)
+    # spark.range stats are exact (8 bytes/row); 10M rows with a text
+    # projection estimates far past the 32 MB gate — plan-only, the
+    # query is never executed
+    big = spark.range(0, 10_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("tok"), F.col("id").cast("string"), F.lit("x")
+        ).alias("text"),
+    )
+    assert not D._small_corpus(big)
+
+    # large path: the shared per-doc exchange + SMJ-pinned verify
+    big_pairs = D.minhash_lsh_pairs(big, "doc_id", Tx.word_set("text"), threshold=0.5)
+    big_plan = big_pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in big_plan
+    # the explicit repartition("__id") of the per-doc sets — an
+    # explicit REPARTITION_BY_COL exchange, distinct from the
+    # ENSURE_REQUIREMENTS exchanges aggregations insert on their own
+    assert "REPARTITION_BY_COL" in big_plan
+
+    # small path: no pinned SMJ and no explicit shared exchange — the
+    # per-doc sets side sits under the broadcast threshold, so the
+    # verify joins plan as broadcast from the start (the small-path
+    # signature groupBy still exchanges on __id via
+    # ENSURE_REQUIREMENTS; that one is Catalyst's, not a pin)
+    small_pairs = D.minhash_lsh_pairs(
+        small, "doc_id", Tx.word_set("text"), threshold=0.5
+    )
+    small_plan = small_pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in small_plan
+    assert "REPARTITION_BY_COL" not in small_plan
