@@ -52,26 +52,50 @@ IVF_PROBES = 2
 
 
 def _money_sum(expr, alias: str):
-    """Order-independent money aggregation (round-9 sf1 fix).
+    """Order-independent money aggregation (round-9 sf1 fix; round-10
+    cost fix).
 
     ROUND(SUM(double), 2) flips a half-cent whenever the fp sum lands
     within accumulated rounding error of a .xx5 boundary — Spark and
     DuckDB then disagree by 0.01 because their addition ORDERS differ
     (first seen as a 1-in-149 flip at sf1: q70; the error scales with
-    group size, so it's a certainty at 100 TB). Fix: cast each addend
-    to DECIMAL(27,4) — exact, every money input/product here carries
-    ≤4 decimal digits and the cast recovers them from the double
-    bit-for-bit in both engines — SUM exactly (order-free integer
-    arithmetic), round the exact sum, return DOUBLE. The SQL twin is
+    group size, so it's a certainty at 100 TB). The round-9 fix cast
+    each addend to DECIMAL(27,4); exact, but the per-row double ->
+    BigDecimal conversion put q16 at 2.6x the double path (measured
+    at sf0.1 AND the 6M-row sf1 lineitem, scripts/money_sum_ab.py).
+
+    Round-10 formulation, exact AND 1.8x faster (1.17 s vs 2.13 s at
+    sf1; 1.4x over the unsafe double path): per row,
+    FLOOR(x*10000 + 0.5) -> ten-thousandths as a LONG (pure FP + one
+    compact long->decimal wrap, no BigDecimal); SUM over
+    DECIMAL(20,0) (exact integer arithmetic, buffer grows past long
+    range without overflow at any scale); then ONE exact decimal
+    multiply by 0.0001 per GROUP and a half-away ROUND to cents.
+    Every money value/product here carries <=4 decimal digits, so
+    x*10000 sits within fp noise of an integer and the floor is
+    exact-per-row in both engines (bit-identical IEEE products).
+    [Caveat, documented not hit: a 6-decimal product — e.g. a
+    price*(1-disc)*(1+tax) charge — CAN sit exactly on a .00005 tie,
+    where this rounds by the double's binary magnitude while the
+    DECIMAL cast rounds its shortest-decimal rendering; no registry
+    gate sums such an expression, verified at sf1.] The SQL twin is
     _money_sum_sql; both sides must use the same shape or the values
     drift back.
     """
-    return F.round(F.sum(expr.cast("decimal(27,4)")), 2).cast("double").alias(alias)
+    units = F.floor(expr * 10000 + F.lit(0.5)).cast("decimal(20,0)")
+    dollars = F.sum(units).cast("decimal(38,4)") * F.lit("0.0001").cast("decimal(8,4)")
+    return F.round(dollars, 2).cast("double").alias(alias)
 
 
 def _money_sum_sql(expr: str) -> str:
-    """DuckDB twin of _money_sum (see its docstring)."""
-    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(27,4))), 2) AS DOUBLE)"
+    """DuckDB twin of _money_sum (see its docstring). Decimal DIVISION
+    yields DOUBLE in DuckDB, so both sides use the exact decimal
+    MULTIPLY-by-0.0001 instead; ROUND over decimals is half-away in
+    both engines."""
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST(FLOOR(({expr}) * 10000 + 0.5) AS BIGINT)) "
+        f"AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE)"
+    )
 
 
 def _gate_store(name: str, sf_dir: str, build: Callable[[str], None]) -> str:
@@ -1011,10 +1035,18 @@ def q61_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
     )
     return j.groupBy("p_brand").agg(
-        # exact sum first, then one double division: the boundary risk
-        # of round(sum(double)) is in the SUM's length, not the /7
+        # exact sum first (same long-units formulation as _money_sum),
+        # then one double division: the boundary risk of
+        # round(sum(double)) is in the SUM's length, not the /7
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(27,4)")).cast("double")
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast(
+                        "decimal(20,0)"
+                    )
+                ).cast("decimal(38,4)")
+                * F.lit("0.0001").cast("decimal(8,4)")
+            ).cast("double")
             / 7.0,
             2,
         ).alias("avg_yearly"),
@@ -4509,7 +4541,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q05_in_list": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_totalprice
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((o_totalprice) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS sum_totalprice
             FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
             GROUP BY o_orderstatus
         """,
@@ -4519,7 +4551,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q07_counters": """
             SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_amount,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_spent
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((o_totalprice) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS total_spent
             FROM orders GROUP BY o_custkey
         """,
         "q08_minmax_seek": """
@@ -4582,9 +4614,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q16_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_qty,
-                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_base_price,
-                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS sum_disc_price,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_discount), 4) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
@@ -4593,7 +4625,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q17_tpch_q3": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
-                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -4605,7 +4637,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_tpch_q5": """
             SELECT n_name,
-                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -4618,7 +4650,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q19_tpch_q6": """
-            SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+            SELECT CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -4804,7 +4836,7 @@ def oracle_sql() -> dict[str, str]:
         "q35_rollup": """
             SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS sum_qty,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
@@ -4837,7 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q39_salted_join": """
             SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
-                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_qty
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS sum_qty
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
         """,
@@ -4871,7 +4903,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q43_tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_qty
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS sum_qty
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -4902,7 +4934,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
                    COUNT(*) AS n_orders,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_price
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((o_totalprice) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS total_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
@@ -4935,7 +4967,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q50_scalar_subquery": """
             SELECT c_nationkey, COUNT(*) AS n_cust,
-                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_bal
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((c_acctbal) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS total_bal
             FROM customer c
             WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders o
@@ -4949,7 +4981,7 @@ def oracle_sql() -> dict[str, str]:
                                         THEN l_extendedprice * (1 - l_discount)
                                         ELSE 0 END)
                          / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
-                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
         """,
@@ -4962,7 +4994,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q53_returned_revenue": """
             SELECT c_custkey, c_name, n_name,
-                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -5002,7 +5034,7 @@ def oracle_sql() -> dict[str, str]:
             FROM running GROUP BY lang, pack_id
         """,
         "q57_tpch_q7": """
-            SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(CAST(volume AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+            SELECT supp_nation, cust_nation, l_year, CAST(ROUND(CAST(SUM(CAST(FLOOR((volume) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
             FROM (
                 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                        CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
@@ -5023,7 +5055,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_year,
                    ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
                          / SUM(volume), 6) AS mkt_share,
-                   CAST(ROUND(SUM(CAST(volume AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_volume
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((volume) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS total_volume
             FROM (
                 SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
                        l_extendedprice * (1 - l_discount) AS volume,
@@ -5054,7 +5086,7 @@ def oracle_sql() -> dict[str, str]:
         "q60_tpch_q15": """
             WITH revenue AS (
                 SELECT l_suppkey AS supplier_no,
-                       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_revenue
+                       CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS total_revenue
                 FROM lineitem
                 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
                 GROUP BY l_suppkey
@@ -5070,7 +5102,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_partkey
             )
             SELECT p_brand,
-                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+                   ROUND(CAST(CAST(SUM(CAST(FLOOR((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)) AS DOUBLE) / 7.0, 2) AS avg_yearly,
                    COUNT(*) AS n_lines
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -5080,7 +5112,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand
         """,
         "q62_tpch_q19": """
-            SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
+            SELECT CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -5209,7 +5241,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q71_tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -5222,7 +5254,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q72_tpch_q11": """
             WITH per_part AS (
-                SELECT l_partkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,4))), 2) AS DOUBLE) AS part_value
+                SELECT l_partkey, CAST(ROUND(CAST(SUM(CAST(FLOOR((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS part_value
                 FROM lineitem
                 JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation   ON s_nationkey = n_nationkey
@@ -5275,7 +5307,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
                    COUNT(*) AS numcust,
-                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(27,4))), 2) AS DOUBLE) AS totacctbal
+                   CAST(ROUND(CAST(SUM(CAST(FLOOR((c_acctbal) * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE) AS totacctbal
             FROM sel
             WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6) FROM sel WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
