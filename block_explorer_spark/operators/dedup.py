@@ -224,45 +224,53 @@ def jaccard_pairs(
 def _per_doc_sets(
     df: DataFrame, id_col: str, shingles: Column, shared: bool = True
 ) -> DataFrame:
-    """(__id, __shs sorted-distinct array, __size) — MAP-ONLY.
+    """(__id, __shs sorted-distinct array, __size).
 
-    The shingle expression already yields a per-row array, so the
-    sorted-distinct set is a row-local projection:
-    array_sort(array_distinct(...)), with collect_set's null-element
-    drop mirrored by an explicit filter. The previous formulation
-    exploded the array and re-aggregated with groupBy/collect_set —
-    a full corpus-wide shuffle of every (doc, shingle) row to rebuild
-    information the row already had; the round-9 x1000 stage split
-    measured that aggregation at 302 s / 10.6 GB disk spill on the
-    5M-doc corpus, the single largest avoidable cost in the q25
-    pipeline. Only difference in output: docs whose shingle set is
-    empty now carry an (id, [], 0) row instead of vanishing with
-    explode — downstream consumers explode (drops them) or
-    inner-join on candidates (never reaches them), so results are
-    identical.
+    TWO formulations, picked by the CALLER's consumer count — both
+    verdicts are from clean same-machine x1000 A/Bs (r9 table + the
+    r10 rerun of the r9-shipped config):
 
-    The closing repartition("__id") (shared=True) is deliberate:
-    consumers use per_doc SEVERAL times (prefix postings + both
-    verify-join sides), and a pure map-only lineage would recompute
-    the tokenize/shingle pass per consumer — measured at the x1000
-    corpus, that took the prefix-jaccard pipeline from 716 s to
-    1180 s. One explicit hash exchange of the ARRAY rows (5M wide
-    rows, ~an order of magnitude fewer bytes than the old
-    exploded-row shuffle) gives Catalyst an identical subplan to
-    reuse across every consumer, and the SMJ sides inherit the
-    partitioning through the id alias, so they sort in place instead
-    of re-exchanging. shared=False (the _small_corpus path) skips the
-    exchange: at fixture scale the repartition+sorts cost 2.8x wall
-    (the round-9 q25 sf0.1 regression) while recomputing a tiny
-    tokenize pass is free.
+    shared=False — MAP-ONLY: the shingle expression already yields a
+    per-row array, so the sorted-distinct set is a row-local
+    projection (array_sort(array_distinct(...))). Right for pipelines
+    that consume per_doc a bounded number of times without needing a
+    common exchange: the minhash verify (2 consumers) measured 575.1 s
+    vs 721.3 s with the old aggregation at x1000, and 0.67 s vs 0.90 s
+    at sf0.1.
 
-    NULL shingle arrays coalesce to (id, [], 0) — same as empty
-    arrays; without the coalesce, size(NULL) = -1 would leak a
-    corrupt __size to any consumer that left-joins."""
+    shared=True — EXPLODE + groupBy/collect_set: the aggregation's own
+    exchange is the sharing point Catalyst actually reuses across 3+
+    consumers (prefix postings + both verify sides). The r9-shipped
+    alternative — map-only behind an explicit repartition("__id") —
+    was measured THIS round at x1000 and lost decisively: q83 1265.9 s
+    vs 715.9 s for the aggregation form (and map-only with NO sharing
+    re-tokenizes per consumer: 1180.2 s). The explicit-repartition
+    sharing idea dies here: AQE does not reuse the REPARTITION_BY_COL
+    exchange the way it reuses aggregation exchanges, so it paid the
+    exchange AND the recomputes.
+
+    EMPTY-SET docs differ between the paths and that is deliberate:
+    the aggregation drops them (explode yields no row), the map-only
+    path keeps an (id, [], 0) row. No consumer can observe the
+    difference — downstream either explodes __shs (drops them again)
+    or inner-joins per_doc to a candidate set empty docs can't reach.
+    Filtering them out on the map-only path was tried and reverted:
+    Catalyst pushes the size()>0 predicate through the projection,
+    re-evaluating the full tokenize/shingle expression per row (q25
+    2.0 -> 5.0 s at sf0.1). NULL shingle arrays coalesce to (id, [],
+    0) — without the coalesce, size(NULL) = -1 would leak a corrupt
+    __size to any consumer that left-joins."""
+    if shared:
+        idx = _shingle_index(df, id_col, shingles, distinct=False)
+        return (
+            idx.groupBy("__id")
+            .agg(F.array_sort(F.collect_set("__sh")).alias("__shs"))
+            .withColumn("__size", F.size("__shs"))
+        )
     dedup = F.array_distinct(
         F.filter(F.coalesce(shingles, F.array()), lambda x: x.isNotNull())
     )
-    out = (
+    return (
         _spread(df)
         .select(
             F.col(id_col).alias("__id"),
@@ -270,7 +278,6 @@ def _per_doc_sets(
         )
         .withColumn("__size", F.size("__shs"))
     )
-    return out.repartition("__id") if shared else out
 
 
 def _prefix_postings(
@@ -454,43 +461,28 @@ def minhash_signatures(
     64-bit base, then derive hash-family member i as
     xxhash64(base, seed=i) — an 8-byte re-hash instead of re-hashing
     the full shingle string per seed (~3× faster end-to-end at 128
-    hashes). SIZE-GATED like _banded_signatures (round 10): large
-    corpora take the MAP-ONLY path — each family member's MIN is a
-    row-local array_min(transform(...)), so no corpus-wide
-    (doc, shingle) shuffle; small corpora keep explode + 128 MIN
-    aggregates, because higher-order-function lambdas run outside
-    whole-stage codegen and their interpreted per-element cost
-    dominates when the avoided shuffle is tiny (the r9 q25 lesson).
-    MIN is order- and duplicate-insensitive, so both paths are
-    bit-identical; docs whose shingle array is empty or NULL vanish
-    either way.
+    hashes). One explode + one groupBy; the signature is an
+    array<long> column ordered by seed. MIN is duplicate-insensitive,
+    so the index skips its dedup shuffle.
 
-    The 128-expression projection is built as ONE SQL string parsed
+    This deliberately KEEPS the explode + MIN-aggregate formulation
+    over the row-local array_min(transform(...)) one: higher-order-
+    function lambdas evaluate outside whole-stage codegen, and the
+    interpreted per-element cost was measured 3.3x the codegen path at
+    sf0.1 and net-negative even at x1000 where the avoided shuffle is
+    largest (see _banded_signatures — same trade, same verdict).
+
+    The 128-expression aggregate is built as ONE SQL string parsed
     JVM-side: constructing it as 128 Column objects costs hundreds of
     py4j round-trips (~seconds of driver time per query build)."""
-    if _small_corpus(df):
-        idx = _shingle_index(df, id_col, shingles, distinct=False)
-        hashed = idx.select("__id", F.xxhash64("__sh").alias("__h"))
-        arr = (
-            "array("
-            + ",".join(f"min(xxhash64(`__h`, {i}))" for i in range(num_hashes))
-            + ")"
-        )
-        sig = hashed.groupBy("__id").agg(F.expr(arr).alias("signature"))
-        return sig.select(F.col("__id").alias(id_col), "signature")
-    hashed = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.transform(shingles, lambda x: F.xxhash64(x)).alias("__hs"),
-    ).filter(F.size("__hs") > 0)
+    idx = _shingle_index(df, id_col, shingles, distinct=False)
+    hashed = idx.select("__id", F.xxhash64("__sh").alias("__h"))
     arr = (
         "array("
-        + ",".join(
-            f"array_min(transform(`__hs`, h -> xxhash64(h, {i})))"
-            for i in range(num_hashes)
-        )
+        + ",".join(f"min(xxhash64(`__h`, {i}))" for i in range(num_hashes))
         + ")"
     )
-    sig = hashed.select("__id", F.expr(arr).alias("signature"))
+    sig = hashed.groupBy("__id").agg(F.expr(arr).alias("signature"))
     return sig.select(F.col("__id").alias(id_col), "signature")
 
 
@@ -524,36 +516,21 @@ def _banded_signatures(
     fold_mult = np.uint64(0x9E3779B97F4A7C15)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    # Hash-prep formulation is SIZE-GATED (round 10). Large corpus:
-    # MAP-ONLY — the shingle expression is already a per-row array, so
-    # the per-doc hash list is a row-local transform; the explode +
-    # groupBy/collect_list alternative pays a corpus-wide shuffle to
-    # rebuild exactly this array (the r9 x1000 split charged the
-    # signature stage 275 s / 13 GB in-memory spill, much of it that
-    # aggregation). Small corpus: the transform LAMBDA is the wrong
-    # trade — higher-order-function lambdas evaluate outside
-    # whole-stage codegen, so the nested tokenize re-evaluates per
-    # element (measured 3.3x slower than explode+hash+groupBy at
-    # sf0.1: 3.2 s vs 0.97 s — the r9 q25 small-scale regression),
-    # while the shuffle it avoids is microscopic at that scale.
-    # Both formulations are signature-BIT-IDENTICAL: MIN is duplicate-
-    # and order-insensitive, and docs with empty shingle arrays are
-    # filtered exactly as explode drops them (reduceat cannot take an
-    # empty segment). Equivalence pinned by
-    # test_dedup_similarity::test_banded_signature_formulations_identical.
-    if _small_corpus(df):
-        idx = _shingle_index(df, id_col, shingles, distinct=False)
-        hashed = idx.select(F.col("__id"), F.xxhash64("__sh").alias("__h"))
-        grouped = hashed.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
-    else:
-        grouped = (
-            _spread(df)
-            .select(
-                F.col(id_col).alias("__id"),
-                F.transform(shingles, lambda x: F.xxhash64(x)).alias("__hs"),
-            )
-            .filter(F.size("__hs") > 0)
-        )
+    # Hash prep is EXPLODE + hash + groupBy/collect_list at every
+    # scale. The round-9 "row-local F.transform(shingles, xxhash64)"
+    # alternative avoided this aggregation's shuffle, but
+    # higher-order-function lambdas evaluate OUTSIDE whole-stage
+    # codegen — the interpreted per-element cost measured 3.3x slower
+    # at sf0.1 (3.2 s vs 0.97 s) AND net-negative at x1000 (the
+    # r9-shipped q25 config ran 825.7 s vs 575.1 s for this form in
+    # the r10 clean A/B): the shuffle it saves is cheaper than the
+    # codegen it gives up at every scale measured. Signatures are
+    # bit-identical either way (MIN is order/duplicate-insensitive);
+    # the equivalence test that pinned that now pins THIS formulation
+    # against the row-local one kept in the test body.
+    idx = _shingle_index(df, id_col, shingles, distinct=False)
+    hashed = idx.select(F.col("__id"), F.xxhash64("__sh").alias("__h"))
+    grouped = hashed.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
 
     def _sig(batches):
         import pandas as pd
@@ -633,7 +610,13 @@ def minhash_lsh_pairs(
     # a/b sides. Same exact integer (inter, sizes) → identical
     # jaccard doubles.
     big = not _small_corpus(df)
-    per_doc = _per_doc_sets(df, id_col, shingles, shared=big)
+    # shared=False at EVERY scale: the verify consumes per_doc twice
+    # (a/b sides), and the map-only recompute beat both sharing
+    # mechanisms in the x1000 A/Bs (575.1 s vs 721.3 s aggregation
+    # form vs 825.7 s r9-shipped explicit exchange) — the pair side
+    # dominates, and two map-only tokenize passes are cheaper than
+    # any corpus-wide exchange of the set rows.
+    per_doc = _per_doc_sets(df, id_col, shingles, shared=False)
     verified = _verify_pairs(cand.select("id_a", "id_b"), per_doc, pin=big).withColumn(
         "jaccard",
         F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),

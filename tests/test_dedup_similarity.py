@@ -437,13 +437,12 @@ def test_jaccard_prefix_exact_integer_boundary(spark):
 
 
 def test_banded_signature_formulations_identical(spark, tmp_path):
-    """Round-10: _banded_signatures and minhash_signatures pick their
-    hash-prep formulation by corpus size (_small_corpus) — explode +
-    groupBy (whole-stage codegen) small, row-local transform
-    (shuffle-free) large. MIN is order/duplicate-insensitive, so the
-    two must be BIT-IDENTICAL; this pins it by running the same docs
-    through both paths (parquet scan = small; the same scan with the
-    gate monkeypatched = the large path)."""
+    """Round-10: the shipped explode+groupBy hash prep (whole-stage
+    codegen; kept after the row-local transform lost the x1000 A/B
+    too) must be BIT-IDENTICAL to the row-local
+    transform(shingles, xxhash64) reference — MIN is order- and
+    duplicate-insensitive, so any future formulation swap must keep
+    this equality."""
     rows = [
         (i, " ".join(f"tok{(i * 7 + j) % 40}" for j in range(30)))
         for i in range(60)
@@ -454,33 +453,30 @@ def test_banded_signature_formulations_identical(spark, tmp_path):
     pq = spark.read.parquet(str(tmp_path / "docs.parquet"))
     sh = Tx.word_ngrams("text", 3)
 
-    assert D._small_corpus(pq)
-    small_banded = sorted(
-        (r["__id"], r["band"], r["bhash"])
-        for r in D._banded_signatures(pq, "doc_id", sh, 64, 16).collect()
-    )
-    small_sigs = {
+    shipped = {
         r["doc_id"]: r["signature"]
         for r in D.minhash_signatures(pq, "doc_id", sh, num_hashes=16).collect()
     }
-
-    orig = D._small_corpus
-    D._small_corpus = lambda df: False
-    try:
-        large_banded = sorted(
-            (r["__id"], r["band"], r["bhash"])
-            for r in D._banded_signatures(pq, "doc_id", sh, 64, 16).collect()
+    # row-local reference: per-doc hash array, MIN per family member
+    arr = (
+        "array("
+        + ",".join(
+            f"array_min(transform(`__hs`, h -> xxhash64(h, {i})))"
+            for i in range(16)
         )
-        large_sigs = {
-            r["doc_id"]: r["signature"]
-            for r in D.minhash_signatures(pq, "doc_id", sh, num_hashes=16).collect()
-        }
-    finally:
-        D._small_corpus = orig
-
-    assert small_banded == large_banded
-    assert small_sigs == large_sigs
+        + ")"
+    )
+    reference = {
+        r["doc_id"]: r["sig"]
+        for r in pq.select(
+            "doc_id",
+            F.transform(sh, lambda x: F.xxhash64(x)).alias("__hs"),
+        )
+        .filter(F.size("__hs") > 0)
+        .select("doc_id", F.expr(arr).alias("sig"))
+        .collect()
+    }
+    assert shipped == reference
     # empty and NULL text both tokenize to one empty shingle [""]
-    # (word_ngrams coalesces) — present with identical signatures on
-    # both paths; the equality asserts above already cover them
-    assert 100 in small_sigs and 101 in small_sigs
+    # (word_ngrams coalesces) — present with identical signatures
+    assert 100 in shipped and 101 in shipped

@@ -356,15 +356,26 @@ def test_q110_estimate_never_underestimates(spark):
 
 
 def test_dedup_corpus_size_gate(spark, tmp_path):
-    """Round-10: the pair pipelines pick their physical shape by the
-    Catalyst size estimate of the SOURCE corpus (dedup._small_corpus).
-    Small corpus -> no shared per-doc exchange, no merge pins (AQE may
-    broadcast: 2.8x faster at sf0.1, the r9 q25 regression). Large
-    corpus -> per-doc sets repartition("__id") once for all consumers
-    and every corpus-sized join is pinned to SortMergeJoin (AQE
-    broadcast promotion of a data-sized side OOM'd the 8 GB heap at
-    the x100 corpus in the r9 scale rerun). Unknown stats (RDD-backed
-    local relations report Long.MaxValue) err LARGE — the safe side."""
+    """Round-10 (revised after the clean x1000 A/B): the pair
+    pipelines pick their physical shape by the Catalyst size estimate
+    of the SOURCE corpus (dedup._small_corpus).
+
+    - minhash_lsh_pairs: per-doc verify sets are MAP-ONLY at every
+      scale (shared=False — the x1000 A/B measured 575.1 s vs 825.7 s
+      for the r9 explicit repartition("__id") sharing and 721.3 s for
+      aggregation sharing); only the SMJ pins are size-gated. So NO
+      explicit REPARTITION_BY_COL exchange appears at ANY scale.
+    - jaccard_pairs_prefix (q83's pipeline, 3+ consumers of per_doc):
+      large corpus takes the aggregation-shared form — explode +
+      groupBy/collect_set, whose OWN exchange is the sharing point
+      Catalyst reuses (715.9 s at x1000 vs 1265.9 s for the explicit
+      exchange). Small corpus drops it for the map-only projection.
+    - SMJ pins: large corpus only (AQE broadcast promotion of a
+      data-sized side OOM'd the 8 GB heap at the x100 corpus); small
+      corpus lets AQE broadcast (2.8x faster at sf0.1, the r9 q25
+      regression).
+    - Unknown stats (RDD-backed local relations report Long.MaxValue)
+      err LARGE — the safe side."""
     from block_explorer_spark.operators import dedup as D
     from block_explorer_spark.functions import text as Tx
 
@@ -388,23 +399,38 @@ def test_dedup_corpus_size_gate(spark, tmp_path):
     )
     assert not D._small_corpus(big)
 
-    # large path: the shared per-doc exchange + SMJ-pinned verify
-    big_pairs = D.minhash_lsh_pairs(big, "doc_id", Tx.word_set("text"), threshold=0.5)
-    big_plan = big_pairs._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in big_plan
-    # the explicit repartition("__id") of the per-doc sets — an
-    # explicit REPARTITION_BY_COL exchange, distinct from the
-    # ENSURE_REQUIREMENTS exchanges aggregations insert on their own
-    assert "REPARTITION_BY_COL" in big_plan
+    # minhash, large: SMJ pinned; per-doc sets map-only — no explicit
+    # shared exchange (REPARTITION_BY_COL) anywhere in the plan
+    big_mh = D.minhash_lsh_pairs(big, "doc_id", Tx.word_set("text"), threshold=0.5)
+    big_mh_plan = big_mh._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in big_mh_plan
+    assert "REPARTITION_BY_COL" not in big_mh_plan
 
-    # small path: no pinned SMJ and no explicit shared exchange — the
+    # minhash, small: no pinned SMJ, no explicit exchange — the
     # per-doc sets side sits under the broadcast threshold, so the
-    # verify joins plan as broadcast from the start (the small-path
-    # signature groupBy still exchanges on __id via
-    # ENSURE_REQUIREMENTS; that one is Catalyst's, not a pin)
-    small_pairs = D.minhash_lsh_pairs(
+    # verify joins plan as broadcast from the start
+    small_mh = D.minhash_lsh_pairs(
         small, "doc_id", Tx.word_set("text"), threshold=0.5
     )
-    small_plan = small_pairs._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in small_plan
-    assert "REPARTITION_BY_COL" not in small_plan
+    small_mh_plan = small_mh._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in small_mh_plan
+    assert "REPARTITION_BY_COL" not in small_mh_plan
+
+    # prefix-jaccard, large: aggregation-shared per-doc sets — the
+    # collect_set groupBy is IN the plan (its exchange is the shared
+    # subplan) — plus pinned SMJ; still no explicit repartition
+    big_pj = D.jaccard_pairs_prefix(big, "doc_id", Tx.word_set("text"), threshold=0.5)
+    big_pj_plan = big_pj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in big_pj_plan
+    assert "collect_set" in big_pj_plan
+    assert "REPARTITION_BY_COL" not in big_pj_plan
+
+    # prefix-jaccard, small: map-only per-doc sets (no collect_set
+    # aggregation), no pinned SMJ
+    small_pj = D.jaccard_pairs_prefix(
+        small, "doc_id", Tx.word_set("text"), threshold=0.5
+    )
+    small_pj_plan = small_pj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in small_pj_plan
+    assert "collect_set" not in small_pj_plan
+    assert "REPARTITION_BY_COL" not in small_pj_plan
