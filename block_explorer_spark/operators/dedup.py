@@ -465,12 +465,15 @@ def minhash_signatures(
     array<long> column ordered by seed. MIN is duplicate-insensitive,
     so the index skips its dedup shuffle.
 
-    This deliberately KEEPS the explode + MIN-aggregate formulation
-    over the row-local array_min(transform(...)) one: higher-order-
-    function lambdas evaluate outside whole-stage codegen, and the
-    interpreted per-element cost was measured 3.3x the codegen path at
-    sf0.1 and net-negative even at x1000 where the avoided shuffle is
-    largest (see _banded_signatures — same trade, same verdict).
+    This KEEPS the explode + MIN-aggregate formulation at every scale
+    (unlike _banded_signatures, which switches to a map-only transform
+    on large corpora): the 128 MIN aggregates hold FIXED 128-long
+    per-group state with map-side partial combine — memory-bounded and
+    shuffle-light at any corpus size — while whole-stage codegen beats
+    the interpreted row-local array_min(transform(...)) lambdas 3.3x
+    at small scale (3.2 s vs 0.97 s at sf0.1). collect_list-style
+    unbounded state is what forces _banded_signatures' gate; there is
+    none here.
 
     The 128-expression aggregate is built as ONE SQL string parsed
     JVM-side: constructing it as 128 Column objects costs hundreds of
@@ -516,21 +519,37 @@ def _banded_signatures(
     fold_mult = np.uint64(0x9E3779B97F4A7C15)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    # Hash prep is EXPLODE + hash + groupBy/collect_list at every
-    # scale. The round-9 "row-local F.transform(shingles, xxhash64)"
-    # alternative avoided this aggregation's shuffle, but
-    # higher-order-function lambdas evaluate OUTSIDE whole-stage
-    # codegen — the interpreted per-element cost measured 3.3x slower
-    # at sf0.1 (3.2 s vs 0.97 s) AND net-negative at x1000 (the
-    # r9-shipped q25 config ran 825.7 s vs 575.1 s for this form in
-    # the r10 clean A/B): the shuffle it saves is cheaper than the
-    # codegen it gives up at every scale measured. Signatures are
-    # bit-identical either way (MIN is order/duplicate-insensitive);
-    # the equivalence test that pinned that now pins THIS formulation
-    # against the row-local one kept in the test body.
-    idx = _shingle_index(df, id_col, shingles, distinct=False)
-    hashed = idx.select(F.col("__id"), F.xxhash64("__sh").alias("__h"))
-    grouped = hashed.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
+    # Hash-prep formulation is SIZE-GATED, and the r10 x1000 reruns
+    # produced the decisive verdict on both sides:
+    # SMALL corpus — explode + hash + groupBy/collect_list: whole-stage
+    # codegen end to end; the row-local transform lambda runs
+    # interpreted and measured 3.3x slower at sf0.1 (3.2 s vs 0.97 s).
+    # LARGE corpus — row-local F.transform(shingles, xxhash64):
+    # MAP-ONLY. Not (only) for the shuffle it avoids, but for MEMORY:
+    # collect_list is UNBOUNDED per-group aggregation state, and at
+    # x1000 its hash map, concurrent with the verify join's two
+    # wide-array-row SMJ sorts, OOM'd the 8 GB heap (UnsafeRow.copy
+    # during shuffle write) — while this map-only shape holds one row's
+    # arrays per task and ran 575.1 s, the fastest green q25 x1000
+    # config measured. (Contrast minhash_signatures below, whose
+    # explode form aggregates to FIXED 128-long state with map-side
+    # partial combine — bounded, so it keeps explode at every scale.)
+    # Signatures are bit-identical either way (MIN is order/duplicate-
+    # insensitive); pinned by
+    # test_banded_signature_formulations_identical.
+    if _small_corpus(df):
+        idx = _shingle_index(df, id_col, shingles, distinct=False)
+        hashed = idx.select(F.col("__id"), F.xxhash64("__sh").alias("__h"))
+        grouped = hashed.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
+    else:
+        # empty/NULL-shingle docs are dropped inside _sig, matching
+        # explode's behavior; no size()>0 filter here — Catalyst would
+        # push it through the projection and re-run the tokenize
+        # expression per row (the _per_doc_sets lesson)
+        grouped = _spread(df).select(
+            F.col(id_col).alias("__id"),
+            F.transform(shingles, lambda x: F.xxhash64(x)).alias("__hs"),
+        )
 
     def _sig(batches):
         import pandas as pd
@@ -539,7 +558,19 @@ def _banded_signatures(
             if not len(pdf):
                 continue
             ids = pdf["__id"].to_numpy()
-            chunks = [np.asarray(hs, dtype=np.int64).view(np.uint64) for hs in pdf["__hs"]]
+            chunks = [
+                np.asarray(hs if hs is not None else [], dtype=np.int64).view(np.uint64)
+                for hs in pdf["__hs"]
+            ]
+            sizes = np.array([len(c) for c in chunks])
+            if not sizes.all():
+                # drop empty docs (reduceat cannot take a zero-length
+                # segment; explode never yields them on the small path)
+                keep = sizes > 0
+                ids = ids[keep]
+                chunks = [c for c in chunks if len(c)]
+                if not len(chunks):
+                    continue
             offsets = np.cumsum([0] + [len(c) for c in chunks])[:-1]
             H = np.concatenate(chunks)
             sig = np.empty((num_hashes, len(ids)), dtype=np.uint64)

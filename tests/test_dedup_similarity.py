@@ -437,12 +437,15 @@ def test_jaccard_prefix_exact_integer_boundary(spark):
 
 
 def test_banded_signature_formulations_identical(spark, tmp_path):
-    """Round-10: the shipped explode+groupBy hash prep (whole-stage
-    codegen; kept after the row-local transform lost the x1000 A/B
-    too) must be BIT-IDENTICAL to the row-local
-    transform(shingles, xxhash64) reference — MIN is order- and
-    duplicate-insensitive, so any future formulation swap must keep
-    this equality."""
+    """Round-10: minhash_signatures' explode+groupBy prep (bounded
+    128-long agg state, kept at every scale) must be BIT-IDENTICAL to
+    the row-local transform(shingles, xxhash64) reference, and
+    _banded_signatures — size-gated between explode+collect_list
+    (small, codegen) and map-only transform (large, bounded memory;
+    the explode form OOM'd the 8 GB heap at x1000) — must produce
+    identical (id, band, bhash) rows on both paths. MIN is order- and
+    duplicate-insensitive, so any formulation swap must keep these
+    equalities."""
     rows = [
         (i, " ".join(f"tok{(i * 7 + j) % 40}" for j in range(30)))
         for i in range(60)
@@ -480,3 +483,22 @@ def test_banded_signature_formulations_identical(spark, tmp_path):
     # empty and NULL text both tokenize to one empty shingle [""]
     # (word_ngrams coalesces) — present with identical signatures
     assert 100 in shipped and 101 in shipped
+
+    # _banded_signatures: small path (explode+collect_list) vs large
+    # path (map-only transform, empties dropped inside the UDF) —
+    # identical band rows for the same docs
+    assert D._small_corpus(pq)
+    small_banded = sorted(
+        (r["__id"], r["band"], r["bhash"])
+        for r in D._banded_signatures(pq, "doc_id", sh, 64, 16).collect()
+    )
+    orig = D._small_corpus
+    D._small_corpus = lambda df: False
+    try:
+        large_banded = sorted(
+            (r["__id"], r["band"], r["bhash"])
+            for r in D._banded_signatures(pq, "doc_id", sh, 64, 16).collect()
+        )
+    finally:
+        D._small_corpus = orig
+    assert small_banded == large_banded
