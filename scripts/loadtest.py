@@ -15,6 +15,10 @@ Modes:
                 facade (block_explorer_spark/rest.py), start-to-parse
                 latency per request — the reference's actual surface
                 (load/run_configs/*.yaml attack HTTP endpoints too)
+  --wire        the gRPC re-export surface: GetNextPulse over the
+                framed protobuf TCP stream (streaming/exporter_wire),
+                connect -> request -> drain-the-head latency per
+                client, against an ingested warehouse
 """
 
 from __future__ import annotations
@@ -34,10 +38,95 @@ from block_explorer_spark.plans import queries as Q
 from block_explorer_spark.sources import generators as gen
 
 
+def _wire_mode(spark, args) -> None:
+    """GetNextPulse over the framed protobuf stream: 20 complete
+    pulses ingested through the real write path, then each iteration
+    is a fresh client connect -> framed request -> drain all 20
+    responses. Latency covers the q11 tail poll (one Spark job per
+    poll batch), wire encode, and the socket round-trip — the same
+    path a gRPC consumer of pulse_exporter_server.go exercises,
+    minus HTTP/2."""
+    import random
+    import tempfile
+
+    from block_explorer_spark.streaming import exporter_wire as W
+    from block_explorer_spark.streaming import pipeline as P
+
+    n_pulses = 20
+    rng = random.Random(23)
+    rows = []
+    for k in range(n_pulses):
+        pn = 4_000_000 + 10 * (k + 1)
+        for jet in ("0", "1"):
+            prev = None
+            obj = bytes(rng.getrandbits(8) for _ in range(8))
+            for i in range(5):
+                ref = bytes(rng.getrandbits(8) for _ in range(8))
+                rows.append(
+                    {
+                        "reference": ref,
+                        "kind": "activate" if i == 0 else "amend",
+                        "object_reference": obj,
+                        "prototype_reference": b"proto",
+                        "payload": b"",
+                        "prev_record_reference": prev,
+                        "hash": b"h",
+                        "raw_data": b"r",
+                        "jet_id": jet,
+                        "pulse_number": pn,
+                        "timestamp": 1_600_000_000 + pn,
+                        "position": i,
+                    }
+                )
+                prev = ref
+    base = tempfile.mkdtemp(prefix="loadtest-wire")
+    P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+    P.run_control_pass(spark, base)
+
+    with W.PulseWireServer(spark, base, pulse_period=0.2) as srv:
+        host, port = srv.address
+
+        def drain():
+            got = W.stream_pulses(host, port, 0, [b"proto"], max_messages=n_pulses)
+            assert len(got) == n_pulses, f"streamed {len(got)}/{n_pulses}"
+            assert got[-1].record_amount == 10
+
+        drain()  # warmup (codegen/JIT on the tail-poll plan)
+        lat = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            drain()
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        out = {
+            "stream_20_pulses": {
+                "p50_ms": round(statistics.median(lat) * 1000, 1),
+                "p95_ms": round(lat[int(len(lat) * 0.95) - 1] * 1000, 1),
+                "max_ms": round(lat[-1] * 1000, 1),
+            }
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "api_load_latency",
+                "mode": "wire",
+                "dataset": f"{n_pulses}p/2jets/10rec-per-pulse",
+                "iters": args.iters,
+                "endpoints": out,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--http", action="store_true", help="drive over the REST facade")
+    ap.add_argument(
+        "--wire",
+        action="store_true",
+        help="attack the GetNextPulse framed-protobuf stream instead",
+    )
     ap.add_argument(
         "--artifact",
         default="METRICS_LOADTEST.json",
@@ -46,6 +135,10 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("loadtest")
+
+    if args.wire:
+        _wire_mode(spark, args)
+        return
     pulses_rows, drops_rows, records_rows = gen.make_flat_seed(
         seed=11, n_pulses=100, n_drops=1000, n_records=1000
     )
