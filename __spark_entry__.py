@@ -5415,15 +5415,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.62
         """,
+        # MATERIALIZED on tok/pairs is capacity, not semantics: DuckDB
+        # inlines plain CTEs per reference, so `e`'s two selects from
+        # `pairs` ran the whole tok-self-join pipeline TWICE
+        # concurrently — at sf1 that doubled ~70 GB of temp and filled
+        # the disk (r9 and the first r10 sf1 run both died there).
+        # Materialized, the pair stage runs once (q24's identical
+        # stage: 270 s at sf1) and the recursion sees ~2.5k rows.
         "q83_dedup_clusters": f"""
-            WITH RECURSIVE tok AS ({_TOK}),
+            WITH RECURSIVE tok AS MATERIALIZED ({_TOK}),
             sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
               FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             ),
-            pairs AS (
+            pairs AS MATERIALIZED (
               SELECT id_a, id_b FROM inter
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b
