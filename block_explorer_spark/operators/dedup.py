@@ -234,9 +234,10 @@ def _per_doc_sets(
     per-row array, so the sorted-distinct set is a row-local
     projection (array_sort(array_distinct(...))). Right for pipelines
     that consume per_doc a bounded number of times without needing a
-    common exchange: the minhash verify (2 consumers) measured 575.1 s
-    vs 721.3 s with the old aggregation at x1000, and 0.67 s vs 0.90 s
-    at sf0.1.
+    common exchange: the full minhash pipeline (2 consumers) measured
+    575.1 s vs 721.3 s with the aggregation form at x1000 (488.0 s
+    final shipped config); at sf0.1 the two are within noise (1.7 s vs
+    1.5 s full-pipeline medians) — the x1000 verdict is what decides.
 
     shared=True — EXPLODE + groupBy/collect_set: the aggregation's own
     exchange is the sharing point Catalyst actually reuses across 3+
