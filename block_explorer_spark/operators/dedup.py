@@ -84,6 +84,17 @@ def _spread(df: DataFrame) -> DataFrame:
 #: run (8 GB).
 SMALL_CORPUS_BYTES = 32 << 20
 
+#: Shard size for expanding exact-duplicate families into pairs
+#: (hamming_pairs distance-0 path). A family of m identical hashes
+#: yields C(m,2) pairs; sharding its sorted id list into chunks of
+#: this size bounds per-task buffered state to ~2 chunks of ids
+#: (a few hundred KB) regardless of m, while a chunk pair still
+#: carries C(4096,2) ≈ 8.4M emissions — enough work per task that the
+#: chunk bookkeeping never dominates. Small families (m <= chunk)
+#: take the identical single-(0,0)-chunk-pair plan, so the common
+#: case pays one posexplode over yesterday's in-row expansion.
+_EQUAL_FAMILY_CHUNK = 4096
+
 
 def _small_corpus(df: DataFrame) -> bool:
     """Plan-only (no job) size test: Catalyst's optimized-plan stats —
@@ -767,10 +778,12 @@ def hamming_pairs(
     structs. Collapsing first (one groupBy on the hash: value ->
     sorted id list) makes bucket membership per distinct VALUE
     (measured 24x fewer candidates, 14x smaller hot bucket on the q99
-    fixture), equal-value pairs expand directly from the id lists
-    (their hamming is 0 by construction — no verification needed),
-    and cross-value candidates verify ONE bit_count(xor) per value
-    pair instead of per row pair. The collapse aggregation is also
+    fixture), equal-value pairs expand from the id lists via a
+    chunk-sharded join (their hamming is 0 by construction — no
+    verification needed; see _EQUAL_FAMILY_CHUNK for why the
+    expansion is sharded rather than in-row), and cross-value
+    candidates verify ONE bit_count(xor) per value pair instead of
+    per row pair. The collapse aggregation is also
     the single exchange every downstream consumer reuses, so the
     expensive upstream lineage (media decode!) executes exactly once
     (pinned by test_plan_quality).
@@ -822,25 +835,62 @@ def hamming_pairs(
         F.array_sort(F.collect_list("__id")).alias("__ids")
     )
 
-    def _expand_pairs(col: Column) -> Column:
-        # sorted array -> all (a, b) element pairs with a < b by position
-        return F.flatten(
-            F.transform(
-                col,
-                lambda x, i: F.transform(
-                    F.slice(col, i + 2, F.size(col)),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
+    # (1) equal-value pairs: identical hashes are pairs at distance 0.
+    # A family of m exact duplicates yields C(m,2) pairs; expanding
+    # them as ONE in-row struct array puts the whole quadratic on a
+    # single unsplittable row — the same bug class as the round-9 sf1
+    # bucket-skew OOM, recreated for mass-duplicate families
+    # (boilerplate pages, all-black frames: m can be millions in real
+    # crawls). Instead shard each family's sorted id list into fixed
+    # chunks and join chunk pairs: pairs stream out as ordinary rows,
+    # per-task memory is bounded by the chunk size, and work
+    # distributes across (family, chunk) shuffle keys. Correctness of
+    # the __ea < __eb filter relies on __ids being array_sort-ed with
+    # distinct ids: for chunk indexes i < j every id in chunk i is
+    # strictly below every id in chunk j, so each unordered pair
+    # surfaces in exactly one (cka <= ckb) combination and the filter
+    # never drops a cross-chunk pair.
+    fams = groups.filter(F.size("__ids") > 1)
+    eids = fams.select(
+        "__sim", F.posexplode("__ids").alias("__pos", "__eid")
+    ).select(
+        "__sim",
+        (F.col("__pos") / _EQUAL_FAMILY_CHUNK).cast("int").alias("__ck"),
+        "__eid",
+    )
+    cpairs = (
+        fams.select(
+            "__sim",
+            F.ceil(F.size("__ids") / _EQUAL_FAMILY_CHUNK).cast("int").alias("__nc"),
         )
-
-    # (1) equal-value pairs: identical hashes are pairs at distance 0
-    equal = (
-        groups.filter(F.size("__ids") > 1)
-        .select("__sim", F.explode(_expand_pairs(F.col("__ids"))).alias("__p"))
         .select(
-            F.col("__p.a").alias("id_a"),
-            F.col("__p.b").alias("id_b"),
+            "__sim",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("__cka"),
+            "__nc",
+        )
+        .select(
+            "__sim",
+            "__cka",
+            F.explode(F.sequence(F.col("__cka"), F.col("__nc") - 1)).alias("__ckb"),
+        )
+    )
+    equal = (
+        cpairs.join(
+            eids.select(
+                "__sim", F.col("__ck").alias("__cka"), F.col("__eid").alias("__ea")
+            ),
+            ["__sim", "__cka"],
+        )
+        .join(
+            eids.select(
+                "__sim", F.col("__ck").alias("__ckb"), F.col("__eid").alias("__eb")
+            ),
+            ["__sim", "__ckb"],
+        )
+        .filter(F.col("__ea") < F.col("__eb"))
+        .select(
+            F.col("__ea").alias("id_a"),
+            F.col("__eb").alias("id_b"),
             F.col("__sim").alias("sim_a"),
             F.col("__sim").alias("sim_b"),
             F.lit(0).alias("hamming"),

@@ -308,3 +308,51 @@ def test_hamming_pairs_multi_block_keys_match_bruteforce(spark):
             assert got == want, (k, a)
     with _pytest.raises(AssertionError, match="key_arity"):
         D.hamming_pairs(df, "id", "h", max_hamming=6, blocks=8, key_arity=3)
+
+
+def test_hamming_equal_family_sharding_exact(spark, monkeypatch):
+    """The chunk-sharded distance-0 expansion must emit exactly the
+    same pair set as brute force, across chunk boundaries (chunk size
+    forced to 7 so a 23-dup family spans 4 chunks) and alongside
+    cross-value candidates."""
+    import itertools
+
+    monkeypatch.setattr(D, "_EQUAL_FAMILY_CHUNK", 7)
+    rng = random.Random(13)
+    base = rng.getrandbits(63)  # positive long
+    rows = [(i, base) for i in range(23)]  # one mass-dup family
+    rows += [(100 + i, base ^ (1 << rng.randrange(60))) for i in range(5)]
+    rows += [(200, base ^ 0xFFFF)]  # far value: filtered by hamming
+    df = spark.createDataFrame(rows, ["id", "h"])
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.hamming_pairs(df, "id", "h", max_hamming=3, blocks=8).collect()
+    )
+    want = sorted(
+        (x, y, bin(hx ^ hy).count("1"))
+        for (x, hx), (y, hy) in itertools.combinations(rows, 2)
+        if bin(hx ^ hy).count("1") <= 3
+    )
+    assert got == want
+
+
+def test_hamming_mass_duplicate_family_bounded(spark, monkeypatch):
+    """A single hash value shared by 20k rows (boilerplate/black-frame
+    shape) must stream its C(m,2) pairs through the sharded join, not
+    materialize them as one in-row struct array. The old formulation
+    built ~2e8 structs on ONE row here; the sharded plan's per-task
+    state is bounded by the chunk size. Exact count certified."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(D, "_EQUAL_FAMILY_CHUNK", 1024)
+    m = 20_000
+    df = spark.range(m).select(
+        F.col("id"), F.lit(0x7A5A5A5A5A5A5A5).cast("long").alias("h")
+    )
+    out = D.hamming_pairs(df, "id", "h", max_hamming=6, blocks=8)
+    # plan census: the equal path shards via posexplode + join; the
+    # quadratic in-row transform(slice) expansion must not appear on
+    # a pure-equal input (no cross-value buckets survive to pair).
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode" in plan
+    assert out.count() == m * (m - 1) // 2
