@@ -35,6 +35,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut lineage between iterations — the iterative-plan trap fix.
+
+    Two modes, picked by whether the SparkContext has a checkpoint
+    directory configured:
+
+    - no dir (local runs, tests, gates): localCheckpoint — blocks
+      cached on executors, zero I/O, fastest.
+    - dir set (cluster posture): RELIABLE checkpoint — RDD files
+      under the checkpoint dir. localCheckpoint blocks live only on
+      their executor, so on a real cluster ONE lost executor kills an
+      hour-long CC/PageRank mid-iteration with no recovery (the
+      lineage it would replay from was just cut). Reliable
+      checkpoints survive executor loss at the cost of one write+read
+      of the per-iteration state, which for these operators is the
+      CONTRACTED working set (star edges / rank table / frontier),
+      not the input graph.
+
+    100 TB posture: set a job-scoped HDFS/S3 checkpoint dir
+    (session.get_spark honors SPARK_GRAFT_CHECKPOINT_DIR); leave it
+    unset for local mode, where executor loss means JVM death anyway
+    and localCheckpoint's zero-I/O cut is strictly better.
+    """
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _large_star(oriented: DataFrame) -> DataFrame:
     """One large-star round. Input/output: oriented (u > v) star
     edges. Symmetrizes internally because large-star needs the FULL
@@ -90,13 +118,13 @@ def connected_components(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
     if use_checkpoint:
-        cur = cur.localCheckpoint(eager=True)
+        cur = _cut(cur)
     n_cur = cur.count()
 
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur))
         if use_checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = _cut(nxt)
         # Fixed point ⇔ edge set unchanged. Both sides are distinct
         # (big, small) sets, so |new| == |old| plus new \ old == ∅ is
         # full set equality; the subtract runs on the CONTRACTED sets.
@@ -206,7 +234,7 @@ def pagerank_int(
             )
         )
         if use_checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = _cut(ranks, eager=False)
     return ranks
 
 
@@ -246,14 +274,14 @@ def bfs_hops(
         raise ValueError("max_hops must be >= 0")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     if use_checkpoint:
-        e = e.localCheckpoint(eager=True)  # edges reused every round
+        e = _cut(e)  # edges reused every round
     visited = (
         sources.select(F.col("id").cast("long").alias("id"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("long"))
     )
     if use_checkpoint:
-        visited = visited.localCheckpoint(eager=True)
+        visited = _cut(visited)
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
@@ -264,12 +292,12 @@ def bfs_hops(
             .withColumn("hops", F.lit(h).cast("long"))
         )
         if use_checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = _cut(nxt)
         if nxt.limit(1).count() == 0:
             break
         visited = visited.unionByName(nxt)
         if use_checkpoint:
-            visited = visited.localCheckpoint(eager=True)
+            visited = _cut(visited)
         frontier = nxt
     return visited
 
@@ -331,7 +359,7 @@ def triangle_counts(
         # closing probe); without a cut each re-computes the whole
         # degree-join subtree — the audit showed the uncut plan at 24
         # SMJs / 229 exchanges vs 2 joins of the materialized frame
-        oriented = oriented.localCheckpoint(eager=True)
+        oriented = _cut(oriented)
     x = oriented.select(
         F.col("s"), F.col("d").alias("d1"), F.col("rd").alias("r1")
     )
@@ -387,14 +415,14 @@ def shortest_paths_int(
         F.col(weight).cast("long").alias("w"),
     )
     if use_checkpoint:
-        e = e.localCheckpoint(eager=True)
+        e = _cut(e)
     dist = (
         sources.select(F.col("id").cast("long").alias("id"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
     )
     if use_checkpoint:
-        dist = dist.localCheckpoint(eager=True)
+        dist = _cut(dist)
     frontier = dist  # vertices improved last round
     for _ in range(rounds):
         cand = (
@@ -409,14 +437,14 @@ def shortest_paths_int(
             .agg(F.min("dist").alias("dist"))
         )
         if use_checkpoint:
-            merged = merged.localCheckpoint(eager=True)
+            merged = _cut(merged)
         improved = merged.alias("m").join(
             dist.alias("d"), "id", "left"
         ).filter(
             F.col("d.dist").isNull() | (F.col("m.dist") < F.col("d.dist"))
         ).select("id", F.col("m.dist").alias("dist"))
         if use_checkpoint:
-            improved = improved.localCheckpoint(eager=True)
+            improved = _cut(improved)
         if improved.limit(1).count() == 0:
             return merged
         dist, frontier = merged, improved
@@ -451,7 +479,7 @@ def ppr_int(
     num, den = damping
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     if use_checkpoint:
-        e = e.localCheckpoint(eager=True)
+        e = _cut(e)
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     srcs = sources.select(F.col("id").cast("long").alias("id")).distinct()
     nodes = (
@@ -463,7 +491,7 @@ def ppr_int(
         .select("id", F.coalesce(F.col("__s"), F.lit(0)).alias("is_src"))
     )
     if use_checkpoint:
-        nodes = nodes.localCheckpoint(eager=True)
+        nodes = _cut(nodes)
     base = ((den - num) * scale) // den
     ranks = nodes.select(
         "id",
@@ -490,5 +518,5 @@ def ppr_int(
             )
         )
         if use_checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = _cut(ranks, eager=False)
     return ranks.select("id", "rank")

@@ -81,6 +81,20 @@ def builder(app_name: str = "block-explorer-spark", **overrides: str) -> SparkSe
     return b
 
 
+#: Reliable-checkpoint directory for iterative operators (graph.py).
+#: Unset (the local/test default) the iterative ops cut lineage with
+#: localCheckpoint — fastest, but blocks die with their executor. On
+#: a real cluster set this to a job-scoped HDFS/S3 path: one lost
+#: executor during an hour-long connected-components/PageRank run
+#: otherwise kills the job mid-iteration (the lineage that fault
+#: recovery would replay from was deliberately cut).
+_CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
 def get_spark(app_name: str = "block-explorer-spark", **overrides: str) -> SparkSession:
     """Return (or create) a session with the engine's tuned defaults."""
-    return builder(app_name, **overrides).getOrCreate()
+    spark = builder(app_name, **overrides).getOrCreate()
+    ckpt = os.environ.get(_CHECKPOINT_DIR_ENV)
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

@@ -752,3 +752,48 @@ class TestChunkDocuments:
             chunk_documents(docs, chunk_tokens=4, overlap=4)
         with _pt.raises(ValueError):
             chunk_documents(docs, chunk_tokens=4, overlap=-1)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured on the context, iterative ops
+    cut lineage with RELIABLE checkpoints (survive executor loss; the
+    100 TB cluster posture) instead of localCheckpoint. The result
+    must be identical, checkpoint RDD files must exist under the dir,
+    and the returned plan must have no lineage back to the source
+    scan — recovery state lives in the checkpoint files, not in a
+    replayable-from-source lineage that was deliberately cut."""
+    import os
+
+    from block_explorer_spark.operators import graph as G
+
+    src_dir = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(100, 101)], ["a", "b"]
+    ).write.parquet(src_dir)
+    edges = spark.read.parquet(src_dir)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(ckpt_dir)
+    try:
+        out = G.connected_components(edges)
+        got = {r["id"]: r["component"] for r in out.collect()}
+    finally:
+        sc.setCheckpointDir(None)  # restore the local/test posture
+    assert sc.getCheckpointDir() is None
+
+    assert got == {**{i: 0 for i in range(13)}, 100: 100, 101: 100}
+    # reliable checkpoint files were written under the dir
+    rdd_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckpt_dir)
+        for f in fs
+        if f.startswith("part-")
+    ]
+    assert rdd_files, "no reliable-checkpoint RDD files written"
+    # lineage cut: final plan reads the checkpointed RDD, never the
+    # parquet source
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" not in plan.lower()
+    assert "LogicalRDD" in plan
