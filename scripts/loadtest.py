@@ -118,6 +118,90 @@ def _wire_mode(spark, args) -> None:
     )
 
 
+def _wire_ingest_mode(spark, args) -> None:
+    """The ingest edge over the wire: a heavymock-analog record
+    exporter serves N pulses of raw records; each iteration pulls ONE
+    pulse through the portion/resume client (GetRecords batch 100,
+    platform_impl.go:225-326) and ingests it through the real write
+    path. Reported per-pulse: wire-pull latency and pull+ingest
+    latency — the end-to-end cost a heavy-node-fed deployment pays per
+    consensus pulse."""
+    import random
+    import tempfile
+
+    from block_explorer_spark.streaming import extractor_wire as XW
+    from block_explorer_spark.streaming import pipeline as P
+
+    n_pulses = max(4, args.iters)
+    rng = random.Random(29)
+    tape = {}
+    for k in range(n_pulses):
+        pn = 4_000_000 + 10 * (k + 1)
+        rows = []
+        for jet in ("0", "1"):
+            prev = None
+            obj = bytes(rng.getrandbits(8) for _ in range(8))
+            for i in range(125):  # 250/pulse: exercises 3 portions at 100
+                ref = bytes(rng.getrandbits(8) for _ in range(8))
+                rows.append(
+                    {
+                        "reference": ref,
+                        "kind": "activate" if i == 0 else "amend",
+                        "object_reference": obj,
+                        "prototype_reference": b"proto",
+                        "payload": b"",
+                        "prev_record_reference": prev,
+                        "hash": b"h",
+                        "raw_data": b"r",
+                        "jet_id": jet,
+                        "pulse_number": pn,
+                        "timestamp": 1_600_000_000 + pn,
+                        "position": i,
+                    }
+                )
+                prev = ref
+        tape[pn] = rows
+
+    base = tempfile.mkdtemp(prefix="loadtest-wire-ingest")
+    pull_lat, e2e_lat = [], []
+    with XW.HeavyRecordServer(tape) as srv:
+        for pn in sorted(tape):
+            t0 = time.perf_counter()
+            rows, _ = XW.retrieve_pulse_records(srv.address, pn, batch_size=100)
+            t1 = time.perf_counter()
+            assert len(rows) == 250, f"pulled {len(rows)}/250 for {pn}"
+            P.ingest_batch(spark, base, spark.createDataFrame(rows, schemas.RAW_RECORDS))
+            e2e_lat.append(time.perf_counter() - t0)
+            pull_lat.append(t1 - t0)
+    P.run_control_pass(spark, base)
+    from block_explorer_spark.sources import parquet as pq
+
+    assert pq.read_table(spark, base, "records").count() == 250 * n_pulses
+
+    def stats(lat):
+        lat = sorted(lat)
+        return {
+            "p50_ms": round(statistics.median(lat) * 1000, 1),
+            "p95_ms": round(lat[int(len(lat) * 0.95) - 1] * 1000, 1),
+            "max_ms": round(lat[-1] * 1000, 1),
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "wire_ingest_latency",
+                "mode": "wire-ingest",
+                "dataset": f"{n_pulses}p/2jets/250rec-per-pulse/batch100",
+                "pulses": n_pulses,
+                "endpoints": {
+                    "pull_pulse_250rec": stats(pull_lat),
+                    "pull_plus_ingest": stats(e2e_lat),
+                },
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
@@ -126,6 +210,12 @@ def main() -> None:
         "--wire",
         action="store_true",
         help="attack the GetNextPulse framed-protobuf stream instead",
+    )
+    ap.add_argument(
+        "--wire-ingest",
+        action="store_true",
+        help="pull pulses through the GetRecords framed-protobuf "
+        "client and ingest them (the extractor edge)",
     )
     ap.add_argument(
         "--artifact",
@@ -138,6 +228,9 @@ def main() -> None:
 
     if args.wire:
         _wire_mode(spark, args)
+        return
+    if args.wire_ingest:
+        _wire_ingest_mode(spark, args)
         return
     pulses_rows, drops_rows, records_rows = gen.make_flat_seed(
         seed=11, n_pulses=100, n_drops=1000, n_records=1000
