@@ -24,6 +24,26 @@ MISSING = -1
 #: data rows.
 CHAIN_BUCKET_WIDTH = 100_000
 
+#: Below this Catalyst size estimate, the full-table repair uses ONE
+#: global ordered window instead of the bucketed two-level adjacency:
+#: a <32 MB sort in a single task is cheap, while the bucketed path
+#: pays two extra exchanges + a bucket-neighbor join that measured
+#: 2.1x wall at gate scale (round-10 bench, q03 0.87s vs 0.38s). Same
+#: plan-stats gating pattern, threshold, and caveat as
+#: dedup._small_corpus: the estimate is file bytes for parquet scans
+#: and defaults LARGE when unavailable (in-memory/post-join inputs),
+#: so unknown inputs keep the scale-safe bucketed plan.
+SMALL_CHAIN_BYTES = 32 << 20
+
+
+def _small_input(df: DataFrame) -> bool:
+    """Plan-only (no job) Catalyst size test; errs large (bucketed)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return False
+    return size < SMALL_CHAIN_BYTES
+
 
 def chain_repair(
     df: DataFrame,
@@ -31,7 +51,7 @@ def chain_repair(
     prev_link: str = "prev_pulse_number",
     next_link: str = "next_pulse_number",
     window: WindowSpec | None = None,
-    bucket_width: int = CHAIN_BUCKET_WIDTH,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """W2: repair prev/next links against the adjacent rows.
 
@@ -48,10 +68,15 @@ def chain_repair(
     prefetch one row each side.
 
     Callers repairing a bounded page pass `window` (the page-local
-    sort); with window=None the FULL-TABLE path runs — round 9
-    replaced its global ordered window (a data-sized single-partition
-    WindowExec, the exact shape the bounded-window census forbids)
-    with a bucketed two-level adjacency:
+    sort); with window=None the FULL-TABLE path runs. ADAPTIVE
+    (round 11): inputs whose Catalyst size estimate is under
+    SMALL_CHAIN_BYTES take one global ordered window — a sub-32 MB
+    single-task sort costs less than the bucketed plan's two extra
+    exchanges + join (measured 2.1x at gate scale). Larger (or
+    unknown-size) inputs — and any call passing an EXPLICIT
+    `bucket_width` — keep the round-9 bucketed two-level adjacency,
+    which replaced the data-sized single-partition WindowExec — the
+    exact shape the bounded-window census forbids:
 
       1. bucket rows by key-range slice (floor(key / bucket_width) —
          deterministic, no sampled range boundaries that could drift
@@ -72,6 +97,12 @@ def chain_repair(
     reference: etl/storage/storage.go:326-357 (vectorized walk),
     360-379 (single-row variant).
     """
+    # adaptive gate: only when the caller didn't EXPLICITLY pick a
+    # bucket width (tests/callers pinning the bucketed plan pass one)
+    if window is None and bucket_width is None and _small_input(df):
+        window = Window.orderBy(key)  # bounded by the size gate
+    if bucket_width is None:
+        bucket_width = CHAIN_BUCKET_WIDTH
     if window is not None:
         lag_key = F.lag(key).over(window)
         lead_key = F.lead(key).over(window)
@@ -121,17 +152,22 @@ def chain_repair(
 def _apply_sentinels(df, key, prev_link, next_link, lag_key, lead_key, lead_prev):
     """The reference's sentinel rules (storage.go:344-350) over any
     adjacency source: keep prev iff it names the adjacent lower key;
-    next is the adjacent higher key iff that row's prev points back."""
-    return df.withColumn(
-        prev_link,
-        F.when(lag_key.isNull() | (lag_key != F.col(prev_link)), F.lit(MISSING)).otherwise(
-            F.col(prev_link)
-        ),
-    ).withColumn(
-        next_link,
-        F.when(lead_prev.isNotNull() & (lead_prev == F.col(key)), lead_key).otherwise(
-            F.lit(MISSING)
-        ),
+    next is the adjacent higher key iff that row's prev points back.
+
+    Both links repair in ONE projection (withColumns), so the two
+    window expressions collapse into a single Window node — chained
+    withColumn left two same-spec Window nodes in the plan. Equivalent
+    either way: the lead row's prev is only consulted where repair
+    would keep it unchanged (prev == adjacent key)."""
+    return df.withColumns(
+        {
+            prev_link: F.when(
+                lag_key.isNull() | (lag_key != F.col(prev_link)), F.lit(MISSING)
+            ).otherwise(F.col(prev_link)),
+            next_link: F.when(
+                lead_prev.isNotNull() & (lead_prev == F.col(key)), lead_key
+            ).otherwise(F.lit(MISSING)),
+        }
     )
 
 

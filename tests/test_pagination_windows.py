@@ -71,3 +71,61 @@ def test_gap_flags(spark):
     df = spark.createDataFrame([(10,), (20,), (40,), (50,)], ["pulse_number"])
     got = {r.pulse_number: r.has_gap for r in W.gap_flags(df, "pulse_number", 10).collect()}
     assert got == {10: False, 20: False, 40: True, 50: False}
+
+
+def test_chain_repair_adaptive_gate(spark, tmp_path):
+    """Full-table repair is adaptive: a small file-backed input takes
+    the single global-window plan (no join, one Window); a large
+    input keeps the bucketed two-level plan (partitioned data window,
+    join, global window only over bucket aggregates); an EXPLICIT
+    bucket_width pins the bucketed plan regardless of size."""
+    from pyspark.sql import functions as F
+
+    def windows_of(df):
+        qe = df._jdf.queryExecution().optimizedPlan()
+        part, glob, joins = 0, 0, 0
+
+        def walk(nd):
+            nonlocal part, glob, joins
+            name = nd.getClass().getSimpleName()
+            if name == "Window":
+                if nd.partitionSpec().isEmpty():
+                    glob += 1
+                else:
+                    part += 1
+            if name == "Join":
+                joins += 1
+            for i in range(nd.children().length()):
+                walk(nd.children().apply(i))
+
+        walk(qe)
+        return part, glob, joins
+
+    src = str(tmp_path / "small")
+    spark.createDataFrame(
+        [(k, k - 1, k + 1) for k in (5, 6, 9)],
+        ["pulse_number", "prev_pulse_number", "next_pulse_number"],
+    ).write.parquet(src)
+    small = spark.read.parquet(src)
+    part, glob, joins = windows_of(W.chain_repair(small))
+    assert (part, glob, joins) == (0, 1, 0), "small input must take the global-window plan"
+
+    big = spark.range(6_000_000).select(
+        F.col("id").alias("pulse_number"),
+        (F.col("id") - 1).alias("prev_pulse_number"),
+        (F.col("id") + 1).alias("next_pulse_number"),
+    )
+    part, glob, joins = windows_of(W.chain_repair(big))
+    assert part >= 1 and joins >= 1, "large input must keep the bucketed plan"
+    part, glob, joins = windows_of(W.chain_repair(small, bucket_width=10))
+    assert part >= 1 and joins >= 1, "explicit bucket_width must pin the bucketed plan"
+    # and both formulations agree on the small data either way
+    got_bucketed = {
+        r.pulse_number: (r.prev_pulse_number, r.next_pulse_number)
+        for r in W.chain_repair(small, bucket_width=10).collect()
+    }
+    got_global = {
+        r.pulse_number: (r.prev_pulse_number, r.next_pulse_number)
+        for r in W.chain_repair(small).collect()
+    }
+    assert got_bucketed == got_global == {5: (-1, 6), 6: (5, -1), 9: (-1, -1)}
