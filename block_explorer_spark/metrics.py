@@ -36,6 +36,20 @@ FIELDS = (
 )
 
 
+class StageSnapshot:
+    """Typed snapshot of completed stages: `totals` (field sums, pure
+    ints — safe to serialize/sum directly) and `stages` (per-stage-
+    attempt detail delta() needs to stay monotone under UI-store
+    eviction). Replaces the r10 magic "__stages__" key that leaked a
+    non-int value into the totals dict (ADVICE r10)."""
+
+    __slots__ = ("totals", "stages")
+
+    def __init__(self, totals: dict[str, int], stages: dict[str, dict[str, int]]):
+        self.totals = totals
+        self.stages = stages
+
+
 class StageMetrics:
     """Snapshot/delta collector over completed stages."""
 
@@ -47,13 +61,12 @@ class StageMetrics:
         app_id = spark.sparkContext.applicationId
         self._url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
 
-    def totals(self) -> dict[str, int]:
+    def snapshot(self) -> StageSnapshot:
         """Field totals over completed stages, plus per-stage-attempt
-        detail under "__stages__" — delta() needs it to stay monotone
-        when the UI store evicts old completed stages between
-        snapshots (the r9 BENCH_METRICS q134 negative-delta bug:
-        whole-run totals shrank when eviction removed stages that were
-        counted in `before`)."""
+        detail — delta() needs the detail to stay monotone when the
+        UI store evicts old completed stages between snapshots (the
+        r9 BENCH_METRICS q134 negative-delta bug: whole-run totals
+        shrank when eviction removed stages counted in `before`)."""
         with urllib.request.urlopen(self._url, timeout=10) as resp:
             stages = json.loads(resp.read())
         per: dict[str, dict[str, int]] = {}
@@ -64,32 +77,29 @@ class StageMetrics:
         for vals in per.values():
             for f in FIELDS:
                 out[f] += vals[f]
-        out["__stages__"] = per
-        return out
+        return StageSnapshot(out, per)
+
+    # back-compat spelling used by bench/scale scripts
+    totals = snapshot
 
     @staticmethod
-    def delta(before: dict[str, int], after: dict[str, int]) -> dict[str, int]:
-        """Metrics attributable to work between two totals() snapshots:
-        stages NEW since `before` plus per-stage growth, clamped at
-        zero per stage — UI eviction between snapshots can no longer
-        drive any field negative. Falls back to clamped whole-total
-        subtraction for legacy snapshots without per-stage detail."""
-        b = before.get("__stages__")
-        a = after.get("__stages__")
-        if b is None or a is None:
-            return {f: max(0, after[f] - before[f]) for f in FIELDS}
+    def delta(before: StageSnapshot, after: StageSnapshot) -> dict[str, int]:
+        """Metrics attributable to work between two snapshots: stages
+        NEW since `before` plus per-stage growth, clamped at zero per
+        stage — UI eviction between snapshots can no longer drive any
+        field negative."""
         out = dict.fromkeys(FIELDS, 0)
-        for key, vals in a.items():
-            prev = b.get(key)
+        for key, vals in after.stages.items():
+            prev = before.stages.get(key)
             for f in FIELDS:
                 out[f] += max(0, vals[f] - (prev[f] if prev else 0))
         return out
 
     def measure(self, fn):
         """Run fn(); return (fn_result, stage-metrics delta)."""
-        before = self.totals()
+        before = self.snapshot()
         result = fn()
-        return result, self.delta(before, self.totals())
+        return result, self.delta(before, self.snapshot())
 
 
 # ---------------------------------------------------------------------------
@@ -212,9 +222,7 @@ class MetricsRegistry:
         per-endpoint latency + task-level profile in one artifact."""
         out = {"endpoints": self.snapshot()}
         try:
-            totals = StageMetrics(spark).totals()
-            totals.pop("__stages__", None)
-            out["spark_stage_totals"] = totals
+            out["spark_stage_totals"] = StageMetrics(spark).snapshot().totals
         except Exception:
             out["spark_stage_totals"] = None
         return out

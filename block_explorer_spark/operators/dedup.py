@@ -100,7 +100,16 @@ def _small_corpus(df: DataFrame) -> bool:
     """Plan-only (no job) size test: Catalyst's optimized-plan stats —
     file bytes for parquet scans, width-scaled through projections.
     Errs large (keeps the scale-safe pins) when the estimate is
-    unavailable."""
+    unavailable.
+
+    Expectation (ADVICE r10): without CBO the estimate ignores filter
+    selectivity and defaults LARGE for non-file sources, so the fast
+    small-corpus path effectively triggers only for inputs derived
+    from direct file scans — in-memory or post-join corpora keep the
+    pinned large-corpus plan even when they are tiny. That is the
+    safe direction (the pins are correct at any size, just ~2.8x
+    slower at fixture scale); callers who know better can pre-write
+    the corpus to parquet, which also restores the estimate."""
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:

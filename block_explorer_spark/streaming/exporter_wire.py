@@ -102,16 +102,24 @@ def _key(field_num: int, wire_type: int) -> bytes:
 
 def _skip_field(buf: bytes, pos: int, wire_type: int) -> int:
     """Skip an unknown field — required proto3 decoder behavior, so a
-    newer peer adding fields never breaks this end."""
+    newer peer adding fields never breaks this end. Overruns raise,
+    same as the known-field paths: a corrupt frame whose unknown
+    field runs past the buffer must not parse as a valid message."""
     if wire_type == _WIRE_VARINT:
         _, pos = decode_uvarint(buf, pos)
         return pos
     if wire_type == _WIRE_I64:
+        if pos + 8 > len(buf):
+            raise ValueError("truncated i64 field")
         return pos + 8
     if wire_type == _WIRE_LEN:
         ln, pos = decode_uvarint(buf, pos)
+        if pos + ln > len(buf):
+            raise ValueError("truncated bytes field")
         return pos + ln
     if wire_type == _WIRE_I32:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated i32 field")
         return pos + 4
     raise ValueError(f"unsupported wire type {wire_type}")
 

@@ -95,6 +95,23 @@ def test_decoder_skips_unknown_fields():
     assert (msg.pulse_number, msg.record_amount) == (7, 3)
 
 
+def test_truncated_unknown_fields_raise():
+    """A corrupt frame whose UNKNOWN field overruns the buffer must
+    raise like the known-field paths do, not parse as a valid message
+    (ADVICE r10: _skip_field overrun)."""
+    import pytest
+
+    base = W.GetNextPulseResponse(pulse_number=7).encode()
+    cases = [
+        b"\x4a\x63xyz",  # field 9 LEN claims 99 bytes, has 3
+        b"\x39\x01\x02",  # field 7 I64 needs 8 bytes, has 2
+        b"\x3d\x01",  # field 7 I32 needs 4 bytes, has 1
+    ]
+    for extra in cases:
+        with pytest.raises(ValueError, match="truncated"):
+            W.GetNextPulseResponse.decode(base + extra)
+
+
 # ---------------------------------------------------------------------------
 # gRPC framing
 # ---------------------------------------------------------------------------

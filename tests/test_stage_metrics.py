@@ -1,28 +1,36 @@
 """StageMetrics.delta must stay non-negative under UI stage eviction.
 
 Round-9 BENCH_METRICS.json carried negative executorCpuTime/numTasks
-for q134: totals() summed whatever completed stages the UI store still
-retained, so when eviction dropped stages between the before/after
-snapshots the subtraction went negative. delta() now attributes work
-per stage attempt and clamps, so eviction and retries can only
-under-count, never produce negative fields.
+for q134: the old totals() summed whatever completed stages the UI
+store still retained, so when eviction dropped stages between the
+before/after snapshots the subtraction went negative. delta() now
+attributes work per stage attempt and clamps, so eviction and retries
+can only under-count, never produce negative fields. Snapshots are a
+typed StageSnapshot (totals: pure ints; stages: per-attempt detail) —
+the r10 "__stages__" magic key no longer leaks a non-int into the
+totals dict (ADVICE r10).
 """
 
 from __future__ import annotations
 
-from block_explorer_spark.metrics import FIELDS, StageMetrics
+from block_explorer_spark.metrics import FIELDS, StageMetrics, StageSnapshot
 
 
-def _snap(stages: dict[str, dict[str, int]]) -> dict:
-    out = dict.fromkeys(FIELDS, 0)
+def _snap(stages: dict[str, dict[str, int]]) -> StageSnapshot:
+    totals = dict.fromkeys(FIELDS, 0)
     full = {
         key: {f: vals.get(f, 0) for f in FIELDS} for key, vals in stages.items()
     }
     for vals in full.values():
         for f in FIELDS:
-            out[f] += vals[f]
-    out["__stages__"] = full
-    return out
+            totals[f] += vals[f]
+    return StageSnapshot(totals, full)
+
+
+def test_snapshot_totals_are_pure_ints():
+    snap = _snap({"1.0": {"numTasks": 3}})
+    assert set(snap.totals) == set(FIELDS)
+    assert all(isinstance(v, int) for v in snap.totals.values())
 
 
 def test_delta_counts_new_stages():
@@ -56,13 +64,3 @@ def test_delta_retry_same_stage_growth():
     after = _snap({"3.0": {"numTasks": 6}, "3.1": {"numTasks": 2}})
     d = StageMetrics.delta(before, after)
     assert d["numTasks"] == 4
-
-
-def test_delta_legacy_snapshots_clamped():
-    before = dict.fromkeys(FIELDS, 0)
-    before["numTasks"] = 50
-    after = dict.fromkeys(FIELDS, 0)
-    after["numTasks"] = 20
-    d = StageMetrics.delta(before, after)
-    assert d["numTasks"] == 0
-    assert all(v >= 0 for v in d.values())
