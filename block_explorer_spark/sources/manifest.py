@@ -390,7 +390,19 @@ def added_files(
 def unmanifested_files(base: str, data_dir_names: list[str]) -> dict[str, list[str]]:
     """Parquet relpaths sitting under the named data directories that
     no committed manifest lists — evidence of a store written before
-    the manifest log existed (or out-of-band)."""
+    the manifest log existed (or out-of-band).
+
+    Files a concurrent protocol writer STAGED but has not committed
+    are EXCLUDED: adopting one steals it from that writer's commit —
+    when the writer then loses its CAS and discards the file, the
+    adopter's manifest points at a deleted file (reader FileNotFound;
+    found by test_multiwriter's contention loop). Detection: scan the
+    data dirs FIRST, read the active write intents AFTER, and drop
+    any candidate modified at/after the oldest active intent's start.
+    A writer always registers its intent before staging (upsert's
+    write_intent), so any staged file an earlier scan could see comes
+    from an intent the later listing must show; genuinely-legacy and
+    out-of-band files predate every live intent and still adopt."""
     listed: set[str] = set()
     try:
         names = os.listdir(_mdir(base))
@@ -411,12 +423,27 @@ def unmanifested_files(base: str, data_dir_names: list[str]) -> dict[str, list[s
             for fn in files:
                 if fn.startswith(("_", ".")):
                     continue
-                rel = os.path.relpath(os.path.join(root, fn), base)
-                if rel not in listed:
-                    found.append(rel)
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, base)
+                if rel in listed:
+                    continue
+                try:
+                    found.append((rel, os.stat(full).st_mtime))
+                except FileNotFoundError:
+                    continue  # discarded under our feet
         if found:
-            out[d] = sorted(found)
-    return out
+            out[d] = found
+    # intents read AFTER the scan: an in-flight writer's staged file
+    # visible to the scan implies its intent is visible now
+    cutoff = _oldest_inflight_start(base)
+    final: dict[str, list[str]] = {}
+    for d, pairs in out.items():
+        keep = sorted(
+            rel for rel, mt in pairs if cutoff is None or mt < cutoff
+        )
+        if keep:
+            final[d] = keep
+    return final
 
 
 def adopt(base: str, families_by_dir: dict[str, str]) -> int:
@@ -426,7 +453,8 @@ def adopt(base: str, families_by_dir: dict[str, str]) -> int:
     name (`families_by_dir` maps family -> data directory name).
     Idempotent: files already listed in a manifest are skipped, and a
     call finding nothing to adopt commits nothing. Returns the number
-    of files adopted."""
+    of files adopted. Files staged by in-flight protocol writers are
+    never swept in (see unmanifested_files)."""
     snap = read(base)
     orphans = unmanifested_files(
         base, sorted(set(families_by_dir.values()))

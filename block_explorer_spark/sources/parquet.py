@@ -194,9 +194,15 @@ def _adopt_if_legacy(base: str) -> None:
     """First transactional write against a warehouse written before
     the manifest log (or populated by direct .parquet() writes, e.g.
     the scale fixtures): commit the pre-existing files as version 1 so
-    the CAS protocol governs everything after. Idempotent."""
+    the CAS protocol governs everything after. Idempotent; a racing
+    adopter losing the CAS just proceeds against the winner's commit
+    (files staged by in-flight protocol writers are never adoptable —
+    manifest.unmanifested_files excludes them by write-intent age)."""
     if Mf.current_version(base) == 0:
-        Mf.adopt(base, {name: name for name in TABLE_SCHEMAS})
+        try:
+            Mf.adopt(base, {name: name for name in TABLE_SCHEMAS})
+        except Mf.CommitConflict:
+            pass  # another writer adopted first; its v1 governs now
 
 
 def read_table(
@@ -237,8 +243,18 @@ def read_table(
     lo_b = pulse_gte // PULSE_BUCKET_SIZE if pulse_gte is not None else None
     hi_b = pulse_lte // PULSE_BUCKET_SIZE if pulse_lte is not None else None
 
-    if snapshot is None and Mf.current_version(base) == 0:
-        # legacy directory layout
+    if (
+        snapshot is None
+        and Mf.current_version(base) == 0
+        and Mf._oldest_inflight_start(base) is None
+    ):
+        # legacy directory layout. The in-flight check closes the
+        # bootstrap read race: on a version-0 store with ACTIVE
+        # protocol writers, the directory holds their staged-but-
+        # uncommitted files — the legacy listing would read rows no
+        # commit published (and crash when a CAS loser discards
+        # them). Such a store is empty-under-the-protocol, served by
+        # the manifest branch below.
         path = table_path(base, name)
         try:
             reader = spark.read.schema(_full_schema(name))
