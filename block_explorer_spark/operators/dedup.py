@@ -95,6 +95,15 @@ SMALL_CORPUS_BYTES = 32 << 20
 #: case pays one posexplode over yesterday's in-row expansion.
 _EQUAL_FAMILY_CHUNK = 4096
 
+#: Largest bucket whose pairs may be expanded as one in-row struct
+#: array (C(1024,2) ≈ 524k structs ≈ a few MB — comfortably inside a
+#: task). Bigger buckets stream their pairs through the chunk-pair
+#: join instead (_chunked_pair_expand): a degenerate LSH/prefix bucket
+#: (a stop-shingle that slipped the frequency guard, a pathological
+#: band collision) must degrade to slow-but-bounded, never to one
+#: unsplittable quadratic row — the r9 sf1 OOM bug class.
+_PAIR_EXPAND_MAX = 1024
+
 
 def _small_corpus(df: DataFrame) -> bool:
     """Plan-only (no job) size test: Catalyst's optimized-plan stats —
@@ -132,6 +141,67 @@ def _shingle_index(df: DataFrame, id_col: str, shingles: Column, distinct: bool 
     return idx.dropDuplicates(["__id", "__sh"]) if distinct else idx
 
 
+def _chunked_pair_expand(
+    fams: DataFrame, bucket_cols: list[str], chunk: int | None = None
+) -> DataFrame:
+    """All unordered in-bucket pairs of a sorted id array, streamed.
+
+    `fams` carries bucket_cols + `__ids` (array_sort-ed, DISTINCT
+    values). Each array is sharded into fixed `chunk`-sized pieces by
+    posexplode position, and chunk pairs (cka <= ckb) are joined: the
+    C(m,2) pairs leave as ordinary rows, per-task state is bounded by
+    ~2 chunks of ids regardless of m, and work distributes across
+    (bucket, chunk) shuffle keys. Correctness of the strict `a < b`
+    filter relies on the sort + distinctness: for chunk indexes
+    i < j every id in chunk i is strictly below every id in chunk j,
+    so each unordered pair surfaces in exactly one (cka <= ckb)
+    combination and the filter never drops a cross-chunk pair. A
+    family with m <= chunk takes the single-(0,0)-chunk-pair plan.
+
+    Output: bucket_cols + (a, b), a < b.
+    """
+    chunk = _EQUAL_FAMILY_CHUNK if chunk is None else chunk
+    eids = fams.select(
+        *bucket_cols, F.posexplode("__ids").alias("__pos", "__eid")
+    ).select(
+        *bucket_cols,
+        (F.col("__pos") / chunk).cast("int").alias("__ck"),
+        "__eid",
+    )
+    cpairs = (
+        fams.select(
+            *bucket_cols,
+            F.ceil(F.size("__ids") / chunk).cast("int").alias("__nc"),
+        )
+        .select(
+            *bucket_cols,
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("__cka"),
+            "__nc",
+        )
+        .select(
+            *bucket_cols,
+            "__cka",
+            F.explode(F.sequence(F.col("__cka"), F.col("__nc") - 1)).alias("__ckb"),
+        )
+    )
+    return (
+        cpairs.join(
+            eids.select(
+                *bucket_cols, F.col("__ck").alias("__cka"), F.col("__eid").alias("__pa")
+            ),
+            bucket_cols + ["__cka"],
+        )
+        .join(
+            eids.select(
+                *bucket_cols, F.col("__ck").alias("__ckb"), F.col("__eid").alias("__pb")
+            ),
+            bucket_cols + ["__ckb"],
+        )
+        .filter(F.col("__pa") < F.col("__pb"))
+        .select(*bucket_cols, F.col("__pa").alias("a"), F.col("__pb").alias("b"))
+    )
+
+
 def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], payload: Column) -> DataFrame:
     """All unordered in-bucket pairs via collect_list + array combinatorics.
 
@@ -139,18 +209,29 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], payload: Column) -> 
     bucket — re-executes the ENTIRE upstream lineage twice (Spark does
     not reuse the exchange across the aliased sides), which for LSH
     means recomputing every signature. Instead: one groupBy on the
-    bucket key, then per-bucket pair expansion with array expressions
-    (flatten/transform/slice), which stays in codegen and computes the
-    lineage once. Buckets are near-dup clusters — small by
-    construction — so the C(k,2) per-row expansion is bounded; LSH
-    skew (a degenerate giant bucket) should be handled upstream by the
-    caller's shingling choice, not here.
+    bucket key, then per-bucket pair expansion. Buckets are near-dup
+    clusters — small by construction — so the common case expands each
+    bucket's C(k,2) pairs as one in-row array expression
+    (flatten/transform/slice: stays in codegen, computes the lineage
+    once). But "small by construction" is a density argument, not a
+    bound: a stop-shingle that slips the frequency guard or a
+    pathological band collision makes ONE giant bucket, and an in-row
+    expansion of it is an unsplittable quadratic row (the r9 sf1 OOM
+    bug class). Buckets past _PAIR_EXPAND_MAX therefore stream their
+    pairs through the chunk-pair join (_chunked_pair_expand) off the
+    same grouped exchange — slow-but-bounded instead of fatal.
+    `payload` values must be distinct within a bucket (true for every
+    caller: ids per posting/band bucket, distinct hash values per
+    pigeonhole bucket); the sharded branch's strict `<` would drop
+    equal-payload pairs.
 
     Output: (pair.a, pair.b) structs of `payload`, a < b by the struct
     ordering, distinct.
     """
     grouped = keyed.groupBy(*bucket_cols).agg(F.array_sort(F.collect_list(payload)).alias("__ids"))
-    pairs = grouped.filter(F.size("__ids") > 1).select(
+    pairs = grouped.filter(
+        (F.size("__ids") > 1) & (F.size("__ids") <= _PAIR_EXPAND_MAX)
+    ).select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -162,8 +243,11 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], payload: Column) -> 
                 )
             )
         ).alias("__pair")
-    )
-    return pairs.select("__pair.a", "__pair.b").dropDuplicates(["a", "b"])
+    ).select("__pair.a", "__pair.b")
+    oversized = _chunked_pair_expand(
+        grouped.filter(F.size("__ids") > _PAIR_EXPAND_MAX), bucket_cols
+    ).select("a", "b")
+    return pairs.unionByName(oversized).dropDuplicates(["a", "b"])
 
 
 def jaccard_pairs(
@@ -850,60 +934,17 @@ def hamming_pairs(
     # single unsplittable row — the same bug class as the round-9 sf1
     # bucket-skew OOM, recreated for mass-duplicate families
     # (boilerplate pages, all-black frames: m can be millions in real
-    # crawls). Instead shard each family's sorted id list into fixed
-    # chunks and join chunk pairs: pairs stream out as ordinary rows,
-    # per-task memory is bounded by the chunk size, and work
-    # distributes across (family, chunk) shuffle keys. Correctness of
-    # the __ea < __eb filter relies on __ids being array_sort-ed with
-    # distinct ids: for chunk indexes i < j every id in chunk i is
-    # strictly below every id in chunk j, so each unordered pair
-    # surfaces in exactly one (cka <= ckb) combination and the filter
-    # never drops a cross-chunk pair.
-    fams = groups.filter(F.size("__ids") > 1)
-    eids = fams.select(
-        "__sim", F.posexplode("__ids").alias("__pos", "__eid")
+    # crawls). Instead stream them through the chunk-pair join (see
+    # _chunked_pair_expand for the bounded-memory argument); the
+    # monkeypatchable module constant keeps the chunk size testable.
+    equal = _chunked_pair_expand(
+        groups.filter(F.size("__ids") > 1), ["__sim"], chunk=_EQUAL_FAMILY_CHUNK
     ).select(
-        "__sim",
-        (F.col("__pos") / _EQUAL_FAMILY_CHUNK).cast("int").alias("__ck"),
-        "__eid",
-    )
-    cpairs = (
-        fams.select(
-            "__sim",
-            F.ceil(F.size("__ids") / _EQUAL_FAMILY_CHUNK).cast("int").alias("__nc"),
-        )
-        .select(
-            "__sim",
-            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("__cka"),
-            "__nc",
-        )
-        .select(
-            "__sim",
-            "__cka",
-            F.explode(F.sequence(F.col("__cka"), F.col("__nc") - 1)).alias("__ckb"),
-        )
-    )
-    equal = (
-        cpairs.join(
-            eids.select(
-                "__sim", F.col("__ck").alias("__cka"), F.col("__eid").alias("__ea")
-            ),
-            ["__sim", "__cka"],
-        )
-        .join(
-            eids.select(
-                "__sim", F.col("__ck").alias("__ckb"), F.col("__eid").alias("__eb")
-            ),
-            ["__sim", "__ckb"],
-        )
-        .filter(F.col("__ea") < F.col("__eb"))
-        .select(
-            F.col("__ea").alias("id_a"),
-            F.col("__eb").alias("id_b"),
-            F.col("__sim").alias("sim_a"),
-            F.col("__sim").alias("sim_b"),
-            F.lit(0).alias("hamming"),
-        )
+        F.col("a").alias("id_a"),
+        F.col("b").alias("id_b"),
+        F.col("__sim").alias("sim_a"),
+        F.col("__sim").alias("sim_b"),
+        F.lit(0).alias("hamming"),
     )
 
     # (2) candidate pairs of DISTINCT values via pigeonhole buckets

@@ -64,6 +64,49 @@ def test_jaccard_pairs_exact_values(docs):
     assert not any(5 in p or 6 in p for p in got)
 
 
+def test_bucket_pairs_oversized_bucket_sharded(spark, monkeypatch):
+    """A degenerate giant bucket (stop-shingle past the guard, band
+    collision) must stream its pairs through the chunk-pair join, not
+    one in-row quadratic array. Forced small thresholds so one bucket
+    spans several chunks; exact pair set certified against brute
+    force, small buckets certified unchanged alongside."""
+    import itertools
+
+    monkeypatch.setattr(D, "_PAIR_EXPAND_MAX", 8)
+    monkeypatch.setattr(D, "_EQUAL_FAMILY_CHUNK", 7)
+    rows = [("hot", f"d{i:03d}") for i in range(23)]  # giant bucket
+    rows += [("cold", f"d{i:03d}") for i in range(5)]  # in-row path
+    rows += [("lone", "d999")]  # size-1: no pairs
+    keyed = spark.createDataFrame(rows, ["sh", "id"])
+    out = D._bucket_pairs(keyed, ["sh"], F.col("id"))
+    got = sorted((r.a, r.b) for r in out.collect())
+    want = sorted(
+        set(
+            itertools.chain(
+                itertools.combinations([f"d{i:03d}" for i in range(23)], 2),
+                itertools.combinations([f"d{i:03d}" for i in range(5)], 2),
+            )
+        )
+    )
+    assert got == want
+    # plan census: the sharded branch is present (posexplode) and the
+    # in-row expansion survives for the small-bucket branch (slice)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode" in plan and "slice" in plan
+
+
+def test_lsh_survives_degenerate_band_bucket(docs, monkeypatch):
+    """Public-path check: with the in-row cap forced tiny, LSH's
+    candidate expansion routes its (identical-doc) band buckets
+    through the sharded branch and still returns the right pairs."""
+    monkeypatch.setattr(D, "_PAIR_EXPAND_MAX", 1)
+    out = D.minhash_lsh_pairs(
+        docs, "doc_id", Tx.word_set("text"), num_hashes=32, bands=8, threshold=0.9
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+
+
 def test_jaccard_stop_shingle_guard(docs):
     # every interesting shingle here has freq <= 4; a freq cap of 1
     # kills all shared shingles -> no pairs survive
