@@ -196,11 +196,29 @@ def pagerank_int(
     with damping = (num, den) = 0.85 as an exact rational. Dangling
     nodes keep contributing nothing (their mass leaks — the simple
     variant; the teleport term keeps ranks bounded). Each iteration is
-    ONE shuffle (contrib groupBy dst) plus the static broadcast-sized
-    degree join when the graph's vertex set fits a broadcast, or a
-    co-partitioned join otherwise — Spark picks via AQE. Lineage is
-    cut per iteration (the iterative-plan trap, same as
-    connected_components).
+    ONE shuffle (contrib groupBy dst) plus the rank join against the
+    degree-carrying edge table — Spark picks broadcast vs shuffle via
+    AQE. Lineage is cut per iteration (the iterative-plan trap, same
+    as connected_components).
+
+    The STATIC frames — the distinct edge set pre-joined with its
+    out-degrees, and the vertex set — are materialized ONCE before
+    the loop and lineage-cut. Without that cut each iteration's plan
+    re-derives them from the raw edge lineage (edge-building join +
+    distinct + degree agg + vertex union, ×iters — the r11 profile
+    showed q116 reading its base tables ~15×: 11.1M input records for
+    a 750k-row graph).
+
+    The loop carries the compact IN-SUM table, not the full rank
+    table: because rank_i(v) for i ≥ 1 is the pure function
+    base + (num·in_sum_i(v))//den with in_sum defaulting to 0, the
+    per-iteration plan is ONE join (edges LEFT JOIN in_sum, computing
+    the sender's rank inline via coalesce) + ONE aggregation — the
+    nodes⋈rank materialization the previous form paid per iteration
+    happens exactly once, at the end. Iteration 1 needs no join at
+    all (rank_0 is the constant `scale`). Bit-identical output:
+    absent in_sum ⇔ rank = base, the same value the left-join +
+    coalesce produced.
 
     Returns (id, rank) — rank is the scaled long. Standard reference:
     Page/Brin/Motwani/Winograd 1999.
@@ -208,34 +226,48 @@ def pagerank_int(
     num, den = damping
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Pre-join the (static) degree onto the edge set once — the loop
+    # then joins the iteration state against ONE table instead of
+    # re-joining out_deg every iteration. Within this one
+    # materialization the e.distinct exchange is shared by the join
+    # side and the degree agg (ReusedExchange), so the raw edge
+    # lineage executes once.
+    ec = e.join(out_deg, "src")
+    if use_checkpoint:
+        ec = _cut(ec)
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        ec.select(F.col("src").alias("id"))
+        .union(ec.select(F.col("dst").alias("id")))
         .distinct()
     )
+    if use_checkpoint:
+        nodes = _cut(nodes)
     base = ((den - num) * scale) // den
-    ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(out_deg, "src")
-            .select("dst", F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.expr(f"(CAST({num} AS BIGINT) * coalesce(in_sum, 0)) div {den}")
-                ).cast("long").alias("rank"),
+    if iters == 0:
+        return nodes.select("id", F.lit(scale).cast("long").alias("rank"))
+    # rank of a sender under the current in_sum state (i ≥ 1); absent
+    # in_sum rows mean "no in-edges" → rank = base exactly.
+    rank_expr = (
+        f"CAST({base} AS BIGINT)"
+        f" + (CAST({num} AS BIGINT) * coalesce(in_sum, 0L)) div {den}"
+    )
+    in_sum = None
+    for i in range(iters):
+        if i == 0:
+            # rank_0 is the constant `scale`: no join needed.
+            contrib = ec.select(
+                "dst", F.expr(f"CAST({scale} AS BIGINT) div deg").alias("c")
             )
-        )
+        else:
+            contrib = ec.join(
+                in_sum.withColumnRenamed("dst", "src"), "src", "left"
+            ).select("dst", F.expr(f"({rank_expr}) div deg").alias("c"))
+        in_sum = contrib.groupBy("dst").agg(F.sum("c").alias("in_sum"))
         if use_checkpoint:
-            ranks = _cut(ranks, eager=False)
-    return ranks
+            in_sum = _cut(in_sum, eager=False)
+    return nodes.join(
+        in_sum.withColumnRenamed("dst", "id"), "id", "left"
+    ).select("id", F.expr(rank_expr).cast("long").alias("rank"))
 
 
 def bfs_hops(
@@ -474,17 +506,33 @@ def ppr_int(
 
     Integer sums commute, so the fixed iteration count is
     partitioning-independent and SQL-replayable (q145 unrolls it as
-    chained CTEs, like q116). One shuffle per iteration; lineage
-    cut per round."""
+    chained CTEs, like q116). One join + one aggregation per
+    iteration, carrying the compact in_sum state exactly as
+    pagerank_int does (rank_i for i ≥ 1 is the pure function
+    is_src·base + (num·in_sum_i)//den of the state, so the nodes⋈rank
+    materialization happens once, after the loop; the sender's is_src
+    bit rides on the pre-joined edge table); lineage cut per round."""
     num, den = damping
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    if use_checkpoint:
-        e = _cut(e)
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     srcs = sources.select(F.col("id").cast("long").alias("id")).distinct()
+    # Degree AND the sender's teleport bit pre-joined onto the edge
+    # set ONCE and lineage-cut (see pagerank_int): without this the
+    # loop re-runs the degree agg and a second join every iteration.
+    ec = (
+        e.join(out_deg, "src")
+        .join(
+            srcs.select(F.col("id").alias("src"), F.lit(1).alias("__s")),
+            "src",
+            "left",
+        )
+        .select("src", "dst", "deg", F.coalesce("__s", F.lit(0)).alias("s"))
+    )
+    if use_checkpoint:
+        ec = _cut(ec)
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        ec.select(F.col("src").alias("id"))
+        .union(ec.select(F.col("dst").alias("id")))
         .union(srcs)
         .distinct()
         .join(srcs.withColumn("__s", F.lit(1)), "id", "left")
@@ -493,30 +541,37 @@ def ppr_int(
     if use_checkpoint:
         nodes = _cut(nodes)
     base = ((den - num) * scale) // den
-    ranks = nodes.select(
-        "id",
-        "is_src",
-        (F.col("is_src") * F.lit(scale)).cast("long").alias("rank"),
+    if iters == 0:
+        return nodes.select(
+            "id", (F.col("is_src") * F.lit(scale)).cast("long").alias("rank")
+        )
+    # sender rank under the current in_sum state (i ≥ 1); absent
+    # in_sum ⇔ no in-edges ⇔ the teleport term alone.
+    sender_rank = (
+        f"CAST(s AS BIGINT) * {base}"
+        f" + (CAST({num} AS BIGINT) * coalesce(in_sum, 0L)) div {den}"
     )
-    for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(out_deg, "src")
-            .select("dst", F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                "is_src",
-                (
-                    F.col("is_src") * F.lit(base)
-                    + F.expr(f"(CAST({num} AS BIGINT) * coalesce(in_sum, 0)) div {den}")
-                ).cast("long").alias("rank"),
+    in_sum = None
+    for i in range(iters):
+        if i == 0:
+            # rank_0 = is_src·scale: no join needed.
+            contrib = ec.select(
+                "dst",
+                F.expr(f"(CAST(s AS BIGINT) * {scale}) div deg").alias("c"),
             )
-        )
+        else:
+            contrib = ec.join(
+                in_sum.withColumnRenamed("dst", "src"), "src", "left"
+            ).select("dst", F.expr(f"({sender_rank}) div deg").alias("c"))
+        in_sum = contrib.groupBy("dst").agg(F.sum("c").alias("in_sum"))
         if use_checkpoint:
-            ranks = _cut(ranks, eager=False)
-    return ranks.select("id", "rank")
+            in_sum = _cut(in_sum, eager=False)
+    return nodes.join(
+        in_sum.withColumnRenamed("dst", "id"), "id", "left"
+    ).select(
+        "id",
+        (
+            F.col("is_src") * F.lit(base)
+            + F.expr(f"(CAST({num} AS BIGINT) * coalesce(in_sum, 0)) div {den}")
+        ).cast("long").alias("rank"),
+    )
