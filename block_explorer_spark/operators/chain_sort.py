@@ -91,7 +91,9 @@ def order_group(records: list[dict]) -> list[dict]:
     return out
 
 
-def chain_sort_drops(decoded: DataFrame, drop_invalid: bool = True) -> DataFrame:
+def chain_sort_drops(
+    decoded: DataFrame, drop_invalid: bool = True, dedupe: bool = False
+) -> DataFrame:
     """Assign `order` per (pulse_number, jet_id) via the J6 chain sort.
 
     Input: decoded records (schemas.RECORDS minus `order`, plus
@@ -99,6 +101,15 @@ def chain_sort_drops(decoded: DataFrame, drop_invalid: bool = True) -> DataFrame
     chains) are dropped when drop_invalid=True — matching the
     reference's fail-the-whole-drop semantics; the controller's reload
     loop (D6) re-requests them later.
+
+    dedupe=True collapses byte-identical rows INSIDE each group before
+    the chain walk (r11): an at-least-once source's exact replays share
+    every column incl. (pulse, jet), so they always land in the same
+    group, and the in-group pandas dedup rides the grouping shuffle the
+    sort already pays — the caller saves the standalone
+    `dropDuplicates()` exchange over the full batch (guide §2.4). Rows
+    differing in ANY column (a genuine in-batch fork) still reach fork
+    validation exactly as before.
     """
     out_schema = T.StructType(
         [f for f in schemas.RECORDS.fields] + [T.StructField("chain_error", T.StringType(), True)]
@@ -106,6 +117,8 @@ def chain_sort_drops(decoded: DataFrame, drop_invalid: bool = True) -> DataFrame
     in_cols = [f.name for f in schemas.RECORDS.fields if f.name != "order"] + ["position"]
 
     def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if dedupe:
+            pdf = pdf.drop_duplicates()
         rows = pdf.to_dict("records")
         try:
             ordered = order_group(rows)

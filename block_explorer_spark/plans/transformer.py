@@ -65,16 +65,20 @@ def decode_records(raw: DataFrame) -> DataFrame:
     )
 
 
-def transform_pulse_data(raw: DataFrame, drop_invalid: bool = True) -> DataFrame:
+def transform_pulse_data(
+    raw: DataFrame, drop_invalid: bool = True, dedupe: bool = False
+) -> DataFrame:
     """D1: full transform — decode then per-drop chain sort + order.
 
     Input: schemas.RAW_RECORDS. Output: schemas.RECORDS with `order`
     assigned 1..N within each (pulse_number, jet_id), state chains
     ordered by prev-links; drops with broken/forked chains removed
-    (reloaded later by the controller, D6).
+    (reloaded later by the controller, D6). dedupe=True additionally
+    collapses byte-identical raw replays inside the chain-sort groups
+    (see chain_sort_drops — saves the caller a full-batch exchange).
     """
     decoded = decode_records(raw)
-    return chain_sort_drops(decoded, drop_invalid=drop_invalid)
+    return chain_sort_drops(decoded, drop_invalid=drop_invalid, dedupe=dedupe)
 
 
 def jet_drops_from_records(

@@ -556,6 +556,29 @@ def _objidx_pending(snap_or_m: dict) -> list[str]:
     )
 
 
+class BatchStats:
+    """Caller-known planning facts for one table's upsert batch —
+    lets `upsert_many` skip its per-table planning job (bucket list +
+    row count) and zone-prune the collision check. The ingest path
+    derives these from the ONE per-pulse aggregate it already runs.
+
+    pulses: the batch's exact pulse_number set (determines the bucket
+    list and the [lo, hi] pulse bounds). n_rows: the batch's row count
+    — an UPPER bound is acceptable (it only gates the records-table
+    sidecar skip-or-batch floor, where over-counting merely indexes
+    inline when a defer would have been allowed)."""
+
+    __slots__ = ("pulses", "n_rows")
+
+    def __init__(self, pulses: list[int], n_rows: int):
+        self.pulses = list(pulses)
+        self.n_rows = int(n_rows)
+
+    @property
+    def buckets(self) -> list[int]:
+        return sorted({p // PULSE_BUCKET_SIZE for p in self.pulses})
+
+
 def _plan_and_stage(
     spark: SparkSession,
     base: str,
@@ -566,6 +589,7 @@ def _plan_and_stage(
     buckets: list[int],
     key_bucket_affinity: bool,
     n_rows: int = 0,
+    pulse_bounds: tuple[int, int] | None = None,
 ) -> tuple[list[str], dict[str, list[str]], list[str]]:
     """One table's share of a transactional upsert against a pinned
     snapshot: stage the files, return (staged_rels, {family:
@@ -601,10 +625,15 @@ def _plan_and_stage(
             # skip path: this commit's data files carry their own
             # (and any relocated) unindexed pairs
             return staged, fams, carried + new_data
+        # coalesce(1), not repartitionByRange(1, ...): range
+        # partitioning into ONE partition still pays a range-bounds
+        # sampling job + an extra exchange; coalescing the distinct's
+        # output to a single sorted partition yields the identical
+        # one-file sidecar layout without either (r11, guide §2.4)
         delta = (
             prep.select(obj_key_expr().alias(OBJ_KEY), "pulse_bucket")
             .distinct()
-            .repartitionByRange(1, OBJ_KEY)
+            .coalesce(1)
             .sortWithinPartitions(OBJ_KEY)
         )
         irels = Mf.stage_df(delta, base, OBJIDX)
@@ -641,10 +670,27 @@ def _plan_and_stage(
     # bucket is GB-scale while a micro-batch is KB-scale. Replays and
     # updates (key collision) fall through to the merge-rewrite,
     # preserving upsert semantics.
+    # Zone-pruned short-circuit (r11): when the caller supplied the
+    # batch's pulse bounds AND the key→bucket affinity invariant holds
+    # (a key never changes its pulse, so equal keys ⇒ equal pulse), a
+    # touched file whose pulse [min, max] zone cannot intersect the
+    # batch's pulse range cannot hold a colliding key. In the steady
+    # all-new-pulses state every touched file prunes away and the
+    # collision check costs ZERO jobs — the r11 ingest profile showed
+    # this check as one ~100-200 ms file-reading job per table per
+    # micro-batch. Files without recorded stats are conservatively
+    # kept (prune_by_stats), so correctness never depends on stats.
     collisions = 0
-    if touched:
+    cand = touched
+    if touched and key_bucket_affinity and pulse_bounds is not None:
+        cand = Mf.prune_by_stats(
+            snap, name, "pulse_number",
+            lo=pulse_bounds[0], hi=pulse_bounds[1], rels=touched,
+        )
+    if cand:
         collisions = (
-            existing.select(*keys)
+            _read_rels(spark, base, name, cand)
+            .select(*keys)
             .join(F.broadcast(batch_keys), on=keys, how="left_semi")
             .limit(1)
             .count()
@@ -672,6 +718,7 @@ def upsert_many(
     batches: dict[str, DataFrame],
     *,
     key_bucket_affinity: bool = True,
+    batch_stats: dict[str, "BatchStats"] | None = None,
 ) -> None:
     """MERGE several tables' batches in ONE atomic manifest commit —
     the multi-table transaction of the reference's load path
@@ -692,7 +739,19 @@ def upsert_many(
     writer commits first the CAS fails, this writer discards its
     staged files and re-merges against the new snapshot — racing
     same-bucket upserts never lose rows. Per-table staging jobs run in
-    parallel threads (they are independent Spark jobs)."""
+    parallel threads (they are independent Spark jobs).
+
+    batch_stats (r11): optional per-table BatchStats from a caller
+    that already knows each batch's pulse set + row count (the ingest
+    path computes both in its one transform-materializing job). With
+    stats present the per-table planning job (bucket-list + row-count
+    collect) is skipped and the collision check is zone-pruned by the
+    batch's pulse bounds — in the steady all-new-pulses micro-batch
+    state the whole merge plans with ZERO extra Spark jobs per table
+    before its staging write. Stats MUST be exact on the pulse set
+    (the bucket list decides which existing buckets join the rewrite
+    set — an under-approximation would silently duplicate replayed
+    keys); n_rows may be an upper bound."""
     _adopt_if_legacy(base)
     prepped: dict[str, tuple] = {}
 
@@ -712,29 +771,46 @@ def upsert_many(
                     name, batch = item
                     if name not in prepped:
                         keys = TABLE_KEYS[name]
+                        st = (batch_stats or {}).get(name)
                         prep = with_bucket(batch.dropDuplicates(keys)).cache()
-                        # one job yields both the bucket list and the
-                        # row count (the sidecar skip-or-batch floor)
-                        bucket_rows = (
-                            prep.groupBy("pulse_bucket").count().collect()
-                        )
-                        buckets = [r.pulse_bucket for r in bucket_rows]
-                        if not buckets:  # empty batch: nothing to merge
-                            prep.unpersist()
-                            prepped[name] = None
+                        if st is not None:
+                            # caller-supplied planning facts: no job
+                            if not st.pulses:
+                                prep.unpersist()
+                                prepped[name] = None
+                            else:
+                                prepped[name] = (
+                                    prep,
+                                    prep.select(*keys).distinct(),
+                                    st.buckets,
+                                    st.n_rows,
+                                    (min(st.pulses), max(st.pulses)),
+                                )
                         else:
-                            prepped[name] = (
-                                prep,
-                                prep.select(*keys).distinct(),
-                                buckets,
-                                sum(r["count"] for r in bucket_rows),
+                            # one job yields both the bucket list and
+                            # the row count (sidecar skip-or-batch)
+                            bucket_rows = (
+                                prep.groupBy("pulse_bucket").count().collect()
                             )
+                            buckets = [r.pulse_bucket for r in bucket_rows]
+                            if not buckets:  # empty batch: no merge
+                                prep.unpersist()
+                                prepped[name] = None
+                            else:
+                                prepped[name] = (
+                                    prep,
+                                    prep.select(*keys).distinct(),
+                                    buckets,
+                                    sum(r["count"] for r in bucket_rows),
+                                    None,
+                                )
                     if prepped[name] is None:
                         return name, None
-                    prep, bkeys, buckets, n_rows = prepped[name]
+                    prep, bkeys, buckets, n_rows, bounds = prepped[name]
                     return name, _plan_and_stage(
                         spark, base, snap, name, prep, bkeys, buckets,
                         key_bucket_affinity, n_rows=n_rows,
+                        pulse_bounds=bounds,
                     )
 
                 items = list(batches.items())
@@ -847,7 +923,12 @@ def set_pulse_flags(
         current = current.withColumn("is_complete", F.lit(complete))
     if sequential is not None:
         current = current.withColumn("is_sequential", F.lit(sequential))
-    upsert(spark, base, "pulses", current)
+    # the touched pulse set is exactly the argument list (the batch is
+    # a filtered read of those pulses): planning facts are free
+    upsert_many(
+        spark, base, {"pulses": current},
+        batch_stats={"pulses": BatchStats(pulse_numbers, len(pulse_numbers))},
+    )
 
 
 def refresh_pulse_counters(spark: SparkSession, base: str) -> None:

@@ -75,23 +75,24 @@ def pulses_from_raw(raw: DataFrame) -> DataFrame:
 def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
     """One micro-batch: transform + persist (idempotent, replay-safe).
 
-    Raw records dedup EXACT duplicates FIRST: an at-least-once source
-    can deliver the same record twice within one batch (the reference's
+    Raw records dedup EXACT duplicates: an at-least-once source can
+    deliver the same record twice within one batch (the reference's
     importer stream does — db_integration_test.go:106-211, C5498), and
     a byte-identical duplicate entering the chain sort would read as a
     fork and wrongly fail the whole drop. Upsert's PK merge only covers
-    cross-batch replays; in-batch dedup has to happen pre-transform.
-    Dedup is over ALL columns, not just the reference: two rows sharing
-    a reference but differing in payload are a genuine in-batch fork
-    and must reach fork validation, not be collapsed to an arbitrary
-    winner (the reference's C5498 replay is byte-identical only).
+    cross-batch replays; in-batch dedup has to happen pre-sort. Dedup
+    is over ALL columns, not just the reference: two rows sharing a
+    reference but differing in payload are a genuine in-batch fork and
+    must reach fork validation, not be collapsed to an arbitrary winner
+    (the reference's C5498 replay is byte-identical only). r11: the
+    dedup rides the chain sort's own (pulse, jet) grouping shuffle
+    (dedupe=True) instead of paying a standalone full-batch exchange —
+    exact duplicates share every column, so they always share a group.
     """
-    raw = raw.dropDuplicates().cache()
+    raw = raw.cache()
     records = None
     try:
-        records = Tr.transform_pulse_data(raw).cache()
-        pulses = pulses_from_raw(raw)
-        drops = Tr.jet_drops_from_records(records, pulses)
+        records = Tr.transform_pulse_data(raw, dedupe=True).cache()
         # Materialize the transform once, then run the pulse + record
         # MERGEs as concurrent Spark jobs (the scheduler interleaves
         # them; the reference loads through a 200-worker pool,
@@ -99,12 +100,87 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
         # targets a different table and each MERGE is idempotent —
         # partial failure self-heals on replay exactly as in the
         # sequential order.
-        # One job materializes the cache AND yields the touched-pulse
-        # list (collect_set must scan every row, so it fully populates
-        # the cache exactly as count() did — without a second job).
-        touched = records.agg(
-            F.collect_set("pulse_number").alias("pns")
-        ).collect()[0]["pns"]
+        # ONE job materializes both caches AND yields per-pulse row
+        # counts for raw and transformed records (each union branch
+        # must scan every cached row, so this populates both caches
+        # exactly as count() would, without extra jobs). The counts feed
+        # upsert_many's batch_stats: the per-table bucket lists + row
+        # counts it would otherwise spend one planning job PER TABLE
+        # rediscovering (r11 ingest profile: 3 of the ~12 fixed jobs
+        # per micro-batch), and the pulse bounds that let the merge
+        # zone-prune its collision checks to zero file reads in the
+        # steady all-new-pulses state.
+        #   raw pulses ⊇ records pulses (chain validation drops whole
+        # jet drops): the PULSES batch derives from raw, so its hint
+        # uses the raw-side set; records/jet_drops derive from the
+        # transformed records, so theirs use the records-side set.
+        #   The two sides aggregate through ONE union (not a join):
+        # a join of two aggregates runs ~8 AQE stage-jobs on a
+        # micro-batch (measured: ~0.8 s of a 2.0 s commit); the union
+        # form is a single aggregation query. The same aggregate also
+        # carries the raw side's pulse metadata (max timestamp + real
+        # prev/next chain links), so the 1-row-per-pulse PULSES batch
+        # is built driver-side from the collected rows instead of
+        # running pulses_from_raw as a second aggregation query over
+        # raw at staging time (one whole exchange + its AQE jobs gone;
+        # the batch is bounded by the micro-batch's pulse count, a few
+        # rows, so the local relation is free).
+        nul = F.lit(None).cast("long")
+        per_pulse = (
+            raw.select(
+                "pulse_number", F.lit(0).alias("__is_rec"), "timestamp",
+                "prev_pulse_number", "next_pulse_number",
+            )
+            .unionByName(
+                records.select(
+                    "pulse_number", F.lit(1).alias("__is_rec"),
+                    nul.alias("timestamp"),
+                    nul.alias("prev_pulse_number"),
+                    nul.alias("next_pulse_number"),
+                )
+            )
+            .groupBy("pulse_number")
+            .agg(
+                F.count(F.lit(1)).alias("n_all"),
+                F.sum("__is_rec").alias("n_rec"),
+                F.max("timestamp").alias("ts"),
+                F.max("prev_pulse_number").alias("prev"),
+                F.max("next_pulse_number").alias("next"),
+            )
+            .collect()
+        )
+        raw_pulses = [
+            r["pulse_number"] for r in per_pulse if r["n_all"] > r["n_rec"]
+        ]
+        touched = [r["pulse_number"] for r in per_pulse if r["n_rec"]]
+        n_records = sum(r["n_rec"] for r in per_pulse)
+        # same derivation as pulses_from_raw (step-10 fallback for
+        # sources that lack real chain links), driver-side
+        step = 10
+        pulses = spark.createDataFrame(
+            [
+                {
+                    "pulse_number": r["pulse_number"],
+                    "prev_pulse_number": (
+                        r["prev"] if r["prev"] is not None
+                        else r["pulse_number"] - step
+                    ),
+                    "next_pulse_number": (
+                        r["next"] if r["next"] is not None
+                        else r["pulse_number"] + step
+                    ),
+                    "is_complete": False,
+                    "is_sequential": False,
+                    "timestamp": r["ts"],
+                    "jet_drop_amount": 0,
+                    "record_amount": 0,
+                }
+                for r in per_pulse
+                if r["n_all"] > r["n_rec"]
+            ],
+            schemas.PULSES,
+        )
+        drops = Tr.jet_drops_from_records(records, pulses)
         # Counter-correctness probe BEFORE the merges: if any touched
         # (pulse, jet) drop already exists — a pulse whose records
         # arrive split across micro-batches — batch-local counts would
@@ -136,9 +212,17 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
         # upsert_many stages the per-table writes in parallel threads
         # internally, so this keeps the previous concurrency.
         batches = {"pulses": pulses, "records": records}
+        stats = {
+            "pulses": pq.BatchStats(raw_pulses, len(raw_pulses)),
+            "records": pq.BatchStats(touched, n_records),
+        }
         if not prior:
             batches["jet_drops"] = drops
-        pq.upsert_many(spark, base, batches)
+            # one row per (pulse, jet): bounded above by the record
+            # count — the bound is only consumed by the records-table
+            # sidecar gate, so an upper bound is safe for jet_drops
+            stats["jet_drops"] = pq.BatchStats(touched, n_records)
+        pq.upsert_many(spark, base, batches, batch_stats=stats)
         if prior:
             # Split-pulse path only: recompute counts from the merged
             # fact table (bucket-pruned to the touched pulses), then
