@@ -243,17 +243,46 @@ def run_control_pass(spark: SparkSession, base: str) -> dict:
     """D4 + D5 + counter refresh as one idempotent batch sweep.
 
     Returns what changed: {"completed": [...], "sequential": [...],
-    "gaps": [...]} — gaps feed the reload loop (D6)."""
+    "gaps": [...]} — gaps feed the reload loop (D6).
+
+    r11: the three pulse-table updates (complete flags, sequential
+    flags, counters) fuse into ONE upsert commit. The decisions are
+    unchanged — the sequential advancer sees the complete flips
+    through an in-memory overlay of the same rows the old
+    flip-commit-reread produced — and the final table state is
+    byte-identical, but the pass pays one manifest commit + staging
+    cycle instead of three (and readers never see a partially swept
+    intermediate state, which is strictly safer)."""
+    from block_explorer_spark.operators.aggregates import pulse_counters
+
     pulses = pq.read_table(spark, base, "pulses")
     drops = pq.read_table(spark, base, "jet_drops")
     completed = C.newly_complete_pulses(pulses, drops)
     if completed:
-        pq.set_pulse_flags(spark, base, completed, complete=True)
-        pulses = pq.read_table(spark, base, "pulses")
+        pulses = pulses.withColumn(
+            "is_complete",
+            F.when(
+                F.col("pulse_number").isin(completed), F.lit(True)
+            ).otherwise(F.col("is_complete")),
+        )
     sequential = C.advance_sequential(pulses)
     if sequential:
-        pq.set_pulse_flags(spark, base, sequential, sequential=True)
-    pq.refresh_pulse_counters(spark, base)
+        pulses = pulses.withColumn(
+            "is_sequential",
+            F.when(
+                F.col("pulse_number").isin(sequential), F.lit(True)
+            ).otherwise(F.col("is_sequential")),
+        )
+    # counter refresh over the same frame (refresh_pulse_counters'
+    # derivation, fused into the single commit)
+    counters = pulse_counters(drops)
+    updated = (
+        pulses.drop("jet_drop_amount", "record_amount")
+        .join(counters, "pulse_number", "left_outer")
+        .fillna(0, subset=["jet_drop_amount", "record_amount"])
+        .select(*[f.name for f in schemas.PULSES.fields])
+    )
+    pq.upsert(spark, base, "pulses", updated)
     gaps = C.find_gaps(pq.read_table(spark, base, "pulses"))
     return {"completed": completed, "sequential": sequential, "gaps": gaps}
 
