@@ -334,6 +334,16 @@ def bfs_hops(
     return visited
 
 
+#: Target wedge rows per task for the triangle wedge join — the unit
+#: of work is a GENERATED row (two longs joined + hash-probed against
+#: the closing set + partially counted), not an input byte, so the
+#: stage is CPU-bound at ~5-10M rows/s/core; 2M rows ≈ a fraction of a
+#: second per task at any scale. The width formula clamps to
+#: [defaultParallelism, 128·defaultParallelism], so a cluster gets at
+#: least full fan-out and never more than ~100 waves.
+WEDGE_ROWS_PER_TASK = 2_000_000
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "u",
@@ -392,10 +402,32 @@ def triangle_counts(
         # degree-join subtree — the audit showed the uncut plan at 24
         # SMJs / 229 exchanges vs 2 joins of the materialized frame
         oriented = _cut(oriented)
-    x = oriented.select(
+    # Wedge-stage width (r11): the wedge self-join's OUTPUT is
+    # quadratic in pivot out-degree (Σ c·(c−1)/2 rows) while its
+    # INPUT is the m-row edge list, so AQE's byte-based coalescing —
+    # which only sees a few MB of oriented edges — packs the whole
+    # O(m^1.5) expansion (join + closing probe + partial count, one
+    # fused stage) into 1-3 tasks (r11 profile at sf0.1: ONE stage,
+    # 3 tasks, 10.8 s of the query's 15.4 s executor time). Compute
+    # the exact wedge volume with one cheap O(m) aggregate over the
+    # materialized frame and size an explicit repartition by it —
+    # user-numbered repartitions are exempt from AQE coalescing, and
+    # both wedge sides canonicalize to the SAME exchange, so the
+    # widening costs one shuffle that was already being paid.
+    wedge_rows = (
+        oriented.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1)")).alias("w"))
+        .collect()[0]["w"]
+        or 0
+    ) // 2
+    dp = edges.sparkSession.sparkContext.defaultParallelism
+    width = int(min(max(dp, wedge_rows // WEDGE_ROWS_PER_TASK + 1), 128 * dp))
+    wide = oriented.repartition(width, "s")
+    x = wide.select(
         F.col("s"), F.col("d").alias("d1"), F.col("rd").alias("r1")
     )
-    y = oriented.select(
+    y = wide.select(
         F.col("s"), F.col("d").alias("d2"), F.col("rd").alias("r2")
     )
     # wedge endpoints ordered by RANK so the closing edge — oriented
@@ -405,10 +437,13 @@ def triangle_counts(
     )
     closing = oriented.select(F.col("s").alias("d1"), F.col("d").alias("d2"))
     tri = wedges.join(closing, ["d1", "d2"])
-    roles = (
-        tri.select(F.col("s").alias("id"))
-        .unionAll(tri.select(F.col("d1").alias("id")))
-        .unionAll(tri.select(F.col("d2").alias("id")))
+    # one row per (triangle, corner) via explode — NOT a union of three
+    # projections of `tri`: a union re-executes the un-materialized
+    # wedge-join subtree once per branch (the r11 profile showed the
+    # whole expansion stage 3×: 96 tasks / 3 identical subtrees), while
+    # explode generates the three corners from ONE execution.
+    roles = tri.select(
+        F.explode(F.array("s", "d1", "d2")).alias("id")
     )
     return roles.groupBy("id").agg(F.count("*").alias("triangles"))
 
