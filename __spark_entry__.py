@@ -1787,9 +1787,18 @@ def q91_crossdoc_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document duplicated-5-gram audit (the C4/RefinedWeb
     global-boilerplate signal): per document, how much of it is
     shared verbatim with ANY other document — two shuffles total,
-    never pairwise (dedup.shared_shingle_stats)."""
+    never pairwise (dedup.shared_shingle_stats).
+
+    r11 opt: shingles enter as 64-bit xxhash64 values
+    (Tx.word_ngram_hashes) instead of space-joined strings — the
+    operator only ever tests shingle EQUALITY (df>1), so the
+    equivalence classes (and hence n_shingles/n_shared/shared_frac)
+    are identical up to a 64-bit collision, while the explode, the
+    df-count window shuffle and the per-doc aggregate all move 8-byte
+    longs instead of ~5-word strings (guide §2.3). Re-certified vs
+    the string-shingle DuckDB oracle at sf0.01 + sf0.1."""
     docs = _t(spark, sf, "documents")
-    return D.shared_shingle_stats(docs, "doc_id", Tx.word_ngrams("text", 5))
+    return D.shared_shingle_stats(docs, "doc_id", Tx.word_ngram_hashes("text", 5))
 
 
 LM_K = 0.5  # add-k smoothing for the q92 bigram model
@@ -1885,7 +1894,16 @@ def q95_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from block_explorer_spark.operators import substrings as Sub
 
     docs = _t(spark, sf, "documents")
-    out = Sub.exact_substring_dedup(docs, "doc_id", "text", window=SUBSTR_W)
+    # r11 opt: xxhash64 over the token-slice array for the INTERNAL
+    # window grouping key (guide §2.3 narrower types / §1.2 per-task
+    # work) — the md5 hex prefix it replaces was already a 64-bit
+    # truncation, so the collision-equivalence classes are the same
+    # strength and the output columns (which hash cleaned_text with
+    # md5, unchanged) are bit-identical; re-certified vs the DuckDB
+    # oracle (which keeps its md5 formulation) at sf0.01 + sf0.1.
+    out = Sub.exact_substring_dedup(
+        docs, "doc_id", "text", window=SUBSTR_W, hash_fn=Sub.xxh64_window_hash
+    )
     return out.select(
         "doc_id",
         "n_tokens",

@@ -67,6 +67,30 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngram_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes: xxhash64
+    chained over each n-token slice (order-sensitive), array_distinct
+    over the longs.
+
+    Equivalence-class equal to `word_ngrams` (two shingles are equal
+    iff their token sequences are equal, up to 64-bit hash collision)
+    at a fraction of the cost: no concat_ws string build per window,
+    and everything downstream — distinct, explode, shuffle, window —
+    moves 8-byte longs instead of ~n-word strings. For consumers that
+    only need shingle EQUALITY (df counts, set intersection sizes),
+    never the shingle text. Texts shorter than n tokens hash their
+    whole token sequence as one shingle, mirroring word_ngrams.
+    """
+    toks = tokens(col)
+    n_shingles = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_shingles),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
+        )
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Distinct character n-gram shingles of the lowercased text."""
     c = F.lower(F.trim(_c(col)))

@@ -58,7 +58,24 @@ def _toks(text_col: str) -> Column:
 
 
 def _md5_window_hash(win: Column) -> Column:
-    return F.substring(F.md5(win), 1, 16)
+    """Default window hash: md5 hex prefix of the space-joined slice.
+
+    Kept as the DEFAULT because the incremental corpus store persists
+    these values in its whash sidecar (StringType, hex-nibble
+    partitioned — corpus_store.py) and the DuckDB oracle replays them
+    bit-for-bit; both pin the string form.
+    """
+    return F.substring(F.md5(F.concat_ws(" ", win)), 1, 16)
+
+
+def xxh64_window_hash(win: Column) -> Column:
+    """Scale window hash: xxhash64 directly over the token-slice array
+    (order-sensitive element chaining) — no concat_ws string build, no
+    cryptographic digest, and the shuffled key is 8 bytes instead of a
+    16-char string. Grouping-equivalent to the md5 form: both truncate
+    to 64 bits, so the collision-equivalence classes are the same
+    strength, and the operator's OUTPUT never exposes the hash."""
+    return F.xxhash64(win)
 
 
 def token_windows(
@@ -74,17 +91,23 @@ def token_windows(
     stage (no shuffle, no per-doc sort — the alternative
     posexplode + ROWS-window formulation shuffles every token on
     doc_id first). Docs shorter than W tokens emit nothing.
+
+    `hash_fn` receives the TOKEN-SLICE ARRAY column (r11: was the
+    pre-joined string; no external caller passed one) and returns the
+    window-hash column. Default `_md5_window_hash` reproduces the
+    historical md5-of-joined-string bytes exactly.
     """
     hash_fn = hash_fn or _md5_window_hash
+    # no .otherwise: the non-matching branch is NULL and posexplode
+    # emits zero rows for NULL — same semantics as an empty array,
+    # without pinning the array element type to the hash's type
     wins = F.when(
         F.size("__toks") >= F.lit(window),
         F.transform(
             F.sequence(F.lit(0), F.size("__toks") - F.lit(window)),
-            lambda i: hash_fn(
-                F.concat_ws(" ", F.slice(F.col("__toks"), i + F.lit(1), window))
-            ),
+            lambda i: hash_fn(F.slice(F.col("__toks"), i + F.lit(1), window)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
     return (
         _spread(df)
         .select(F.col(id_col), _toks(text_col).alias("__toks"))
