@@ -131,6 +131,27 @@ def _pin_merge(df: DataFrame, pin: bool) -> DataFrame:
     return df.hint("merge") if pin else df
 
 
+def _hash_shingles(shingles: Column) -> Column:
+    """Map a shingle array to 64-bit xxhash64 values, element-wise,
+    preserving NULL elements as NULL (xxhash64(NULL) would return the
+    seed — a real value — silently resurrecting null elements the
+    callers filter out).
+
+    r11 (guide §2.3 / §8 lightweight-proxy rule): the exact pair
+    pipelines only ever test shingle EQUALITY (postings, prefix
+    ordering tie-break, array_intersect) — never the text — so every
+    exchange, sort, window and intersect downstream can move 8-byte
+    longs instead of ~n-word strings. Output-preserving for the EXACT
+    family: prefix filtering is exact under ANY fixed total shingle
+    order (Bayardo WWW'07 — the order only shapes the CANDIDATE set),
+    and the verified (inter, size, jaccard) integers are identical up
+    to a 64-bit hash collision. NOT applied to MinHash signature
+    inputs: re-seeding the hash family would change which
+    near-threshold pairs LSH happens to catch, i.e. the query result.
+    """
+    return F.transform(shingles, lambda x: F.when(x.isNotNull(), F.xxhash64(x)))
+
+
 def _shingle_index(df: DataFrame, id_col: str, shingles: Column, distinct: bool = True) -> DataFrame:
     """(id, shingle) inverted index, distinct per doc.
 
@@ -493,7 +514,11 @@ def jaccard_pairs_prefix(
     if threshold <= 0:
         raise ValueError("prefix filtering needs threshold > 0")
     big = not _small_corpus(df)
-    per_doc = _per_doc_sets(df, id_col, shingles, shared=big)
+    # hashed shingles (r11): exact under any total order — see
+    # _hash_shingles. Changes the prefix tie-break (hash order, not
+    # string order), hence possibly the candidate set, never the
+    # verified output.
+    per_doc = _per_doc_sets(df, id_col, _hash_shingles(shingles), shared=big)
     prefix = _prefix_postings(per_doc, threshold, pin=big)
     cand = (
         _bucket_pairs(prefix, ["__sh"], F.col("__id"))
@@ -530,7 +555,8 @@ def containment_pairs_prefix(
     if threshold <= 0:
         raise ValueError("prefix filtering needs threshold > 0")
     big = not _small_corpus(df)
-    per_doc = _per_doc_sets(df, id_col, shingles, shared=big)
+    # hashed shingles (r11): see _hash_shingles / jaccard_pairs_prefix
+    per_doc = _per_doc_sets(df, id_col, _hash_shingles(shingles), shared=big)
     prefix = _prefix_postings(per_doc, threshold, pin=big).select(
         F.col("__id").alias("__pid"), F.col("__size").alias("__psize"), "__sh"
     )
@@ -752,7 +778,12 @@ def minhash_lsh_pairs(
     # form vs 825.7 s r9-shipped explicit exchange) — the pair side
     # dominates, and two map-only tokenize passes are cheaper than
     # any corpus-wide exchange of the set rows.
-    per_doc = _per_doc_sets(df, id_col, shingles, shared=False)
+    # hashed shingles on the VERIFY side only (r11): the candidate set
+    # comes from the UNCHANGED signature path (re-seeding the MinHash
+    # input would change which near-threshold pairs LSH catches — the
+    # query result); the exact verify is representation-independent,
+    # so its sets/intersections move longs (see _hash_shingles).
+    per_doc = _per_doc_sets(df, id_col, _hash_shingles(shingles), shared=False)
     verified = _verify_pairs(cand.select("id_a", "id_b"), per_doc, pin=big).withColumn(
         "jaccard",
         F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
