@@ -235,13 +235,17 @@ def pagerank_int(
     ec = e.join(out_deg, "src")
     if use_checkpoint:
         ec = _cut(ec)
+    # NOT lineage-cut: since the in_sum hoist, `nodes` is consumed
+    # exactly once (the final join / the iters==0 return), so an eager
+    # cut is a pure extra materialization job run SERIALLY before the
+    # loop — uncut, its shallow lineage (one distinct over ec's
+    # already-cut blocks) executes inside the final action, where the
+    # scheduler overlaps its stages with the iteration chain.
     nodes = (
         ec.select(F.col("src").alias("id"))
         .union(ec.select(F.col("dst").alias("id")))
         .distinct()
     )
-    if use_checkpoint:
-        nodes = _cut(nodes)
     base = ((den - num) * scale) // den
     if iters == 0:
         return nodes.select("id", F.lit(scale).cast("long").alias("rank"))
@@ -573,8 +577,7 @@ def ppr_int(
         .join(srcs.withColumn("__s", F.lit(1)), "id", "left")
         .select("id", F.coalesce(F.col("__s"), F.lit(0)).alias("is_src"))
     )
-    if use_checkpoint:
-        nodes = _cut(nodes)
+    # not cut — single consumer since the in_sum hoist (see pagerank_int)
     base = ((den - num) * scale) // den
     if iters == 0:
         return nodes.select(
