@@ -556,6 +556,294 @@ def _objidx_pending(snap_or_m: dict) -> list[str]:
     )
 
 
+#: Driver-side staging gate (r12, guide §1.2/§6): a micro-batch commit
+#: is FIXED-COST bound, not compute bound — each tiny staging write
+#: pays a full Spark job (task launch + parquet committer + staging
+#: move), ~0.3-0.9 s for KB of data, and the r11 profile showed the
+#: 3-table commit spending most of its wall in exactly those jobs. A
+#: batch at or below this row count is therefore collected ONCE to an
+#: Arrow table (one lightweight collect job — and none at all for
+#: driver-local relations) and staged by the DRIVER through pyarrow:
+#: same files, same layout (bucket partition dirs, records obj_key
+#: clustering + in-file sort, sidecar delta), same zone-map stats,
+#: same CAS commit — minus every per-table Spark write job. Batches
+#: above the gate keep the cluster write path unchanged, so the gate
+#: is scale-adaptive: a 100 TB deployment's KB-scale trickle commits
+#: take the driver path while backfills use the cluster. Collision
+#: checks/merges only stay driver-side while the touched file bytes
+#: are under DRIVER_MERGE_BYTES; otherwise the table falls back to
+#: the Spark path mid-flight (the Arrow batch converts back losslessly).
+DRIVER_STAGE_ROWS = int(os.environ.get("SPARK_GRAFT_DRIVER_STAGE_ROWS", "65536"))
+#: Catalyst-estimate gate for batches with no caller-supplied stats
+#: (errs LARGE → Spark path when the estimate is unavailable).
+DRIVER_STAGE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_STAGE_BYTES", str(16 * 1024 * 1024))
+)
+#: On-disk byte cap for driver-side collision checks / bucket merges.
+DRIVER_MERGE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_MERGE_BYTES", str(32 * 1024 * 1024))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst optimized-plan size estimate (plan-only, no job) —
+    the `_small_corpus` idiom. Errs LARGE on failure."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _bucket_of(pn: int) -> int:
+    """Driver-side twin of with_bucket's (pulse/N) cast-to-long —
+    truncation toward zero, exactly like Spark's double→long cast."""
+    q = abs(pn) // PULSE_BUCKET_SIZE
+    return q if pn >= 0 else -q
+
+
+def _rels_bytes(base: str, rels: list[str]) -> int:
+    total = 0
+    for r in rels:
+        try:
+            total += os.path.getsize(os.path.join(base, r))
+        except OSError:
+            return 1 << 62  # unknown size: treat as big → Spark path
+    return total
+
+
+def _arrow_type(dt):
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    raise TypeError(f"no arrow mapping for {dt}")
+
+
+def _arrow_schema(name: str):
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field(f.name, _arrow_type(f.dataType)) for f in TABLE_SCHEMAS[name].fields]
+    )
+
+
+def _collect_arrow(batch: DataFrame, name: str):
+    """Collect one table's batch to an Arrow table in the pinned
+    column order/types, dedup by PK (keep-first — upsert's in-batch
+    winner is unspecified), and append the pulse_bucket column.
+    Returns the prepped table, or None for an empty batch."""
+    import pyarrow as pa
+
+    cols = [f.name for f in TABLE_SCHEMAS[name].fields]
+    tbl = batch.select(*cols).toArrow().cast(_arrow_schema(name))
+    if tbl.num_rows == 0:
+        return None
+    keys = TABLE_KEYS[name]
+    kcols = [tbl.column(k).to_pylist() for k in keys]
+    seen: set = set()
+    idxs: list[int] = []
+    for i, kt in enumerate(zip(*kcols)):
+        if kt not in seen:
+            seen.add(kt)
+            idxs.append(i)
+    if len(idxs) != tbl.num_rows:
+        tbl = tbl.take(pa.array(idxs, type=pa.int64()))
+    pns = tbl.column("pulse_number").to_pylist()
+    return tbl.append_column(
+        "pulse_bucket", pa.array([_bucket_of(p) for p in pns], type=pa.int64())
+    )
+
+
+def _arrow_keys(tbl, keys: list[str]) -> set:
+    return set(zip(*[tbl.column(k).to_pylist() for k in keys]))
+
+
+def _file_keys(base: str, rels: list[str], keys: list[str]) -> set:
+    """Key tuples present in the given data files — the driver-side
+    collision probe (column-pruned footer-to-page reads via pyarrow;
+    callers gate total bytes first)."""
+    import pyarrow.parquet as papq
+
+    out: set = set()
+    for rel in rels:
+        t = papq.read_table(os.path.join(base, rel), columns=keys)
+        out.update(zip(*[t.column(k).to_pylist() for k in keys]))
+    return out
+
+
+def _stage_arrow(tbl, base: str, name: str) -> list[str]:
+    """Driver-side twin of Mf.stage_df(_layout(...)): one parquet file
+    per touched bucket under base/name/pulse_bucket=N/, records rows
+    obj_key-clustered and in-file sorted exactly like _layout. Files
+    are invisible until a manifest commit lists them (same contract as
+    stage_df; the caller holds a write intent, so vacuum keeps off)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    if name == "records":
+        refs = tbl.column("object_reference").to_pylist()
+        tbl = tbl.append_column(
+            OBJ_KEY,
+            pa.array(
+                [obj_key_py(r) if r is not None else None for r in refs],
+                type=pa.int64(),
+            ),
+        )
+    out: list[str] = []
+    for b in sorted(set(tbl.column("pulse_bucket").to_pylist())):
+        sub = tbl.filter(pc.equal(tbl.column("pulse_bucket"), b))
+        if name == "records":
+            sub = sub.take(
+                pc.sort_indices(
+                    sub,
+                    sort_keys=[
+                        (OBJ_KEY, "ascending"),
+                        ("pulse_number", "ascending"),
+                        ("order", "ascending"),
+                    ],
+                    null_placement="at_start",
+                )
+            )
+        sub = sub.drop_columns(["pulse_bucket"])
+        d = os.path.join(base, name, f"pulse_bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        fn = f"part-{uuid.uuid4().hex}.parquet"
+        papq.write_table(sub, os.path.join(d, fn), compression="snappy")
+        out.append(os.path.join(name, f"pulse_bucket={b}", fn))
+    return out
+
+
+def _read_rels_arrow(base: str, name: str, rels: list[str]):
+    """Driver-side twin of _read_rels: the pinned columns + the
+    pulse_bucket partition column derived from each file's path."""
+    import pyarrow as pa
+
+    import pyarrow.parquet as papq
+
+    cols = [f.name for f in TABLE_SCHEMAS[name].fields]
+    parts = []
+    schema = _arrow_schema(name)
+    for rel in rels:
+        t = papq.read_table(os.path.join(base, rel), columns=cols).cast(schema)
+        b = _rel_bucket(rel)
+        parts.append(
+            t.append_column(
+                "pulse_bucket", pa.array([b] * t.num_rows, type=pa.int64())
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _plan_and_stage_arrow(
+    base: str,
+    snap: dict,
+    name: str,
+    tbl,
+    buckets: list[int],
+    pulse_bounds: tuple[int, int],
+) -> tuple[list[str], dict[str, list[str]], list[str]] | None:
+    """Driver-side twin of _plan_and_stage for an Arrow-collected
+    batch under key→bucket affinity. Returns None when the touched
+    file bytes exceed DRIVER_MERGE_BYTES — the caller then reruns the
+    table through the Spark path (lossless: the Arrow batch converts
+    back). Identical decision structure: zone-pruned collision check,
+    append-only fast path, bucket merge-rewrite, sidecar delta or
+    skip-or-batch defer."""
+    import pyarrow as pa
+
+    keys = TABLE_KEYS[name]
+    rels = snap["families"].get(name, [])
+    touched = _bucket_rels(rels, buckets)
+    cand = touched
+    if touched:
+        cand = Mf.prune_by_stats(
+            snap, name, "pulse_number",
+            lo=pulse_bounds[0], hi=pulse_bounds[1], rels=touched,
+        )
+    batch_keys = _arrow_keys(tbl, keys) if cand else None
+    collide = False
+    if cand:
+        if _rels_bytes(base, cand) > DRIVER_MERGE_BYTES:
+            return None
+        collide = bool(_file_keys(base, cand, keys) & batch_keys)
+    if not collide:
+        new_rels = _stage_arrow(tbl, base, name)
+        fams = {name: rels + new_rels}
+    else:
+        if _rels_bytes(base, touched) > DRIVER_MERGE_BYTES:
+            return None
+        existing = _read_rels_arrow(base, name, touched)
+        kcols = [existing.column(k).to_pylist() for k in keys]
+        keep = [i for i, kt in enumerate(zip(*kcols)) if kt not in batch_keys]
+        kept = existing.take(pa.array(keep, type=pa.int64()))
+        merged = pa.concat_tables([kept, tbl])
+        new_rels = _stage_arrow(merged, base, name)
+        fams = {
+            name: [r for r in rels if r not in set(touched)] + new_rels
+        }
+
+    if name != "records":
+        return new_rels, fams, []
+
+    # sidecar bookkeeping — mirrors _with_objidx exactly
+    staged = list(new_rels)
+    live = set(fams[name])
+    new_data = [r for r in fams[name] if r not in set(rels)]
+    old_pending = _objidx_pending(snap)
+    carried = [r for r in old_pending if r in live]
+    relocated = any(r not in live for r in old_pending)
+    first_commit = not rels
+    n_rows = tbl.num_rows
+    if (
+        not first_commit
+        and n_rows < OBJIDX_INLINE_ROWS
+        and len(carried) + len(new_data) <= OBJIDX_PENDING_MAX
+    ):
+        return staged, fams, carried + new_data
+    refs = tbl.column("object_reference").to_pylist()
+    bks = tbl.column("pulse_bucket").to_pylist()
+    pairs = sorted(
+        {
+            (obj_key_py(r) if r is not None else None, b)
+            for r, b in zip(refs, bks)
+        },
+        key=lambda p: (p[0] is not None, p[0] or 0, p[1]),
+    )
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    sidecar = pa.table(
+        {
+            OBJ_KEY: pa.array([p[0] for p in pairs], type=pa.int64()),
+            "pulse_bucket": pa.array([p[1] for p in pairs], type=pa.int64()),
+        }
+    )
+    d = os.path.join(base, OBJIDX)
+    os.makedirs(d, exist_ok=True)
+    fn = f"part-{uuid.uuid4().hex}.parquet"
+    papq.write_table(sidecar, os.path.join(d, fn), compression="snappy")
+    irels = [os.path.join(OBJIDX, fn)]
+    fams[OBJIDX] = snap["families"].get(OBJIDX, []) + irels
+    # inline delta covers the BATCH pairs only (kept rows' pairs are
+    # already indexed — a rewrite never changes a row's bucket);
+    # relocated old-pending rows still need their new files probed
+    pending = carried + (new_data if relocated else [])
+    return staged + irels, fams, pending
+
+
 class BatchStats:
     """Caller-known planning facts for one table's upsert batch —
     lets `upsert_many` skip its per-table planning job (bucket list +
@@ -577,6 +865,45 @@ class BatchStats:
     @property
     def buckets(self) -> list[int]:
         return sorted({p // PULSE_BUCKET_SIZE for p in self.pulses})
+
+
+def _validate_batch_stats(
+    base: str,
+    name: str,
+    new_rels: list[str],
+    buckets: list[int],
+    pulse_bounds: tuple[int, int] | None,
+) -> None:
+    """Caller-declared BatchStats are load-bearing: the bucket list
+    decides the rewrite set and the pulse bounds zone-prune the
+    collision check, so an under-approximated pulse set would silently
+    duplicate replayed keys. The staged files' own footers make the
+    check free (no Spark job): every staged data file must land in a
+    declared bucket, and — on the append fast path, where staged files
+    hold batch rows only — its pulse range must lie within the
+    declared bounds. Raises ValueError on violation BEFORE the commit,
+    so a bad hint can never publish. Pinned by
+    test_driver_stage::test_understated_batch_stats_refused."""
+    allowed = set(buckets)
+    for r in new_rels:
+        b = _rel_bucket(r)
+        if b is not None and b not in allowed:
+            raise ValueError(
+                f"{name}: staged file {r} lands in bucket {b}, outside the "
+                f"declared BatchStats buckets {sorted(allowed)} — the "
+                "declared pulse set must be exact (see BatchStats)"
+            )
+    if pulse_bounds is None:
+        return
+    lo, hi = pulse_bounds
+    for r, cols in Mf.file_stats(base, new_rels, ["pulse_number"]).items():
+        zone = cols.get("pulse_number")
+        if zone and (zone[0] < lo or zone[1] > hi):
+            raise ValueError(
+                f"{name}: staged file {r} holds pulses {zone}, outside the "
+                f"declared BatchStats bounds [{lo}, {hi}] — the declared "
+                "pulse set must be exact (see BatchStats)"
+            )
 
 
 def _plan_and_stage(
@@ -700,6 +1027,8 @@ def _plan_and_stage(
             _layout(name, prep, len(buckets)), base, name,
             partition_by="pulse_bucket",
         )
+        if pulse_bounds is not None:
+            _validate_batch_stats(base, name, new_rels, buckets, pulse_bounds)
         return _with_objidx(new_rels, {name: rels + new_rels})
 
     kept = existing.join(F.broadcast(batch_keys), on=keys, how="left_anti")
@@ -708,6 +1037,10 @@ def _plan_and_stage(
         _layout(name, merged, len(buckets)), base, name,
         partition_by="pulse_bucket",
     )
+    if pulse_bounds is not None:
+        # merged files carry old bucket rows too — their pulses span
+        # the whole bucket, so only the bucket membership is checkable
+        _validate_batch_stats(base, name, new_rels, buckets, None)
     survivors = [r for r in rels if r not in set(touched)]
     return _with_objidx(new_rels, {name: survivors + new_rels})
 
@@ -762,6 +1095,38 @@ def upsert_many(
                 families = dict(snap["families"])
                 staged: list[str] = []
 
+                def spark_prep(name, batch, st):
+                    keys = TABLE_KEYS[name]
+                    prep = with_bucket(batch.dropDuplicates(keys)).cache()
+                    if st is not None:
+                        # caller-supplied planning facts: no job
+                        if not st.pulses:
+                            prep.unpersist()
+                            return None
+                        return (
+                            "spark",
+                            prep,
+                            prep.select(*keys).distinct(),
+                            st.buckets,
+                            st.n_rows,
+                            (min(st.pulses), max(st.pulses)),
+                        )
+                    # one job yields both the bucket list and the row
+                    # count (sidecar skip-or-batch)
+                    bucket_rows = prep.groupBy("pulse_bucket").count().collect()
+                    buckets = [r.pulse_bucket for r in bucket_rows]
+                    if not buckets:  # empty batch: no merge
+                        prep.unpersist()
+                        return None
+                    return (
+                        "spark",
+                        prep,
+                        prep.select(*keys).distinct(),
+                        buckets,
+                        sum(r["count"] for r in bucket_rows),
+                        None,
+                    )
+
                 def one(item):
                     # prep (dedup + cache + bucket collect) is fused
                     # into the same worker thread as the staging job,
@@ -770,43 +1135,62 @@ def upsert_many(
                     # a CAS conflict reuse the cached prep.
                     name, batch = item
                     if name not in prepped:
-                        keys = TABLE_KEYS[name]
                         st = (batch_stats or {}).get(name)
-                        prep = with_bucket(batch.dropDuplicates(keys)).cache()
-                        if st is not None:
-                            # caller-supplied planning facts: no job
-                            if not st.pulses:
-                                prep.unpersist()
+                        small = key_bucket_affinity and (
+                            st.n_rows <= DRIVER_STAGE_ROWS
+                            if st is not None
+                            else _plan_size_bytes(batch) <= DRIVER_STAGE_BYTES
+                        )
+                        if small and st is not None and not st.pulses:
+                            prepped[name] = None
+                        elif small:
+                            tbl = _collect_arrow(batch, name)
+                            if tbl is None:
                                 prepped[name] = None
+                            elif tbl.num_rows > 4 * DRIVER_STAGE_ROWS:
+                                # the size estimate lied: hand the
+                                # collected rows to the cluster path
+                                prepped[name] = spark_prep(
+                                    name,
+                                    spark.createDataFrame(
+                                        tbl.drop_columns(["pulse_bucket"]),
+                                        TABLE_SCHEMAS[name],
+                                    ),
+                                    st,
+                                )
                             else:
+                                pns = set(tbl.column("pulse_number").to_pylist())
                                 prepped[name] = (
-                                    prep,
-                                    prep.select(*keys).distinct(),
-                                    st.buckets,
-                                    st.n_rows,
-                                    (min(st.pulses), max(st.pulses)),
+                                    "arrow",
+                                    tbl,
+                                    sorted({_bucket_of(p) for p in pns}),
+                                    (min(pns), max(pns)),
                                 )
                         else:
-                            # one job yields both the bucket list and
-                            # the row count (sidecar skip-or-batch)
-                            bucket_rows = (
-                                prep.groupBy("pulse_bucket").count().collect()
-                            )
-                            buckets = [r.pulse_bucket for r in bucket_rows]
-                            if not buckets:  # empty batch: no merge
-                                prep.unpersist()
-                                prepped[name] = None
-                            else:
-                                prepped[name] = (
-                                    prep,
-                                    prep.select(*keys).distinct(),
-                                    buckets,
-                                    sum(r["count"] for r in bucket_rows),
-                                    None,
-                                )
+                            prepped[name] = spark_prep(name, batch, st)
                     if prepped[name] is None:
                         return name, None
-                    prep, bkeys, buckets, n_rows, bounds = prepped[name]
+                    if prepped[name][0] == "arrow":
+                        _tag, tbl, buckets, bounds = prepped[name]
+                        r = _plan_and_stage_arrow(
+                            base, snap, name, tbl, buckets, bounds
+                        )
+                        if r is not None:
+                            return name, r
+                        # touched files exceed the driver merge gate:
+                        # switch this table to the Spark path for good
+                        # (the collected pulse set is exact, so the
+                        # planning facts ride along for free)
+                        pns = sorted(set(tbl.column("pulse_number").to_pylist()))
+                        prepped[name] = spark_prep(
+                            name,
+                            spark.createDataFrame(
+                                tbl.drop_columns(["pulse_bucket"]),
+                                TABLE_SCHEMAS[name],
+                            ),
+                            BatchStats(pns, tbl.num_rows),
+                        )
+                    _tag, prep, bkeys, buckets, n_rows, bounds = prepped[name]
                     return name, _plan_and_stage(
                         spark, base, snap, name, prep, bkeys, buckets,
                         key_bucket_affinity, n_rows=n_rows,
@@ -865,8 +1249,8 @@ def upsert_many(
                     Mf.discard(base, staged)
     finally:
         for v in prepped.values():
-            if v is not None:
-                v[0].unpersist()
+            if v is not None and v[0] == "spark":
+                v[1].unpersist()
 
 
 def upsert(
