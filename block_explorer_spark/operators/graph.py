@@ -31,6 +31,8 @@ check), never the data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -240,7 +242,12 @@ def pagerank_int(
     # cut is a pure extra materialization job run SERIALLY before the
     # loop — uncut, its shallow lineage (one distinct over ec's
     # already-cut blocks) executes inside the final action, where the
-    # scheduler overlaps its stages with the iteration chain.
+    # scheduler overlaps its stages with the iteration chain. Cost of
+    # the trade (ADVICE r11): the union's two branches each scan the
+    # checkpointed ec blocks, so the final action reads the edge table
+    # TWICE — in reliable-checkpoint (cluster) mode that is two
+    # filesystem reads of the edge set; revisit if the final-join
+    # stage shows 2x edge-read bytes at x1000.
     nodes = (
         ec.select(F.col("src").alias("id"))
         .union(ec.select(F.col("dst").alias("id")))
@@ -347,6 +354,22 @@ def bfs_hops(
 #: least full fan-out and never more than ~100 waves.
 WEDGE_ROWS_PER_TASK = 2_000_000
 
+#: Max out-edges of one pivot handled as a single wedge-join group.
+#: The wedge join hash-partitions by pivot, so every wedge one pivot
+#: generates lands in ONE task; degree-ordered orientation bounds
+#: oriented out-degree near O(sqrt m), but an adversarial degree
+#: sequence can still put ~m/2 generated rows on one unsplittable key
+#: (and a user-numbered repartition is exempt from AQE skew
+#: splitting). Pivots above this threshold therefore take a BLOCKED
+#: self-join: out-edges are numbered rank-order within the pivot,
+#: chunked into blocks of this size, and the pair space is covered by
+#: (s, p, q) block-pair join groups — max task input ~2 blocks and
+#: max task expansion ~BLOCK^2 pairs, independent of pivot degree.
+#: The gate rides the wedge-volume aggregate (max out-degree comes
+#: from the same O(m) pass), so graphs with no hot pivot — every
+#: tested real shape — keep the plain one-exchange wedge join.
+WEDGE_BLOCK = int(os.environ.get("SPARK_GRAFT_WEDGE_BLOCK", "4096"))
+
 
 def triangle_counts(
     edges: DataFrame,
@@ -371,7 +394,13 @@ def triangle_counts(
 
     Returns (id, triangles) for vertices in ≥1 triangle — exact
     integers, so a SQL oracle replays it with the id-canonical 3-way
-    join (orientation changes the plan, never the counts; q134)."""
+    join (orientation changes the plan, never the counts; q134).
+
+    EAGER: constructing the plan runs one O(m) scalar aggregate over
+    the oriented edges (wedge volume + max pivot out-degree) to size
+    the wedge stage and gate the hot-pivot blocked join — the returned
+    frame is lazy, but that sizing job runs even if it is never
+    executed."""
     e0 = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -418,27 +447,80 @@ def triangle_counts(
     # user-numbered repartitions are exempt from AQE coalescing, and
     # both wedge sides canonicalize to the SAME exchange, so the
     # widening costs one shuffle that was already being paid.
-    wedge_rows = (
+    # NOTE: this aggregate EXECUTES at plan-construction time (one
+    # O(m) scalar job over the already-materialized oriented frame) —
+    # the price of sizing the wedge stage and detecting hot pivots
+    # from the actual wedge volume rather than a guess. Callers that
+    # never run the returned frame still pay it.
+    wstats = (
         oriented.groupBy("s")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.expr("c * (c - 1)")).alias("w"))
-        .collect()[0]["w"]
-        or 0
-    ) // 2
+        .agg(
+            F.sum(F.expr("c * (c - 1)")).alias("w"),
+            F.max("c").alias("mx"),
+        )
+        .collect()[0]
+    )
+    wedge_rows = (wstats["w"] or 0) // 2
+    max_out = wstats["mx"] or 0
     dp = edges.sparkSession.sparkContext.defaultParallelism
     width = int(min(max(dp, wedge_rows // WEDGE_ROWS_PER_TASK + 1), 128 * dp))
-    wide = oriented.repartition(width, "s")
-    x = wide.select(
-        F.col("s"), F.col("d").alias("d1"), F.col("rd").alias("r1")
-    )
-    y = wide.select(
-        F.col("s"), F.col("d").alias("d2"), F.col("rd").alias("r2")
-    )
-    # wedge endpoints ordered by RANK so the closing edge — oriented
-    # lower-rank → higher-rank by construction — matches exactly once
-    wedges = x.join(y, "s").filter(F.col("r1") < F.col("r2")).select(
-        "s", "d1", "d2"
-    )
+    if max_out <= WEDGE_BLOCK:
+        wide = oriented.repartition(width, "s")
+        x = wide.select(
+            F.col("s"), F.col("d").alias("d1"), F.col("rd").alias("r1")
+        )
+        y = wide.select(
+            F.col("s"), F.col("d").alias("d2"), F.col("rd").alias("r2")
+        )
+        # wedge endpoints ordered by RANK so the closing edge — oriented
+        # lower-rank → higher-rank by construction — matches exactly once
+        wedges = x.join(y, "s").filter(F.col("r1") < F.col("r2")).select(
+            "s", "d1", "d2"
+        )
+    else:
+        # Hot-pivot path (see WEDGE_BLOCK): number each pivot's
+        # out-edges in rank order, chunk into blocks of B, and join
+        # block-pairs on (s, p, q). A pair (i, j) with r_i < r_j has
+        # block(i) <= block(j) (row_number follows the rank order), so
+        # it is generated exactly once: the left side replicates row i
+        # to every q >= block(i), the right side replicates row j to
+        # every p <= block(j). Pivots at or under B emit one row per
+        # side (sequence of length 1) — replication only where needed.
+        from pyspark.sql import Window
+
+        B = WEDGE_BLOCK
+        wo = Window.partitionBy("s").orderBy("rd")
+        wp = Window.partitionBy("s")
+        wb = oriented.repartition(width, "s").select(
+            "s",
+            "d",
+            "rd",
+            F.floor((F.row_number().over(wo) - F.lit(1)) / B)
+            .cast("int")
+            .alias("b"),
+            F.ceil(F.count(F.lit(1)).over(wp) / B).cast("int").alias("nb"),
+        )
+        x = wb.select(
+            "s",
+            F.col("b").alias("p"),
+            F.explode(F.sequence(F.col("b"), F.col("nb") - 1)).alias("q"),
+            F.col("d").alias("d1"),
+            F.col("rd").alias("r1"),
+        )
+        y = wb.select(
+            "s",
+            F.explode(F.sequence(F.lit(0).cast("int"), F.col("b"))).alias("p"),
+            F.col("b").alias("q"),
+            F.col("d").alias("d2"),
+            F.col("rd").alias("r2"),
+        )
+        wedges = (
+            x.repartition(width, "s", "p", "q")
+            .join(y.repartition(width, "s", "p", "q"), ["s", "p", "q"])
+            .filter(F.col("r1") < F.col("r2"))
+            .select("s", "d1", "d2")
+        )
     closing = oriented.select(F.col("s").alias("d1"), F.col("d").alias("d2"))
     tri = wedges.join(closing, ["d1", "d2"])
     # one row per (triangle, corner) via explode — NOT a union of three
