@@ -260,12 +260,96 @@ def stage_move(staging_dir: str, data_dir: str) -> list[str]:
     return out
 
 
+#: Driver-side staging gate (r12): a store's micro-commit delta is
+#: KB-scale, but a Spark parquet write job costs a fixed ~0.3-0.9 s
+#: (task launch + committer + staging move) regardless of size. A
+#: frame at or below this row count (probed with a bounded LIMIT
+#: collect — one cheap job) is written by the DRIVER through pyarrow:
+#: same directory layout, same invisibility-until-commit, same zone
+#: maps; row order follows the collected partition order, so
+#: sortWithinPartitions/repartitionByRange shaping survives. Larger
+#: frames (or non-integer partition values, which need Hive path
+#: escaping) keep the cluster write path unchanged.
+STAGE_DRIVER_ROWS = int(os.environ.get("SPARK_GRAFT_STAGE_DRIVER_ROWS", "65536"))
+#: Byte backstop for the probe (guards wide binary/vector rows).
+STAGE_DRIVER_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STAGE_DRIVER_BYTES", str(128 * 1024 * 1024))
+)
+
+
+def _stage_df_driver(
+    df, base: str, data_name: str, partition_by: str | None
+) -> list[str] | None:
+    """Bounded-probe driver-side staging; None → caller takes the
+    Spark write path (too big, or a shape pyarrow should not guess
+    at). Writes one file per (upstream Spark partition, partition_by
+    value) — the SAME file granularity as the cluster write — so
+    range-clustered multi-file layouts (postings/zorder/obj_key
+    slicing) keep their per-file disjoint zones and the read-side
+    skipping they exist for. spark_partition_id() rides the collected
+    rows to recover the boundaries."""
+    from pyspark.sql import functions as F
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    pid = "__stage_pid"
+    try:
+        tbl = (
+            df.withColumn(pid, F.spark_partition_id())
+            .limit(STAGE_DRIVER_ROWS + 1)
+            .toArrow()
+        )
+    except Exception:
+        return None  # non-Arrow-convertible type: cluster path
+    if tbl.num_rows > STAGE_DRIVER_ROWS or tbl.nbytes > STAGE_DRIVER_BYTES:
+        return None
+    if tbl.num_rows == 0 and partition_by:
+        return []  # partitioned Spark write of an empty frame: no files
+    # (an empty UNpartitioned frame still writes one empty file below,
+    # matching the Spark path's one-empty-part output)
+    out: list[str] = []
+    droot = os.path.join(base, data_name)
+    if not partition_by:
+        for p in sorted(set(tbl.column(pid).to_pylist())) or [0]:
+            sub = (
+                tbl.filter(pc.equal(tbl.column(pid), p)).drop_columns([pid])
+                if tbl.num_rows
+                else tbl.drop_columns([pid])
+            )
+            os.makedirs(droot, exist_ok=True)
+            fn = f"part-{uuid.uuid4().hex}.parquet"
+            papq.write_table(sub, os.path.join(droot, fn), compression="snappy")
+            out.append(os.path.join(data_name, fn))
+        return out
+    vals = tbl.column(partition_by).to_pylist()
+    if not all(isinstance(v, int) and not isinstance(v, bool) for v in set(vals)):
+        return None  # None/string partition values: Hive escaping — cluster path
+    pairs = sorted(set(zip(tbl.column(pid).to_pylist(), vals)))
+    for p, v in pairs:
+        sub = tbl.filter(
+            pc.and_(
+                pc.equal(tbl.column(pid), p), pc.equal(tbl.column(partition_by), v)
+            )
+        ).drop_columns([pid, partition_by])
+        d = os.path.join(droot, f"{partition_by}={v}")
+        os.makedirs(d, exist_ok=True)
+        fn = f"part-{uuid.uuid4().hex}.parquet"
+        papq.write_table(sub, os.path.join(d, fn), compression="snappy")
+        out.append(os.path.join(data_name, f"{partition_by}={v}", fn))
+    return out
+
+
 def stage_df(df, base: str, data_name: str, partition_by: str | None = None) -> list[str]:
     """Write a DataFrame to a staging dir, move its files (uniquely
     renamed, partition subdirs preserved) into base/data_name, return
-    their manifest relpaths. Invisible until a commit lists them."""
+    their manifest relpaths. Invisible until a commit lists them.
+    KB-scale frames stage driver-side (see STAGE_DRIVER_ROWS)."""
     import shutil
 
+    rels = _stage_df_driver(df, base, data_name, partition_by)
+    if rels is not None:
+        return rels
     staging = os.path.join(base, f".staging-{uuid.uuid4().hex}")
     try:
         w = df.write.mode("overwrite")

@@ -574,8 +574,9 @@ def _objidx_pending(snap_or_m: dict) -> list[str]:
 #: are under DRIVER_MERGE_BYTES; otherwise the table falls back to
 #: the Spark path mid-flight (the Arrow batch converts back losslessly).
 DRIVER_STAGE_ROWS = int(os.environ.get("SPARK_GRAFT_DRIVER_STAGE_ROWS", "65536"))
-#: Catalyst-estimate gate for batches with no caller-supplied stats
-#: (errs LARGE → Spark path when the estimate is unavailable).
+#: Byte backstop for the bounded probe-collect of stats-less batches:
+#: a probe whose Arrow payload exceeds 8x this falls back to the
+#: cluster path even under the row cap (guards wide binary rows).
 DRIVER_STAGE_BYTES = int(
     os.environ.get("SPARK_GRAFT_DRIVER_STAGE_BYTES", str(16 * 1024 * 1024))
 )
@@ -583,15 +584,6 @@ DRIVER_STAGE_BYTES = int(
 DRIVER_MERGE_BYTES = int(
     os.environ.get("SPARK_GRAFT_DRIVER_MERGE_BYTES", str(32 * 1024 * 1024))
 )
-
-
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst optimized-plan size estimate (plan-only, no job) —
-    the `_small_corpus` idiom. Errs LARGE on failure."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return 1 << 62
 
 
 def _bucket_of(pn: int) -> int:
@@ -636,15 +628,31 @@ def _arrow_schema(name: str):
     )
 
 
-def _collect_arrow(batch: DataFrame, name: str):
+#: Sentinel: the bounded collect found more rows than the cap — the
+#: batch is not driver-stageable; take the cluster path.
+_TOO_BIG = object()
+
+
+def _collect_arrow(batch: DataFrame, name: str, cap: int | None = None):
     """Collect one table's batch to an Arrow table in the pinned
     column order/types, dedup by PK (keep-first — upsert's in-batch
     winner is unspecified), and append the pulse_bucket column.
-    Returns the prepped table, or None for an empty batch."""
+    Returns the prepped table, None for an empty batch, or _TOO_BIG
+    when `cap` is given and the batch exceeds it (the LIMIT bounds
+    what the driver ever holds, so probing an unknown-size batch is
+    safe — and the probe job replaces the planning job the cluster
+    path would have paid anyway)."""
     import pyarrow as pa
 
     cols = [f.name for f in TABLE_SCHEMAS[name].fields]
-    tbl = batch.select(*cols).toArrow().cast(_arrow_schema(name))
+    src = batch.select(*cols)
+    if cap is not None:
+        src = src.limit(cap + 1)
+    tbl = src.toArrow().cast(_arrow_schema(name))
+    if cap is not None and (
+        tbl.num_rows > cap or tbl.nbytes > 8 * DRIVER_STAGE_BYTES
+    ):
+        return _TOO_BIG
     if tbl.num_rows == 0:
         return None
     keys = TABLE_KEYS[name]
@@ -1136,38 +1144,37 @@ def upsert_many(
                     name, batch = item
                     if name not in prepped:
                         st = (batch_stats or {}).get(name)
-                        small = key_bucket_affinity and (
-                            st.n_rows <= DRIVER_STAGE_ROWS
-                            if st is not None
-                            else _plan_size_bytes(batch) <= DRIVER_STAGE_BYTES
-                        )
-                        if small and st is not None and not st.pulses:
+                        # Driver-path eligibility. With caller stats the
+                        # row count is declared; without them the batch
+                        # is PROBED with a bounded collect (LIMIT cap+1)
+                        # — Catalyst's estimate is Long.Max for local
+                        # relations and join outputs, i.e. exactly the
+                        # micro-batches that benefit most, so an
+                        # estimate gate alone routes them to the
+                        # cluster path for nothing. The probe job costs
+                        # what the cluster path's planning job cost.
+                        tbl = _TOO_BIG
+                        if key_bucket_affinity and (
+                            st is None or (st.pulses and st.n_rows <= DRIVER_STAGE_ROWS)
+                        ):
+                            tbl = _collect_arrow(
+                                batch, name,
+                                cap=None if st is not None else DRIVER_STAGE_ROWS,
+                            )
+                        if st is not None and not st.pulses:
                             prepped[name] = None
-                        elif small:
-                            tbl = _collect_arrow(batch, name)
-                            if tbl is None:
-                                prepped[name] = None
-                            elif tbl.num_rows > 4 * DRIVER_STAGE_ROWS:
-                                # the size estimate lied: hand the
-                                # collected rows to the cluster path
-                                prepped[name] = spark_prep(
-                                    name,
-                                    spark.createDataFrame(
-                                        tbl.drop_columns(["pulse_bucket"]),
-                                        TABLE_SCHEMAS[name],
-                                    ),
-                                    st,
-                                )
-                            else:
-                                pns = set(tbl.column("pulse_number").to_pylist())
-                                prepped[name] = (
-                                    "arrow",
-                                    tbl,
-                                    sorted({_bucket_of(p) for p in pns}),
-                                    (min(pns), max(pns)),
-                                )
-                        else:
+                        elif tbl is None:
+                            prepped[name] = None
+                        elif tbl is _TOO_BIG:
                             prepped[name] = spark_prep(name, batch, st)
+                        else:
+                            pns = set(tbl.column("pulse_number").to_pylist())
+                            prepped[name] = (
+                                "arrow",
+                                tbl,
+                                sorted({_bucket_of(p) for p in pns}),
+                                (min(pns), max(pns)),
+                            )
                     if prepped[name] is None:
                         return name, None
                     if prepped[name][0] == "arrow":

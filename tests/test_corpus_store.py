@@ -289,6 +289,7 @@ def test_ingest_log_audit_trail(spark, base):
     assert hist[2]["n_known"] == 1 and hist[2]["n_added"] == 1
 
 
+@pytest.mark.slow
 def test_ingest_converges_under_any_batching(spark, tmp_path):
     """Invariant: HOWEVER a document set is partitioned into ingest
     batches (including replays), the final store content is the same
@@ -424,6 +425,7 @@ def test_ingest_conflict_forces_revalidation(spark, base, monkeypatch):
     assert cs.read_corpus(spark, base).count() == 3
 
 
+@pytest.mark.slow
 def test_compact_shrinks_files_preserves_data(spark, base):
     from block_explorer_spark.sources import manifest as Mf
 
@@ -609,6 +611,7 @@ def test_substr_sidecar_mirrors_stored_text(spark, base):
 # --------------------------------------------- round 6: bucketed sidecars
 
 
+@pytest.mark.slow
 def test_delete_rewrites_only_touched_band_partitions(spark, base):
     """The band sidecar is partitioned by bh_bucket=hash(band,bhash)
     (round 6); the whash sidecar by wr=whash-range with per-file

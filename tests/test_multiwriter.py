@@ -26,8 +26,6 @@ from block_explorer_spark.sources import manifest as Mf
 from block_explorer_spark.sources import parquet as pq
 
 
-N_WRITERS = 3
-COMMITS_PER_WRITER = 34  # 3 x 34 = 102 contended upsert commits
 ROWS_PER_COMMIT = 8
 
 
@@ -49,7 +47,23 @@ def _record(writer: int, commit: int, i: int, pn: int) -> dict:
     }
 
 
+@pytest.mark.slow
 def test_multiwriter_contention_no_lost_updates(spark, tmp_path):
+    """Stress tier: >=100 interleaved commits (the docstring contract
+    above). The default tier runs the same invariants at 2x12 commits
+    (test_multiwriter_quick_contention below)."""
+    _contention_scenario(spark, tmp_path, n_writers=3, commits_per_writer=34)
+
+
+def test_multiwriter_quick_contention(spark, tmp_path):
+    """Default-tier contention pin: same invariants (no lost updates,
+    contiguous CAS slots, consistent snapshots) at a size that fits
+    the CI wall budget; the 102-commit stress variant is `-m slow`."""
+    _contention_scenario(spark, tmp_path, n_writers=2, commits_per_writer=12)
+
+
+def _contention_scenario(spark, tmp_path, n_writers: int, commits_per_writer: int):
+    N_WRITERS, COMMITS_PER_WRITER = n_writers, commits_per_writer
     base = str(tmp_path / "wh")
     pq.init_table(spark, base, "records")
 
@@ -89,6 +103,10 @@ def test_multiwriter_contention_no_lost_updates(spark, tmp_path):
             while not stop_control.is_set():
                 n = pq.read_table(spark, base, "records").count()
                 read_counts.append(n)
+                # throttle: the consistency property needs interleaved
+                # reads, not a scheduler-saturating read loop (r12 —
+                # the unthrottled loop was ~1/3 of this test's wall)
+                stop_control.wait(0.2)
         except BaseException as e:  # pragma: no cover
             errors.append(e)
 

@@ -279,6 +279,7 @@ def test_cdc_hll_sketch_state_tracks_delta(spark, tmp_path):
     assert got_regs() == expected_regs(live_texts)
 
 
+@pytest.mark.slow
 def test_cdc_mirror_folds_run_stack(spark, tmp_path):
     """The mirror's LSM contract: each sync appends ONE delta run
     (write cost ∝ delta), and the stack folds once it exceeds
@@ -520,6 +521,7 @@ def test_cdc_qhist_state_exact_through_deletes(spark, tmp_path):
     assert got_state() == batch_state()
 
 
+@pytest.mark.slow
 def test_index_sync_tracks_corpus_through_deletes(spark, tmp_path):
     """The crawl→curate→search loop: the postings index follows the
     corpus change feed (inserts via append, deletes via tombstones),

@@ -74,7 +74,19 @@ def test_blas_pairs_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", text)) == 1
 
 
-def test_no_cartesian_products(spark):
+@pytest.fixture(scope="module")
+def gate_frames(spark):
+    """ALL gate query frames, built ONCE per module (r12): the two
+    whole-registry censuses below each used to rebuild every frame —
+    and building a frame runs the eager plan-construction work some
+    queries legitimately do (BPE learn collect, graph checkpoint
+    cuts, wedge sizing), so the rebuild doubled ~150 s of suite wall.
+    Frames are lazy plans; sharing them across read-only census tests
+    is safe."""
+    return {name: fn(spark, SF) for name, fn in entry.queries().items()}
+
+
+def test_no_cartesian_products(spark, gate_frames):
     """EVERY gate query: no CartesianProduct anywhere; nested-loop
     broadcast allowed only in the deliberate 1-row scalar-subquery
     joins (the decorrelated threshold/average broadcasts)."""
@@ -105,8 +117,8 @@ def test_no_cartesian_products(spark):
         "q147_ann_many",
         "q148_hybrid_many",
     }
-    for name, fn in entry.queries().items():
-        text = plan(fn(spark, SF))
+    for name, df in gate_frames.items():
+        text = plan(df)
         assert "CartesianProduct" not in text, name
         if name not in allowed_nested_loop:
             assert "BroadcastNestedLoopJoin" not in text, name
@@ -130,7 +142,7 @@ def _global_window_count(df) -> int:
     )
 
 
-def test_bounded_window_census(spark):
+def test_bounded_window_census(spark, gate_frames):
     """EVERY gate query: no single-partition Window unless the frame
     beneath it is bounded by construction (the cartesian census's
     sibling, round-9 brief item 4). Allowlist entries carry the bound
@@ -162,8 +174,8 @@ def test_bounded_window_census(spark):
         "q142_hybrid_indexed": 2,
     }
     bad = {}
-    for name, fn in entry.queries().items():
-        n = _global_window_count(fn(spark, SF))
+    for name, df in gate_frames.items():
+        n = _global_window_count(df)
         if n > allowed.get(name, 0):
             bad[name] = n
     assert not bad, (

@@ -6,6 +6,8 @@ their invariants must hold on arbitrary inputs, not just fixtures.
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from hypothesis import given, settings
@@ -179,6 +181,7 @@ def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     )
 )
 @settings(max_examples=15, deadline=None)
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     from block_explorer_spark.operators import graph as G
 
@@ -189,6 +192,7 @@ def test_connected_components_matches_union_find(spark, edges):
 
 @given(st.integers(min_value=0, max_value=2**31))
 @settings(max_examples=20, deadline=None)
+@pytest.mark.slow
 def test_containment_dominates_jaccard(spark, seed):
     """For any corpus, containment(a,b) >= jaccard(a,b) on every
     co-shingled pair (min(|a|,|b|) <= |a|+|b|-inter)."""

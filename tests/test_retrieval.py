@@ -474,6 +474,7 @@ class TestStreamingIndex:
             for i in range(lo, hi)
         ]
 
+    @pytest.mark.slow
     def test_streamed_index_serves_batch_scores(self, spark, tmp_path):
         import os
 
@@ -835,6 +836,7 @@ class TestVocabPrefix:
 
 
 class TestStreamingPositionalIndex:
+    @pytest.mark.slow
     def test_streamed_positional_index_serves_batch_phrase(self, spark, tmp_path):
         """A stream bootstrapped with positions=True mirrors the
         positional family in every appended batch — phrase search

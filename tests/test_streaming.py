@@ -124,6 +124,7 @@ def test_streaming_end_to_end(spark, tmp_path):
     assert pq.read_table(spark, base, "records").count() == 18
 
 
+@pytest.mark.slow
 def test_restart_resume_mid_batch_crash(spark, tmp_path, monkeypatch):
     """Exactly-once-at-the-table e2e: kill the stream AFTER a
     micro-batch persisted but BEFORE its offset committed (the
@@ -301,6 +302,7 @@ def test_group_spool_replayed_batch_dedups(spark, tmp_path):
     assert pq.read_table(spark, base, "pulses").count() == 1
 
 
+@pytest.mark.slow
 def test_streaming_ingest_lands_clustered_lifeline_layout(spark, tmp_path):
     """Round-8 item: the ingest stream's micro-batches land records
     with the (pulse_bucket, obj_key) layout + object-index sidecar
