@@ -264,27 +264,21 @@ def bpe_token_counts(
     def _bpe_len(words: pd.Series) -> pd.Series:
         return words.map(lambda w: len(apply_merges(w, ranks)))
 
-    # r12 (guide §7.2 duplicated subtrees): the token stream used to
-    # feed the join TWICE — once as the per-token rows and once
-    # re-derived for the distinct-word side — re-executing the
-    # scan + spread + explode subtree per branch. Aggregating to
-    # (doc, word, k) FIRST gives both branches the same exchange
-    # (ReusedExchange), so the corpus text is scanned and exploded
-    # once; n_words = Σk and n_bpe_tokens = Σ k·len(word) are
-    # identical by distributivity.
-    dw = (
-        _word_tokens(df, id_col, text_col)
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("__k"))
-    )
-    type_lens = dw.select("w").distinct().withColumn("n_bpe", _bpe_len("w"))
+    # NOTE (r12, measured and REJECTED): pre-aggregating the token
+    # stream to (doc, word, k) so the distinct-word branch shares one
+    # exchange looked like a §7.2 duplicated-subtree fix, but the
+    # interleaved A/B read +8..15% at sf0.1 — the (id, w) aggregate
+    # shuffles nearly every token row (in-doc repeats are rare, so
+    # k≈1 and the partial agg reduces nothing), while the "duplicate"
+    # branches already share the _spread exchange at runtime. Kept as
+    # the original two-branch shape.
+    tok = _word_tokens(df, id_col, text_col)
+    type_lens = tok.select("w").distinct().withColumn("n_bpe", _bpe_len("w"))
     return (
-        dw.join(type_lens, "w")
+        tok.join(type_lens, "w")
         .groupBy(id_col)
         .agg(
-            # coalesce keeps count()'s non-nullable schema (groups
-            # always hold >= 1 row, so the value is unchanged)
-            F.coalesce(F.sum("__k"), F.lit(0)).cast("long").alias("n_words"),
-            F.sum(F.col("__k") * F.col("n_bpe")).cast("long").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
         )
     )

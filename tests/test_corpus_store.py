@@ -774,6 +774,7 @@ def test_ingest_staged_files_survive_concurrent_aggressive_vacuum(
     assert {r.doc_id for r in cs.read_corpus(spark, base).collect()} == {1, 2}
 
 
+@pytest.mark.slow
 def test_substr_sweep_strips_pre_tier_duplication(spark, base):
     """substr_sweep: a store built WITHOUT the incremental tier gets
     the batch-global q95 treatment — first occurrence keeps the run,
@@ -816,6 +817,7 @@ def test_substr_sweep_strips_pre_tier_duplication(spark, base):
     assert again["n_known"] == 1 and again["n_added"] == 0
 
 
+@pytest.mark.slow
 def test_substr_sweep_rebuilds_sidecar_for_tier_stores(spark, base):
     """On a store running the incremental tier, the sweep republishes
     a whash sidecar that mirrors the post-sweep text exactly."""
@@ -977,6 +979,7 @@ def test_truncate_change_log_retires_mutation_rows(spark, base):
     assert cs.truncate_change_log(spark, base) == 0  # idempotent
 
 
+@pytest.mark.slow
 def test_sweep_families_never_cross_contaminate(spark, base):
     """Regression (round 6): substr_sweep aliased the whashes family
     list into its staged-files accumulator, so a store running BOTH

@@ -754,6 +754,7 @@ class TestChunkDocuments:
             chunk_documents(docs, chunk_tokens=4, overlap=-1)
 
 
+@pytest.mark.slow
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """With a checkpoint dir configured on the context, iterative ops
     cut lineage with RELIABLE checkpoints (survive executor loss; the

@@ -160,6 +160,7 @@ def test_version_error_propagates(monkeypatch):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_wire_ingest_feeds_query_surface(spark, tmp_path):
     base = str(tmp_path / "wh")
     p1, p2, p3 = 4_000_010, 4_000_020, 4_000_030

@@ -6,6 +6,7 @@ from __future__ import annotations
 import random
 
 import numpy as np
+import pytest
 
 from block_explorer_spark.functions import codecs as C
 from block_explorer_spark.operators import dedup as D
@@ -234,6 +235,7 @@ def test_video_keyframe_hashes_and_all_slots_rule(spark):
     assert (1, 4) not in pairs
 
 
+@pytest.mark.slow
 def test_video_dedup_blocked_equals_bruteforce(spark):
     """The per-slot blocking + all-slots join equals the brute-force
     formulation over the same keyframe hashes."""
@@ -267,6 +269,7 @@ def test_video_dedup_blocked_equals_bruteforce(spark):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_hamming_pairs_multi_block_keys_match_bruteforce(spark):
     """Round-6: Manku-style key_arity (agree on >= arity blocks ->
     wider bucket keys) must return exactly the brute-force pair set at

@@ -126,6 +126,7 @@ def test_full_pipeline_two_rounds(spark, tmp_path):
 # ------------------------------------------------ round 7: CDC consumer
 
 
+@pytest.mark.slow
 def test_cdc_consumer_mirror_converges_and_fails_loud(spark, tmp_path):
     """The canonical change-feed consumer (sources/cdc_consumer.py):
     an incremental token-stats mirror that checkpoints since_version,
@@ -203,6 +204,7 @@ def test_cdc_consumer_mirror_converges_and_fails_loud(spark, tmp_path):
     assert_converged()
 
 
+@pytest.mark.slow
 def test_cdc_hll_sketch_state_tracks_delta(spark, tmp_path):
     """Incremental mergeable-sketch state over the change feed: the
     persisted HLL registers after N syncs equal the batch registers

@@ -268,6 +268,7 @@ def test_quantize_int8_error_bound(spark, vecs):
     st.integers(min_value=1, max_value=800),
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_budget_select_equals_naive_prefix(spark, rows, budget):
     """budget_select's bucketed two-level cumulative sum == the plain
     greedy prefix for any score/weight mix and any budget."""
@@ -294,6 +295,7 @@ def test_budget_select_equals_naive_prefix(spark, rows, budget):
     )
 )
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_temperature_sample_monotone_and_complete_on_min(spark, sizes):
     """For any stratum-size mix: the rarest stratum survives whole,
     every kept set is a subset of the stratum, and kept counts match
@@ -329,6 +331,7 @@ def test_temperature_sample_monotone_and_complete_on_min(spark, sizes):
 
 @given(st.integers(min_value=0, max_value=2**31))
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_shared_shingle_stats_matches_bruteforce(spark, seed):
     """shared_shingle_stats == the per-doc brute-force set computation
     for any random corpus."""

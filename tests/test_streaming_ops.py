@@ -140,6 +140,7 @@ def test_dedup_stream_replayed_batch(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
     """Unmatched clicks emit null-padded ONLY after the watermark
     proves no future purchase can match (the 'never converted'
