@@ -91,6 +91,36 @@ def order_group(records: list[dict]) -> list[dict]:
     return out
 
 
+def make_sort_group(dedupe: bool):
+    """The per-(pulse, jet) group transform, as one pandas→pandas
+    function. Module-level so BOTH execution paths — the cluster
+    `applyInPandas` below and the driver-side micro-batch transform
+    (plans/transformer.transform_pulse_data_pdf) — run the identical
+    code object; path equivalence is by construction, not by parallel
+    implementation."""
+
+    def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if dedupe:
+            pdf = pdf.drop_duplicates()
+        rows = pdf.to_dict("records")
+        try:
+            ordered = order_group(rows)
+            err = None
+        except BrokenChainError as e:
+            ordered = []
+            for i, r in enumerate(sorted(rows, key=lambda r: r["position"])):
+                r = dict(r)
+                r["order"] = i + 1
+                ordered.append(r)
+            err = str(e)
+        res = pd.DataFrame(ordered)
+        res = res.drop(columns=["position"])
+        res["chain_error"] = err
+        return res
+
+    return sort_group
+
+
 def chain_sort_drops(
     decoded: DataFrame, drop_invalid: bool = True, dedupe: bool = False
 ) -> DataFrame:
@@ -116,24 +146,7 @@ def chain_sort_drops(
     )
     in_cols = [f.name for f in schemas.RECORDS.fields if f.name != "order"] + ["position"]
 
-    def sort_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        if dedupe:
-            pdf = pdf.drop_duplicates()
-        rows = pdf.to_dict("records")
-        try:
-            ordered = order_group(rows)
-            err = None
-        except BrokenChainError as e:
-            ordered = []
-            for i, r in enumerate(sorted(rows, key=lambda r: r["position"])):
-                r = dict(r)
-                r["order"] = i + 1
-                ordered.append(r)
-            err = str(e)
-        res = pd.DataFrame(ordered)
-        res = res.drop(columns=["position"])
-        res["chain_error"] = err
-        return res
+    sort_group = make_sort_group(dedupe)
 
     sorted_df = (
         decoded.select(*in_cols, F.lit(0).alias("order"))

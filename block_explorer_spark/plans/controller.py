@@ -91,18 +91,30 @@ def advance_sequential(pulses: DataFrame, pulse_step: int | None = None) -> list
         .orderBy("pulse_number")
         .collect()
     )
+    return _sequential_walk(
+        frontier, [(r.pulse_number, r.prev_pulse_number) for r in rows]
+    )
+
+
+def _sequential_walk(
+    frontier: int | None, rows: list[tuple[int, int | None]]
+) -> list[int]:
+    """The D5 chain walk over (pulse_number, prev_pulse_number) pairs
+    already ordered by pulse_number. Module-level so the driver-side
+    control pass (streaming/pipeline._control_pass_driver) runs the
+    identical decision code as the Spark path above."""
     out: list[int] = []
     prev = frontier
-    for r in rows:
-        if prev is not None and r.prev_pulse_number != prev:
+    for pn, prev_pn in rows:
+        if prev is not None and prev_pn != prev:
             break
         if prev is None and frontier is None:
             # chain start: accept the first candidate as the new root
-            out.append(r.pulse_number)
-            prev = r.pulse_number
+            out.append(pn)
+            prev = pn
             continue
-        out.append(r.pulse_number)
-        prev = r.pulse_number
+        out.append(pn)
+        prev = pn
     return out
 
 
@@ -116,6 +128,15 @@ def find_gaps(pulses: DataFrame, step: int = 10) -> list[tuple[int, int]]:
     flagged = gap_flags(pulses.select("pulse_number"), "pulse_number", step)
     rows = flagged.filter(F.col("has_gap")).select("prev_key", "pulse_number").collect()
     return [(r.prev_key, r.pulse_number) for r in rows]
+
+
+def _gaps_walk(keys: list[int], step: int = 10) -> list[tuple[int, int]]:
+    """Driver-side twin of find_gaps over an already-collected pulse
+    set: consecutive keys in sorted order whose stride is not `step`.
+    Equivalence with the window formulation is pinned by
+    test_driver_ingest::test_control_pass_driver_matches_spark."""
+    ks = sorted(keys)
+    return [(a, b) for a, b in zip(ks, ks[1:]) if b != a + step]
 
 
 @dataclass

@@ -65,6 +65,62 @@ def decode_records(raw: DataFrame) -> DataFrame:
     )
 
 
+def _decode_pandas(pdf):
+    """Driver-side twin of decode_records over a collected raw batch
+    (pandas in, pandas out). Same kind→type mapping, same column
+    clearing, same unsupported-kind drop. `kind` is non-nullable by
+    schema, so plain membership tests match Spark's isin semantics.
+    Equivalence with the Spark version is pinned by
+    test_driver_ingest::test_decode_pandas_matches_spark."""
+    kind = pdf["kind"]
+    is_state = kind.isin(_STATE_KINDS)
+    is_result = kind == "result"
+    is_request = kind.isin(_REQUEST_KINDS)
+    out = pdf[is_state | is_result | is_request].copy()
+    k = out["kind"]
+    out["type"] = "state"
+    out.loc[k == "result", "type"] = "result"
+    out.loc[k.isin(_REQUEST_KINDS), "type"] = "request"
+    proto_keep = k.isin(["activate", "amend"])
+    out.loc[~proto_keep, "prototype_reference"] = None
+    prev_keep = k.isin(["amend", "deactivate"])
+    out.loc[~prev_keep, "prev_record_reference"] = None
+    payload_keep = k.isin(["activate", "amend", "result"])
+    out.loc[~payload_keep, "payload"] = None
+    return out.drop(columns=["kind"])
+
+
+def transform_pulse_data_pdf(raw_pdf, drop_invalid: bool = True, dedupe: bool = False):
+    """Driver-side twin of transform_pulse_data for an already
+    collected micro-batch (pandas in, pandas out). Runs the SAME
+    per-group function as the cluster applyInPandas
+    (chain_sort.make_sort_group), so the chain walk, the dedupe
+    collapse and the broken/forked-drop semantics are shared code, not
+    a parallel implementation. Used by the KB-scale ingest fast path
+    (streaming/pipeline.ingest_batch) to skip the Spark boundary
+    entirely for batches the driver holds anyway."""
+    import pandas as pd
+
+    from block_explorer_spark.operators import chain_sort as CS
+
+    out_cols = [f.name for f in schemas.RECORDS.fields]
+    in_cols = [f.name for f in schemas.RECORDS.fields if f.name != "order"] + ["position"]
+    decoded = _decode_pandas(raw_pdf)
+    if decoded.empty:
+        return pd.DataFrame(columns=out_cols)
+    decoded = decoded[in_cols].copy()
+    decoded["order"] = 0
+    sort_group = CS.make_sort_group(dedupe)
+    parts = [
+        sort_group(g)
+        for _, g in decoded.groupby(["pulse_number", "jet_id"], sort=False)
+    ]
+    res = pd.concat(parts, ignore_index=True)
+    if drop_invalid:
+        res = res[res["chain_error"].isna()]
+    return res.drop(columns=["chain_error"])[out_cols]
+
+
 def transform_pulse_data(
     raw: DataFrame, drop_invalid: bool = True, dedupe: bool = False
 ) -> DataFrame:

@@ -653,6 +653,18 @@ def _collect_arrow(batch: DataFrame, name: str, cap: int | None = None):
         tbl.num_rows > cap or tbl.nbytes > 8 * DRIVER_STAGE_BYTES
     ):
         return _TOO_BIG
+    return _prep_arrow_table(tbl, name)
+
+
+def _prep_arrow_table(tbl, name: str):
+    """Prep one already-collected Arrow batch for driver staging:
+    dedup by PK (keep-first — upsert's in-batch winner is
+    unspecified) and append the pulse_bucket column. Returns None for
+    an empty batch. Shared by _collect_arrow and callers that hand
+    upsert_many a pyarrow.Table directly (the driver-side ingest
+    fast path)."""
+    import pyarrow as pa
+
     if tbl.num_rows == 0:
         return None
     keys = TABLE_KEYS[name]
@@ -669,6 +681,33 @@ def _collect_arrow(batch: DataFrame, name: str, cap: int | None = None):
     return tbl.append_column(
         "pulse_bucket", pa.array([_bucket_of(p) for p in pns], type=pa.int64())
     )
+
+
+def _pdf_to_arrow(pdf, name: str):
+    """pandas → Arrow in a table's pinned schema, with the same null
+    coercions Spark's Arrow serializer applies to applyInPandas
+    output: NaN in a float-typed column headed for an integer field
+    becomes null, integral floats are truncated back to ints (they
+    arise only from pandas' nullable-int→float64 promotion, so the
+    truncation is exact). Row counts here are micro-batch scale; the
+    per-value loop is nanoseconds against the Spark job it replaces."""
+    import math
+
+    import pyarrow as pa
+
+    cols = {}
+    for f in TABLE_SCHEMAS[name].fields:
+        t = _arrow_type(f.dataType)
+        vals = pdf[f.name].tolist() if len(pdf) else []
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            vals = [
+                None
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else (bool(v) if pa.types.is_boolean(t) else int(v))
+                for v in vals
+            ]
+        cols[f.name] = pa.array(vals, type=t)
+    return pa.table(cols)
 
 
 def _arrow_keys(tbl, keys: list[str]) -> set:
@@ -1142,19 +1181,37 @@ def upsert_many(
                     # instead of paying a prep barrier; retries after
                     # a CAS conflict reuse the cached prep.
                     name, batch = item
+                    if not isinstance(batch, DataFrame) and not key_bucket_affinity:
+                        # pyarrow input without bucket affinity needs
+                        # the widened collision check only the Spark
+                        # path implements — convert once (lossless)
+                        batch = spark.createDataFrame(
+                            batch, TABLE_SCHEMAS[name]
+                        )
                     if name not in prepped:
                         st = (batch_stats or {}).get(name)
-                        # Driver-path eligibility. With caller stats the
-                        # row count is declared; without them the batch
-                        # is PROBED with a bounded collect (LIMIT cap+1)
-                        # — Catalyst's estimate is Long.Max for local
-                        # relations and join outputs, i.e. exactly the
-                        # micro-batches that benefit most, so an
-                        # estimate gate alone routes them to the
-                        # cluster path for nothing. The probe job costs
-                        # what the cluster path's planning job cost.
+                        # Driver-path eligibility. A pyarrow.Table
+                        # batch (the driver-side ingest fast path) is
+                        # already collected — prep it with zero jobs.
+                        # With caller stats the row count is declared;
+                        # without them the batch is PROBED with a
+                        # bounded collect (LIMIT cap+1) — Catalyst's
+                        # estimate is Long.Max for local relations and
+                        # join outputs, i.e. exactly the micro-batches
+                        # that benefit most, so an estimate gate alone
+                        # routes them to the cluster path for nothing.
+                        # The probe job costs what the cluster path's
+                        # planning job cost.
                         tbl = _TOO_BIG
-                        if key_bucket_affinity and (
+                        if not isinstance(batch, DataFrame):
+                            cols = [
+                                f.name for f in TABLE_SCHEMAS[name].fields
+                            ]
+                            tbl = _prep_arrow_table(
+                                batch.select(cols).cast(_arrow_schema(name)),
+                                name,
+                            )
+                        elif key_bucket_affinity and (
                             st is None or (st.pulses and st.n_rows <= DRIVER_STAGE_ROWS)
                         ):
                             tbl = _collect_arrow(

@@ -30,6 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 from block_explorer_spark import schemas
 from block_explorer_spark.plans import controller as C
 from block_explorer_spark.plans import transformer as Tr
+from block_explorer_spark.sources import manifest as Mf
 from block_explorer_spark.sources import parquet as pq
 
 
@@ -89,6 +90,21 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
     (dedupe=True) instead of paying a standalone full-batch exchange —
     exact duplicates share every column, so they always share a group.
     """
+    # r12 driver fast path (guide §1.2/§6): a KB-scale micro-batch's
+    # commit is fixed-cost bound — every Spark job it runs (transform
+    # materialization, per-table collects, probes) is task-launch and
+    # planning overhead over data the driver could hold outright. One
+    # bounded probe collect (LIMIT cap+1, byte backstop) decides the
+    # path: at or under the gate the WHOLE batch — decode, chain sort,
+    # per-pulse facts, jet-drop derivation, staging — runs driver-side
+    # through the same code the cluster path uses (the chain sort is
+    # literally the same function object; decode equivalence is
+    # test-pinned), and the commit costs ONE Spark job total. Above
+    # the gate (backfills, compactions) nothing changes.
+    probe = _probe_arrow(raw)
+    if probe is not None:
+        _ingest_batch_driver(spark, base, probe)
+        return
     raw = raw.cache()
     records = None
     try:
@@ -192,20 +208,7 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
         # batch's merges — and in steady state (all-new pulses, probe
         # empty) the jet_drops merge keeps its batch-local counts and
         # runs CONCURRENTLY with the other two, as before.
-        prior = 0
-        if touched and os.path.exists(pq.table_path(base, "jet_drops")):
-            try:
-                prior = (
-                    pq.read_table(
-                        spark, base, "jet_drops",
-                        pulse_gte=min(touched), pulse_lte=max(touched),
-                    )
-                    .filter(F.col("pulse_number").isin(touched))
-                    .limit(1)
-                    .count()
-                )
-            except Exception:
-                prior = 0  # unreadable/empty dir: first batch ever
+        prior = _prior_jet_drops(spark, base, touched)
         # Round 6: ONE manifest commit for the whole load — pulses,
         # records and (steady state) jet_drops publish atomically,
         # matching the reference's single load txn (storage.go:28-82).
@@ -239,6 +242,164 @@ def ingest_batch(spark: SparkSession, base: str, raw: DataFrame) -> None:
             records.unpersist()
 
 
+def _probe_arrow(raw: DataFrame):
+    """The bounded driver-path probe: collect at most gate+1 rows
+    (LIMIT bounds what the driver ever holds); None when the batch is
+    over the row/byte gate — or the gate is disabled — and the
+    cluster path must run."""
+    if pq.DRIVER_STAGE_ROWS <= 0:
+        return None
+    tbl = raw.limit(pq.DRIVER_STAGE_ROWS + 1).toArrow()
+    if (
+        tbl.num_rows > pq.DRIVER_STAGE_ROWS
+        or tbl.nbytes > 8 * pq.DRIVER_STAGE_BYTES
+    ):
+        return None
+    return tbl
+
+
+def _prior_jet_drops(spark: SparkSession, base: str, touched: list[int]) -> int:
+    """1 if any touched pulse already has jet_drops rows (a pulse whose
+    records arrive split across micro-batches), else 0 — the counter-
+    correctness probe ingest_batch runs BEFORE its merges. r12 (guide
+    §6 data skipping): zone-prune with the manifest's per-file
+    pulse_number stats first — the steady all-new-pulses state proves
+    no overlap from the manifest alone (ZERO file reads, ZERO Spark
+    jobs); surviving candidates under DRIVER_MERGE_BYTES are probed
+    driver-side through pyarrow (stats-less files are conservatively
+    kept by prune_by_stats, so they get read, never skipped); only a
+    big overlap pays the Spark read the old path always paid."""
+    if not touched or not os.path.exists(pq.table_path(base, "jet_drops")):
+        return 0
+    lo, hi = min(touched), max(touched)
+    try:
+        snap = Mf.read(base)
+        rels = snap["families"].get("jet_drops", [])
+        cand = Mf.prune_by_stats(
+            snap, "jet_drops", "pulse_number", lo=lo, hi=hi, rels=rels
+        )
+        if not cand:
+            return 0
+        if pq._rels_bytes(base, cand) <= pq.DRIVER_MERGE_BYTES:
+            import pyarrow.parquet as papq
+
+            tset = set(touched)
+            for rel in cand:
+                col = papq.read_table(
+                    os.path.join(base, rel), columns=["pulse_number"]
+                ).column("pulse_number")
+                if any(p in tset for p in col.to_pylist()):
+                    return 1
+            return 0
+    except Exception:
+        pass  # unreadable manifest (legacy/adopted layout): ask Spark
+    try:
+        return (
+            pq.read_table(
+                spark, base, "jet_drops", pulse_gte=lo, pulse_lte=hi
+            )
+            .filter(F.col("pulse_number").isin(touched))
+            .limit(1)
+            .count()
+        )
+    except Exception:
+        return 0  # unreadable/empty dir: first batch ever
+
+
+def _ingest_batch_driver(spark: SparkSession, base: str, raw_tbl) -> None:
+    """ingest_batch's driver fast path over one collected Arrow batch:
+    the same decode → dedupe → chain-sort → per-pulse facts →
+    jet-drop derivation → atomic 3-table upsert, with every step that
+    the cluster path runs as a Spark job executed driver-side instead.
+    The chain sort runs the IDENTICAL function object the cluster
+    applyInPandas wraps (chain_sort.make_sort_group); decode
+    equivalence is pinned by test_driver_ingest. Planning facts
+    (pulse sets, row counts) come from the collected rows, so the
+    BatchStats are exact by construction, and staging goes through
+    upsert_many's pyarrow path — ONE Spark job (the caller's probe
+    collect) per micro-batch commit in the steady state."""
+    import pyarrow as pa
+
+    raw_pdf = raw_tbl.to_pandas()
+    records_pdf = Tr.transform_pulse_data_pdf(raw_pdf, dedupe=True)
+
+    # per-pulse raw facts through Arrow group_by (int64-exact — no
+    # pandas nullable-int→float promotion on the chain-link columns)
+    gb = raw_tbl.group_by("pulse_number").aggregate(
+        [
+            ("timestamp", "max"),
+            ("prev_pulse_number", "max"),
+            ("next_pulse_number", "max"),
+        ]
+    )
+    # same derivation as pulses_from_raw (step-10 fallback for sources
+    # that lack real chain links) — mirrors the cluster path above
+    step = 10
+    pulse_rows = [
+        {
+            "pulse_number": pn,
+            "prev_pulse_number": prev if prev is not None else pn - step,
+            "next_pulse_number": nxt if nxt is not None else pn + step,
+            "is_complete": False,
+            "is_sequential": False,
+            "timestamp": ts,
+            "jet_drop_amount": 0,
+            "record_amount": 0,
+        }
+        for pn, ts, prev, nxt in zip(
+            gb.column("pulse_number").to_pylist(),
+            gb.column("timestamp_max").to_pylist(),
+            gb.column("prev_pulse_number_max").to_pylist(),
+            gb.column("next_pulse_number_max").to_pylist(),
+        )
+    ]
+    raw_pulses = [r["pulse_number"] for r in pulse_rows]
+    pulses_tbl = pa.Table.from_pylist(pulse_rows, schema=pq._arrow_schema("pulses"))
+
+    n_records = len(records_pdf)
+    touched = (
+        sorted(int(p) for p in records_pdf["pulse_number"].unique())
+        if n_records
+        else []
+    )
+    records_tbl = pq._pdf_to_arrow(records_pdf, "records")
+
+    prior = _prior_jet_drops(spark, base, touched)
+
+    batches: dict = {"pulses": pulses_tbl, "records": records_tbl}
+    stats = {
+        "pulses": pq.BatchStats(raw_pulses, len(raw_pulses)),
+        "records": pq.BatchStats(touched, n_records),
+    }
+    if not prior and n_records:
+        # driver twin of jet_drops_from_records: one row per
+        # (pulse, jet) with the batch pulse's timestamp
+        ts_by_pulse = {r["pulse_number"]: r["timestamp"] for r in pulse_rows}
+        counts = (
+            records_pdf.groupby(["pulse_number", "jet_id"], sort=False)
+            .size()
+            .reset_index(name="record_amount")
+        )
+        for c in ("first_prev_hash", "second_prev_hash", "hash", "raw_data"):
+            counts[c] = None
+        counts["timestamp"] = [
+            ts_by_pulse.get(int(p)) for p in counts["pulse_number"]
+        ]
+        batches["jet_drops"] = pq._pdf_to_arrow(counts, "jet_drops")
+        stats["jet_drops"] = pq.BatchStats(touched, n_records)
+    pq.upsert_many(spark, base, batches, batch_stats=stats)
+    if prior:
+        # Split-pulse path only (rare): recompute counts from the
+        # merged fact table, exactly like the cluster path.
+        post = pq.read_table(
+            spark, base, "records",
+            pulse_gte=min(touched), pulse_lte=max(touched),
+        ).filter(F.col("pulse_number").isin(touched))
+        pulses_df = spark.createDataFrame(pulses_tbl, schemas.PULSES)
+        drops = Tr.jet_drops_from_records(post, pulses_df)
+        pq.upsert(spark, base, "jet_drops", drops)
+
+
 def run_control_pass(spark: SparkSession, base: str) -> dict:
     """D4 + D5 + counter refresh as one idempotent batch sweep.
 
@@ -255,6 +416,9 @@ def run_control_pass(spark: SparkSession, base: str) -> dict:
     intermediate state, which is strictly safer)."""
     from block_explorer_spark.operators.aggregates import pulse_counters
 
+    fast = _control_pass_driver(spark, base)
+    if fast is not None:
+        return fast
     pulses = pq.read_table(spark, base, "pulses")
     drops = pq.read_table(spark, base, "jet_drops")
     completed = C.newly_complete_pulses(pulses, drops)
@@ -287,6 +451,95 @@ def run_control_pass(spark: SparkSession, base: str) -> dict:
     return {"completed": completed, "sequential": sequential, "gaps": gaps}
 
 
+def _control_pass_driver(spark: SparkSession, base: str) -> dict | None:
+    """run_control_pass's driver fast path: when BOTH control tables'
+    committed bytes fit under DRIVER_MERGE_BYTES, read them through
+    pyarrow and run the sweep driver-side — the completeness check is
+    the same pure `trie_covered`, the D5 advance the same
+    `_sequential_walk`, the gap scan `_gaps_walk` (pinned equivalent
+    to the window formulation), and the fused pulse upsert goes
+    through upsert_many's pyarrow path. Zero Spark jobs for the
+    KB-scale steady state the streaming loop lives in; None (→ the
+    unchanged Spark path) for big stores, legacy layouts, or any
+    manifest/file surprise."""
+    from block_explorer_spark.functions.jets import trie_covered
+
+    try:
+        snap = Mf.read(base)
+        if snap["version"] == 0:
+            return None  # legacy or empty-under-protocol: Spark decides
+        prels = snap["families"].get("pulses", [])
+        drels = snap["families"].get("jet_drops", [])
+        if pq._rels_bytes(base, prels + drels) > pq.DRIVER_MERGE_BYTES:
+            return None
+
+        def rd(name, rels):
+            if not rels:
+                return None
+            return pq._read_rels_arrow(base, name, rels).to_pandas()
+
+        pulses = rd("pulses", prels)
+        drops = rd("jet_drops", drels)
+    except Exception:
+        return None  # unreadable manifest/files: the Spark path decides
+    if pulses is None or pulses.empty:
+        return {"completed": [], "sequential": [], "gaps": []}
+
+    jets_by_pulse: dict[int, set] = {}
+    if drops is not None:
+        for pn, jid in zip(drops["pulse_number"], drops["jet_id"]):
+            jets_by_pulse.setdefault(int(pn), set()).add(jid)
+    completed = sorted(
+        int(pn)
+        for pn, done in zip(pulses["pulse_number"], pulses["is_complete"])
+        if not done
+        and int(pn) in jets_by_pulse
+        and trie_covered(list(jets_by_pulse[int(pn)]))
+    )
+    is_complete = pulses["is_complete"] | pulses["pulse_number"].isin(completed)
+
+    seq_mask = pulses["is_sequential"]
+    frontier = (
+        int(pulses.loc[seq_mask, "pulse_number"].max()) if seq_mask.any() else None
+    )
+    cand = pulses[is_complete & ~seq_mask]
+    if frontier is not None:
+        cand = cand[cand["pulse_number"] > frontier]
+    cand = cand.sort_values("pulse_number")
+    sequential = C._sequential_walk(
+        frontier,
+        [
+            (int(pn), None if prev != prev or prev is None else int(prev))
+            for pn, prev in zip(
+                cand["pulse_number"], cand["prev_pulse_number"]
+            )
+        ],
+    )
+
+    # counter refresh (pulse_counters' derivation) + the fused commit
+    out = pulses.copy()
+    out["is_complete"] = is_complete
+    out["is_sequential"] = seq_mask | out["pulse_number"].isin(sequential)
+    jd_amt: dict[int, int] = {}
+    rec_amt: dict[int, int] = {}
+    if drops is not None:
+        for pn, ra in zip(drops["pulse_number"], drops["record_amount"]):
+            pn = int(pn)
+            jd_amt[pn] = jd_amt.get(pn, 0) + 1
+            if ra == ra and ra is not None:  # null-safe sum, like F.sum
+                rec_amt[pn] = rec_amt.get(pn, 0) + int(ra)
+    out["jet_drop_amount"] = [jd_amt.get(int(p), 0) for p in out["pulse_number"]]
+    out["record_amount"] = [rec_amt.get(int(p), 0) for p in out["pulse_number"]]
+    upd = pq._pdf_to_arrow(out, "pulses")
+    pns = sorted(int(p) for p in out["pulse_number"])
+    pq.upsert_many(
+        spark, base, {"pulses": upd},
+        batch_stats={"pulses": pq.BatchStats(pns, len(pns))},
+    )
+    gaps = C._gaps_walk(pns)
+    return {"completed": completed, "sequential": sequential, "gaps": gaps}
+
+
 def _spool_dir(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, "group_spool")
 
@@ -302,13 +555,20 @@ def flush_pending(spark: SparkSession, base: str, checkpoint_dir: str) -> int:
     spool = _spool_dir(checkpoint_dir)
     if not os.path.isdir(spool):
         return 0
+    # r12: ONE bounded read decides the path and yields the count —
+    # the standalone count() job re-read the same spool the ingest
+    # probe collects right after (guide §1.2: one pass, not two).
     try:
         raw = spark.read.schema(schemas.RAW_RECORDS).parquet(spool)
-        n = raw.count()
+        probe = _probe_arrow(raw)
+        n = probe.num_rows if probe is not None else raw.count()
     except Exception:
-        n = 0  # spool dir exists but holds no readable parquet
+        probe, n = None, 0  # spool dir exists but holds no readable parquet
     if n:
-        ingest_batch(spark, base, raw)
+        if probe is not None:
+            _ingest_batch_driver(spark, base, probe)
+        else:
+            ingest_batch(spark, base, raw)
         run_control_pass(spark, base)
     shutil.rmtree(spool, ignore_errors=True)
     return n
