@@ -66,6 +66,17 @@ _DRIVER_MEM_ENV = "SPARK_GRAFT_DRIVER_MEM"
 #: is cluster-level config — initialPartitionNum ~ 2-3x total cores.
 _WIDE_SHUFFLE_ENV = "SPARK_GRAFT_WIDE_SHUFFLE"
 
+#: Shuffle/spill compression codec (spark.io.compression.codec).
+#: Unset keeps Spark's default (lz4) so the driver's bench conditions
+#: stay comparable round-over-round. Production/scale recommendation:
+#: zstd — measured on the q25 x1000 leg (OPTIMIZATION_r12.md §7):
+#: wall 900→740 s (−18%), shuffle write −17%, disk spill −30%
+#: (10.2→7.1 GB). The heavy dedup legs are shuffle/spill-byte bound,
+#: exactly the regime guide §2.3 says zstd pays off in; tiny local
+#: shuffles are indifferent. Scale runs opt in:
+#:   SPARK_GRAFT_IO_CODEC=zstd python scripts/scale_curve.py ...
+_IO_CODEC_ENV = "SPARK_GRAFT_IO_CODEC"
+
 
 def builder(app_name: str = "block-explorer-spark", **overrides: str) -> SparkSession.Builder:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -75,6 +86,9 @@ def builder(app_name: str = "block-explorer-spark", **overrides: str) -> SparkSe
     wide = os.environ.get(_WIDE_SHUFFLE_ENV)
     if wide:
         conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = wide
+    codec = os.environ.get(_IO_CODEC_ENV)
+    if codec:
+        conf["spark.io.compression.codec"] = codec
     conf.update({k: str(v) for k, v in overrides.items()})
     for k, v in conf.items():
         b = b.config(k, v)
