@@ -236,7 +236,13 @@ def pagerank_int(
     # lineage executes once.
     ec = e.join(out_deg, "src")
     if use_checkpoint:
-        ec = _cut(ec)
+        # r12: LAZY cut — the loop and final join all execute inside
+        # ONE action (the in_sum cuts below are lazy too), so ec's
+        # blocks materialize on first use within that action instead
+        # of paying a serial standalone job before it. Interleaved
+        # sf0.1 A/B: 4.22 -> 3.94 s median (-7%), all 4 passes lazy-
+        # faster; identical frame either way, only scheduling moves.
+        ec = _cut(ec, eager=False)
     # NOT lineage-cut: since the in_sum hoist, `nodes` is consumed
     # exactly once (the final join / the iters==0 return), so an eager
     # cut is a pure extra materialization job run SERIALLY before the
@@ -650,7 +656,9 @@ def ppr_int(
         .select("src", "dst", "deg", F.coalesce("__s", F.lit(0)).alias("s"))
     )
     if use_checkpoint:
-        ec = _cut(ec)
+        # r12: lazy for the same reason as pagerank_int's ec —
+        # everything downstream is one action; see the note there.
+        ec = _cut(ec, eager=False)
     nodes = (
         ec.select(F.col("src").alias("id"))
         .union(ec.select(F.col("dst").alias("id")))
